@@ -1,0 +1,146 @@
+"""Golden replay tests for core combinators.
+
+Pattern 1 of the reference's test strategy (SURVEY §5): deterministic
+replay over synthetic ticks, asserting exact values AND tick-times —
+modeled on /root/reference/crates/wingfoil/tests/catalog.rs.
+"""
+
+import pyspark.sql.functions as F
+
+from wingfoil_spark import Stream, replay_rows, ticker
+
+
+def rows(stream, *cols):
+    return [tuple(r[c] for c in cols) for r in stream.collect_ordered()]
+
+
+def make(spark, data, schema="ts long, v double", **kw):
+    return replay_rows(spark, data, schema, **kw)
+
+
+def test_ticker_count(spark):
+    s = ticker(spark, period_ns=10, n=5).count(out="n")
+    assert rows(s, "ts", "n") == [(10, 1), (20, 2), (30, 3), (40, 4), (50, 5)]
+
+
+def test_map_filter(spark):
+    s = make(spark, [(1, 1.0), (2, 2.0), (3, 3.0)])
+    s = s.map(v2=F.col("v") * 2).filter_value(F.col("v2") > 2)
+    assert rows(s, "ts", "v2") == [(2, 4.0), (3, 6.0)]
+
+
+def test_fold_scan(spark):
+    s = make(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]).fold("v", "sum", out="acc")
+    assert rows(s, "ts", "acc") == [(1, 1.0), (2, 3.0), (3, 6.0)]
+
+
+def test_difference_quiet_first(spark):
+    # reference: difference is quiet on the first tick (ops.rs:263-303)
+    s = make(spark, [(1, 5.0), (2, 7.0), (3, 4.0)]).difference("v", out="d")
+    assert rows(s, "ts", "d") == [(2, 2.0), (3, -3.0)]
+
+
+def test_distinct_until_changed(spark):
+    s = make(spark, [(1, 1.0), (2, 1.0), (3, 2.0), (4, 2.0), (5, 1.0)])
+    assert rows(s.distinct_until_changed("v"), "ts", "v") == [
+        (1, 1.0), (3, 2.0), (5, 1.0)]
+
+
+def test_limit(spark):
+    s = make(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]).limit_ticks(2)
+    assert rows(s, "ts", "v") == [(1, 1.0), (2, 2.0)]
+
+
+def test_accumulate(spark):
+    s = make(spark, [(1, 1.0), (2, 2.0)]).accumulate("v", out="vals")
+    assert rows(s, "ts", "vals") == [(1, "1.0"), (2, "1.0,2.0")]
+
+
+def test_delay_with_timequeue_dedup(spark):
+    # identical (value, time) scheduled twice collapses to one event
+    # (reference TimeQueue dedup, runtime/time_queue.rs:136)
+    s = make(spark, [(1, 1.0), (1, 1.0), (2, 2.0)]).delay(10)
+    assert rows(s, "ts", "v") == [(11, 1.0), (12, 2.0)]
+
+
+def test_throttle_bucket(spark):
+    s = make(spark, [(1, 1.0), (5, 2.0), (11, 3.0), (12, 4.0), (25, 5.0)])
+    assert rows(s.throttle(10), "ts", "v") == [(1, 1.0), (11, 3.0), (25, 5.0)]
+
+
+def test_merge_tiebreak_earliest_stream_wins(spark):
+    # reference tests/merge_tiebreak.rs: same-instant tie → earliest-supplied
+    a = make(spark, [(1, 1.0), (3, 3.0)])
+    b = make(spark, [(1, 10.0), (2, 20.0), (3, 30.0)])
+    m = a.merge(b)
+    assert rows(m, "ts", "v") == [(1, 1.0), (2, 20.0), (3, 3.0)]
+
+
+def test_combine_latest(spark):
+    # reference `join` (combine-latest): ticks when either ticks
+    a = make(spark, [(1, 1.0), (4, 4.0)], "ts long, a double")
+    b = make(spark, [(2, 20.0), (4, 40.0)], "ts long, b double")
+    j = a.combine_latest(b)
+    assert rows(j, "ts", "a", "b") == [
+        (1, 1.0, None),       # b not yet ticked
+        (2, 1.0, 20.0),
+        (4, 4.0, 40.0),       # same-instant burst → ONE emission, both new
+    ]
+
+
+def test_join_passive_only_left_emits(spark):
+    a = make(spark, [(1, 1.0), (3, 3.0)], "ts long, a double")
+    b = make(spark, [(2, 20.0), (4, 40.0)], "ts long, b double")
+    j = a.join_passive(b)
+    assert rows(j, "ts", "a", "b") == [(1, 1.0, None), (3, 3.0, 20.0)]
+
+
+def test_sample(spark):
+    src = make(spark, [(1, 1.0), (5, 5.0)], "ts long, v double")
+    trig = make(spark, [(2, 0), (4, 0), (6, 0)], "ts long, tick int")
+    out = src.sample(trig, cols=["v"])
+    assert rows(out, "ts", "v") == [(2, 1.0), (4, 1.0), (6, 5.0)]
+
+
+def test_filter_latch_resamples_on_condition_tick(spark):
+    # reference `filter` (ops.rs:2671-2715): condition ticks re-emit held value
+    src = make(spark, [(1, 1.0), (4, 4.0)], "ts long, v double")
+    cond = make(spark, [(2, True), (3, True), (5, False)], "ts long, ok boolean")
+    out = src.filter_latch(cond, "ok")
+    assert rows(out, "ts", "v") == [(2, 1.0), (3, 1.0), (4, 4.0)]
+
+
+def test_tumbling_window(spark):
+    s = make(spark, [(1, 1.0), (5, 2.0), (11, 3.0), (19, 4.0), (21, 5.0)])
+    t = s.tumbling(10, {"total": F.sum("v"), "cnt": F.count("v")})
+    assert rows(t, "ts", "total", "cnt") == [
+        (10, 3.0, 2), (20, 7.0, 2), (30, 5.0, 1)]
+
+
+def test_buffer_count_window(spark):
+    s = make(spark, [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0)])
+    b = s.buffer(2, {"total": F.sum("v")})
+    assert rows(b, "ts", "total") == [(2, 3.0), (4, 7.0), (5, 5.0)]
+
+
+def test_keyed_ops_partition_independently(spark):
+    s = make(
+        spark,
+        [(1, "a", 1.0), (2, "b", 10.0), (3, "a", 2.0), (4, "b", 20.0)],
+        "ts long, k string, v double",
+        keys=("k",),
+    )
+    out = s.fold("v", "sum", out="acc")
+    assert rows(out, "k", "ts", "acc") == [
+        ("a", 1, 1.0), ("a", 3, 3.0), ("b", 2, 10.0), ("b", 4, 30.0)]
+
+
+def test_demux_explode(spark):
+    s = replay_rows(
+        spark,
+        [(1, ["x", "y"]), (2, ["x"])],
+        "ts long, items array<string>",
+    )
+    d = s.demux_it("items", route_col="item").count(out="n")
+    assert sorted(rows(d, "item", "ts", "n")) == [
+        ("x", 1, 1), ("x", 2, 2), ("y", 1, 1)]

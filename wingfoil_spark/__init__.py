@@ -1,0 +1,43 @@
+"""wingfoil_spark — a PySpark-native stream analytics engine.
+
+A from-scratch re-expression of the capability surface of
+wingfoil-io/wingfoil (a Rust graph-based stream processor, studied at
+/root/reference) in idiomatic PySpark:
+
+- ``Stream`` — a time-ordered, optionally keyed dataflow handle backed by a
+  DataFrame lineage node (the reference's ``Stream<T>``,
+  ``crates/wingfoil/src/fluent.rs:628``). The DataFrame DAG *is* the operator
+  graph; Catalyst is the scheduler/compiler tier (the reference's ``nitro!``
+  compiled tier, ``crates/wingfoil-derive/src/lib.rs:36``).
+- Historical replay = deterministic batch over event-time-ordered data;
+  RealTime = the same transform bound to ``readStream``
+  (``crates/wingfoil/src/runtime/run.rs:16-29`` run-mode duality).
+- Engine time is int64 nanoseconds (``NanoTime``,
+  ``crates/wingfoil/src/runtime/time.rs:38``) — kept as LongType.
+
+Everything here derives from public knowledge only: the Apache Spark API and
+the reference repo's observable behavior.
+"""
+
+from wingfoil_spark.session import get_spark, configure_session
+from wingfoil_spark.stream import Stream
+from wingfoil_spark.sources.tables import (
+    load_table,
+    load_tables,
+    events_stream,
+    replay_rows,
+    ticker,
+)
+
+__all__ = [
+    "Stream",
+    "get_spark",
+    "configure_session",
+    "load_table",
+    "load_tables",
+    "events_stream",
+    "replay_rows",
+    "ticker",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,199 @@
+"""Recursive / stateful per-stream operators (the genuinely non-window ops).
+
+These are the operators whose value at tick n depends on their *own* emitted
+state (EWMA's recursion, drop_small_change's last-emitted reference point,
+throttle's last-emission timer) — not expressible as SQL window functions.
+They run as Arrow-batched ``applyInPandas`` over the stream's keys:
+sequential within a key (the recursion demands it — same as the reference's
+single-threaded node state), parallel across keys on a cluster.
+
+Reference ops: EWMA family (crates/wingfoil/src/ops.rs:821-951, trait
+stats.rs:21-29), drop_small_change (ops.rs:227-262), throttle
+(ops.rs:381-414), time-weighted windows (ops.rs:2374-2501), weighted median
+(ops.rs:2502-2669). State-ownership model: the engine owns per-node state and
+hands it to the op's cycle fn (op.rs:296-333) — here the "state" is the
+pandas group, owned by the executor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wingfoil_spark.stream import Stream
+
+
+def _apply_per_key(s: Stream, fn, added: list[T.StructField]) -> Stream:
+    """Run ``fn(pdf) -> pdf`` per key with rows pre-sorted by (ts, seq)."""
+    schema = T.StructType(list(s.df.schema.fields) + added)
+    order = [s.ts] + ([s.seq] if s.seq else [])
+
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.sort_values(order, kind="mergesort"))
+
+    out_df = s.grouped().applyInPandas(wrapped, schema=schema)
+    return Stream(out_df, ts=s.ts, seq=s.seq, keys=s.keys)
+
+
+def ewma(
+    s: Stream,
+    col: str,
+    alpha: float | None = None,
+    half_life_ns: int | None = None,
+    out: str = "ewma",
+) -> Stream:
+    """Exponentially-weighted moving average.
+
+    ``alpha`` → per-tick decay: s_n = (1-α)·s_{n-1} + α·x_n, seeded s_0 = x_0
+    (reference ``ewma_per_tick``, ops.rs:904-927).
+    ``half_life_ns`` → time decay: d = 0.5^(Δt/half_life),
+    s_n = d·s_{n-1} + (1-d)·x_n (reference ``ewma_half_life``,
+    ops.rs:928-951): a burst at Δt=0 leaves the mean at the newest sample's
+    recursion with d=1 → unchanged-then-blended consistently.
+    """
+    if (alpha is None) == (half_life_ns is None):
+        raise ValueError("exactly one of alpha / half_life_ns")
+
+    if alpha is not None:
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf[out] = pdf[col].ewm(alpha=alpha, adjust=False).mean()
+            return pdf
+    else:
+        hl = float(half_life_ns)
+        ts_col = s.ts
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            ts = pdf[ts_col].to_numpy(dtype=np.float64)
+            x = pdf[col].to_numpy(dtype=np.float64)
+            res = np.empty_like(x)
+            acc = x[0] if len(x) else 0.0
+            prev_t = ts[0] if len(ts) else 0.0
+            for i in range(len(x)):
+                d = 0.5 ** ((ts[i] - prev_t) / hl)
+                acc = d * acc + (1.0 - d) * x[i]
+                res[i] = acc
+                prev_t = ts[i]
+            pdf[out] = res
+            return pdf
+
+    return _apply_per_key(s, fn, [T.StructField(out, T.DoubleType())])
+
+
+def drop_small_change(s: Stream, col: str, tol: float) -> Stream:
+    """Suppress ticks while the change versus the last *emitted* value is
+    ≤ tol — slow drift still eventually fires (which ``lag`` can't express:
+    the reference point is the last emission, not the previous tick).
+    Reference: ``drop_small_change`` (fluent.rs:1022, ops.rs:227-262)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[col].to_numpy(dtype=np.float64)
+        keep = np.zeros(len(x), dtype=bool)
+        if len(x):
+            keep[0] = True
+            ref = x[0]
+            for i in range(1, len(x)):
+                if abs(x[i] - ref) > tol:
+                    keep[i] = True
+                    ref = x[i]
+        return pdf.loc[keep]
+
+    return _apply_per_key(s, fn, [])
+
+
+def throttle_exact(s: Stream, interval_ns: int) -> Stream:
+    """Timer-accurate throttle: emit iff ts ≥ last emission + interval.
+    Reference ``throttle`` semantics (ops.rs:381-414)."""
+
+    ts_col = s.ts
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        keep = np.zeros(len(ts), dtype=bool)
+        next_ok = np.iinfo(np.int64).min
+        for i in range(len(ts)):
+            if ts[i] >= next_ok:
+                keep[i] = True
+                next_ok = ts[i] + interval_ns
+        return pdf.loc[keep]
+
+    return _apply_per_key(s, fn, [])
+
+
+def time_windowed_time_weighted(
+    s: Stream, col: str, stat: str, window_ns: int, out: str
+) -> Stream:
+    """Exact time-weighted {mean, var, std} over a trailing duration.
+
+    The step-signal integral over [ts_n - W, ts_n] requires clipping the
+    partial interval at the window's left edge — not window-expressible, so
+    computed per key with O(n) numpy prefix integrals (cumulative v·w and
+    v²·w, searchsorted for the edge). Reference:
+    ``time_windowed_*_time_weighted`` (stats.rs:154-162, ops.rs:2374-2501).
+    """
+
+    ts_col = s.ts
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf[ts_col].to_numpy(dtype=np.float64)
+        v = pdf[col].to_numpy(dtype=np.float64)
+        n = len(ts)
+        res = np.empty(n)
+        if n:
+            w = np.diff(ts, append=ts[-1])  # in-effect span; last = 0
+            P1 = np.concatenate(([0.0], np.cumsum(v * w)))       # ∫v up to ts_i
+            P2 = np.concatenate(([0.0], np.cumsum(v * v * w)))   # ∫v²
+            for i in range(n):
+                t0 = max(ts[0], ts[i] - window_ns)
+                j = np.searchsorted(ts, t0, side="right") - 1
+                span = ts[i] - t0
+                if span <= 0:
+                    res[i] = v[i] if stat == "mean" else 0.0
+                    continue
+                i1 = P1[i] - (P1[j] + v[j] * (t0 - ts[j]))
+                m = i1 / span
+                if stat == "mean":
+                    res[i] = m
+                else:
+                    i2 = P2[i] - (P2[j] + v[j] * v[j] * (t0 - ts[j]))
+                    var = max(i2 / span - m * m, 0.0)
+                    res[i] = var if stat == "var" else np.sqrt(var)
+        pdf[out] = res
+        return pdf
+
+    return _apply_per_key(s, fn, [T.StructField(out, T.DoubleType())])
+
+
+def weighted_median(s: Stream, col: str, wname: str, frame, out: str) -> Stream:
+    """Time-weighted median (weight = in-effect time), excluding the current
+    sample, seeded to the current value while weightless. Reference:
+    ``*_median_time_weighted`` (stats.rs:177-185, ops.rs:2502-2669)."""
+
+    rows_n = frame[1] if frame[0] == "rows" else None
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[col].to_numpy(dtype=np.float64)
+        w = pdf[wname].to_numpy(dtype=np.float64)
+        n = len(v)
+        res = np.empty(n)
+        for i in range(n):
+            lo = 0 if rows_n is None else max(0, i - (rows_n - 1))
+            vv, ww = v[lo:i], w[lo:i]
+            mask = ww > 0
+            vv, ww = vv[mask], ww[mask]
+            if len(vv) == 0:
+                res[i] = v[i]
+                continue
+            order = np.argsort(vv, kind="mergesort")
+            vv, ww = vv[order], ww[order]
+            c = np.cumsum(ww)
+            half = c[-1] / 2.0
+            k = int(np.searchsorted(c, half))
+            res[i] = vv[min(k, len(vv) - 1)]
+        pdf[out] = res
+        return pdf
+
+    dropped = [c for c in s.df.columns if c != wname]
+    result = _apply_per_key(s, fn, [T.StructField(out, T.DoubleType())])
+    return Stream(result.df.select(*dropped, out), ts=s.ts, seq=s.seq, keys=s.keys)

@@ -1,0 +1,144 @@
+"""The statistics matrix: {rolling, cumulative, time-windowed} ×
+{sum, mean, min, max, var, std, median} × {tick, time} weighting.
+
+Reference: ``StatisticsOps`` (crates/wingfoil/src/stats.rs:18-185; op impls
+ops.rs:821-2669). The Python binding exposes the same surface as one
+parameterized ``moment(stream, Moment, Window, Weighting)`` call
+(crates/wingfoil-python/src/statistics.rs:320-414) — mirrored here by
+:func:`window_stat`.
+
+Frame spec:
+    ("rows", n)    — last n ticks        (reference rolling_*,  stats.rs:32)
+    ("range", ns)  — trailing duration   (reference time_windowed_*, stats.rs:90)
+    ("cum",)       — since start         (reference cumulative_*, stats.rs:59)
+
+Weighting:
+    "tick" — every tick weighs 1. Var/std are sample-style (ddof=1), matching
+             the reference's rolling/cumulative tests.
+    "time" — each sample weighted by the time it was *in effect* (left-
+             continuous step signal: a sample contributes nothing until the
+             next tick; the newest sample has weight 0). Var/std are
+             population-style. Semantics pinned by the reference's
+             tests/statistics_time_weighted.rs:1-30: the mean seeds to the
+             current sample while no weight has accumulated.
+
+Everything is expressed as built-in window aggregates (JVM-side, codegen) —
+no Python in the hot path. Exact median uses sort_array(collect_list) over
+the frame (exact, unlike percentile_approx; O(frame) memory per row, which
+is fine for bounded frames — for unbounded frames at scale prefer
+``approx_median`` below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from wingfoil_spark.stream import Stream
+
+_TICK_AGGS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "var": F.var_samp,
+    "std": F.stddev_samp,
+    "count": F.count,
+}
+
+
+def _frame_window(s: Stream, frame) -> tuple:
+    kind = frame[0]
+    if kind == "rows":
+        return s.w_rows(-(frame[1] - 1), 0), s.w_rows(-(frame[1] - 1), -1)
+    if kind == "range":
+        return s.w_range(-frame[1], 0), None  # excl-current variant unused
+    if kind == "cum":
+        return s.w_cum(), s.w_rows(Window.unboundedPreceding, -1)
+    raise ValueError(f"unknown frame {frame!r}")
+
+
+def _exact_median(col: str, w) -> Column:
+    arr = F.sort_array(F.collect_list(F.col(col)).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return (lo + hi) / 2
+
+
+def window_stat(
+    s: Stream,
+    col: str,
+    stat: str,
+    frame,
+    weighting: str = "tick",
+    out: str | None = None,
+) -> Stream:
+    """One cell of the statistics matrix, as a new column ``out``."""
+    out = out or f"{stat}_{frame[0]}"
+    w, w_prev = _frame_window(s, frame)
+
+    if weighting == "tick":
+        if stat == "median":
+            return s.map(**{out: _exact_median(col, w)})
+        return s.map(**{out: _TICK_AGGS[stat](F.col(col)).over(w)})
+
+    if weighting != "time":
+        raise ValueError(f"unknown weighting {weighting!r}")
+    return _time_weighted(s, col, stat, frame, out)
+
+
+def _time_weighted(s: Stream, col: str, stat: str, frame, out: str) -> Stream:
+    """Time-weighted stats via a precomputed in-effect weight column.
+
+    ``w_i = ts_{i+1} - ts_i`` (per key). At row n the weighted aggregate runs
+    over rows [frame start, n-1] — the left-continuous step integral from the
+    frame's first tick to ``ts_n``. Seeds to the current sample (mean) / 0
+    (var) while no weight has accumulated, per the reference's pinned
+    time-weighted semantics (tests/statistics_time_weighted.rs).
+
+    Only ("rows", n) and ("cum",) frames are window-expressible this way; the
+    trailing-duration frame needs partial-interval clipping at the window
+    edge and goes through the exact pandas path
+    (:func:`wingfoil_spark.operators.stateful.time_windowed_time_weighted`).
+    """
+    if frame[0] == "range":
+        from wingfoil_spark.operators.stateful import time_windowed_time_weighted
+        return time_windowed_time_weighted(s, col, stat, frame[1], out)
+
+    wname = f"__w_{col}"
+    base = s.map(**{wname: F.lead(s.ts).over(s._w_plain()) - F.col(s.ts)})
+    if frame[0] == "rows":
+        wa = base.w_rows(-(frame[1] - 1), -1)
+    else:
+        wa = base.w_rows(Window.unboundedPreceding, -1)
+
+    v, wt = F.col(col).cast("double"), F.col(wname).cast("double")
+    sw = F.sum(wt).over(wa)
+    swv = F.sum(wt * v).over(wa)
+    mean = F.when(sw.isNull() | (sw == 0), v).otherwise(swv / sw)
+    if stat == "mean":
+        res = base.map(**{out: mean})
+        return Stream(res.df.drop(wname), res.ts, res.seq, res.keys)
+    if stat in ("var", "std"):
+        swv2 = F.sum(wt * v * v).over(wa)
+        var = F.when(sw.isNull() | (sw == 0), F.lit(0.0)).otherwise(
+            swv2 / sw - (swv / sw) * (swv / sw)
+        )
+        # numerical floor: E[x²]-E[x]² can go epsilon-negative
+        var = F.greatest(var, F.lit(0.0))
+        expr = var if stat == "var" else F.sqrt(var)
+        res = base.map(**{out: expr})
+        return Stream(res.df.drop(wname), res.ts, res.seq, res.keys)
+    if stat == "median":
+        from wingfoil_spark.operators.stateful import weighted_median
+        return weighted_median(base, col, wname, frame, out)
+    raise ValueError(f"time weighting undefined for stat {stat!r}")
+
+
+def approx_median(s: Stream, col: str, frame, out: str = "median_approx",
+                  accuracy: int = 10000) -> Stream:
+    """Sketch-based median for unbounded/huge frames (100 TB path): constant
+    memory per row vs collect_list's O(frame)."""
+    w, _ = _frame_window(s, frame)
+    return s.map(**{out: F.percentile_approx(F.col(col), 0.5, accuracy).over(w)})

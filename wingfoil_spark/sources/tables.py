@@ -1,0 +1,110 @@
+"""Sources: historical (batch) readers and synthetic generators.
+
+Reference source vocabulary (crates/wingfoil/src/fluent.rs:280-470):
+``ticker`` / ``constant`` / ``replay_results`` / ``csv_read`` / channel
+sources. Historical replay in the reference is source-driven event-time
+with non-decreasing timestamps (adapters/csv.rs:110-115); here that maps to
+reading time-stamped tables and ordering windows by ``(ts, seq)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wingfoil_spark.session import configure_session
+from wingfoil_spark.stream import Stream
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan → Catalyst gets predicate
+    pushdown + column pruning for free; never collect here."""
+    configure_session(spark)  # nanosAsLong for the events table
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    keyed: bool = True,
+) -> Stream:
+    """The ``events`` table as a Stream: ts int64-nanos, seq = event_id.
+
+    ``keyed=True`` partitions the stream per ``user_id`` — the scalable
+    layout (per-key windows parallelize; a keyless stream is a single
+    total order and therefore a single task, exactly like the reference's
+    single-threaded graph).
+    """
+    df = load_table(spark, sf_dir, "events")
+    # ts is already int64 nanoseconds (parquet TIMESTAMP(NANOS) read as long).
+    keys = ("user_id",) if keyed else ()
+    return Stream(df, ts="ts", seq="event_id", keys=keys)
+
+
+def replay_rows(
+    spark: SparkSession,
+    rows: Iterable[tuple],
+    schema: str,
+    ts: str = "ts",
+    seq: str | None = None,
+    keys: tuple[str, ...] = (),
+) -> Stream:
+    """Replay a literal rowset at given timestamps.
+
+    Reference: ``replay_results`` (fluent.rs:252-275) — the unit-test
+    source used by the golden replay tests (tests/catalog.rs).
+    """
+    df = spark.createDataFrame(list(rows), schema=schema)
+    return Stream(df, ts=ts, seq=seq, keys=keys)
+
+
+def ticker(
+    spark: SparkSession,
+    period_ns: int,
+    n: int,
+    start_ns: int = 0,
+    streaming: bool = False,
+) -> Stream:
+    """Fires every ``period_ns`` of engine time.
+
+    Reference: ``ticker`` (fluent.rs:282, op at ops.rs:40-83). Historical
+    mode = ``spark.range`` with derived event time (first tick at
+    start+period, matching the reference's first-activation-after-one-period
+    behavior); RealTime mode = the rate source.
+    """
+    if streaming:
+        per_sec = max(1, int(1e9 / period_ns))
+        df = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", per_sec)
+            .load()
+            .select(
+                (F.unix_micros("timestamp") * 1000).alias("ts"),
+                F.col("value").alias("seq"),
+            )
+        )
+        return Stream(df, ts="ts", seq="seq")
+    df = spark.range(1, n + 1).select(
+        (F.lit(start_ns) + F.col("id") * F.lit(period_ns)).alias("ts"),
+        F.col("id").alias("seq"),
+    )
+    return Stream(df, ts="ts", seq="seq")

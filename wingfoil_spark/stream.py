@@ -1,0 +1,426 @@
+"""The Stream abstraction: a time-ordered, optionally keyed dataflow node.
+
+Reference model (wingfoil-io/wingfoil, studied at /root/reference):
+``Stream<T>`` (crates/wingfoil/src/fluent.rs:628-772) is a handle to one DAG
+node holding a current value + a per-cycle ticked flag; combinators
+(``StreamOps``, fluent.rs:778+) wire new nodes. Here a Stream wraps a
+DataFrame whose rows are the *ticks* of the node: one row = one (ts, value)
+emission. The DataFrame lineage DAG plays the role of the wired graph, and
+Catalyst's whole-stage codegen plays the role of the ``nitro!`` compiled tier
+(crates/wingfoil-derive/src/lib.rs:36-52) — we never hand-schedule.
+
+Determinism contract (the reference's HistoricalFrom replay,
+crates/wingfoil/src/runtime/run.rs:16-29): every order-sensitive operator
+orders by ``(ts, seq)`` within a key, so results are a pure function of the
+input rowset. Timestamps are int64 nanoseconds (``NanoTime``,
+crates/wingfoil/src/runtime/time.rs:38-68).
+
+Scale posture: a *keyed* stream windows per key → embarrassingly parallel
+across a cluster. A keyless stream is a single total order (one Spark
+partition for window ops) — exactly as sequential as the reference's
+single-threaded graph; use keys for anything big.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Aggregates usable in fold()/scan() running-window form, all JVM-side.
+_FOLD_FNS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "mean": F.avg,
+    "count": F.count,
+    "product": lambda c: F.exp(F.sum(F.log(c))),  # positive-only
+}
+
+
+class Stream:
+    """A DataFrame plus stream metadata: event-time column, tie-break
+    sequence column, and partition keys."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        ts: str = "ts",
+        seq: str | None = None,
+        keys: Sequence[str] = (),
+    ):
+        self.df = df
+        self.ts = ts
+        self.seq = seq
+        self.keys = tuple(keys)
+
+    # ------------------------------------------------------------------ infra
+
+    def _derive(self, df: DataFrame, ts: str | None = None, seq: str | int | None = 0,
+                keys: Sequence[str] | None = None) -> "Stream":
+        """New Stream with same metadata unless overridden (seq=0 sentinel =
+        keep current)."""
+        return Stream(
+            df,
+            ts=ts or self.ts,
+            seq=self.seq if seq == 0 else seq,
+            keys=self.keys if keys is None else tuple(keys),
+        )
+
+    def _order_cols(self) -> list[Column]:
+        cols = [F.col(self.ts).asc()]
+        if self.seq:
+            cols.append(F.col(self.seq).asc())
+        return cols
+
+    def w_rows(self, start, end=0):
+        """Row-count window frame ordered by (ts, seq), partitioned by keys."""
+        w = Window.partitionBy(*self.keys) if self.keys else Window.partitionBy()
+        return w.orderBy(*self._order_cols()).rowsBetween(start, end)
+
+    def w_range(self, start_ns: int, end_ns: int = 0):
+        """Time-range window frame (int64-ns ordering). Same-instant rows are
+        always in-frame together — the reference's burst atomicity
+        (crates/wingfoil/src/runtime/burst.rs:16)."""
+        w = Window.partitionBy(*self.keys) if self.keys else Window.partitionBy()
+        return w.orderBy(F.col(self.ts).asc()).rangeBetween(start_ns, end_ns)
+
+    def w_cum(self):
+        return self.w_rows(Window.unboundedPreceding, 0)
+
+    def grouped(self):
+        """groupBy over the stream's keys (lit grouping when keyless, so
+        pandas-stateful ops still work — on one task, like the reference's
+        single graph thread)."""
+        return self.df.groupBy(*self.keys) if self.keys else self.df.groupBy(F.lit(1).alias("__g"))
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    # ------------------------------------------------------- core combinators
+
+    def map(self, **cols: Column) -> "Stream":
+        """Per-value transformation. Reference: ``map`` (fluent.rs:780, op at
+        ops.rs:113-135). Stays in whole-stage codegen."""
+        return self._derive(self.df.withColumns(dict(cols)))
+
+    def select_cols(self, *cols: str) -> "Stream":
+        """Project payload columns, always retaining stream metadata cols."""
+        meta = [c for c in (self.ts, self.seq, *self.keys) if c]
+        keep = list(dict.fromkeys([*meta, *cols]))
+        return self._derive(self.df.select(*keep))
+
+    def filter_value(self, cond: Column) -> "Stream":
+        """Predicate on own value. Reference: ``filter_value``
+        (fluent.rs:924, ops.rs:2716-2747)."""
+        return self._derive(self.df.where(cond))
+
+    def filter_none(self, col: str) -> "Stream":
+        """Drop nulls. Reference: ``filter_none`` (fluent.rs:1403)."""
+        return self._derive(self.df.where(F.col(col).isNotNull()))
+
+    def not_(self, col: str, out: str | None = None) -> "Stream":
+        """Boolean negation. Reference: ``not`` (fluent.rs:1033)."""
+        return self.map(**{out or col: ~F.col(col)})
+
+    def with_time(self, out: str = "time") -> "Stream":
+        """Pair value with engine time. Reference: ``with_time``
+        (fluent.rs:799)."""
+        return self.map(**{out: F.col(self.ts)})
+
+    def ticked_at_elapsed(self, out: str = "elapsed") -> "Stream":
+        """ns since first tick (per key). Reference: ``ticked_at_elapsed``
+        (fluent.rs:809)."""
+        return self.map(**{out: F.col(self.ts) - F.first(self.ts).over(self.w_cum())})
+
+    def count(self, out: str = "n") -> "Stream":
+        """Running tick count. Reference: ``count`` (fluent.rs:1369,
+        ops.rs:2819-2842)."""
+        w = Window.partitionBy(*self.keys) if self.keys else Window.partitionBy()
+        return self.map(**{out: F.row_number().over(w.orderBy(*self._order_cols()))})
+
+    def fold(self, col: Column | str, fn: str = "sum", out: str = "acc") -> "Stream":
+        """Running accumulator, emitting after each fold — Rx ``scan``.
+        Reference: ``fold``/``scan`` (fluent.rs:816-841, ops.rs:2748-2818).
+        Arbitrary closures go through :meth:`scan_pandas`; named builtins
+        stay JVM-side."""
+        c = F.col(col) if isinstance(col, str) else col
+        return self.map(**{out: _FOLD_FNS[fn](c).over(self.w_cum())})
+
+    scan = fold
+
+    def accumulate(self, col: str, out: str = "values", sep: str = ",") -> "Stream":
+        """Collect all values so far into an ordered list (serialized as a
+        string for deterministic cross-engine comparison). Reference:
+        ``accumulate`` (fluent.rs:842, ops.rs:2843-2866)."""
+        arr = F.collect_list(col).over(self.w_cum())
+        return self.map(**{out: F.concat_ws(sep, arr.cast("array<string>"))})
+
+    def difference(self, col: str, out: str = "diff") -> "Stream":
+        """Successive difference ``v - prev``; first tick is quiet (dropped).
+        Reference: ``difference`` (fluent.rs:1028, ops.rs:263-303)."""
+        prev = F.lag(col).over(self._w_plain())
+        df = self.df.withColumn(out, F.col(col) - prev).where(F.col(out).isNotNull())
+        return self._derive(df)
+
+    def _w_plain(self):
+        w = Window.partitionBy(*self.keys) if self.keys else Window.partitionBy()
+        return w.orderBy(*self._order_cols())
+
+    def distinct_until_changed(self, *cols: str) -> "Stream":
+        """Suppress *consecutive* duplicates — emit on change only (NOT SQL
+        DISTINCT). Reference: ``distinct`` (fluent.rs:1014, ops.rs:187-226)."""
+        w = self._w_plain()
+        changed = F.lit(False)
+        for c in cols:
+            prev = F.lag(c).over(w)
+            changed = changed | prev.isNull() | (prev != F.col(c))
+        return self._derive(self.df.withColumn("__chg", changed).where("__chg").drop("__chg"))
+
+    def limit_ticks(self, n: int) -> "Stream":
+        """First ``n`` ticks (per key) then quiet. Reference: ``limit``
+        (fluent.rs:977, ops.rs:357-380)."""
+        w = Window.partitionBy(*self.keys) if self.keys else Window.partitionBy()
+        df = (
+            self.df.withColumn("__rn", F.row_number().over(w.orderBy(*self._order_cols())))
+            .where(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+        return self._derive(df)
+
+    def collapse(self, arr_col: str, out: str = "last") -> "Stream":
+        """Last item of an iterable value; quiet when empty. Reference:
+        ``collapse`` (fluent.rs:1068, ops.rs:328-356)."""
+        df = (
+            self.df.withColumn(out, F.try_element_at(F.col(arr_col), F.lit(-1)))
+            .where(F.size(arr_col) > 0)
+        )
+        return self._derive(df)
+
+    def explode_each(self, arr_col: str, out: str = "item") -> "Stream":
+        """Burst-flatten an iterable into per-item ticks (reference
+        ``collapse_accumulate`` pre-step / ``demux_it`` routing input,
+        interp.rs:4182)."""
+        df = self.df.select("*", F.posexplode(arr_col).alias("__pos", out))
+        seq = "__pos" if self.seq is None else self.seq
+        return Stream(df, ts=self.ts, seq=seq, keys=self.keys)
+
+    # ------------------------------------------------------------ time ops
+
+    def delay(self, delay_ns: int) -> "Stream":
+        """Re-emit each value ``delay_ns`` later. The reference's TimeQueue
+        collapses identical (value, time) schedules (delay op ops.rs:3090-3155,
+        time_queue.rs:136) — mirrored by dropDuplicates on the full row."""
+        df = self.df.withColumn(self.ts, F.col(self.ts) + F.lit(delay_ns)).dropDuplicates()
+        return self._derive(df)
+
+    def throttle(self, interval_ns: int, origin_ns: int = 0) -> "Stream":
+        """≤1 emission per interval: first tick in each tumbling bucket wins.
+        Reference ``throttle`` (fluent.rs:982, ops.rs:381-414) measures the
+        interval from the last *emission* (timer-based); the bucketed form
+        here is its deterministic, shuffle-friendly batch analog — the
+        timer-accurate variant is :func:`wingfoil_spark.operators.stateful.
+        throttle_exact`."""
+        bucket = F.floor((F.col(self.ts) - F.lit(origin_ns)) / F.lit(interval_ns))
+        w = Window.partitionBy(*(list(self.keys) + ["__b"])).orderBy(*self._order_cols())
+        df = (
+            self.df.withColumn("__b", bucket)
+            .withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__b", "__rn")
+        )
+        return self._derive(df)
+
+    def tumbling(self, interval_ns: int, aggs: dict[str, Column], origin_ns: int = 0) -> "Stream":
+        """Buffer and flush per time interval. Reference: ``window``
+        (fluent.rs:988, ops.rs:583-658) — flush carries the interval-end
+        timestamp. One shuffle on (keys, bucket); partial aggregation is
+        map-side."""
+        bucket = F.floor((F.col(self.ts) - F.lit(origin_ns)) / F.lit(interval_ns))
+        df = (
+            self.df.withColumn("__b", bucket)
+            .groupBy(*self.keys, "__b")
+            .agg(*[v.alias(k) for k, v in aggs.items()])
+            .withColumn(self.ts, (F.col("__b") + 1) * F.lit(interval_ns) + F.lit(origin_ns))
+            .drop("__b")
+        )
+        return Stream(df, ts=self.ts, seq=None, keys=self.keys)
+
+    def buffer(self, capacity: int, aggs: dict[str, Column]) -> "Stream":
+        """Flush every ``capacity`` values — a count window. Reference:
+        ``buffer`` (fluent.rs:994, ops.rs:659-686). Emission stamped at the
+        last element's ts."""
+        w = Window.partitionBy(*self.keys) if self.keys else Window.partitionBy()
+        grp = F.floor((F.row_number().over(w.orderBy(*self._order_cols())) - 1) / capacity)
+        df = (
+            self.df.withColumn("__g", grp)
+            .groupBy(*self.keys, "__g")
+            .agg(F.max(self.ts).alias(self.ts), *[v.alias(k) for k, v in aggs.items()])
+            .drop("__g")
+        )
+        return Stream(df, ts=self.ts, seq=None, keys=self.keys)
+
+    # ------------------------------------------------- merge / combine-latest
+
+    def merge(self, *others: "Stream", src_col: str | None = None) -> "Stream":
+        """Time-ordered n-ary union; same-instant tie → earliest-supplied
+        stream wins (ONE emission per instant per key). Reference: ``merge``
+        / ``merge_all`` (fluent.rs:935-950, ops.rs:3156-3329); tie-break
+        semantics pinned by tests/merge_tiebreak.rs. Catalyst flattens the
+        union chain (CombineUnions), mirroring the reference's hand-wired
+        n-ary MergeN rewrite."""
+        tagged = [self.df.withColumn("__pri", F.lit(0))]
+        for i, o in enumerate(others, start=1):
+            tagged.append(o.df.withColumn("__pri", F.lit(i)))
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionByName(t, allowMissingColumns=True)
+        order = [F.col("__pri").asc()] + ([F.col(self.seq).asc()] if self.seq else [])
+        w = Window.partitionBy(*self.keys, self.ts).orderBy(*order)
+        df = u.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn", "__pri")
+        return self._derive(df)
+
+    def union_all(self, *others: "Stream") -> "Stream":
+        """Plain time-ordered union, keeping every tick (the reference's
+        ``combine`` gather, fluent.rs:198, without burst-packing)."""
+        u = self.df
+        for o in others:
+            u = u.unionByName(o.df, allowMissingColumns=True)
+        return self._derive(u)
+
+    def combine_latest(self, other: "Stream", on_ts_tie: str = "both") -> "Stream":
+        """The reference's 2-input ``join`` (fluent.rs:847, ops.rs:2983-3008):
+        ticks when EITHER input ticks, emitting (latest left, latest right).
+        NOT a relational join — implemented as union + last-ignorenulls
+        running fill, one window pass, no shuffle beyond the key partition.
+
+        Same-instant ticks on both sides produce ONE emission carrying both
+        new values (one cycle = one output; burst atomicity)."""
+        return _combine(self, other, emit="either")
+
+    def join_passive(self, other: "Stream") -> "Stream":
+        """Left triggers; right is read passively (stale latch, may be null
+        until right's first tick). Reference: ``join_passive``
+        (fluent.rs:856, ops.rs:3033-3063)."""
+        return _combine(self, other, emit="left")
+
+    def sample(self, trigger: "Stream", cols: Sequence[str] | None = None) -> "Stream":
+        """Emit this stream's current value when ``trigger`` ticks; quiet
+        until the first value exists. Reference: ``sample`` (fluent.rs:930,
+        ops.rs:2867-2898, passive=[0])."""
+        value_cols = cols or [
+            c for c in self.df.columns if c not in (self.ts, self.seq, *self.keys)
+        ]
+        s = _combine(trigger, Stream(self.df, self.ts, self.seq, self.keys), emit="left")
+        df = s.df
+        for c in value_cols:
+            df = df.where(F.col(c).isNotNull())
+        return Stream(df, ts=s.ts, seq=s.seq, keys=s.keys)
+
+    def filter_latch(self, cond: "Stream", cond_col: str, resample: bool = True) -> "Stream":
+        """Gate on a boolean *stream* latch: source ticks pass while the
+        latched condition is true; condition ticks (when true) re-emit the
+        held source value. Reference: ``filter`` (fluent.rs:905,
+        ops.rs:2671-2715)."""
+        combined = _combine(self, cond, emit="either" if resample else "left")
+        df = combined.df.where(F.col(cond_col))
+        value_cols = [c for c in self.df.columns if c not in (self.ts, self.seq, *self.keys)]
+        for c in value_cols:
+            df = df.where(F.col(c).isNotNull())
+        return Stream(df, combined.ts, combined.seq, combined.keys)
+
+    # ------------------------------------------------------------- keyed ops
+
+    def demux(self, route_col: str) -> "Stream":
+        """Route ticks into per-key sub-streams. Reference: ``demux``
+        (interp.rs:4064-4133) routes to pre-wired children; in Spark the
+        partition IS the child — downstream per-key operators parallelize
+        across the cluster (no fixed capacity, no overflow child needed)."""
+        return Stream(self.df, self.ts, self.seq, keys=(*self.keys, route_col))
+
+    def demux_it(self, arr_col: str, route_col: str = "item") -> "Stream":
+        """Route each item of an iterable to keyed children. Reference:
+        ``demux_it`` (interp.rs:4182-4265)."""
+        return self.explode_each(arr_col, out=route_col).demux(route_col)
+
+    # ------------------------------------------------------------- stats API
+    # (delegates to operators.stats; see that module for the full matrix)
+
+    def stat(self, col: str, stat: str, frame, weighting: str = "tick",
+             out: str | None = None) -> "Stream":
+        from wingfoil_spark.operators.stats import window_stat
+        return window_stat(self, col, stat, frame, weighting=weighting, out=out)
+
+    def ewma(self, col: str, alpha: float | None = None,
+             half_life_ns: int | None = None, out: str = "ewma") -> "Stream":
+        from wingfoil_spark.operators.stateful import ewma
+        return ewma(self, col, alpha=alpha, half_life_ns=half_life_ns, out=out)
+
+    # ------------------------------------------------------------------ sinks
+
+    def collect_ordered(self):
+        """Driver-side materialization for tests/golden checks only."""
+        return self.df.orderBy(*self.keys, *self._order_cols()).collect()
+
+
+def _combine(left: Stream, right: Stream, emit: str = "either") -> Stream:
+    """Shared combine-latest / as-of machinery (SURVEY §7 step 2).
+
+    Union both tick-sets, then forward-fill every payload column with
+    ``last(col, ignorenulls=True)`` over the (keys, ts, side, seq) order.
+    Within one instant the RIGHT (passive) side is ordered first, so an
+    active-side row observes a same-instant passive update — the reference's
+    deterministic layer ordering (interp.rs:2455-2483) for upstream reads.
+
+    ``emit='either'``: one output row per (key, ts) — the last row of the
+    instant, carrying both latches (reference ``join`` cycle semantics).
+    ``emit='left'``: only left-side ticks emit (reference ``join_passive`` /
+    ``sample``).
+
+    One shuffle (by keys) + one window pass; no relational join machinery.
+    """
+    if left.keys != right.keys:
+        raise ValueError(f"combine requires equal keys: {left.keys} vs {right.keys}")
+    ts, keys = left.ts, left.keys
+    lmeta = {left.ts, left.seq, *left.keys} - {None}
+    rmeta = {right.ts, right.seq, *right.keys} - {None}
+    lvals = [c for c in left.df.columns if c not in lmeta]
+    rvals = [c for c in right.df.columns if c not in rmeta]
+    overlap = set(lvals) & set(rvals)
+    if overlap:
+        raise ValueError(f"combine value columns collide: {sorted(overlap)}")
+
+    ldf = left.df.withColumn("__side", F.lit(1))
+    if right.ts != ts:
+        rdf = right.df.withColumnRenamed(right.ts, ts)
+    else:
+        rdf = right.df
+    rdf = rdf.withColumn("__side", F.lit(0))
+    lseq = F.col(left.seq) if left.seq else F.lit(0)
+    rseq = F.col(right.seq) if right.seq else F.lit(0)
+    ldf = ldf.withColumn("__seq", lseq.cast("long"))
+    rdf = rdf.withColumn("__seq", rseq.cast("long"))
+    keep_l = [*keys, ts, "__side", "__seq", *lvals]
+    keep_r = [*keys, ts, "__side", "__seq", *rvals]
+    u = ldf.select(*keep_l).unionByName(rdf.select(*keep_r), allowMissingColumns=True)
+
+    base = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w = base.orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__seq").asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+    filled = u
+    for c in lvals + rvals:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    if emit == "left":
+        out = filled.where(F.col("__side") == 1).drop("__side", "__seq")
+        return Stream(out, ts=ts, seq=None, keys=keys)
+    # one emission per (keys, ts): the instant's final row carries both latches
+    w2 = Window.partitionBy(*keys, ts).orderBy(F.col("__side").desc(), F.col("__seq").desc())
+    out = (
+        filled.withColumn("__rn", F.row_number().over(w2))
+        .where("__rn = 1")
+        .drop("__rn", "__side", "__seq")
+    )
+    return Stream(out, ts=ts, seq=None, keys=keys)
