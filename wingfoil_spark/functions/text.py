@@ -1,0 +1,93 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path logic is built-in Spark SQL expressions (JVM-side, codegen,
+shuffle-free per-row) — no Python UDFs. Every function here has an exact
+ANSI-SQL twin used as its DuckDB oracle (see __spark_entry__.oracle_sql),
+so each construct is restricted to the cross-engine-identical subset:
+split/lower/trim, lambda array ops, md5, length arithmetic.
+
+Pattern follows the reference's augurs compute-adapter shape (window in →
+derived struct column out, /root/reference/crates/wingfoil/src/adapters/
+augurs.rs:441-459) applied to text instead of time series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword inventories (public common-word lists).
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty-token free."""
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_token_len(col: Column) -> Column:
+    """Mean token length in double arithmetic (identical op order in the
+    SQL twin: sum of lengths / count)."""
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t).cast("double")
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda x: x.isin(*words)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return stopword_count(col, lang).cast("double") / token_count(col).cast("double")
+
+
+def punct_count(col: Column) -> Column:
+    """Count of non-alphanumeric, non-space ASCII chars (explicit class so
+    the regex semantics can't diverge across engines)."""
+    return F.length(col) - F.length(F.regexp_replace(col, "[^a-zA-Z0-9 ]", ""))
+
+
+def punct_ratio(col: Column) -> Column:
+    return punct_count(col).cast("double") / F.length(col).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic doc-quality score in [0,1]: stopword presence + length
+    sufficiency + low punctuation noise. Formula is part of the public API
+    (and of the oracle SQL) — keep the exact op order."""
+    return (
+        F.lit(0.4) * stopword_ratio(col)
+        + F.lit(0.3) * F.least(F.lit(1.0), token_count(col).cast("double") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram-free language ID heuristic: stopword vote among {en, de, fr};
+    ties resolve en > de > fr."""
+    en = stopword_count(col, "en")
+    de = stopword_count(col, "de")
+    fr = stopword_count(col, "fr")
+    return (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Whitespace-normalized md5 document fingerprint (exact-dedup key)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))

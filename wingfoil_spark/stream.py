@@ -223,7 +223,9 @@ class Stream:
         here is its deterministic, shuffle-friendly batch analog — the
         timer-accurate variant is :func:`wingfoil_spark.operators.stateful.
         throttle_exact`."""
-        bucket = F.floor((F.col(self.ts) - F.lit(origin_ns)) / F.lit(interval_ns))
+        # integer division: exact for int64 timestamps (float division would
+        # lose precision above 2^53 ns)
+        bucket = F.expr(f"({self.ts} - {origin_ns}) div {interval_ns}")
         w = Window.partitionBy(*(list(self.keys) + ["__b"])).orderBy(*self._order_cols())
         df = (
             self.df.withColumn("__b", bucket)
@@ -238,7 +240,7 @@ class Stream:
         (fluent.rs:988, ops.rs:583-658) — flush carries the interval-end
         timestamp. One shuffle on (keys, bucket); partial aggregation is
         map-side."""
-        bucket = F.floor((F.col(self.ts) - F.lit(origin_ns)) / F.lit(interval_ns))
+        bucket = F.expr(f"({self.ts} - {origin_ns}) div {interval_ns}")
         df = (
             self.df.withColumn("__b", bucket)
             .groupBy(*self.keys, "__b")

@@ -1,0 +1,143 @@
+"""Run-mode duality: the same stateful operator runs batch (historical
+replay) and streaming (realtime) with identical semantics.
+
+This is the reference's single most important property — one wired graph
+executes under ``RunMode::HistoricalFrom`` or ``RunMode::RealTime``
+unchanged (/root/reference/crates/wingfoil/src/runtime/run.rs:16-29;
+docs/wingfoil-architecture.md:11-26). The Spark-native expression:
+
+- an operator's semantics live in ONE pure step function
+  ``step(state, pdf) -> (state', out_pdf)`` over time-ordered per-key rows
+  (the reference's ``Op::cycle`` with engine-owned state, op.rs:296-333 —
+  batched rather than per-tick, because Arrow batches are Spark's unit);
+- **historical** binds it via ``groupBy(keys).applyInPandas`` (one batch =
+  the whole history, state threads through trivially);
+- **realtime** binds the SAME function via ``applyInPandasWithState`` —
+  state persists in the state store across micro-batches, keyed identically.
+
+Determinism contract: rows must reach the op in (ts, seq) order within a
+key. Batch mode sorts; streaming mode relies on in-order sources per key
+(Kafka per-partition order, file-source file order) — out-of-order data
+needs an upstream watermark-sort stage, which the reference simply forbids
+(non-decreasing source timestamps, adapters/csv.rs:110-115).
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Callable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+StepFn = Callable[[Any, pd.DataFrame], tuple[Any, pd.DataFrame]]
+
+
+class KeyedStateOp:
+    """A stateful per-key operator defined once, runnable in both modes.
+
+    ``step`` must be pure in (state, sorted-batch) — it is the single source
+    of semantics. ``out_schema`` is the full output schema (key columns
+    included).
+    """
+
+    def __init__(
+        self,
+        step: StepFn,
+        out_schema: T.StructType | str,
+        init_state: Any,
+        ts: str = "ts",
+        seq: str | None = None,
+        keys: tuple[str, ...] = (),
+    ):
+        self.step = step
+        self.out_schema = out_schema
+        self.init_state = init_state
+        self.ts = ts
+        self.seq = seq
+        self.keys = keys
+
+    def _order(self) -> list[str]:
+        return [self.ts] + ([self.seq] if self.seq else [])
+
+    # ------------------------------------------------------------ historical
+
+    def run_batch(self, df: DataFrame) -> DataFrame:
+        step, init, order = self.step, self.init_state, self._order()
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            _, out = step(init, pdf.sort_values(order, kind="mergesort"))
+            return out
+
+        grouped = df.groupBy(*self.keys) if self.keys else df.groupBy(F.lit(1).alias("__g"))
+        return grouped.applyInPandas(fn, schema=self.out_schema)
+
+    # -------------------------------------------------------------- realtime
+
+    def run_stream(self, df: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+        """Bind to a streaming DataFrame via applyInPandasWithState. State is
+        pickled into a single binary state column — opaque to Spark, owned by
+        the state store (the engine-owned per-node state model)."""
+        step, init, order = self.step, self.init_state, self._order()
+
+        def fn(key, pdfs, state: GroupState):
+            if state.exists:
+                (blob,) = state.get
+                st = pickle.loads(bytes(blob))
+            else:
+                st = init
+            for pdf in pdfs:
+                st, out = step(st, pdf.sort_values(order, kind="mergesort"))
+                if len(out):
+                    yield out
+            state.update((bytearray(pickle.dumps(st)),))
+
+        return df.groupBy(*self.keys).applyInPandasWithState(
+            fn,
+            outputStructType=self.out_schema,
+            stateStructType="state binary",
+            outputMode="append",
+            timeoutConf=getattr(GroupStateTimeout, timeout),
+        )
+
+
+# ------------------------------------------------------------ standard steps
+
+
+def ewma_step(col: str, alpha: float, out: str, passthrough: list[str]) -> StepFn:
+    """EWMA as a resumable step: state = (initialised, value).
+    Semantics identical to operators.stateful.ewma (ops.rs:904-927)."""
+
+    def step(state, pdf: pd.DataFrame):
+        init, value = state
+        res = []
+        for x in pdf[col].to_numpy(dtype=float):
+            if not init:
+                value, init = x, True
+            else:
+                value = value + alpha * (x - value)
+            res.append(value)
+        out_pdf = pdf[passthrough].copy()
+        out_pdf[out] = res
+        return (init, value), out_pdf
+
+    return step
+
+
+def running_sum_step(col: str, out: str, passthrough: list[str]) -> StepFn:
+    """fold(+) as a resumable step: state = running total."""
+
+    def step(total, pdf: pd.DataFrame):
+        import numpy as np
+
+        vals = pdf[col].to_numpy(dtype=float)
+        acc = np.cumsum(vals) + total
+        out_pdf = pdf[passthrough].copy()
+        out_pdf[out] = acc
+        return (total + float(vals.sum())) if len(vals) else total, out_pdf
+
+    return step
