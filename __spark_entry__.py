@@ -217,6 +217,65 @@ def q_dynamic_group_sum(spark, sf_dir):
     return df.select("event_id", "ts_us", "latest_sum")
 
 
+def q_join3(spark, sf_dir):
+    """join3 = 3-input combine-latest (fluent.rs:863, ops.rs:687-717):
+    latest click × view × purchase per key, ticking on any of the three."""
+    s = _ev(spark, sf_dir)
+    j = _typed(s, "click", "a").join3(_typed(s, "view", "b"), _typed(s, "purchase", "c"))
+    return j.df.select("user_id", "ts_us", "a", "b", "c")
+
+
+def q_gather_burst(spark, sf_dir):
+    """combine = n-ary burst gather (fluent.rs:198, CombineN ops.rs:3330+;
+    burst atomicity runtime/burst.rs:16): same-instant values delivered as
+    one sorted group. Serialized as a decimal-string list for the
+    cross-engine hash."""
+    s = _ev(spark, sf_dir)
+
+    def typed_str(et):
+        t = _typed(s, et, "v")
+        return Stream(
+            t.df.select("ts_us", "event_id", "user_id",
+                        F.col("v").cast(DEC_V).cast("string").alias("value")),
+            ts="ts_us", seq="event_id", keys=("user_id",),
+        )
+
+    g = typed_str("click").gather(typed_str("view"), typed_str("purchase"))
+    return g.df.select(
+        "user_id", "ts_us", F.concat_ws(",", "burst").alias("burst")
+    )
+
+
+def q_accumulate(spark, sf_dir):
+    """accumulate (fluent.rs:842, ops.rs:2843-2866): every value seen so
+    far, ordered, serialized."""
+    s = _ev(spark, sf_dir)
+    s2 = Stream(
+        s.df.select("ts_us", "event_id", "user_id",
+                    _vdec().cast("string").alias("vs")),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    out = s2.accumulate("vs", out="values")
+    return out.df.select("user_id", "ts_us", "event_id", "values")
+
+
+def q_delay_with_reset(spark, sf_dir):
+    """delay_with_reset (fluent.rs:1060, ops.rs:3486-3604): purchases
+    re-emitted +2h, error ticks cancel pending and snap to the current
+    value. Stateful timer op → rows-only check."""
+    from wingfoil_spark.operators.stateful import delay_with_reset
+
+    s = _ev(spark, sf_dir)
+    purchases = _typed(s, "purchase", "pv")
+    errors = Stream(
+        s.df.where(F.col("event_type") == "error")
+        .select("ts_us", "event_id", "user_id"),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    out = delay_with_reset(purchases, 7200 * US, errors, value_cols=["pv"])
+    return out.df.select("user_id", "ts_us", "pv")
+
+
 # ---------------------------------------------------------------- statistics
 
 
@@ -502,6 +561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer10": q_buffer10,
         "merge_tiebreak": q_merge_tiebreak,
         "combine_latest": q_combine_latest,
+        "join3": q_join3,
+        "gather_burst": q_gather_burst,
+        "accumulate": q_accumulate,
+        "delay_with_reset": q_delay_with_reset,
         "join_passive": q_join_passive,
         "sample": q_sample,
         "dynamic_group_sum": q_dynamic_group_sum,
@@ -649,6 +712,43 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY pri, event_id) AS rn FROM u) "
         "SELECT user_id, ts_us, event_id, value FROM d WHERE rn = 1"
     )
+    o["join3"] = f"""
+WITH ev AS ({EV_SQL}),
+u AS (
+  SELECT user_id, ts_us, event_id AS seq, value AS a, NULL AS b, NULL AS c
+  FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts_us, event_id, NULL, value, NULL FROM ev WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts_us, event_id, NULL, NULL, value FROM ev WHERE event_type = 'purchase'
+),
+filled AS (
+  SELECT user_id, ts_us, seq,
+    last_value(a IGNORE NULLS) OVER w AS a,
+    last_value(b IGNORE NULLS) OVER w AS b,
+    last_value(c IGNORE NULLS) OVER w AS c
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, ts_us ORDER BY seq DESC) AS rn
+  FROM filled
+)
+SELECT user_id, ts_us, a, b, c FROM dedup WHERE rn = 1"""
+    o["gather_burst"] = f"""
+WITH ev AS ({EV_SQL}),
+t AS (SELECT user_id, ts_us, CAST(value AS DECIMAL(12,2))::VARCHAR AS vs
+      FROM ev WHERE event_type IN ('click', 'view', 'purchase'))
+SELECT user_id, ts_us, array_to_string(list_sort(list(vs)), ',') AS burst
+FROM t GROUP BY user_id, ts_us"""
+    o["accumulate"] = f"""
+WITH ev AS ({EV_SQL})
+SELECT user_id, ts_us, event_id,
+  array_to_string(list(CAST(value AS DECIMAL(12,2))::VARCHAR) OVER
+    (PARTITION BY user_id ORDER BY ts_us, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), ',') AS "values"
+FROM ev"""
     o["combine_latest"] = _fill_sql(
         "SELECT user_id, ts_us, event_id, value AS click_v FROM ev WHERE event_type = 'click'",
         "SELECT user_id, ts_us, event_id, value AS purchase_v FROM ev WHERE event_type = 'purchase'",

@@ -144,3 +144,86 @@ def test_demux_explode(spark):
     d = s.demux_it("items", route_col="item").count(out="n")
     assert sorted(rows(d, "item", "ts", "n")) == [
         ("x", 1, 1), ("x", 2, 2), ("y", 1, 1)]
+
+
+def test_join3_combine_latest(spark):
+    a = make(spark, [(1, 1.0)], "ts long, a double")
+    b = make(spark, [(2, 20.0)], "ts long, b double")
+    c = make(spark, [(3, 300.0), (4, 400.0)], "ts long, c double")
+    j = a.join3(b, c)
+    assert rows(j, "ts", "a", "b", "c") == [
+        (1, 1.0, None, None),
+        (2, 1.0, 20.0, None),
+        (3, 1.0, 20.0, 300.0),
+        (4, 1.0, 20.0, 400.0),
+    ]
+
+
+def test_gather_burst_atomicity(spark):
+    # same-instant values delivered together, never coalesced (burst.rs:16)
+    a = make(spark, [(1, 1.0), (2, 2.0)], "ts long, value double")
+    b = make(spark, [(2, 20.0)], "ts long, value double")
+    g = a.gather(b)
+    assert rows(g, "ts", "burst") == [(1, [1.0]), (2, [2.0, 20.0])]
+
+
+def test_map_filter_one_pass(spark):
+    s = make(spark, [(1, 1.0), (2, 2.0)]).map_filter(F.col("v2") > 2, v2=F.col("v") * 2)
+    assert rows(s, "ts", "v2") == [(2, 4.0)]
+
+
+def test_map_n_and_fan(spark):
+    s = make(spark, [(1, 1.0)])
+    out = s.map_n(3, lambda x: x.map(v=F.col("v") * 2))
+    assert rows(out, "ts", "v") == [(1, 8.0)]
+    fanned = s.fan(2, lambda x, i: x.map(v=F.col("v") + i))
+    assert sorted(rows(fanned, "ts", "v")) == [(1, 1.0), (1, 2.0)]
+
+
+def test_split_struct(spark):
+    s = replay_rows(
+        spark, [(1, (1.0, "x"))], "ts long, pair struct<a double, b string>"
+    )
+    left, right = s.split("pair")
+    assert rows(left, "ts", "a") == [(1, 1.0)]
+    assert rows(right, "ts", "b") == [(1, "x")]
+
+
+def test_collapse_accumulate(spark):
+    s = replay_rows(spark, [(1, ["a", "b"]), (2, ["c"])], "ts long, items array<string>")
+    out = s.collapse_accumulate("items", out="seen")
+    assert rows(out, "ts", "seen") == [(1, "a"), (1, "a,b"), (2, "a,b,c")]
+
+
+def test_last_values_final_slot(spark):
+    s = make(spark, [(1, 1.0), (5, 5.0), (3, 3.0)])
+    assert [tuple(r) for r in s.last_values().select("ts", "v").collect()] == [(5, 5.0)]
+
+
+def test_fold_pandas_arbitrary_closure(spark):
+    from wingfoil_spark.operators.stateful import fold_pandas
+
+    s = make(spark, [(1, 2.0), (2, 3.0), (3, 4.0)])
+    # non-SQL fold: running product via closure
+    out = fold_pandas(s, lambda acc, r: acc * r["v"], 1.0, out="prod")
+    assert rows(out, "ts", "prod") == [(1, 2.0), (2, 6.0), (3, 24.0)]
+
+
+def test_delay_with_reset_snaps_and_drops(spark):
+    from wingfoil_spark.operators.stateful import delay_with_reset
+
+    src = make(spark, [(10, 1.0), (30, 3.0)], "ts long, v double")
+    trig = make(spark, [(35, 0)], "ts long, tick int")
+    out = delay_with_reset(src, 20, trig, value_cols=["v"])
+    # v=1 @10 fires normally @30; v=3 @30 is pending until 50, but the
+    # trigger @35 drops it and snaps current value 3.0 to ts=35
+    assert rows(out, "ts", "v") == [(30, 1.0), (35, 3.0)]
+
+
+def test_delay_with_reset_no_trigger_passthrough(spark):
+    from wingfoil_spark.operators.stateful import delay_with_reset
+
+    src = make(spark, [(10, 1.0)], "ts long, v double")
+    trig = make(spark, [], "ts long, tick int")
+    out = delay_with_reset(src, 5, trig, value_cols=["v"])
+    assert rows(out, "ts", "v") == [(15, 1.0)]

@@ -197,3 +197,101 @@ def weighted_median(s: Stream, col: str, wname: str, frame, out: str) -> Stream:
     dropped = [c for c in s.df.columns if c != wname]
     result = _apply_per_key(s, fn, [T.StructField(out, T.DoubleType())])
     return Stream(result.df.select(*dropped, out), ts=s.ts, seq=s.seq, keys=s.keys)
+
+
+def fold_pandas(s: Stream, fn, init, out: str, cols: list[str] | None = None,
+                dtype: T.DataType = T.DoubleType()) -> Stream:
+    """Arbitrary-closure fold/scan: ``acc' = fn(acc, row)`` per tick, emitting
+    each intermediate accumulator — the reference's general ``fold``/``scan``
+    (fluent.rs:816-841, ops.rs:2748-2818) whose Rust closure can't be a SQL
+    aggregate. Named builtins should use :meth:`Stream.fold` (JVM-side);
+    this is the escape hatch, Arrow-batched per key.
+
+    ``fn(acc, row: dict) -> acc`` — row carries ``cols`` (default: all
+    payload columns)."""
+    use = cols or [c for c in s.df.columns if c not in (s.ts, s.seq, *s.keys)]
+
+    def step(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = init
+        res = []
+        rows = pdf[use].to_dict("records")
+        for r in rows:
+            acc = fn(acc, r)
+            res.append(acc)
+        pdf[out] = res
+        return pdf
+
+    return _apply_per_key(s, step, [T.StructField(out, dtype)])
+
+
+def delay_with_reset(s: Stream, delay_ns: int, trigger: Stream,
+                     value_cols: list[str] | None = None) -> Stream:
+    """Delay each value by ``delay_ns``; a trigger tick *snaps*: it drops all
+    pending (not-yet-fired) deliveries and immediately re-emits the current
+    upstream value at the trigger's time. Reference: ``delay_with_reset``
+    (fluent.rs:1060, ops.rs:3486-3604) — the timer-cancel op.
+
+    Both streams must share keys. Sequential within a key (timer state),
+    parallel across keys. Output rows: (keys, ts, value_cols...).
+    """
+    if s.keys != trigger.keys:
+        raise ValueError("delay_with_reset requires equal keys")
+    vals = value_cols or [c for c in s.df.columns if c not in (s.ts, s.seq, *s.keys)]
+    ts_col = s.ts
+
+    src = s.df.select(*s.keys, F.col(s.ts).alias("__t"),
+                      F.lit(0).alias("__trig"), *vals)
+    trg = trigger.df.select(*trigger.keys, F.col(trigger.ts).alias("__t"),
+                            F.lit(1).alias("__trig"),
+                            *[F.lit(None).cast(s.df.schema[c].dataType).alias(c) for c in vals])
+    u = src.unionByName(trg)
+    merged = Stream(u, ts="__t", seq="__trig", keys=s.keys)
+
+    out_fields = [T.StructField(k, s.df.schema[k].dataType) for k in s.keys]
+    out_fields.append(T.StructField(ts_col, T.LongType()))
+    out_fields += [T.StructField(c, s.df.schema[c].dataType) for c in vals]
+    schema = T.StructType(out_fields)
+
+    # bind plain values — closures must not capture Stream/DataFrame
+    # (SparkContext refs can't ship to workers)
+    keys, vals_t, delay = s.keys, tuple(vals), int(delay_ns)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__t", "__trig"], kind="mergesort")
+        pending: list[tuple] = []  # (fire_at, values) — FIFO by schedule time
+        current = None
+        rows = []
+
+        def flush(upto):
+            nonlocal pending
+            fired = [p for p in pending if p[0] <= upto]
+            pending = [p for p in pending if p[0] > upto]
+            for fire_at, v in sorted(fired, key=lambda p: p[0]):
+                rows.append((fire_at, v))
+
+        t_arr = pdf["__t"].to_numpy()
+        trig_arr = pdf["__trig"].to_numpy()
+        val_arrs = [pdf[c].to_numpy() for c in vals_t]
+        for i in range(len(pdf)):
+            t = int(t_arr[i])
+            flush(t)  # deliveries due at/ before this instant fire first
+            if trig_arr[i]:
+                pending.clear()  # drop pending, snap to current
+                if current is not None:
+                    rows.append((t, current))
+            else:
+                current = tuple(a[i] for a in val_arrs)
+                pending.append((t + delay, current))
+        flush(np.iinfo(np.int64).max)
+
+        keyvals = tuple(pdf.iloc[0][k] for k in keys) if len(pdf) else ()
+        out = pd.DataFrame(
+            [(*keyvals, t, *v) for t, v in rows],
+            columns=[*keys, ts_col, *vals_t],
+        )
+        # TimeQueue dedup: identical (time, value) schedules collapse
+        # (runtime/time_queue.rs:136)
+        return out.drop_duplicates()
+
+    out_df = merged.grouped().applyInPandas(fn, schema=schema)
+    return Stream(out_df, ts=ts_col, seq=None, keys=s.keys)

@@ -108,3 +108,22 @@ def ticker(
         F.col("id").alias("seq"),
     )
     return Stream(df, ts="ts", seq="seq")
+
+
+def constant(
+    spark: SparkSession,
+    value,
+    schema: str = "value double",
+    ts_ns: int = 0,
+) -> Stream:
+    """Ticks once with ``value`` at the first cycle. Reference: ``constant``
+    (fluent.rs:285, op at ops.rs:84-112)."""
+    df = spark.createDataFrame([(ts_ns, value)], schema=f"ts long, {schema}")
+    return Stream(df, ts="ts")
+
+
+def never(spark: SparkSession, schema: str = "value double") -> Stream:
+    """Never ticks — the empty stream. Reference: ``never`` (fluent.rs:373,
+    ops.rs:3465-3485)."""
+    df = spark.createDataFrame([], schema=f"ts long, {schema}")
+    return Stream(df, ts="ts")

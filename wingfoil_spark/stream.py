@@ -333,6 +333,107 @@ class Stream:
             df = df.where(F.col(c).isNotNull())
         return Stream(df, combined.ts, combined.seq, combined.keys)
 
+    def map_filter(self, cond: Column, **cols: Column) -> "Stream":
+        """Map + emit-flag in one pass. Reference: ``map_filter``
+        (fluent.rs:793, ops.rs:159-186)."""
+        return self.map(**cols).filter_value(cond)
+
+    def map_n(self, n: int, fn: Callable[["Stream"], "Stream"]) -> "Stream":
+        """Chain the same transformation ``n`` times. Reference: ``map_n``
+        (fluent.rs:958) — plan-building loop; Catalyst fuses the chain into
+        one codegen stage (the reference's compiled-tier fusion)."""
+        s = self
+        for _ in range(n):
+            s = fn(s)
+        return s
+
+    def fan(self, n: int, branch: Callable[["Stream", int], "Stream"]) -> "Stream":
+        """``n`` parallel branches + single n-ary fan-in. Reference: ``fan``
+        (fluent.rs:971); the single-union fan-in mirrors the reference's
+        deliberate n-ary MergeN rewrite (ops.rs:3200) — Catalyst's
+        CombineUnions flattens the chain the same way."""
+        branches = [branch(self, i) for i in range(n)]
+        return branches[0].union_all(*branches[1:])
+
+    def split(self, struct_col: str) -> tuple["Stream", "Stream"]:
+        """A 2-field struct stream → two streams. Reference: ``split``
+        (fluent.rs:1393)."""
+        fields = self.df.schema[struct_col].dataType.names
+        a, b = fields[0], fields[1]
+        base = [c for c in self.df.columns if c != struct_col]
+        left = self._derive(self.df.select(*base, F.col(f"{struct_col}.{a}").alias(a)))
+        right = self._derive(self.df.select(*base, F.col(f"{struct_col}.{b}").alias(b)))
+        return left, right
+
+    def join3(self, b: "Stream", c: "Stream") -> "Stream":
+        """3-input combine-latest: ticks when ANY of the three ticks,
+        emitting the three latest latches. Reference: ``join3``
+        (fluent.rs:863, ops.rs:687-717). One union + one window pass —
+        the chain collapses because _combine's output is itself a stream."""
+        return _combine(_combine(self, b, emit="either"), c, emit="either")
+
+    def gather(self, *others: "Stream", value_col: str = "value",
+               out: str = "burst") -> "Stream":
+        """n-ary burst gather: all inputs that ticked at one instant are
+        delivered together as ONE sorted array per (key, ts). Reference:
+        ``combine`` (fluent.rs:198, CombineN ops.rs:3330+) and the engine's
+        burst atomicity (runtime/burst.rs:16): same-instant values are never
+        coalesced or dropped."""
+        u = self.df.select(*self.keys, self.ts, value_col)
+        for o in others:
+            u = u.unionByName(o.df.select(*o.keys, o.ts, value_col))
+        df = (
+            u.groupBy(*self.keys, self.ts)
+            .agg(F.sort_array(F.collect_list(value_col)).alias(out))
+        )
+        return Stream(df, ts=self.ts, seq=None, keys=self.keys)
+
+    def collapse_accumulate(self, arr_col: str, out: str = "values") -> "Stream":
+        """Burst-flatten an iterable value and accumulate every item seen so
+        far. Reference: ``collapse_accumulate`` (fluent.rs:1378)."""
+        return self.explode_each(arr_col, out="__item").accumulate("__item", out=out)
+
+    # ------------------------------------------------------- taps and sinks
+
+    def inspect(self, fn: Callable) -> "Stream":
+        """Side-effect tap, pass-through: ``fn(row)`` runs on the executors
+        as rows flow. Reference: ``inspect`` (fluent.rs:1000, ops.rs:415-447).
+        The tap is an action-time effect (Spark plans are lazy); it fires
+        when a downstream action materializes this stream."""
+        self.df.foreach(fn)
+        return self
+
+    def print_ticks(self, n: int = 20) -> "Stream":
+        """stdout tap. Reference: ``print`` (fluent.rs:1041, ops.rs:448-476);
+        streaming twin is ``writeStream.format('console')``."""
+        self.df.orderBy(*self.keys, *self._order_cols()).show(n, truncate=False)
+        return self
+
+    def for_each(self, fn: Callable) -> None:
+        """Side-effecting terminal sink (fallible — exceptions fail the
+        task, the reference's error-propagation contract for fallible sinks,
+        ops.rs:2930-2954). Reference: ``for_each`` (fluent.rs:1076)."""
+        self.df.foreach(fn)
+
+    def for_each_batch(self, fn: Callable[[DataFrame], None]) -> None:
+        """Partition/connection-oriented sink (``for_each_mut`` analog,
+        fluent.rs:1088): fn receives the whole batch DataFrame — open the
+        writer once per batch, as foreachBatch does in streaming."""
+        fn(self.df)
+
+    def last_values(self):
+        """Final value per key (the reference's ``Runner::value`` read of a
+        node's last slot, interp.rs:3196; also the ``finally`` hook's input,
+        fluent.rs:1096)."""
+        w = Window.partitionBy(*self.keys) if self.keys else Window.partitionBy()
+        order = [F.col(self.ts).desc()] + ([F.col(self.seq).desc()] if self.seq else [])
+        w = w.orderBy(*order)
+        return (
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
+
     # ------------------------------------------------------------- keyed ops
 
     def demux(self, route_col: str) -> "Stream":
