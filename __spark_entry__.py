@@ -528,6 +528,47 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- multimodal
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal metadata projection: payload stays out of the scan
+    (nested-schema pruning). Payload derived deterministically from text."""
+    from wingfoil_spark.functions import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    m = mm.as_media(d.select("doc_id", "text"), F.encode(F.col("text"), "utf-8"), kind="image")
+    out = mm.media_meta(m.drop("text"))
+    return out.select("doc_id", "kind", "n_bytes", "content_hash")
+
+
+def q_media_frames(spark, sf_dir):
+    """Video-style frame sampling: every 4th 32-byte frame, hashed —
+    all JVM-side (sequence/transform/posexplode over binary substring)."""
+    from wingfoil_spark.functions import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    m = mm.as_media(d.select("doc_id", "text"), F.encode(F.col("text"), "utf-8"), kind="video")
+    out = mm.frame_sample(m.drop("text"), every=4)
+    return out.select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_hash")
+
+
+def q_media_features(spark, sf_dir):
+    """Arrow-batched decode + feature extraction (mapInPandas). The decode
+    kernel is a deterministic fake (codec libs absent) — the Spark plumbing
+    (batch iterator, schema, payload projection) is the real path.
+    Serialized for comparison; rows-only check."""
+    from wingfoil_spark.functions import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    m = mm.as_media(d.select("doc_id", "text"), F.encode(F.col("text"), "utf-8"), kind="image")
+    out = mm.extract_features(m.drop("text"))
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("features", lambda x: F.round(x, 4).cast("string"))).alias("features"),
+    )
+
+
 # --------------------------------------------------------------- entry points
 
 
@@ -590,6 +631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
     }
 
 
@@ -924,6 +968,20 @@ votes AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 EN
           FROM bits GROUP BY doc_id, bit)
 SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id"""
+    o["media_meta"] = """
+SELECT doc_id, 'image' AS kind,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_hash
+FROM documents"""
+    o["media_frames"] = """
+WITH f AS (
+  SELECT doc_id, text,
+    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 4)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, frame_idx,
+  md5(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_hash
+FROM f"""
     o["ann_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),

@@ -1,0 +1,72 @@
+"""Multimodal column plumbing: binary payloads + typed metadata + Arrow-
+batched decode stages. The decode kernel is a deterministic fake (no codec
+libs here); these tests pin the Spark-side contracts — schema, batch shape,
+payload pruning, determinism."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from wingfoil_spark.functions import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world " * 10), (2, "tiny"), (3, "")],
+        "doc_id long, text string",
+    )
+    return mm.as_media(df, F.encode(F.col("text"), "utf-8"), kind="image")
+
+
+def test_media_struct_schema(media_df):
+    assert media_df.schema["media"].dataType.names == ["payload", "meta"]
+    meta = media_df.schema["media"].dataType["meta"].dataType
+    assert meta.names == [
+        "kind", "n_bytes", "content_hash", "width", "height", "sample_rate", "n_frames",
+    ]
+
+
+def test_media_meta_facts(media_df):
+    rows = {r.doc_id: r for r in mm.media_meta(media_df).collect()}
+    assert rows[1].n_bytes == 120 and rows[1].kind == "image"
+    assert rows[3].n_bytes == 0
+    # content_hash is the md5 of the payload bytes
+    import hashlib
+
+    assert rows[2].content_hash == hashlib.md5(b"tiny").hexdigest()
+
+
+def test_frame_sample_jvm_side(spark):
+    df = spark.createDataFrame([(1, "a" * 200)], "doc_id long, text string")
+    m = mm.as_media(df, F.encode(F.col("text"), "utf-8"), kind="video")
+    frames = mm.frame_sample(m.drop("text"), every=2, frame_bytes=32)
+    got = sorted((r.frame_idx) for r in frames.collect())
+    # 200 bytes → 7 frames (idx 0..6), every 2nd → 0, 2, 4, 6
+    assert got == [0, 2, 4, 6]
+    # no Python stage in the plan: frame hashing is pure codegen
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_extract_features_batch_contract(media_df):
+    out = mm.extract_features(media_df)
+    rows = {r.doc_id: r.features for r in out.collect()}
+    assert len(rows[1]) == 16
+    assert abs(sum(rows[1]) - 1.0) < 1e-6          # normalized histogram
+    assert rows[3] == [0.0] * 16                   # empty payload → zero vec
+    assert "media" not in out.columns              # payload projected away
+
+
+def test_extract_features_deterministic(media_df):
+    a = mm.extract_features(media_df).collect()
+    b = mm.extract_features(media_df).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_resize_rewrites_metadata_only(media_df):
+    out = mm.resize(media_df, 224, 224)
+    r = out.where(F.col("doc_id") == 1).select("media.meta.width", "media.meta.height").first()
+    assert (r[0], r[1]) == (224, 224)
+    # payload untouched
+    p = out.where(F.col("doc_id") == 1).select("media.payload").first()[0]
+    assert bytes(p) == b"hello world " * 10
