@@ -449,6 +449,58 @@ def q_throttle_exact(spark, sf_dir):
     return out.df.select("user_id", "event_id", "ts_us", "value")
 
 
+# -------------------------------------------------------------------- market
+
+
+def q_vwap(spark, sf_dir):
+    """Tumbling per-instrument VWAP over the derived trade stream
+    (market.rs:579 Trade / fixed-point Px·Qty accumulation)."""
+    from wingfoil_spark.operators import market
+
+    s = _ev(spark, sf_dir)
+    t = market.trades_from_events(s)
+    v = market.tumbling_vwap(t, 3600 * US)
+    return v.df.select("user_id", "ts_us", "vwap", "volume", "n_trades")
+
+
+def q_rolling_vwap(spark, sf_dir):
+    """VWAP over the last 20 trades per instrument (window pass)."""
+    from wingfoil_spark.operators import market
+
+    s = _ev(spark, sf_dir)
+    t = market.trades_from_events(s)
+    v = market.rolling_vwap(t, 20)
+    return v.df.select("user_id", "ts_us", F.col("trade_seq").alias("event_id"), "vwap")
+
+
+def q_seq_gaps(spark, sf_dir):
+    """Sequence-gap detection (market.rs:757 GapCause): errors dropped from
+    the global feed leave event_id gaps; emit one row per gap with span."""
+    from wingfoil_spark.operators import market
+
+    s = _ev(spark, sf_dir, keyed=False)
+    ns = s.filter_value(F.col("event_type") != "error")
+    g = market.detect_seq_gaps(ns)
+    return g.df.select("ts_us", "gap_from_seq", "gap_to_seq", "n_missing")
+
+
+def q_order_book_top(spark, sf_dir):
+    """Snapshot/delta order-book maintenance per instrument — the flagship
+    custom stateful op (market.rs:1227-1250), emitting top-of-book after
+    every update. Stateful dict fold → rows-only check; semantics pinned by
+    tests/test_market.py goldens."""
+    from wingfoil_spark.operators import market
+
+    s = _ev(spark, sf_dir)
+    u = market.book_updates_from_events(s)
+    b = market.order_book(u)
+    return b.df.select(
+        "user_id", F.col("ts").alias("ts_us"), "upd_seq",
+        "best_bid", "bid_qty", "best_ask", "ask_qty",
+        "n_bid_levels", "n_ask_levels",
+    )
+
+
 # ----------------------------------------------------------------- relational
 
 
@@ -617,6 +669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "drop_small_change": q_drop_small_change,
         "throttle_exact": q_throttle_exact,
+        "vwap": q_vwap,
+        "rolling_vwap": q_rolling_vwap,
+        "seq_gaps": q_seq_gaps,
+        "order_book_top": q_order_book_top,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_revenue_by_nation": relational.q5_revenue_by_nation,
@@ -835,6 +891,33 @@ FROM ev"""
     o["stats_tw_cum"] = _tw_sql("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
     o["stats_tw_rolling"] = _tw_sql("ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING")
 
+    trade_pv = ("CAST(CAST(value AS DECIMAL(18,9)) * CAST(1 + event_id % 100 AS DECIMAL(18,4)) "
+                "AS DECIMAL(38,13))")
+    trade_qty = "CAST(1 + event_id % 100 AS DECIMAL(18,4))"
+    o["vwap"] = f"""
+WITH ev AS ({EV_SQL})
+SELECT user_id, (ts_us // 3600000000 + 1) * 3600000000 AS ts_us,
+  (sum({trade_pv}))::DOUBLE / (sum({trade_qty}))::DOUBLE AS vwap,
+  (sum({trade_qty}))::DOUBLE AS volume,
+  count(*) AS n_trades
+FROM ev GROUP BY user_id, ts_us // 3600000000"""
+    o["rolling_vwap"] = f"""
+WITH ev AS ({EV_SQL})
+SELECT user_id, ts_us, event_id,
+  (sum({trade_pv}) OVER w)::DOUBLE / (sum({trade_qty}) OVER w)::DOUBLE AS vwap
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"""
+    o["seq_gaps"] = f"""
+WITH ev AS ({EV_SQL}), ns AS (
+  SELECT ts_us, event_id FROM ev WHERE event_type != 'error'
+), d AS (
+  SELECT ts_us, event_id, lag(event_id) OVER (ORDER BY ts_us, event_id) AS prev
+  FROM ns
+)
+SELECT ts_us, prev AS gap_from_seq, event_id AS gap_to_seq,
+  event_id - prev - 1 AS n_missing
+FROM d WHERE prev IS NOT NULL AND event_id - prev > 1"""
     o["q1_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
   (sum(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,

@@ -1,0 +1,215 @@
+"""Market-data operators: fixed-point prices, VWAP, sequence-gap detection,
+and snapshot/delta order-book maintenance (the flagship custom stateful op).
+
+Reference vocabulary (/root/reference/crates/wingfoil/src/adapters/market.rs):
+fixed-point ``Px``/``Qty`` (i128-backed decimals, market.rs:318-388), ``Trade``
+(market.rs:579), ``BookSnapshot``/``BookDelta``/``BookUpdate``
+(market.rs:603-651), sequence-gap detection (``GapCause``, market.rs:757), and
+``MarketBookOps::order_book`` (market.rs:1227-1250) which folds book updates
+into an evolving ``OrderBook``.
+
+Spark design:
+- ``Px``/``Qty`` → DecimalType — exact arithmetic, no float drift (the
+  reference's whole reason for fixed-point).
+- trade analytics (VWAP, gaps) → window/groupBy aggregates, JVM-side.
+- the order book itself → a :class:`~wingfoil_spark.streaming.stateful.
+  KeyedStateOp` step function: per-instrument dict state folded over
+  (ts, seq)-ordered updates — sequential within an instrument (state
+  demands it, same as the reference's single-threaded node), parallel
+  across instruments. Runs identically in batch (applyInPandas) and
+  streaming (applyInPandasWithState) — the run-mode duality.
+
+The synthetic tables have no raw market feed, so :func:`trades_from_events`
+/ :func:`book_updates_from_events` derive deterministic trade/delta streams
+from the ``events`` table (instrument = user_id) — the same trick the
+reference's examples use to replay synthetic books.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wingfoil_spark.stream import Stream
+from wingfoil_spark.streaming.stateful import KeyedStateOp
+
+#: fixed-point price/quantity types (reference Px/Qty, market.rs:318-388)
+PX = "decimal(18,9)"
+QTY = "decimal(18,4)"
+
+
+def trades_from_events(s: Stream, px_col: str = "value") -> Stream:
+    """Deterministic Trade stream derived from events: px = value (exact
+    decimal), qty = 1 + event_id % 100, side = sign of the event_id hash.
+    Shape of reference ``Trade`` (market.rs:579): (instrument, px, qty,
+    side, ts)."""
+    df = s.df.select(
+        *s.keys,
+        F.col(s.ts),
+        F.col(s.seq).alias("trade_seq"),
+        F.col(px_col).cast(PX).alias("px"),
+        (F.lit(1) + F.col(s.seq) % 100).cast(QTY).alias("qty"),
+        F.when(F.col(s.seq) % 2 == 0, F.lit("buy")).otherwise(F.lit("sell")).alias("side"),
+    )
+    return Stream(df, ts=s.ts, seq="trade_seq", keys=s.keys)
+
+
+def tumbling_vwap(t: Stream, interval_ns: int) -> Stream:
+    """Per-instrument volume-weighted average price per tumbling interval.
+    One shuffle on (instrument, bucket); decimal-exact accumulation, final
+    division in double."""
+    bucket = F.expr(f"{t.ts} div {interval_ns}")
+    df = (
+        t.df.withColumn("__b", bucket)
+        .groupBy(*t.keys, "__b")
+        .agg(
+            F.sum((F.col("px") * F.col("qty")).cast("decimal(38,13)")).alias("__pv"),
+            F.sum("qty").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            *t.keys,
+            ((F.col("__b") + 1) * interval_ns).alias(t.ts),
+            (F.col("__pv").cast("double") / F.col("volume").cast("double")).alias("vwap"),
+            F.col("volume").cast("double").alias("volume"),
+            "n_trades",
+        )
+    )
+    return Stream(df, ts=t.ts, seq=None, keys=t.keys)
+
+
+def rolling_vwap(t: Stream, n: int, out: str = "vwap") -> Stream:
+    """VWAP over the last ``n`` trades per instrument — a window pass, no
+    extra shuffle beyond the key partition."""
+    w = t.w_rows(-(n - 1), 0)
+    pv = F.sum((F.col("px") * F.col("qty")).cast("decimal(38,13)")).over(w)
+    vol = F.sum("qty").over(w)
+    return t.map(**{out: pv.cast("double") / vol.cast("double")})
+
+
+def detect_seq_gaps(s: Stream, expect_step: int = 1) -> Stream:
+    """Sequence-gap detection on a per-key monotone sequence column: emits a
+    row per gap with the missing span. Reference: ``GapCause``/gap handling
+    in the book pipeline (market.rs:757)."""
+    prev = F.lag(s.seq).over(s._w_plain())
+    df = (
+        s.df.withColumn("__prev", prev)
+        .where(F.col("__prev").isNotNull() & (F.col(s.seq) - F.col("__prev") > expect_step))
+        .select(
+            *s.keys,
+            F.col(s.ts),
+            F.col("__prev").alias("gap_from_seq"),
+            F.col(s.seq).alias("gap_to_seq"),
+            (F.col(s.seq) - F.col("__prev") - expect_step).alias("n_missing"),
+        )
+    )
+    return Stream(df, ts=s.ts, seq=None, keys=s.keys)
+
+
+# ------------------------------------------------------------- order book
+
+
+def book_updates_from_events(s: Stream, px_col: str = "value") -> Stream:
+    """Deterministic BookUpdate stream from events. Every 50th event (per
+    the event_id) is a snapshot (clears the book); others are deltas:
+    side from event_id parity, integer price level near the value, qty
+    delta in [-2, 7] (negative deltas remove liquidity; a level at qty ≤ 0
+    disappears — reference BookDelta semantics, market.rs:603-651)."""
+    df = s.df.select(
+        *s.keys,
+        F.col(s.ts),
+        F.col(s.seq).alias("upd_seq"),
+        F.when(F.col(s.seq) % 50 == 0, F.lit("snapshot")).otherwise(F.lit("delta")).alias("kind"),
+        F.when(F.col(s.seq) % 2 == 0, F.lit("bid")).otherwise(F.lit("ask")).alias("side"),
+        F.round(F.col(px_col)).cast("long").alias("level"),
+        (F.col(s.seq) % 10 - 2).cast("long").alias("qty_delta"),
+    )
+    return Stream(df, ts=s.ts, seq="upd_seq", keys=s.keys)
+
+
+#: order-book output: top-of-book after each update
+BOOK_TOP_FIELDS = [
+    T.StructField("ts", T.LongType()),
+    T.StructField("upd_seq", T.LongType()),
+    T.StructField("best_bid", T.LongType()),
+    T.StructField("bid_qty", T.LongType()),
+    T.StructField("best_ask", T.LongType()),
+    T.StructField("ask_qty", T.LongType()),
+    T.StructField("n_bid_levels", T.LongType()),
+    T.StructField("n_ask_levels", T.LongType()),
+]
+
+
+def order_book_step(state, pdf: pd.DataFrame):
+    """The order-book fold, as a pure KeyedStateOp step (one source of
+    semantics for batch AND streaming — run-mode duality).
+
+    state = (bids: dict[level, qty], asks: dict[level, qty]). Updates apply
+    in row order (caller pre-sorts by (ts, seq)): ``snapshot`` clears both
+    sides (reference BookSnapshot replaces the book), ``delta`` adds
+    qty_delta at a level, dropping the level at qty ≤ 0. After each update
+    the top-of-book is emitted (reference order_book emits Arc<OrderBook>
+    per tick; we emit the observable top — market.rs:810,1227-1250)."""
+    bids, asks = state if state is not None else ({}, {})
+    out = {k: [] for k in
+           ("ts", "upd_seq", "best_bid", "bid_qty", "best_ask", "ask_qty",
+            "n_bid_levels", "n_ask_levels")}
+    for ts, seq, kind, side, level, qd in zip(
+        pdf["ts"], pdf["upd_seq"], pdf["kind"], pdf["side"],
+        pdf["level"], pdf["qty_delta"]
+    ):
+        if kind == "snapshot":
+            bids, asks = {}, {}
+            if qd > 0:
+                (bids if side == "bid" else asks)[level] = qd
+        else:
+            book = bids if side == "bid" else asks
+            q = book.get(level, 0) + qd
+            if q <= 0:
+                book.pop(level, None)
+            else:
+                book[level] = q
+        bb = max(bids) if bids else None
+        ba = min(asks) if asks else None
+        out["ts"].append(ts)
+        out["upd_seq"].append(seq)
+        out["best_bid"].append(bb)
+        out["bid_qty"].append(bids.get(bb) if bb is not None else None)
+        out["best_ask"].append(ba)
+        out["ask_qty"].append(asks.get(ba) if ba is not None else None)
+        out["n_bid_levels"].append(len(bids))
+        out["n_ask_levels"].append(len(asks))
+    return (bids, asks), pd.DataFrame(out)
+
+
+def order_book_op(key_fields: list[T.StructField]) -> KeyedStateOp:
+    """The order-book operator, bindable to batch (``run_batch``) or
+    streaming (``run_stream``) — ONE step function, two run modes."""
+    keys = tuple(f.name for f in key_fields)
+
+    def step_with_keys(state, pdf):
+        state, out = order_book_step(state, pdf)
+        for k in keys:
+            out[k] = pdf[k].iloc[0] if len(pdf) else None
+        return state, out
+
+    return KeyedStateOp(
+        step_with_keys,
+        out_schema=T.StructType(list(key_fields) + BOOK_TOP_FIELDS),
+        init_state=None,
+        ts="ts",
+        seq="upd_seq",
+        keys=keys,
+    )
+
+
+def order_book(updates: Stream) -> Stream:
+    """Maintain per-instrument order books from a BookUpdate stream,
+    emitting top-of-book after every update (batch binding; streaming twin
+    in tests/test_streaming_duality.py)."""
+    keys = updates.keys
+    op = order_book_op([updates.df.schema[k] for k in keys])
+    renamed = updates.df.withColumnRenamed(updates.ts, "ts") if updates.ts != "ts" else updates.df
+    out_df = op.run_batch(renamed)
+    return Stream(out_df, ts="ts", seq="upd_seq", keys=keys)
