@@ -449,6 +449,60 @@ def q_throttle_exact(spark, sf_dir):
     return out.df.select("user_id", "event_id", "ts_us", "value")
 
 
+# ------------------------------------------------------------------ analysis
+
+
+def q_mad_outlier(spark, sf_dir):
+    """Rolling MAD outlier score (augurs.rs:636-655) — array-function
+    pipeline, no Python."""
+    from wingfoil_spark.operators import analysis
+
+    s = _ev(spark, sf_dir)
+    out = analysis.mad_outlier(s, "value", window_n=21, thresh=3.5)
+    return out.df.select(
+        "user_id", "ts_us", "event_id", "outlier_score", "is_outlier"
+    )
+
+
+def q_changepoint(spark, sf_dir):
+    """Two-sample mean-shift changepoint score (augurs.rs:768-790)."""
+    from wingfoil_spark.operators import analysis
+
+    s = _ev(spark, sf_dir)
+    out = analysis.mean_shift_changepoint(s, "value", half_n=10)
+    return out.df.select("user_id", "ts_us", "event_id", "shift_score")
+
+
+def q_forecast_linear(spark, sf_dir):
+    """One-step OLS trend forecast (augurs_forecast analog, augurs.rs:441)."""
+    from wingfoil_spark.operators import analysis
+
+    s = _ev(spark, sf_dir)
+    out = analysis.linear_forecast(s, "value", window_n=20)
+    return out.df.select("user_id", "ts_us", "event_id", "forecast")
+
+
+def q_seasons(spark, sf_dir):
+    """Periodogram-argmax seasonality per key (augurs.rs:893-915);
+    FFT kernel → rows-only check."""
+    from wingfoil_spark.operators import analysis
+
+    s = _ev(spark, sf_dir)
+    return analysis.detect_seasons(s, "value").select(
+        "user_id", "dominant_period", F.round("power_ratio", 6).alias("power_ratio"), "n_ticks"
+    )
+
+
+def q_dtw(spark, sf_dir):
+    """Pairwise DTW over resampled per-key series (augurs.rs:1038-1056);
+    DP kernel → rows-only check. Bounded to 16 keys → ≤120 pairs."""
+    from wingfoil_spark.operators import analysis
+
+    s = _ev(spark, sf_dir)
+    s16 = s.filter_value(F.col("user_id") < 16)
+    return analysis.dtw_distances(s16, "value", resample_to=32)
+
+
 # -------------------------------------------------------------------- market
 
 
@@ -669,6 +723,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "drop_small_change": q_drop_small_change,
         "throttle_exact": q_throttle_exact,
+        "mad_outlier": q_mad_outlier,
+        "changepoint": q_changepoint,
+        "forecast_linear": q_forecast_linear,
+        "seasons": q_seasons,
+        "dtw": q_dtw,
         "vwap": q_vwap,
         "rolling_vwap": q_rolling_vwap,
         "seq_gaps": q_seq_gaps,
@@ -891,6 +950,61 @@ FROM ev"""
     o["stats_tw_cum"] = _tw_sql("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
     o["stats_tw_rolling"] = _tw_sql("ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING")
 
+    o["mad_outlier"] = f"""
+WITH ev AS ({EV_SQL}), base AS (
+  SELECT user_id, ts_us, event_id, value,
+    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) AS arr
+  FROM ev
+), m AS (
+  SELECT *, (arr[CAST(floor((len(arr)+1)/2) AS INT)]
+           + arr[CAST(floor(len(arr)/2)+1 AS INT)]) / 2 AS med
+  FROM base
+), d AS (
+  SELECT *, list_sort(list_transform(arr, v -> abs(v - med))) AS dev FROM m
+), s AS (
+  SELECT user_id, ts_us, event_id, value, med,
+    (dev[CAST(floor((len(dev)+1)/2) AS INT)]
+   + dev[CAST(floor(len(dev)/2)+1 AS INT)]) / 2 AS mad
+  FROM d
+)
+SELECT user_id, ts_us, event_id,
+  round(CASE WHEN mad > 0 THEN abs(value - med) / (1.4826 * mad) END, 6) AS outlier_score,
+  CASE WHEN mad > 0 THEN abs(value - med) / (1.4826 * mad) > 3.5 END AS is_outlier
+FROM s"""
+    o["changepoint"] = f"""
+WITH ev AS ({EV_SQL}), w AS (
+  SELECT user_id, ts_us, event_id,
+    avg(value) OVER wo AS m_old, avg(value) OVER wn AS m_new,
+    var_samp(value) OVER wo AS v_old, var_samp(value) OVER wn AS v_new,
+    count(value) OVER wo AS n_old
+  FROM ev
+  WINDOW wo AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN 19 PRECEDING AND 10 PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts_us, event_id,
+  round(CASE WHEN n_old >= 10 AND sqrt((v_old + v_new) / 2) > 0
+        THEN abs(m_new - m_old) / sqrt((v_old + v_new) / 2) END, 6) AS shift_score
+FROM w"""
+    o["forecast_linear"] = f"""
+WITH ev AS ({EV_SQL}), x AS (
+  SELECT user_id, ts_us, event_id, value,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS DOUBLE) AS xi
+  FROM ev
+), r AS (
+  SELECT user_id, ts_us, event_id, value, xi,
+    regr_slope(value, xi) OVER w AS slope,
+    regr_intercept(value, xi) OVER w AS icept
+  FROM x
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts_us, event_id,
+  round(CASE WHEN slope IS NOT NULL THEN icept + slope * (xi + 1)
+        ELSE value END, 6) AS forecast
+FROM r"""
     trade_pv = ("CAST(CAST(value AS DECIMAL(18,9)) * CAST(1 + event_id % 100 AS DECIMAL(18,4)) "
                 "AS DECIMAL(38,13))")
     trade_qty = "CAST(1 + event_id % 100 AS DECIMAL(18,4))"

@@ -1,0 +1,225 @@
+"""On-stream time-series analysis: outliers, changepoints, forecast,
+seasonality, DTW — the reference's augurs compute-adapter surface
+(/root/reference/crates/wingfoil/src/adapters/augurs.rs: forecast :441-459,
+outlier :636-655, changepoint :768-790, seasons :893-915, dtw :1038-1056,
+cluster :1159-1177) re-expressed Spark-first.
+
+The reference re-analyzes a sliding window buffer per tick; here the same
+shape is a per-key window computation:
+- MAD outlier / mean-shift changepoint / linear forecast are pure window
+  aggregates (JVM, whole-stage codegen — no Python in the hot path);
+- periodogram + DTW genuinely need FFT / dynamic programming → Arrow-batched
+  ``applyInPandas`` per key (the augurs model-fit analog), parallel across
+  keys on a cluster.
+
+Model sophistication note: augurs wraps MSTL/ETS/DBSCAN; those libraries
+aren't in this environment, so the models here are the deterministic cores
+(robust z-score, two-sample mean shift, OLS trend, periodogram argmax,
+classic DTW). The operator plumbing — window shape, emission contract,
+per-key parallelism — is the durable part; swap the kernel to taste.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+from wingfoil_spark.stream import Stream
+
+
+def _arr_median(arr: Column) -> Column:
+    """Exact median of a sorted array column (even/odd handled)."""
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return (lo + hi) / 2
+
+
+def mad_outlier(
+    s: Stream,
+    col: str,
+    window_n: int = 21,
+    thresh: float = 3.5,
+    out: str = "outlier_score",
+) -> Stream:
+    """Rolling robust-z outlier score: |x − median| / (1.4826·MAD) over the
+    trailing ``window_n`` ticks; ``is_outlier`` at score > thresh.
+    Reference: ``augurs_outlier`` MAD mode (augurs.rs:636-655). Pure
+    array-function pipeline — no Python, no extra shuffle."""
+    w = s.w_rows(-(window_n - 1), 0)
+    arr = F.sort_array(F.collect_list(F.col(col)).over(w))
+    med = _arr_median(arr)
+    dev = F.sort_array(F.transform(arr, lambda v: F.abs(v - med)))
+    mad = _arr_median(dev)
+    score = F.when(mad > 0, F.abs(F.col(col) - med) / (F.lit(1.4826) * mad))
+    return s.map(**{
+        out: F.round(score, 6),
+        "is_outlier": (score > thresh).cast("boolean"),
+    })
+
+
+def mean_shift_changepoint(
+    s: Stream,
+    col: str,
+    half_n: int = 10,
+    out: str = "shift_score",
+) -> Stream:
+    """Two-sample mean-shift score at each tick: |mean(older half) −
+    mean(newer half)| / pooled std over a 2·half_n trailing window. Local
+    maxima over the score are changepoint candidates. Reference:
+    ``augurs_changepoint`` (augurs.rs:768-790). Window aggregates only."""
+    w_old = s.w_rows(-(2 * half_n - 1), -half_n)
+    w_new = s.w_rows(-(half_n - 1), 0)
+    c = F.col(col)
+    m_old, m_new = F.avg(c).over(w_old), F.avg(c).over(w_new)
+    v_old, v_new = F.var_samp(c).over(w_old), F.var_samp(c).over(w_new)
+    n_old = F.count(c).over(w_old)
+    pooled = F.sqrt((v_old + v_new) / 2)
+    score = F.when(
+        (n_old >= half_n) & (pooled > 0), F.abs(m_new - m_old) / pooled
+    )
+    return s.map(**{out: F.round(score, 6)})
+
+
+def linear_forecast(
+    s: Stream,
+    col: str,
+    window_n: int = 20,
+    horizon: int = 1,
+    out: str = "forecast",
+) -> Stream:
+    """One-step-ahead OLS trend forecast over the trailing window:
+    ŷ = intercept + slope·(t+horizon), t in tick units. Reference:
+    ``augurs_forecast`` (augurs.rs:441-459) — deterministic trend core in
+    place of MSTL/ETS. regr_slope/regr_intercept are built-in aggregates in
+    both Spark and DuckDB → exact cross-engine parity."""
+    w = s.w_rows(-(window_n - 1), 0)
+    x = F.row_number().over(s._w_plain()).cast("double")
+    base = s.map(__x=x)
+    c = F.col(col).cast("double")
+    slope = F.regr_slope(c, F.col("__x")).over(w)
+    icept = F.regr_intercept(c, F.col("__x")).over(w)
+    pred = F.when(slope.isNotNull(), icept + slope * (F.col("__x") + horizon)).otherwise(c)
+    res = base.map(**{out: F.round(pred, 6)})
+    return Stream(res.df.drop("__x"), res.ts, res.seq, res.keys)
+
+
+# ------------------------------------------------------- Python-kernel ops
+
+
+def detect_seasons(
+    s: Stream,
+    col: str,
+    max_period: int | None = None,
+):
+    """Dominant seasonality per key via periodogram argmax (|FFT|² over the
+    de-meaned series, evenly-indexed ticks). Emits one row per key:
+    (dominant_period ticks, power_ratio). Reference: ``augurs_seasons``
+    (augurs.rs:893-915). FFT needs the series → applyInPandas per key."""
+    keys, ts_col, seq = s.keys, s.ts, s.seq
+    order = [ts_col] + ([seq] if seq else [])
+    key_fields = [s.df.schema[k] for k in keys]
+    schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField("dominant_period", T.LongType()),
+            T.StructField("power_ratio", T.DoubleType()),
+            T.StructField("n_ticks", T.LongType()),
+        ]
+    )
+    vcol, mp = col, max_period
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[vcol].to_numpy(dtype=np.float64)
+        n = len(x)
+        keyvals = [pdf[k].iloc[0] for k in keys]
+        if n < 8:
+            return pd.DataFrame([[*keyvals, None, None, n]], columns=schema.names)
+        x = x - x.mean()
+        p = np.abs(np.fft.rfft(x)) ** 2
+        p[0] = 0.0
+        freqs = np.arange(len(p))
+        periods = np.where(freqs > 0, n / np.maximum(freqs, 1), np.inf)
+        valid = (periods >= 2) & (periods <= (mp or n / 2))
+        if not valid.any() or p[valid].sum() == 0:
+            return pd.DataFrame([[*keyvals, None, None, n]], columns=schema.names)
+        k = int(np.argmax(np.where(valid, p, -1.0)))
+        return pd.DataFrame(
+            [[*keyvals, int(round(n / k)), float(p[k] / p[valid].sum()), n]],
+            columns=schema.names,
+        )
+
+    return s.grouped().applyInPandas(fn, schema=schema)
+
+
+def _dtw(a: np.ndarray, b: np.ndarray) -> float:
+    """Classic O(len(a)·len(b)) DTW with L1 cost."""
+    n, m = len(a), len(b)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        cost = np.abs(a[i - 1] - b)
+        for j in range(1, m + 1):
+            D[i, j] = cost[j - 1] + min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+    return float(D[n, m])
+
+
+def dtw_distances(
+    s: Stream,
+    col: str,
+    resample_to: int = 32,
+) -> "F.DataFrame":
+    """Pairwise DTW distance matrix between the per-key series. Reference:
+    ``augurs_dtw`` (augurs.rs:1038-1056).
+
+    Scale shape: each key's series is first *resampled to a fixed length*
+    (linear interpolation) inside one per-key pass — O(n) per key, parallel —
+    so the pairwise stage joins only tiny fixed-size vectors (a broadcast-
+    able |keys|² problem, not an O(data²) one). The DP kernel runs in a
+    pandas UDF over the pair table."""
+    keys, ts_col, seq, vcol = s.keys, s.ts, s.seq, col
+    order = [ts_col] + ([seq] if seq else [])
+    if len(keys) != 1:
+        raise ValueError("dtw_distances expects exactly one key column")
+    key = keys[0]
+    key_field = s.df.schema[key]
+    rs = resample_to
+
+    prof_schema = T.StructType(
+        [key_field, T.StructField("series", T.ArrayType(T.DoubleType()))]
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[vcol].to_numpy(dtype=np.float64)
+        if len(x) == 0:
+            ser = [0.0] * rs
+        elif len(x) == 1:
+            ser = [float(x[0])] * rs
+        else:
+            grid = np.linspace(0, len(x) - 1, rs)
+            ser = np.interp(grid, np.arange(len(x)), x).tolist()
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "series": [ser]})
+
+    prof = s.grouped().applyInPandas(profile, schema=prof_schema)
+
+    a = prof.select(F.col(key).alias("key_a"), F.col("series").alias("sa"))
+    b = prof.select(F.col(key).alias("key_b"), F.col("series").alias("sb"))
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+
+    @F.pandas_udf(T.DoubleType())
+    def dtw_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _dtw(np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    return (
+        pairs.withColumn("dtw", F.round(dtw_udf("sa", "sb"), 6))
+        .select("key_a", "key_b", "dtw")
+    )
