@@ -1,0 +1,103 @@
+"""Adapter round-trips: csv/lines/parquet in temp dirs, streaming tail of a
+text source, foreach_batch in both run modes. Kafka/JDBC wrappers are
+construct-level (no broker/DB in this environment) — their plan/option
+assembly is covered; connection paths raise clear errors."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from wingfoil_spark import Stream
+from wingfoil_spark.sources import io as wio
+
+
+def test_csv_round_trip(spark, tmp_path):
+    src = Stream(
+        spark.createDataFrame(
+            [(3, "b", 2.0), (1, "a", 1.0)], "time long, k string, v double"
+        ),
+        ts="time", keys=("k",),
+    )
+    out = str(tmp_path / "csv_out")
+    wio.csv_write(src, out)
+    back = wio.csv_read(spark, out, "time long, k string, v double", ts="time")
+    rows = sorted(tuple(r) for r in back.df.collect())
+    assert rows == [(1, "a", 1.0), (3, "b", 2.0)]
+    # time column is written first (reference CsvSinkOps contract)
+    part = [p for p in os.listdir(out) if p.endswith(".csv")][0]
+    with open(os.path.join(out, part)) as f:
+        assert f.readline().startswith("time")
+
+
+def test_replay_lines_batch(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    s = wio.replay_lines(spark, str(p))
+    got = [r.line for r in s.df.orderBy("seq").collect()]
+    assert got == ["alpha", "beta", "gamma"]
+
+
+def test_tail_lines_streaming(spark, tmp_path):
+    d = tmp_path / "tail_src"
+    d.mkdir()
+    (d / "a.txt").write_text("x\ny\n")
+    s = wio.replay_lines(spark, str(d), streaming=True)
+    q = wio.memory_sink(s, "tail_test")
+    q.awaitTermination(60)
+    got = sorted(r.line for r in spark.sql("SELECT * FROM tail_test").collect())
+    assert got == ["x", "y"]
+
+
+def test_parquet_write_partitioned(spark, tmp_path):
+    s = Stream(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "ts long, k string, v double"
+        ),
+        ts="ts", keys=("k",),
+    )
+    out = str(tmp_path / "pq")
+    wio.parquet_write(s, out, partition_by=["k"])
+    assert sorted(p for p in os.listdir(out) if p.startswith("k=")) == ["k=a", "k=b"]
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+
+
+def test_foreach_batch_batch_mode(spark):
+    s = Stream(spark.createDataFrame([(1, 1.0)], "ts long, v double"), ts="ts")
+    seen = []
+    wio.foreach_batch_sink(s, lambda df, bid: seen.append((bid, df.count())))
+    assert seen == [(0, 1)]
+
+
+def test_foreach_batch_streaming(spark, tmp_path):
+    d = tmp_path / "fb_src"
+    d.mkdir()
+    sdf = spark.createDataFrame([(1, 1.0), (2, 2.0)], "ts long, v double")
+    sdf.write.parquet(str(d / "chunk"))
+    stream_df = spark.readStream.schema("ts long, v double").parquet(str(d / "chunk"))
+    s = Stream(stream_df, ts="ts")
+    counts = []
+    q = wio.foreach_batch_sink(
+        s, lambda df, bid: counts.append(df.count()),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(60)
+    assert sum(counts) == 2
+
+
+def test_kafka_source_clear_error_without_connector(spark):
+    with pytest.raises(RuntimeError, match="Kafka connector unavailable"):
+        wio.kafka_source(spark, "localhost:9092", "t")
+
+
+def test_jdbc_read_builds_partitioned_plan(spark):
+    # no database here: assert the option assembly fails at CONNECT time,
+    # not at plan-build time (i.e., our wrapper wired the JDBC source)
+    with pytest.raises(Exception) as ei:
+        wio.jdbc_read_partitioned(
+            spark, "jdbc:postgresql://localhost:1/nope", "t", "ts", 0, 10
+        )
+    assert "jdbc" in str(ei.value).lower() or "connect" in str(ei.value).lower() \
+        or "driver" in str(ei.value).lower()

@@ -1,0 +1,227 @@
+"""I/O adapters: file/csv/lines readers and sinks, Kafka and JDBC wrappers.
+
+Reference adapter surface (/root/reference/crates/wingfoil/src/adapters/,
+module index mod.rs:11-112). Mapping policy (SURVEY §2.8): Spark-native
+connectors where they exist (csv/text/parquet/kafka/jdbc), ``foreachBatch``
+for push sinks, and explicit NON-GOALS for the latency-class transports
+(FIX, Aeron, iceoryx2, ZeroMQ, raw websockets) — those are protocol
+gateways outside a cluster engine's latency class; bridge them into Kafka
+and read the Kafka topic here (the reference itself ships zmq→kafka bridge
+patterns in its integration tests).
+
+Every reader returns a :class:`~wingfoil_spark.stream.Stream` with an
+explicit event-time column — the reference's sources are all timestamped by
+construction (csv_read enforces non-decreasing ts, adapters/csv.rs:110-115;
+here order comes from sorting windows, so out-of-order files still replay
+deterministically — strictly more permissive).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wingfoil_spark.stream import Stream
+
+# --------------------------------------------------------------------- files
+
+
+def csv_read(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    ts: str = "time",
+    seq: str | None = None,
+    keys: Sequence[str] = (),
+    header: bool = True,
+    streaming: bool = False,
+    **options,
+) -> Stream:
+    """Typed, timestamped CSV source. Reference: ``csv_read``
+    (adapters/csv.rs:116-175) — serde-typed rows with a leading ``time``
+    column. ``streaming=True`` binds the same schema to ``readStream`` (the
+    run-mode duality); historical mode is a plain scan that Catalyst prunes
+    and pushes filters into."""
+    reader = spark.readStream if streaming else spark.read
+    df = reader.schema(schema).options(header=str(header).lower(), **options).csv(path)
+    return Stream(df, ts=ts, seq=seq, keys=keys)
+
+
+def csv_write(s: Stream, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """CSV sink with the stream's time column written first. Reference:
+    ``csv_write(_with_header)`` (adapters/csv.rs:176-230)."""
+    cols = [s.ts] + [c for c in s.df.columns if c != s.ts]
+    s.df.select(*cols).write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def replay_lines(
+    spark: SparkSession,
+    path: str,
+    ts_expr: Column | None = None,
+    streaming: bool = False,
+) -> Stream:
+    """Replay a text file line-by-line. Reference: ``replay_lines`` /
+    ``tail_lines`` (adapters/lines.rs:102,196) — ``streaming=True`` is the
+    tail. Each line gets a ``seq`` (input order via a monotonic id in
+    batch); ``ts`` defaults to seq (schedule-on-index, the reference's
+    ``replay_lines_scheduled`` default) or any expression over ``value``."""
+    if streaming:
+        # tail: arrival-stamped (realtime sources are arrival-ordered in the
+        # reference too); monotonic ids aren't defined on unbounded input
+        df = spark.readStream.text(path)
+        ts = ts_expr if ts_expr is not None else (F.unix_micros(F.current_timestamp()) * 1000)
+        df = df.withColumn("ts", ts)
+        return Stream(df.select("ts", F.col("value").alias("line")), ts="ts")
+    df = spark.read.text(path).withColumn("seq", F.monotonically_increasing_id())
+    df = df.withColumn("ts", ts_expr if ts_expr is not None else F.col("seq"))
+    return Stream(df.select("ts", "seq", F.col("value").alias("line")), ts="ts", seq="seq")
+
+
+def parquet_write(s: Stream, path: str, partition_by: Sequence[str] = (),
+                  mode: str = "overwrite") -> None:
+    """Parquet sink; ``partition_by`` the stream keys for co-located
+    downstream reads (the bucketing/partition-pruning path at scale)."""
+    w = s.df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+# --------------------------------------------------------------------- kafka
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    streaming: bool = True,
+    max_offsets_per_trigger: int | None = None,
+) -> Stream:
+    """Kafka source: ts = broker record timestamp (ms → ns), seq = offset,
+    key partition = kafka partition. Reference: ``kafka_sub``/``kafka_source``
+    (adapters/kafka.rs:233,381) — its historical/live builder IS Spark's
+    batch-vs-stream read of the same topic. ``max_offsets_per_trigger`` is
+    the bounded-channel backpressure analog (fluent.rs:300-311).
+
+    Requires the spark-sql-kafka package on the classpath; raises a clear
+    error otherwise (no silent stub)."""
+    reader = spark.readStream if streaming else spark.read
+    r = (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    try:
+        df = r.load()
+    except Exception as e:  # kafka connector jar not on classpath
+        raise RuntimeError(
+            "Kafka connector unavailable: add org.apache.spark:spark-sql-kafka-0-10 "
+            "to spark.jars.packages"
+        ) from e
+    df = df.select(
+        (F.unix_micros(F.col("timestamp")) * 1000).alias("ts"),
+        F.col("offset").alias("seq"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    return Stream(df, ts="ts", seq="seq", keys=("kafka_partition",))
+
+
+def kafka_sink(s: Stream, brokers: str, topic: str, key_col: str | None = None,
+               value_col: str = "value", checkpoint: str | None = None):
+    """Kafka sink (``kafka_pub``, adapters/kafka.rs:412). Streaming:
+    ``writeStream`` with checkpointing; batch: one-shot write."""
+    cols = [F.col(value_col).cast("string").alias("value")]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    out = s.df.select(*cols)
+    common = {"kafka.bootstrap.servers": brokers, "topic": topic}
+    if s.df.isStreaming:
+        w = out.writeStream.format("kafka").options(**common)
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        return w.start()
+    out.write.format("kafka").options(**common).save()
+    return None
+
+
+# ---------------------------------------------------------------------- jdbc
+
+
+def jdbc_read_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    ts: str,
+    lower_ts: int,
+    upper_ts: int,
+    num_partitions: int = 16,
+    seq: str | None = None,
+    keys: Sequence[str] = (),
+    **options,
+) -> Stream:
+    """Time-sliced JDBC read — the ``postgres_read`` twin
+    (adapters/postgres.rs:359): the reference issues one lazy query per time
+    slice with backpressure; Spark's equivalent is ``partitionColumn=ts``
+    range partitioning, giving one concurrent slice per executor with the
+    range predicate pushed down to the database. ``kdb_read``'s time slicing
+    (adapters/kdb/read.rs:445) maps the same way."""
+    df = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", ts)
+        .option("lowerBound", str(lower_ts))
+        .option("upperBound", str(upper_ts))
+        .option("numPartitions", str(num_partitions))
+        .options(**options)
+        .load()
+    )
+    return Stream(df, ts=ts, seq=seq, keys=keys)
+
+
+def jdbc_write(s: Stream, url: str, table: str, mode: str = "append", **options) -> None:
+    """JDBC sink (``postgres_write``; for streaming use
+    :func:`foreach_batch_sink` with this as the body — the reference's
+    push-sink pattern)."""
+    s.df.write.format("jdbc").option("url", url).option("dbtable", table) \
+        .options(**options).mode(mode).save()
+
+
+# --------------------------------------------------------------- push sinks
+
+
+def foreach_batch_sink(s: Stream, fn, checkpoint: str | None = None,
+                       trigger: dict | None = None):
+    """The universal push-sink adapter: ``fn(batch_df, batch_id)`` runs per
+    micro-batch with exactly-once bookkeeping via the checkpoint. This is
+    the Spark home for the reference's Redis/etcd/Prometheus/OTLP sinks
+    (adapters/redis.rs:486, etcd.rs:371, prometheus.rs:236, otlp.rs:165):
+    open the client inside ``fn``, write the batch, close.
+
+    Batch mode: runs ``fn(df, 0)`` once (historical replay of the sink)."""
+    if not s.df.isStreaming:
+        fn(s.df, 0)
+        return None
+    w = s.df.writeStream.foreachBatch(fn)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if trigger:
+        w = w.trigger(**trigger)
+    return w.start()
+
+
+def memory_sink(s: Stream, name: str, output_mode: str = "append"):
+    """Streaming results into an in-memory table (the test harness sink —
+    the reference's channel-to-test-harness pattern)."""
+    return (
+        s.df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
