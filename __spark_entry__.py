@@ -421,6 +421,27 @@ def q_stats_tw_rolling(spark, sf_dir):
     )
 
 
+def q_stats_tw_windowed(spark, sf_dir):
+    """Trailing-duration time-weighted mean/var/std (stats.rs:154-162):
+    partial-interval clipping at the window edge → prefix-integral pandas
+    path; numpy-oracle-tested, rows-only here."""
+    s = _ev(spark, sf_dir)
+    out = s.stat("value", "mean", ("range", 3600 * US), weighting="time", out="tw_mean")
+    out = out.stat("value", "var", ("range", 3600 * US), weighting="time", out="tw_var")
+    return out.df.select(
+        "user_id", "event_id", "ts_us",
+        F.round("tw_mean", 6).alias("tw_mean"), F.round("tw_var", 6).alias("tw_var"),
+    )
+
+
+def q_stats_median_tw(spark, sf_dir):
+    """Time-weighted median, cumulative frame (stats.rs:177-185);
+    weighted-percentile kernel → rows-only."""
+    s = _ev(spark, sf_dir)
+    out = s.stat("value", "median", ("cum",), weighting="time", out="tw_median")
+    return out.df.select("user_id", "event_id", "ts_us", "tw_median")
+
+
 def q_ewma(spark, sf_dir):
     """ewma_per_tick + ewma_half_life (stats.rs:21-29, ops.rs:821-951).
     Recursive → stateful pandas op; no SQL oracle (rows-only check)."""
@@ -623,6 +644,18 @@ def q_ann_cosine(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: corpus sharded into centroid buckets, probes scan only
+    nprobe nearest buckets (exhaustive nprobe == brute force — invariant
+    pinned in tests/test_similarity_ivf.py). Rows-only check."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 50 == 0)
+    out = sim.ivf_topk(e, probes, k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "probe_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (approximate; deterministic hyperplanes) —
     rows-only check this round."""
@@ -720,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_time_windowed": q_stats_time_windowed,
         "stats_tw_cum": q_stats_tw_cum,
         "stats_tw_rolling": q_stats_tw_rolling,
+        "stats_tw_windowed": q_stats_tw_windowed,
+        "stats_median_tw": q_stats_median_tw,
         "ewma": q_ewma,
         "drop_small_change": q_drop_small_change,
         "throttle_exact": q_throttle_exact,
@@ -746,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
