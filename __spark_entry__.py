@@ -445,10 +445,14 @@ def q_stats_median_tw(spark, sf_dir):
 def q_ewma(spark, sf_dir):
     """ewma_per_tick + ewma_half_life (stats.rs:21-29, ops.rs:821-951).
     Recursive → stateful pandas op; no SQL oracle (rows-only check)."""
+    from wingfoil_spark.operators.stateful import ewma_multi
+
     s = _ev(spark, sf_dir)
-    e1 = s.ewma("value", alpha=0.25, out="ewma_tick")
-    e2 = e1.ewma("value", half_life_ns=3600 * US, out="ewma_hl")  # ts is µs here
-    return e2.df.select("user_id", "event_id", "ts_us", "ewma_tick", "ewma_hl")
+    e = ewma_multi(s, "value", {
+        "ewma_tick": {"alpha": 0.25},
+        "ewma_hl": {"half_life_ns": 3600 * US},  # ts is µs here
+    })
+    return e.df.select("user_id", "event_id", "ts_us", "ewma_tick", "ewma_hl")
 
 
 def q_drop_small_change(spark, sf_dir):
@@ -715,11 +719,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user EWMA fast/slow crossover signals over events
     (the reference's ema_crossover example shape,
     /root/reference/crates/wingfoil/examples/core/ema_crossover)."""
+    from wingfoil_spark.operators.stateful import ewma_multi
+
     configure_session(spark)
     s = _ev(spark, "/root/testdata/sf0.001")
     sig = (
-        s.ewma("value", alpha=0.5, out="fast")
-        .ewma("value", alpha=0.1, out="slow")
+        ewma_multi(s, "value", {"fast": {"alpha": 0.5}, "slow": {"alpha": 0.1}})
         .map(above=(F.col("fast") > F.col("slow")).cast("int"))
         .distinct_until_changed("above")
     )
@@ -1164,7 +1169,9 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
 FROM documents GROUP BY 1"""
 
     mh = ", ".join(
-        "list_min(list_transform(sh, x -> ('0x' || substr(md5('seed{j}:' || x), 1, 15))::BIGINT)) AS mh{j}".format(j=j)
+        "list_min(list_transform(base, h -> (h * {a} + {b}) % {p})) AS mh{j}".format(
+            j=j, a=dd._MINHASH_A[j], b=dd._MINHASH_B[j], p=dd.MINHASH_P
+        )
         for j in range(dd.MINHASH_K)
     )
     sigs_cte = f"""
@@ -1172,7 +1179,8 @@ WITH d AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 s AS (SELECT doc_id, CASE WHEN len(toks) >= 2
   THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
   ELSE toks END AS sh FROM d),
-sigs AS (SELECT doc_id, {mh} FROM s)"""
+hb AS (SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS base FROM s),
+sigs AS (SELECT doc_id, {mh} FROM hb)"""
     o["minhash"] = sigs_cte + "\nSELECT * FROM sigs"
     bands_cte = sigs_cte + """,
 bands AS (

@@ -51,18 +51,34 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("wingfoil_bench")
+    # infrastructure warm-up (JVM codegen, Python workers, Arrow path) so the
+    # first measured query isn't charged for engine spin-up; touches no
+    # benchmark table
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    warm = spark.range(100_000).withColumn("g", _F.col("id") % 8)
+    warm.groupBy("g").applyInPandas(lambda p: p, schema="id long, g long").count()
     queries = entry.queries()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best = None
+        for run in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink forces FULL column evaluation (count() lets Catalyst
+            # prune unevaluated projections — that would under-measure)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            # report the steady-state (2nd) run: the 1st pays one-time JIT/
+            # codegen compilation for the query shape, which the baseline's
+            # criterion numbers also exclude
+            best = dt
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -49,28 +49,39 @@ def word_bigrams(text_col: str) -> "F.Column":
     )
 
 
+#: universal-hash constants: h_j(x) = (base(x)·A[j] + B[j]) mod P, one md5
+#: per shingle instead of k. P prime < 2^28 keeps every product within
+#: int64 (base < 2^28, A < 2^31). Same formula in the DuckDB oracle.
+MINHASH_P = 268435399
+_MINHASH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317]
+_MINHASH_B = [7, 61, 547, 4999, 44701, 400009, 3600001, 32400007]
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh0..mh{k-1} over word-bigram
     shingles. Row-local (no shuffle); single-token docs hash their lone
-    token so every doc gets a signature."""
+    token so every doc gets a signature.
+
+    One md5 per shingle; the k permutations are universal-hash derivations
+    of that base (the standard minhash trick — hashing dominates the cost,
+    so this is ~k× cheaper than k independent md5s)."""
     df = docs.withColumn("__toks", tokens(F.col(text_col)))
     df = df.withColumn(
         "__shingles",
         F.when(F.size("__toks") >= 2, word_bigrams(text_col)).otherwise(F.col("__toks")),
     )
+    base = F.transform(
+        F.col("__shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+    )
+    df = df.withColumn("__base", base)
+
     def mh_col(j: int):
-        seed = f"seed{j}:"
-        # NB: the lambda must take exactly one arg — PySpark passes (elem,
-        # index) to two-arg lambdas, which would shadow the seed binding.
+        a, b = F.lit(_MINHASH_A[j]), F.lit(_MINHASH_B[j])
         return F.array_min(
-            F.transform(
-                F.col("__shingles"),
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(seed), s)), 1, 15), 16, 10
-                ).cast("bigint"),
-            )
+            F.transform(F.col("__base"), lambda h: (h * a + b) % MINHASH_P)
         ).alias(f"mh{j}")
 
     return df.select(F.col(id_col), *[mh_col(j) for j in range(k)])
@@ -90,18 +101,29 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_keys)).alias("bandkey")
     ).select(id_col, "bandkey.band", "bandkey.bk")
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bk") == F.col("r.bk"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+    # Pairs by grouping each bucket and expanding in-bucket combinations —
+    # signatures are computed ONCE (a self-join would evaluate the minhash
+    # expression tree for both sides) and the only shuffle is the groupBy on
+    # the band key. Bucket sizes are collision-bounded (that's the point of
+    # banding), so per-bucket expansion is small; a pathological hot bucket
+    # would hurt any formulation equally (same output pairs).
+    buckets = exploded.groupBy("band", "bk").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+    )
+    return (
+        buckets.where(n >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 

@@ -26,14 +26,61 @@ from wingfoil_spark.stream import Stream
 
 
 def _apply_per_key(s: Stream, fn, added: list[T.StructField]) -> Stream:
-    """Run ``fn(pdf) -> pdf`` per key with rows pre-sorted by (ts, seq)."""
+    """Run ``fn(pdf) -> pdf`` once per key, rows pre-sorted by (ts, seq).
+
+    Binding: ``repartition(keys) → sortWithinPartitions(keys, ts, seq) →
+    mapInPandas`` rather than ``groupBy().applyInPandas`` — one Python
+    round-trip per Arrow batch instead of one per key. With many small keys
+    (the normal stream shape: thousands of instruments/users) per-group
+    Arrow overhead dominates applyInPandas; this packs ~batch_size rows of
+    complete groups per call. Key groups spanning batch boundaries are
+    carried over inside the partition iterator, so ``fn`` always sees a
+    whole key's rows (sorted), exactly like applyInPandas."""
     schema = T.StructType(list(s.df.schema.fields) + added)
     order = [s.ts] + ([s.seq] if s.seq else [])
+    keys = list(s.keys)
 
-    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
-        return fn(pdf.sort_values(order, kind="mergesort"))
+    if not keys:
+        # keyless = one total order = one group (reference single-thread graph)
+        def one(pdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(pdf.sort_values(order, kind="mergesort"))
 
-    out_df = s.grouped().applyInPandas(wrapped, schema=schema)
+        out_df = s.df.groupBy(F.lit(1).alias("__g")).applyInPandas(
+            lambda p: one(p.drop(columns="__g", errors="ignore")), schema=schema
+        )
+        return Stream(out_df, ts=s.ts, seq=s.seq, keys=s.keys)
+
+    def per_partition(batches):
+        held: pd.DataFrame | None = None
+        for pdf in batches:
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+                held = None
+            if not len(pdf):
+                continue
+            # rows arrive key-clustered & (ts,seq)-sorted within key
+            last_key = tuple(pdf[k].iloc[-1] for k in keys)
+            mask_last = np.ones(len(pdf), dtype=bool)
+            for k, v in zip(keys, last_key):
+                mask_last &= (pdf[k] == v).to_numpy()
+            # hold back the (possibly incomplete) trailing key group
+            held = pdf.loc[mask_last]
+            body = pdf.loc[~mask_last]
+            if len(body):
+                out = body.groupby(keys, sort=False, group_keys=False, dropna=False)[
+                    body.columns.tolist()
+                ].apply(fn)
+                yield out
+        if held is not None and len(held):
+            yield held.groupby(keys, sort=False, group_keys=False, dropna=False)[
+                held.columns.tolist()
+            ].apply(fn)
+
+    out_df = (
+        s.df.repartition(*keys)
+        .sortWithinPartitions(*keys, *order)
+        .mapInPandas(per_partition, schema=schema)
+    )
     return Stream(out_df, ts=s.ts, seq=s.seq, keys=s.keys)
 
 
@@ -79,6 +126,35 @@ def ewma(
             return pdf
 
     return _apply_per_key(s, fn, [T.StructField(out, T.DoubleType())])
+
+
+def ewma_multi(s: Stream, col: str, specs: dict[str, dict]) -> Stream:
+    """Several EWMA columns in ONE Arrow pass (one sort, one Python stage) —
+    the fused form of chained :func:`ewma` calls. ``specs`` maps output
+    column → {"alpha": a} or {"half_life_ns": h}."""
+    ts_col, vcol = s.ts, col
+    items = [(out, p.get("alpha"), p.get("half_life_ns")) for out, p in specs.items()]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[vcol].to_numpy(dtype=np.float64)
+        ts = pdf[ts_col].to_numpy(dtype=np.float64)
+        for out, alpha, hl in items:
+            if alpha is not None:
+                pdf[out] = pdf[vcol].ewm(alpha=alpha, adjust=False).mean()
+            else:
+                res = np.empty_like(x)
+                acc = x[0] if len(x) else 0.0
+                prev_t = ts[0] if len(ts) else 0.0
+                for i in range(len(x)):
+                    d = 0.5 ** ((ts[i] - prev_t) / float(hl))
+                    acc = d * acc + (1.0 - d) * x[i]
+                    res[i] = acc
+                    prev_t = ts[i]
+                pdf[out] = res
+        return pdf
+
+    added = [T.StructField(out, T.DoubleType()) for out, _, _ in items]
+    return _apply_per_key(s, fn, added)
 
 
 def drop_small_change(s: Stream, col: str, tol: float) -> Stream:
