@@ -1,0 +1,87 @@
+"""Plan-quality gates: the Spark analog of the reference's deterministic
+performance tests (SURVEY §5 pattern 4 — tests/sparse_graph.rs and
+tests/merge_n.rs assert node-visit counts; here we assert shuffle counts,
+filter pushdown, column pruning, and broadcast choices on the physical
+plan). These fail when a refactor silently adds a shuffle or drops a
+pushdown — the regressions that only show up at 100 TB."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_shuffles(plan: str) -> int:
+    """Data shuffles only — broadcast exchanges are the cheap kind."""
+    return len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition", plan))
+
+
+def test_q6_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1).count(":")
+    assert cols == 4, f"q6 should read exactly 4 columns, read {cols}"
+
+
+def test_q3_broadcasts_dims_no_sort_merge(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = plan_of(spark, "q5_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_combine_latest_single_shuffle(spark):
+    # the combine-latest machinery promises: one key-partition shuffle,
+    # no relational join
+    plan = plan_of(spark, "combine_latest")
+    assert count_shuffles(plan) == 1, plan
+    assert "Join" not in plan
+
+
+def test_running_stats_single_shuffle(spark):
+    for name in ("running_sum", "stats_rolling", "stats_time_windowed"):
+        plan = plan_of(spark, name)
+        assert count_shuffles(plan) == 1, f"{name}: expected 1 shuffle\n{plan}"
+
+
+def test_merge_unions_flattened(spark):
+    # Catalyst CombineUnions = the reference's n-ary MergeN rewrite
+    # (fluent.rs:944-950): a chained 3-way merge plans as ONE Union node
+    plan = plan_of(spark, "merge_tiebreak")
+    assert plan.count("Union") <= 1
+
+
+def test_mad_outlier_no_python_stage(spark):
+    # the analysis window ops promise JVM-only evaluation
+    plan = plan_of(spark, "mad_outlier")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    plan2 = plan_of(spark, "forecast_linear")
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_tumbling_partial_aggregation(spark):
+    # map-side combine: HashAggregate appears both before and after the
+    # exchange (partial + final)
+    plan = plan_of(spark, "tumbling_1h")
+    pre, _, post = plan.partition("Exchange")
+    assert "HashAggregate" in pre and "HashAggregate" in post
+
+
+def test_text_stats_no_shuffle(spark):
+    # pure row-local text analysis: no exchange at all
+    plan = plan_of(spark, "text_stats")
+    assert count_shuffles(plan) == 0, plan
