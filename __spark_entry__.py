@@ -276,6 +276,38 @@ def q_delay_with_reset(spark, sf_dir):
     return out.df.select("user_id", "ts_us", "pv")
 
 
+def q_dynamic_membership(spark, sf_dir):
+    """dynamic_group lifecycle (interp.rs:3901-4047): users join at signup,
+    leave at error, fold their activity values while members (fresh state
+    per re-add). Cent-integer accumulation for cross-engine exactness."""
+    from wingfoil_spark.operators.dynamic import dynamic_group
+
+    s = _ev(spark, sf_dir)
+    data = Stream(
+        s.df.where(F.col("event_type").isin("click", "view", "purchase"))
+        .select("ts_us", "event_id", "user_id", "value"),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    add = Stream(
+        s.df.where(F.col("event_type") == "signup")
+        .select("ts_us", "event_id", "user_id"),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    rem = Stream(
+        s.df.where(F.col("event_type") == "error")
+        .select("ts_us", "event_id", "user_id"),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    out = dynamic_group(
+        data, add, rem, "value",
+        fold_fn=lambda acc, v: acc + round(v * 100), init=0.0, out="acc_cents",
+    )
+    return out.df.select(
+        "user_id", "ts_us", "value",
+        (F.col("acc_cents") / 100.0).alias("member_sum"),
+    )
+
+
 # ---------------------------------------------------------------- statistics
 
 
@@ -753,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_passive": q_join_passive,
         "sample": q_sample,
         "dynamic_group_sum": q_dynamic_group_sum,
+        "dynamic_membership": q_dynamic_membership,
         "stats_rolling": q_stats_rolling,
         "stats_cumulative": q_stats_cumulative,
         "stats_time_windowed": q_stats_time_windowed,
@@ -983,6 +1016,29 @@ FROM ev"""
         "SELECT event_id, ts_us, (sum(delta) OVER (ORDER BY ts_us, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS latest_sum FROM d"
     )
+    o["dynamic_membership"] = f"""
+WITH ev AS ({EV_SQL}), tagged AS (
+  SELECT user_id, ts_us, event_id, value,
+    CASE WHEN event_type = 'signup' THEN 0
+         WHEN event_type = 'error' THEN 1 ELSE 2 END AS tag
+  FROM ev WHERE event_type IN ('signup', 'error', 'click', 'view', 'purchase')
+), st AS (
+  SELECT *,
+    sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END) OVER w AS n_adds,
+    last_value(CASE WHEN tag = 0 THEN 1 WHEN tag = 1 THEN 0 END IGNORE NULLS)
+      OVER w AS mem
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), member_data AS (
+  SELECT user_id, ts_us, event_id, value, n_adds
+  FROM st WHERE tag = 2 AND mem = 1
+)
+SELECT user_id, ts_us, value,
+  (sum(CAST(round(value * 100) AS BIGINT)) OVER
+    (PARTITION BY user_id, n_adds ORDER BY ts_us, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 100.0 AS member_sum
+FROM member_data"""
     o["stats_rolling"] = _stats_query("ROWS BETWEEN 4 PRECEDING AND CURRENT ROW")
     o["stats_cumulative"] = _stats_query("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
     o["stats_time_windowed"] = _stats_query(
