@@ -44,6 +44,17 @@ HEADLINE = [
     "lsh_pairs",
     "simhash",
     "ann_cosine",
+    "ann_ivf",
+    "vwap",
+    "rolling_vwap",
+    "order_book_top",
+    "mad_outlier",
+    "forecast_linear",
+    "dynamic_membership",
+    "media_frames",
+    "media_features",
+    "join3",
+    "delay_with_reset",
 ]
 
 

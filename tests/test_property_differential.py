@@ -1,0 +1,64 @@
+"""Property-based differential tests: the combine-latest machinery vs an
+independent single-threaded Python reference interpreter — the reference's
+pattern 2 (SURVEY §5: same graph executed on two engines must agree
+byte-for-byte; here hypothesis generates the tick histories).
+
+The Python model replays ticks in (ts, side-priority, seq) order holding
+one latch per side — semantically the reference's interpreted engine; the
+Spark implementation is the union+window plan. Divergence means the plan
+broke the combine-latest contract."""
+
+from hypothesis import given, settings, strategies as st
+
+from wingfoil_spark import Stream
+
+
+def model_combine_latest(left, right):
+    """Single-threaded oracle: left/right are [(ts, seq, value)]."""
+    events = [(ts, 0, seq, "R", v) for ts, seq, v in right] + [
+        (ts, 1, seq, "L", v) for ts, seq, v in left
+    ]
+    events.sort(key=lambda e: (e[0], e[1], e[2]))
+    la = lb = None
+    out = {}
+    for ts, _side, _seq, which, v in events:
+        if which == "L":
+            la = v
+        else:
+            lb = v
+        out[ts] = (la, lb)  # one emission per instant: last state wins
+    return sorted((ts, a, b) for ts, (a, b) in out.items())
+
+
+ticks = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),     # ts: small domain → collisions
+        st.integers(min_value=0, max_value=100),   # seq
+        st.integers(min_value=-5, max_value=5).map(float),
+    ),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=ticks, right=ticks)
+def test_combine_latest_matches_model(spark, left, right):
+    # seqs must be globally unique across both sides for a total order
+    right = [(ts, seq + 1000, v) for ts, seq, v in right]
+    if not left and not right:
+        return
+    ldf = spark.createDataFrame(left or [(None, None, None)], "ts long, seq long, a double")
+    rdf = spark.createDataFrame(right or [(None, None, None)], "ts long, seq long, b double")
+    if not left:
+        ldf = ldf.where("ts IS NOT NULL")
+    if not right:
+        rdf = rdf.where("ts IS NOT NULL")
+    a = Stream(ldf, ts="ts", seq="seq")
+    b = Stream(rdf, ts="ts", seq="seq")
+    got = sorted(
+        (r.ts, r.a, r.b)
+        for r in a.combine_latest(b).df.collect()
+    )
+    assert got == model_combine_latest(left, right)
