@@ -49,15 +49,29 @@ def mad_outlier(
     Reference: ``augurs_outlier`` MAD mode (augurs.rs:636-655). Pure
     array-function pipeline — no Python, no extra shuffle."""
     w = s.w_rows(-(window_n - 1), 0)
-    arr = F.sort_array(F.collect_list(F.col(col)).over(w))
-    med = _arr_median(arr)
-    dev = F.sort_array(F.transform(arr, lambda v: F.abs(v - med)))
-    mad = _arr_median(dev)
-    score = F.when(mad > 0, F.abs(F.col(col) - med) / (F.lit(1.4826) * mad))
-    return s.map(**{
+    # Stage each step as a real column: nesting med/dev/mad as expression
+    # references re-evaluates the window sort ~100x per row (the round-1
+    # plan pathology). As staged aliases, each is computed once per row —
+    # CollapseProject keeps them separate because sort_array/transform are
+    # non-cheap and multiply-referenced.
+    staged = s.map(__arr=F.sort_array(F.collect_list(F.col(col)).over(w)))
+    staged = staged.map(__med=_arr_median(F.col("__arr")))
+    staged = staged.map(
+        __mad=_arr_median(
+            F.sort_array(
+                F.transform(F.col("__arr"), lambda v: F.abs(v - F.col("__med")))
+            )
+        )
+    )
+    score = F.when(
+        F.col("__mad") > 0,
+        F.abs(F.col(col) - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")),
+    )
+    res = staged.map(**{
         out: F.round(score, 6),
         "is_outlier": (score > thresh).cast("boolean"),
     })
+    return Stream(res.df.drop("__arr", "__med", "__mad"), res.ts, res.seq, res.keys)
 
 
 def mean_shift_changepoint(
