@@ -204,16 +204,17 @@ def q_dynamic_group_sum(spark, sf_dir):
     of the latest value across all live keys — decomposed as a global
     running sum of per-key deltas (shuffle-free beyond the two windows;
     the global window is the reference's single fold node)."""
+    from wingfoil_spark.operators.scale import global_prefix_sum
+
     s = _ev(spark, sf_dir)
     wk = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     delta = _vdec() - F.coalesce(
         F.lag(_vdec()).over(wk), F.lit(0).cast(DEC_V)
     )
-    wg = Window.orderBy("ts_us", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    df = (
-        s.df.withColumn("delta", delta)
-        .withColumn("latest_sum", F.sum("delta").over(wg).cast("double"))
-    )
+    base = Stream(s.df.withColumn("delta", delta), ts="ts_us", seq="event_id")
+    # two-level prefix sum: no single-partition exchange of the event stream
+    summed = global_prefix_sum(base, "delta", "latest_sum", 3600 * US)
+    df = summed.df.withColumn("latest_sum", F.col("latest_sum").cast("double"))
     return df.select("event_id", "ts_us", "latest_sum")
 
 

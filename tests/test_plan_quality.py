@@ -85,3 +85,50 @@ def test_text_stats_no_shuffle(spark):
     # pure row-local text analysis: no exchange at all
     plan = plan_of(spark, "text_stats")
     assert count_shuffles(plan) == 0, plan
+
+
+# Queries whose plans must never single-partition the *data*: an
+# Exchange SinglePartition is only allowed when its input subtree has
+# already reduced cardinality (an aggregate or a take-ordered/limit),
+# i.e. it moves a bucket-summary table, never the stream itself.
+_NO_GLOBAL_EXCHANGE = [
+    "dynamic_group_sum",
+    "seq_gaps",
+    "topk_customers",
+    "running_sum",
+    "merge_tiebreak",
+    "combine_latest",
+    "tumbling_1h",
+    "sessionize",
+    "mad_outlier",
+    "forecast_linear",
+    "changepoint",
+    "vwap",
+    "rolling_vwap",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+]
+
+_REDUCERS = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|TakeOrderedAndProject"
+    r"|CollectLimit|LocalLimit|GlobalLimit"
+)
+
+
+def _indent_of(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+@pytest.mark.parametrize("name", _NO_GLOBAL_EXCHANGE)
+def test_no_full_data_single_partition(spark, name):
+    plan = plan_of(spark, name)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        subtree = lines[i + 1 : i + 6]
+        assert any(_REDUCERS.search(l) for l in subtree), (
+            f"{name}: Exchange SinglePartition over unreduced data:\n"
+            + "\n".join(lines[max(0, i - 2) : i + 6])
+        )

@@ -88,13 +88,26 @@ def rolling_vwap(t: Stream, n: int, out: str = "vwap") -> Stream:
     return t.map(**{out: pv.cast("double") / vol.cast("double")})
 
 
-def detect_seq_gaps(s: Stream, expect_step: int = 1) -> Stream:
+def detect_seq_gaps(
+    s: Stream, expect_step: int = 1, bucket_width: int = 3600 * 1_000_000
+) -> Stream:
     """Sequence-gap detection on a per-key monotone sequence column: emits a
     row per gap with the missing span. Reference: ``GapCause``/gap handling
-    in the book pipeline (market.rs:757)."""
-    prev = F.lag(s.seq).over(s._w_plain())
+    in the book pipeline (market.rs:757).
+
+    Keyed streams lag within the key partition (parallel). A keyless stream
+    would need a single-partition global window — instead it uses the
+    two-level bucketed lag (:func:`wingfoil_spark.operators.scale.
+    global_lag`): parallel within time buckets, carry exchanged via the tiny
+    bucket-summary table."""
+    if s.keys:
+        withprev = s.df.withColumn("__prev", F.lag(s.seq).over(s._w_plain()))
+    else:
+        from wingfoil_spark.operators.scale import global_lag
+
+        withprev = global_lag(s, s.seq, "__prev", bucket_width).df
     df = (
-        s.df.withColumn("__prev", prev)
+        withprev
         .where(F.col("__prev").isNotNull() & (F.col(s.seq) - F.col("__prev") > expect_step))
         .select(
             *s.keys,

@@ -1,0 +1,95 @@
+"""Scale-safe keyless order-dependent operators.
+
+A keyless Stream has ONE total (ts, seq) order, and a naive
+``Window.orderBy(...)`` over it plans an ``Exchange SinglePartition`` —
+every row lands in one task, which is exactly as sequential as the
+reference's single graph thread but fatal at 100 TB.
+
+The decomposition here is the classic two-level prefix aggregation:
+
+1. bucket rows by a *monotone* time bucket ``ts div bucket_width`` — order
+   by (bucket, ts, seq) equals order by (ts, seq);
+2. run the order-dependent computation *within* each bucket (parallel,
+   keyed window);
+3. reduce each bucket to a tiny summary row (its total / its last value),
+   run the sequential pass over the bucket-summary table only (thousands of
+   rows regardless of data size), and broadcast the per-bucket carry back.
+
+Cost: one extra tiny aggregation + a broadcast hash join; no full-data
+single-partition exchange anywhere. The reference runs these ops on one
+thread by construction (crates/wingfoil/src/runtime/run.rs:16-29); this is
+the distributed equivalent with identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from wingfoil_spark.stream import Stream
+
+
+def _bucketed(s: Stream, bucket_width: int):
+    """Attach a monotone time-bucket column; returns (df, order_cols)."""
+    order = [F.col(s.ts).asc()] + ([F.col(s.seq).asc()] if s.seq else [])
+    df = s.df.withColumn("__b", F.expr(f"{s.ts} div {bucket_width}"))
+    return df, order
+
+
+def global_prefix_sum(
+    s: Stream, col: Column | str, out: str, bucket_width: int
+) -> Stream:
+    """Running sum over the stream's total (ts, seq) order, without a
+    single-partition exchange of the data: per-bucket cumulative sums run
+    in parallel, the cumulative *bucket offsets* are computed over the tiny
+    bucket-total table and broadcast back.
+
+    Numeric note: the within-bucket and offset sums use whatever type the
+    input column has (pass decimals for exact accumulation); the addition
+    happens in that type, so results are bit-identical to the naive global
+    window."""
+    c = F.col(col) if isinstance(col, str) else col
+    df, order = _bucketed(s, bucket_width)
+    wb = (
+        Window.partitionBy("__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = df.withColumn("__cum_in", F.sum(c).over(wb))
+    totals = df.groupBy("__b").agg(F.sum(c).alias("__tot"))
+    wo = (
+        Window.orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__b", F.sum("__tot").over(wo).alias("__off")
+    )
+    joined = within.join(F.broadcast(offsets), "__b")
+    res = joined.withColumn(
+        out,
+        F.when(F.col("__off").isNull(), F.col("__cum_in")).otherwise(
+            F.col("__cum_in") + F.col("__off")
+        ),
+    ).drop("__b", "__cum_in", "__off")
+    return Stream(res, ts=s.ts, seq=s.seq, keys=s.keys)
+
+
+def global_lag(s: Stream, col: str, out: str, bucket_width: int) -> Stream:
+    """``lag(col)`` over the total (ts, seq) order without a full-data
+    single-partition exchange: lag within buckets; each bucket-first row
+    reads the previous non-empty bucket's last value from the tiny
+    broadcast bucket-summary table."""
+    df, order = _bucketed(s, bucket_width)
+    wb = Window.partitionBy("__b").orderBy(*order)
+    within = df.withColumn("__lag_in", F.lag(col).over(wb))
+    sort_key = (
+        F.struct(F.col(s.ts), F.col(s.seq)) if s.seq else F.struct(F.col(s.ts))
+    )
+    lasts = df.groupBy("__b").agg(F.max_by(F.col(col), sort_key).alias("__last"))
+    wo = Window.orderBy(F.col("__b").asc())
+    carry = lasts.select("__b", F.lag("__last").over(wo).alias("__carry"))
+    joined = within.join(F.broadcast(carry), "__b")
+    res = joined.withColumn(
+        out, F.coalesce(F.col("__lag_in"), F.col("__carry"))
+    ).drop("__b", "__lag_in", "__carry")
+    return Stream(res, ts=s.ts, seq=s.seq, keys=s.keys)

@@ -140,10 +140,14 @@ def topk_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+    # Take-ordered first (TakeOrderedAndProject — no single-partition
+    # exchange of the full aggregate), then rank within the k-row result.
+    top = per_cust.orderBy(
+        F.col("total_revenue").desc(), F.col("o_custkey").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("total_revenue").desc(), F.col("o_custkey").asc())
     return (
-        per_cust.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .select("rank", "o_custkey", "c_name", "total_revenue", "n_orders")
     )
