@@ -1048,6 +1048,136 @@ FROM member_data"""
     o["stats_tw_cum"] = _tw_sql("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
     o["stats_tw_rolling"] = _tw_sql("ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING")
 
+    # Recursive ops (EWMA / drop_small_change / timer throttle): DuckDB
+    # recursive CTE walks each key's rows in (ts, seq) order carrying the
+    # op's state — the exact sequential fold the pandas kernel runs. (A
+    # list_reduce-based formulation hits a DuckDB 1.0 vectorized-lambda bug
+    # at full volume: CASE inside the lambda misfolds ~0.7% of rows, so
+    # state machines use CTE recursion; only arithmetic-pure lambdas are
+    # trusted elsewhere.) Same double op-order as the kernels → bitwise
+    # equal, no rounding needed.
+    o["ewma"] = f"""
+WITH RECURSIVE ev AS ({EV_SQL}),
+num AS (
+  SELECT user_id, event_id, ts_us, value::DOUBLE AS v,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+  FROM ev
+), walk AS (
+  SELECT user_id, event_id, ts_us, rn, v AS ewma_tick, v AS ewma_hl
+  FROM num WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_id, n.ts_us, n.rn,
+    0.75*w.ewma_tick + 0.25*n.v,
+    pow(0.5,(n.ts_us - w.ts_us)/3600000000.0)*w.ewma_hl
+      + (1.0 - pow(0.5,(n.ts_us - w.ts_us)/3600000000.0))*n.v
+  FROM walk w JOIN num n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+)
+SELECT user_id, event_id, ts_us, ewma_tick, ewma_hl FROM walk"""
+    o["drop_small_change"] = f"""
+WITH RECURSIVE ev AS ({EV_SQL}),
+num AS (
+  SELECT user_id, event_id, ts_us, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+  FROM ev
+), walk AS (
+  SELECT user_id, event_id, ts_us, value, rn, value AS ref, true AS emit
+  FROM num WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_id, n.ts_us, n.value, n.rn,
+    CASE WHEN abs(n.value - w.ref) > 50.0 THEN n.value ELSE w.ref END,
+    abs(n.value - w.ref) > 50.0
+  FROM walk w JOIN num n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+)
+SELECT user_id, event_id, ts_us, value FROM walk WHERE emit"""
+    o["throttle_exact"] = f"""
+WITH RECURSIVE ev AS ({EV_SQL}),
+num AS (
+  SELECT user_id, event_id, ts_us, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+  FROM ev
+), walk AS (
+  SELECT user_id, event_id, ts_us, value, rn, ts_us + 1800000000 AS next_ok, true AS emit
+  FROM num WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_id, n.ts_us, n.value, n.rn,
+    CASE WHEN n.ts_us >= w.next_ok THEN n.ts_us + 1800000000 ELSE w.next_ok END,
+    n.ts_us >= w.next_ok
+  FROM walk w JOIN num n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+)
+SELECT user_id, event_id, ts_us, value FROM walk WHERE emit"""
+
+    # delay_with_reset as set logic: a purchase delivers at t+2h unless an
+    # error lands in [t, t+2h) (same-instant error wins: the purchase is
+    # appended before the trigger clears — fluent.rs:1060 timer-cancel);
+    # each error snaps the latest purchase at/<= its instant; TimeQueue
+    # dedup (runtime/time_queue.rs:136) → DISTINCT.
+    o["delay_with_reset"] = """
+WITH ev AS ({ev}),
+purch AS (SELECT user_id, ts_us, event_id, value AS pv FROM ev WHERE event_type = 'purchase'),
+err AS (SELECT user_id, ts_us FROM ev WHERE event_type = 'error'),
+delivered AS (
+  SELECT p.user_id, p.ts_us + 7200000000 AS ts_us, p.pv
+  FROM purch p
+  WHERE NOT EXISTS (SELECT 1 FROM err e WHERE e.user_id = p.user_id
+      AND e.ts_us >= p.ts_us AND e.ts_us < p.ts_us + 7200000000)
+),
+snaps AS (
+  SELECT e.user_id, e.ts_us, (
+     SELECT pv FROM purch p WHERE p.user_id = e.user_id AND p.ts_us <= e.ts_us
+     ORDER BY p.ts_us DESC, p.event_id DESC LIMIT 1) AS pv
+  FROM err e
+)
+SELECT DISTINCT user_id, ts_us, pv FROM (
+  SELECT * FROM delivered UNION ALL SELECT * FROM snaps WHERE pv IS NOT NULL
+)""".format(ev=EV_SQL)
+
+    # order book: recursive CTE folds the update stream per instrument —
+    # book sides as level/qty struct lists, snapshot replaces, delta
+    # accumulates and drops at qty <= 0 (market.rs:603-651, 1227-1250).
+    _ob_apply = """
+CASE WHEN n.kind = 'snapshot' THEN
+  CASE WHEN n.side = '{S}' AND n.qty_delta > 0
+       THEN [{{'l': n.lvl, 'q': n.qty_delta}}]
+       ELSE CAST([] AS STRUCT(l BIGINT, q BIGINT)[]) END
+ELSE CASE WHEN n.side = '{S}' THEN
+  list_concat(
+    list_filter(w.{B}, e -> e.l != n.lvl),
+    CASE WHEN coalesce(list_sum(list_transform(list_filter(w.{B}, e -> e.l = n.lvl), e -> e.q)), 0) + n.qty_delta > 0
+         THEN [{{'l': n.lvl, 'q': coalesce(list_sum(list_transform(list_filter(w.{B}, e -> e.l = n.lvl), e -> e.q)), 0) + n.qty_delta}}]
+         ELSE CAST([] AS STRUCT(l BIGINT, q BIGINT)[]) END)
+  ELSE w.{B} END
+END"""
+    _ob_base = ("CASE WHEN side='{S}' AND qty_delta>0 THEN [{{'l': lvl, 'q': qty_delta}}] "
+                "ELSE CAST([] AS STRUCT(l BIGINT, q BIGINT)[]) END")
+    o["order_book_top"] = f"""
+WITH RECURSIVE ev AS ({EV_SQL}),
+upd AS (
+  SELECT user_id, ts_us, event_id AS upd_seq,
+    CASE WHEN event_id % 50 = 0 THEN 'snapshot' ELSE 'delta' END AS kind,
+    CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+    CAST(round(value) AS BIGINT) AS lvl,
+    event_id % 10 - 2 AS qty_delta,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+  FROM ev
+), walk AS (
+  SELECT user_id, ts_us, upd_seq, rn,
+    {_ob_base.format(S='bid')} AS bids,
+    {_ob_base.format(S='ask')} AS asks
+  FROM upd WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.ts_us, n.upd_seq, n.rn,
+    {_ob_apply.format(S='bid', B='bids')} AS bids,
+    {_ob_apply.format(S='ask', B='asks')} AS asks
+  FROM walk w JOIN upd n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+)
+SELECT user_id, ts_us, upd_seq,
+  list_max(list_transform(bids, e -> e.l)) AS best_bid,
+  CASE WHEN len(bids) > 0 THEN (list_filter(bids, e -> e.l = list_max(list_transform(bids, e -> e.l))))[1].q END AS bid_qty,
+  list_min(list_transform(asks, e -> e.l)) AS best_ask,
+  CASE WHEN len(asks) > 0 THEN (list_filter(asks, e -> e.l = list_min(list_transform(asks, e -> e.l))))[1].q END AS ask_qty,
+  len(bids) AS n_bid_levels, len(asks) AS n_ask_levels
+FROM walk"""
+
     o["mad_outlier"] = f"""
 WITH ev AS ({EV_SQL}), base AS (
   SELECT user_id, ts_us, event_id, value,

@@ -316,9 +316,12 @@ def delay_with_reset(s: Stream, delay_ns: int, trigger: Stream,
     ts_col = s.ts
 
     src = s.df.select(*s.keys, F.col(s.ts).alias("__t"),
-                      F.lit(0).alias("__trig"), *vals)
+                      F.lit(0).alias("__trig"),
+                      (F.col(s.seq) if s.seq else F.lit(0)).cast("long").alias("__seq"),
+                      *vals)
     trg = trigger.df.select(*trigger.keys, F.col(trigger.ts).alias("__t"),
                             F.lit(1).alias("__trig"),
+                            (F.col(trigger.seq) if trigger.seq else F.lit(0)).cast("long").alias("__seq"),
                             *[F.lit(None).cast(s.df.schema[c].dataType).alias(c) for c in vals])
     u = src.unionByName(trg)
     merged = Stream(u, ts="__t", seq="__trig", keys=s.keys)
@@ -333,7 +336,9 @@ def delay_with_reset(s: Stream, delay_ns: int, trigger: Stream,
     keys, vals_t, delay = s.keys, tuple(vals), int(delay_ns)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__t", "__trig"], kind="mergesort")
+        # deterministic total order: ties at one instant resolve source-first
+        # then by upstream seq (two same-instant purchases apply in seq order)
+        pdf = pdf.sort_values(["__t", "__trig", "__seq"], kind="mergesort")
         pending: list[tuple] = []  # (fire_at, values) — FIFO by schedule time
         current = None
         rows = []
