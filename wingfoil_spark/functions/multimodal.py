@@ -86,16 +86,19 @@ def as_media(
     return df.withColumn(out, F.struct(p.alias("payload"), meta.alias("meta")))
 
 
-def media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
+def media_meta(df: DataFrame, media_col: str = "media", keep_media: bool = False) -> DataFrame:
     """Metadata-only projection. Catalyst prunes the payload field from the
-    scan (nested-schema pruning) — at 100 TB this reads kilobytes/row less."""
+    scan (nested-schema pruning) — at 100 TB this reads kilobytes/row less.
+    ``keep_media=True`` keeps the payload column for a downstream decode
+    stage (meta columns then ride along the same single pass)."""
     m = f"{media_col}.meta"
-    return df.select(
+    out = df.select(
         "*",
         F.col(f"{m}.kind").alias("kind"),
         F.col(f"{m}.n_bytes").alias("n_bytes"),
         F.col(f"{m}.content_hash").alias("content_hash"),
-    ).drop(media_col)
+    )
+    return out if keep_media else out.drop(media_col)
 
 
 def frame_sample(

@@ -180,19 +180,39 @@ def ivf_centroids(
     n_centroids: int = 16,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    fit: str = "take",
 ) -> DataFrame:
-    """Deterministic IVF "training": pick every (n/k)-th vector as a
-    centroid (random-init k-means at zero iterations — fully reproducible,
-    no fit step). At scale, swap for pyspark.ml KMeans over a sample: the
-    assignment/search plan below is unchanged, only this frame differs."""
-    n = corpus.count()
-    stride = max(1, n // n_centroids)
-    cents = (
-        corpus.where((F.col(id_col) % stride == 0) & (F.col(id_col) < stride * n_centroids))
-        .select(
-            (F.col(id_col) / stride).cast("int").alias("cid"),
-            F.col(emb_col).alias("cvec"),
+    """IVF "training" frame (cid, cvec, cnorm).
+
+    ``fit="take"`` (default, fully deterministic, no driver action): the
+    ``n_centroids`` lowest-id vectors via ``orderBy().limit()`` — a lazy
+    TakeOrdered inside the plan, so building ``ivf_topk`` triggers no job
+    (ids are hash-distributed, so this is an arbitrary-but-reproducible
+    sample; the row-1 stride sample ran an eager ``corpus.count()`` on the
+    driver's critical path). ``fit="kmeans"`` runs pyspark.ml KMeans
+    (seeded) behind the same interface — better buckets, not
+    oracle-reproducible; the assignment/search plan is unchanged either
+    way."""
+    if fit == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        feat = corpus.select(
+            array_to_vector(F.col(emb_col).cast("array<double>")).alias("features")
         )
+        model = KMeans(k=n_centroids, seed=7, maxIter=10).fit(feat)
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
+            "cid int, cvec array<double>",
+        )
+        return with_norm(cents, "cvec", "cnorm")
+    from pyspark.sql import Window
+
+    first = corpus.select(id_col, F.col(emb_col).alias("cvec")).orderBy(id_col).limit(n_centroids)
+    w = Window.orderBy(id_col)  # n_centroids rows — single-task window is fine
+    cents = first.select(
+        (F.row_number().over(w) - 1).alias("cid"), "cvec"
     )
     return with_norm(cents, "cvec", "cnorm")
 

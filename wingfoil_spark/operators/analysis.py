@@ -21,6 +21,8 @@ per-key parallelism — is the durable part; swap the kernel to taste.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, functions as F
@@ -161,8 +163,10 @@ def detect_seasons(
         if not valid.any() or p[valid].sum() == 0:
             return pd.DataFrame([[*keyvals, None, None, n]], columns=schema.names)
         k = int(np.argmax(np.where(valid, p, -1.0)))
+        # half-up (floor(x+0.5)), not Python's banker's round: the SQL twin
+        # (round half away from zero) must agree when n/k lands on .5
         return pd.DataFrame(
-            [[*keyvals, int(round(n / k)), float(p[k] / p[valid].sum()), n]],
+            [[*keyvals, int(math.floor(n / k + 0.5)), float(p[k] / p[valid].sum()), n]],
             columns=schema.names,
         )
 
@@ -236,4 +240,76 @@ def dtw_distances(
     return (
         pairs.withColumn("dtw", F.round(dtw_udf("sa", "sb"), 6))
         .select("key_a", "key_b", "dtw")
+    )
+
+
+def dbscan_clusters(
+    pairs: "F.DataFrame",
+    eps: float,
+    min_pts: int = 3,
+    id_a: str = "key_a",
+    id_b: str = "key_b",
+    dist: str = "dtw",
+) -> "F.DataFrame":
+    """DBSCAN over a pairwise-distance table (the DTW matrix). Reference:
+    ``augurs_cluster`` (augurs.rs:1159-1177) — DBSCAN over DTW distances.
+
+    Deterministic labeling (so an exact SQL oracle exists): a core point's
+    cluster id is the minimum core id in its eps-connected core component;
+    a border point joins the component of its minimum core neighbor; noise
+    is -1. ``is_core`` distinguishes core from border.
+
+    Scale shape: the pair table is already the reduced |keys|² artifact of
+    :func:`dtw_distances` (tiny — resampled profiles, not raw data), so one
+    executor-side pass over a single group is the right plan; nothing here
+    touches the raw stream.
+    """
+    eps_v, mp = float(eps), int(min_pts)
+    a_c, b_c, d_c = id_a, id_b, dist
+    schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("cluster", T.LongType()),
+        T.StructField("is_core", T.BooleanType()),
+    ])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict[int, set] = {}
+        ks: set = set()
+        rows = list(zip(pdf[a_c], pdf[b_c], pdf[d_c]))
+        for a, b, d in rows:
+            ks.add(a), ks.add(b)
+            if d <= eps_v:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        order = sorted(ks)
+        core = {k for k in order if 1 + len(adj.get(k, ())) >= mp}
+        lbl = {k: k for k in core}
+
+        def find(x):
+            while lbl[x] != x:
+                lbl[x] = lbl[lbl[x]]
+                x = lbl[x]
+            return x
+
+        for a, b, d in rows:
+            if d <= eps_v and a in core and b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lbl[max(ra, rb)] = min(ra, rb)
+        comp = {k: find(k) for k in core}
+        rootmin: dict[int, int] = {}
+        for k, r in comp.items():
+            rootmin[r] = min(rootmin.get(r, k), k)
+        out = []
+        for k in order:
+            if k in core:
+                out.append((k, rootmin[comp[k]], True))
+            else:
+                cn = sorted(x for x in adj.get(k, ()) if x in core)
+                out.append((k, rootmin[comp[cn[0]]] if cn else -1, False))
+        return pd.DataFrame(out, columns=["key", "cluster", "is_core"])
+
+    return (
+        pairs.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(lambda p: fn(p.drop(columns="__g", errors="ignore")), schema=schema)
     )

@@ -204,36 +204,49 @@ def time_windowed_time_weighted(
 
     The step-signal integral over [ts_n - W, ts_n] requires clipping the
     partial interval at the window's left edge — not window-expressible, so
-    computed per key with O(n) numpy prefix integrals (cumulative v·w and
-    v²·w, searchsorted for the edge). Reference:
+    computed per key with O(n) prefix integrals (cumulative v·w and v²·w,
+    searchsorted for the edge). Reference:
     ``time_windowed_*_time_weighted`` (stats.rs:154-162, ops.rs:2374-2501).
+
+    Numeric policy: the integrals accumulate in exact integers (value in
+    cents × in-effect µs; Python ints — v²·w exceeds int64) and convert to
+    double only for the final division, so the DuckDB oracle (HUGEINT sums
+    over the same clipped weights) matches bit-for-bit regardless of
+    summation order.
     """
 
     ts_col = s.ts
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = pdf[ts_col].to_numpy(dtype=np.float64)
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
         v = pdf[col].to_numpy(dtype=np.float64)
+        vc = np.rint(v * 100).astype(np.int64)  # exact cents (2-decimal data)
         n = len(ts)
         res = np.empty(n)
         if n:
-            w = np.diff(ts, append=ts[-1])  # in-effect span; last = 0
-            P1 = np.concatenate(([0.0], np.cumsum(v * w)))       # ∫v up to ts_i
-            P2 = np.concatenate(([0.0], np.cumsum(v * v * w)))   # ∫v²
+            tsl, vcl = ts.tolist(), vc.tolist()  # python ints: exact, unbounded
+            P1 = [0] * (n + 1)
+            P2 = [0] * (n + 1)
+            for k in range(n - 1):
+                w = tsl[k + 1] - tsl[k]
+                P1[k + 1] = P1[k] + vcl[k] * w
+                P2[k + 1] = P2[k] + vcl[k] * vcl[k] * w
+            P1[n] = P1[n - 1]
+            P2[n] = P2[n - 1]
             for i in range(n):
-                t0 = max(ts[0], ts[i] - window_ns)
-                j = np.searchsorted(ts, t0, side="right") - 1
-                span = ts[i] - t0
+                t0 = max(tsl[0], tsl[i] - window_ns)
+                j = int(np.searchsorted(ts, t0, side="right")) - 1
+                span = tsl[i] - t0
                 if span <= 0:
                     res[i] = v[i] if stat == "mean" else 0.0
                     continue
-                i1 = P1[i] - (P1[j] + v[j] * (t0 - ts[j]))
-                m = i1 / span
+                i1 = P1[i] - (P1[j] + vcl[j] * (t0 - tsl[j]))
+                m = float(i1) / float(span * 100)
                 if stat == "mean":
                     res[i] = m
                 else:
-                    i2 = P2[i] - (P2[j] + v[j] * v[j] * (t0 - ts[j]))
-                    var = max(i2 / span - m * m, 0.0)
+                    i2 = P2[i] - (P2[j] + vcl[j] * vcl[j] * (t0 - tsl[j]))
+                    var = max(float(i2) / float(span * 10000) - m * m, 0.0)
                     res[i] = var if stat == "var" else np.sqrt(var)
         pdf[out] = res
         return pdf
@@ -273,6 +286,73 @@ def weighted_median(s: Stream, col: str, wname: str, frame, out: str) -> Stream:
     dropped = [c for c in s.df.columns if c != wname]
     result = _apply_per_key(s, fn, [T.StructField(out, T.DoubleType())])
     return Stream(result.df.select(*dropped, out), ts=s.ts, seq=s.seq, keys=s.keys)
+
+
+def time_weighted_profile(
+    s: Stream,
+    col: str,
+    window_ns: int,
+    out_mean: str = "tw_mean",
+    out_var: str = "tw_var",
+    out_median: str = "tw_median",
+) -> Stream:
+    """Fused time-weighted profile in ONE Arrow pass per key: trailing-
+    duration clipped mean and variance (stats.rs:154-162) plus cumulative
+    weighted median (stats.rs:177-185). Chaining the three standalone ops
+    costs three repartition+sort+mapInPandas stages; this computes all
+    three columns from one sorted pass — the fused form, same semantics
+    (numpy-oracle-pinned by tests; integer-exact integrals as in
+    :func:`time_windowed_time_weighted`)."""
+    ts_col = s.ts
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        v = pdf[col].to_numpy(dtype=np.float64)
+        vc = np.rint(v * 100).astype(np.int64)
+        n = len(ts)
+        mean = np.empty(n)
+        var = np.empty(n)
+        med = np.empty(n)
+        if n:
+            tsl, vcl = ts.tolist(), vc.tolist()
+            P1 = [0] * (n + 1)
+            P2 = [0] * (n + 1)
+            for k in range(n - 1):
+                w = tsl[k + 1] - tsl[k]
+                P1[k + 1] = P1[k] + vcl[k] * w
+                P2[k + 1] = P2[k] + vcl[k] * vcl[k] * w
+            wdiff = np.diff(ts).astype(np.float64)
+            for i in range(n):
+                t0 = max(tsl[0], tsl[i] - window_ns)
+                j = int(np.searchsorted(ts, t0, side="right")) - 1
+                span = tsl[i] - t0
+                if span <= 0:
+                    mean[i], var[i] = v[i], 0.0
+                else:
+                    i1 = P1[i] - (P1[j] + vcl[j] * (t0 - tsl[j]))
+                    m = float(i1) / float(span * 100)
+                    i2 = P2[i] - (P2[j] + vcl[j] * vcl[j] * (t0 - tsl[j]))
+                    mean[i] = m
+                    var[i] = max(float(i2) / float(span * 10000) - m * m, 0.0)
+                vv, ww = v[:i], wdiff[:i]
+                mask = ww > 0
+                vv, ww = vv[mask], ww[mask]
+                if len(vv) == 0:
+                    med[i] = v[i]
+                else:
+                    order = np.argsort(vv, kind="mergesort")
+                    vv, ww = vv[order], ww[order]
+                    c = np.cumsum(ww)
+                    half = c[-1] / 2.0
+                    k = int(np.searchsorted(c, half))
+                    med[i] = vv[min(k, len(vv) - 1)]
+        pdf[out_mean] = mean
+        pdf[out_var] = var
+        pdf[out_median] = med
+        return pdf
+
+    added = [T.StructField(c, T.DoubleType()) for c in (out_mean, out_var, out_median)]
+    return _apply_per_key(s, fn, added)
 
 
 def fold_pandas(s: Stream, fn, init, out: str, cols: list[str] | None = None,
