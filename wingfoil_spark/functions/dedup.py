@@ -16,13 +16,19 @@ BIGINT in both).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 
 from wingfoil_spark.functions.text import fingerprint, tokens
 
-#: number of minhash permutations and LSH bands (rows-per-band = K // BANDS)
-MINHASH_K = 8
-LSH_BANDS = 4
+#: number of minhash permutations and LSH bands (rows-per-band = K // BANDS).
+#: Production shape: k=128 permutations, 16 bands x 8 rows — the catch
+#: probability for Jaccard s is 1-(1-s^8)^16 (≈0.95 at s=0.8, ≈1 at s≥0.9),
+#: vs the toy k=8/4-band round-1 config whose recall collapsed on real
+#: corpora.
+MINHASH_K = 128
+LSH_BANDS = 16
 
 
 def _md5_int(col) -> "F.Column":
@@ -51,10 +57,24 @@ def word_bigrams(text_col: str) -> "F.Column":
 
 #: universal-hash constants: h_j(x) = (base(x)·A[j] + B[j]) mod P, one md5
 #: per shingle instead of k. P prime < 2^28 keeps every product within
-#: int64 (base < 2^28, A < 2^31). Same formula in the DuckDB oracle.
+#: int64 (base < 2^28, A < 2^28). The A/B streams are md5-derived (odd A,
+#: nonzero mod P) — deterministic, engine-independent, reproduced verbatim
+#: in the DuckDB oracle via the shared module constants.
 MINHASH_P = 268435399
-_MINHASH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317]
-_MINHASH_B = [7, 61, 547, 4999, 44701, 400009, 3600001, 32400007]
+
+
+def _uhash_consts(tag: str, k: int) -> list[int]:
+    out = []
+    for j in range(k):
+        v = int(hashlib.md5(f"mh{tag}{j}".encode()).hexdigest()[:7], 16)
+        if tag == "A":
+            v |= 1  # odd → nonzero mod P
+        out.append(v)
+    return out
+
+
+_MINHASH_A = _uhash_consts("A", MINHASH_K)
+_MINHASH_B = _uhash_consts("B", MINHASH_K)
 
 
 def minhash_signatures(
