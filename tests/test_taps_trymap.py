@@ -1,0 +1,75 @@
+"""Lazy tap + fallible-map contracts.
+
+- ``inspect`` (fluent.rs:1000, ops.rs:415-447) must be a LAZY pass-through:
+  wiring it runs no Spark job; the effect fires when a downstream action
+  materializes the stream.
+- ``try_map`` (fluent.rs:787, 873-896) routes per-row failures to an error
+  side stream instead of failing the task.
+"""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from wingfoil_spark.sources.tables import load_table
+from wingfoil_spark.stream import Stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark, n=200):
+    df = (
+        load_table(spark, SF, "events")
+        .select(F.expr("ts div 1000").alias("ts_us"), "event_id", "user_id", "value")
+        .limit(n)
+    )
+    return Stream(df, ts="ts_us", seq="event_id", keys=("user_id",))
+
+
+def test_inspect_runs_no_job_at_wiring(spark):
+    s = _events(spark)
+    with tempfile.TemporaryDirectory() as d:
+        marker = os.path.join(d, "tapped")
+
+        def tap(row):
+            with open(marker, "a") as f:
+                f.write("x\n")
+
+        tracker = spark.sparkContext.statusTracker()
+        jobs_before = set(tracker.getJobIdsForGroup(None) or [])
+        tapped = s.inspect(tap)  # wiring: must NOT run a job
+        jobs_after = set(tracker.getJobIdsForGroup(None) or [])
+        assert jobs_after == jobs_before, "inspect ran a Spark job at wiring time"
+        assert not os.path.exists(marker), "tap fired before any action"
+
+        n = tapped.df.count()  # action: now the tap fires
+        assert n > 0
+        with open(marker) as f:
+            assert len(f.readlines()) == n
+
+
+def test_inspect_passes_rows_through_unchanged(spark):
+    s = _events(spark)
+    base = {tuple(r) for r in s.df.collect()}
+    tapped = {tuple(r) for r in s.inspect(lambda r: None).df.collect()}
+    assert tapped == base
+
+
+def test_try_map_routes_errors_to_side_stream(spark):
+    s = _events(spark)
+
+    def risky(row):
+        if row["value"] > 200:
+            raise ValueError(f"too big: {row['value']}")
+        return row["value"] * 2.0
+
+    ok, err = s.try_map(risky, out="doubled")
+    ok_rows = ok.df.collect()
+    err_rows = err.df.collect()
+    total = s.df.count()
+    assert len(ok_rows) + len(err_rows) == total
+    assert len(err_rows) > 0, "fixture should contain values > 200"
+    assert all(r.doubled == r.value * 2.0 for r in ok_rows)
+    assert all(r.error.startswith("ValueError: too big") for r in err_rows)
+    assert all(r.value > 200 for r in err_rows)

@@ -110,5 +110,10 @@ def dynamic_group(
             columns=[*keys, ts_col, col, out],
         )
 
-    out_df = merged.grouped().applyInPandas(fn, schema=schema)
+    # packed binding: one Arrow round-trip per batch of whole key groups,
+    # not one per key (round-1 showed per-key applyInPandas ~4× slower
+    # with thousands of small keys)
+    from wingfoil_spark.operators.stateful import _apply_per_key_reshape
+
+    out_df = _apply_per_key_reshape(merged, fn, schema)
     return Stream(out_df, ts=ts_col, seq=None, keys=tuple(keys))

@@ -84,6 +84,58 @@ def _apply_per_key(s: Stream, fn, added: list[T.StructField]) -> Stream:
     return Stream(out_df, ts=s.ts, seq=s.seq, keys=s.keys)
 
 
+def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType):
+    """Packed per-key binding for RESHAPING ops: like :func:`_apply_per_key`
+    (repartition → sortWithinPartitions → mapInPandas, whole key groups per
+    Arrow batch) but ``fn(pdf) -> pdf`` returns frames in ``out_schema``
+    (its own columns/row count, key columns included) instead of
+    input+added. One Python round-trip per batch, not per key — built
+    because per-group applyInPandas was ~4× slower with many small keys."""
+    order = [s.ts] + ([s.seq] if s.seq else [])
+    keys = list(s.keys)
+    out_cols = [f.name for f in out_schema.fields]
+
+    if not keys:
+        def one(pdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(pdf.sort_values(order, kind="mergesort"))[out_cols]
+
+        return s.df.groupBy(F.lit(1).alias("__g")).applyInPandas(
+            lambda p: one(p.drop(columns="__g", errors="ignore")), schema=out_schema
+        )
+
+    def per_partition(batches):
+        held: pd.DataFrame | None = None
+        for pdf in batches:
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+                held = None
+            if not len(pdf):
+                continue
+            last_key = tuple(pdf[k].iloc[-1] for k in keys)
+            mask_last = np.ones(len(pdf), dtype=bool)
+            for k, v in zip(keys, last_key):
+                mask_last &= (pdf[k] == v).to_numpy()
+            held = pdf.loc[mask_last]
+            body = pdf.loc[~mask_last]
+            if len(body):
+                outs = [
+                    fn(g) for _, g in
+                    body.groupby(keys, sort=False, dropna=False)
+                ]
+                yield pd.concat(outs, ignore_index=True)[out_cols]
+        if held is not None and len(held):
+            outs = [
+                fn(g) for _, g in held.groupby(keys, sort=False, dropna=False)
+            ]
+            yield pd.concat(outs, ignore_index=True)[out_cols]
+
+    return (
+        s.df.repartition(*keys)
+        .sortWithinPartitions(*keys, *order)
+        .mapInPandas(per_partition, schema=out_schema)
+    )
+
+
 def ewma(
     s: Stream,
     col: str,
@@ -454,5 +506,5 @@ def delay_with_reset(s: Stream, delay_ns: int, trigger: Stream,
         # (runtime/time_queue.rs:136)
         return out.drop_duplicates()
 
-    out_df = merged.grouped().applyInPandas(fn, schema=schema)
+    out_df = _apply_per_key_reshape(merged, fn, schema)
     return Stream(out_df, ts=ts_col, seq=None, keys=s.keys)

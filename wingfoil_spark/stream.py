@@ -112,6 +112,57 @@ class Stream:
         keep = list(dict.fromkeys([*meta, *cols]))
         return self._derive(self.df.select(*keep))
 
+    def try_map(
+        self,
+        fn: Callable,
+        out: str = "mapped",
+        dtype=None,
+        cols: list[str] | None = None,
+    ) -> tuple["Stream", "Stream"]:
+        """Fallible map with an error side-channel: ``fn(row: dict) -> value``
+        per tick; rows where ``fn`` raises are routed to the returned error
+        stream (with an ``error`` column) instead of failing the task.
+        Returns ``(ok_stream, err_stream)``. Reference: the ``try_map`` /
+        try-twin family (fluent.rs:787, 873-896) whose Err channel feeds a
+        side stream rather than aborting the graph.
+
+        One Arrow-batched stage computes value+error; the two returned
+        streams are filters over it (cache the input upstream if both sides
+        are consumed by separate actions)."""
+        from pyspark.sql import types as T
+
+        use = cols or [c for c in self.df.columns if c not in (self.ts, self.seq, *self.keys)]
+        dt = dtype or T.DoubleType()
+        schema = T.StructType(
+            list(self.df.schema.fields)
+            + [T.StructField(out, dt), T.StructField("error", T.StringType())]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                vals, errs = [], []
+                for row in pdf[use].to_dict("records"):
+                    try:
+                        vals.append(fn(row))
+                        errs.append(None)
+                    except Exception as e:  # routed, not raised
+                        vals.append(None)
+                        errs.append(f"{type(e).__name__}: {e}")
+                pdf[out] = vals
+                pdf["error"] = errs
+                yield pdf
+
+        mapped = self.df.mapInPandas(run, schema=schema)
+        ok = Stream(
+            mapped.where(F.col("error").isNull()).drop("error"),
+            self.ts, self.seq, self.keys,
+        )
+        err = Stream(
+            mapped.where(F.col("error").isNotNull()).drop(out),
+            self.ts, self.seq, self.keys,
+        )
+        return ok, err
+
     def filter_value(self, cond: Column) -> "Stream":
         """Predicate on own value. Reference: ``filter_value``
         (fluent.rs:924, ops.rs:2716-2747)."""
@@ -397,11 +448,23 @@ class Stream:
 
     def inspect(self, fn: Callable) -> "Stream":
         """Side-effect tap, pass-through: ``fn(row)`` runs on the executors
-        as rows flow. Reference: ``inspect`` (fluent.rs:1000, ops.rs:415-447).
-        The tap is an action-time effect (Spark plans are lazy); it fires
-        when a downstream action materializes this stream."""
-        self.df.foreach(fn)
-        return self
+        as rows flow. Reference: ``inspect`` (fluent.rs:1000, ops.rs:415-447
+        — a lazy pass-through node, effects fire only when the graph runs).
+
+        Lazy here too: the tap rides the plan as a mapInPandas pass-through
+        stage, so NO job runs at wiring time and the effect fires exactly
+        when a downstream action materializes this stream (and re-fires if
+        the stage is recomputed — same as any executor-side effect)."""
+        cols = list(self.df.columns)
+
+        def tap(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    fn(row)
+                yield pdf
+
+        tapped = self.df.mapInPandas(tap, schema=self.df.schema)
+        return Stream(tapped.select(*cols), self.ts, self.seq, self.keys)
 
     def print_ticks(self, n: int = 20) -> "Stream":
         """stdout tap. Reference: ``print`` (fluent.rs:1041, ops.rs:448-476);
