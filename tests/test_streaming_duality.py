@@ -85,6 +85,199 @@ def test_batch_vs_stream_identical(spark, events_df, tmp_path):
     )
 
 
+def _run_stream_chunks(spark, op, pdf, schema_str, order_cols, n_chunks=3, name="twin"):
+    """Feed pdf as time-ordered micro-batches (split at GLOBAL ts boundaries
+    so no instant straddles a batch) through op.run_stream."""
+    src_dir = tempfile.mkdtemp(prefix=f"wf_{name}_src_")
+    try:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        ts_col = order_cols[0]
+        uniq = sorted(pdf[ts_col].unique())
+        cuts = [uniq[len(uniq) * i // n_chunks] for i in range(1, n_chunks)]
+        bounds = [0] + [pdf[ts_col].searchsorted(c, side="left") for c in cuts] + [len(pdf)]
+        for i in range(n_chunks):
+            path = os.path.join(src_dir, f"chunk-{i:03d}.parquet")
+            pdf.iloc[bounds[i]:bounds[i + 1]].to_parquet(path, index=False)
+            os.utime(path, (time.time() + i, time.time() + i))
+        stream_df = (
+            spark.readStream.schema(schema_str)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            op.run_stream(stream_df)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def _typed(events_df, etype, val_name):
+    from wingfoil_spark.stream import Stream
+
+    df = (
+        events_df.withColumn("event_type", F.lit(None).cast("string"))
+        if "event_type" not in events_df.columns else events_df
+    )
+    return Stream(
+        df.where(F.col("event_type") == etype)
+        .select("ts_us", "event_id", "user_id", F.col("value").alias(val_name)),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+
+
+@pytest.fixture(scope="module")
+def typed_events(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id",
+                "event_type", "value")
+        .where(F.col("user_id") < 10)
+    )
+
+
+def test_combine_latest_three_way_duality(spark, typed_events):
+    """Window-based batch combine_latest == step.run_batch == step.run_stream."""
+    from wingfoil_spark.streaming.twins import combine_latest_op
+
+    left = _typed(typed_events, "click", "cv")
+    right = _typed(typed_events, "purchase", "pv")
+
+    window_batch = (
+        left.combine_latest(right).df.select("user_id", "ts_us", "cv", "pv").toPandas()
+    )
+    op, union = combine_latest_op(left, right, ["cv"], ["pv"], emit="either")
+    step_batch = op.run_batch(union).toPandas()
+    streamed = _run_stream_chunks(
+        spark, op, union.toPandas(),
+        "user_id long, ts_us long, __side int, __seq long, cv double, pv double",
+        ["ts_us", "__side", "__seq"], name="combine_twin",
+    )
+
+    key = ["user_id", "ts_us"]
+    w = window_batch.sort_values(key).reset_index(drop=True)
+    b = step_batch[w.columns].sort_values(key).reset_index(drop=True)
+    s = streamed[list(w.columns)].sort_values(key).reset_index(drop=True)
+    assert len(w) == len(b) == len(s) > 0
+    for c in ("cv", "pv"):
+        wv, bv, sv = (x[c].to_numpy(dtype=float) for x in (w, b, s))
+        nan3 = (wv != wv) & (bv != bv) & (sv != sv)
+        assert (((wv == bv) & (bv == sv)) | nan3).all(), f"combine diverged on {c}"
+
+
+def test_join_passive_duality(spark, typed_events):
+    from wingfoil_spark.streaming.twins import combine_latest_op
+
+    left = _typed(typed_events, "purchase", "pv")
+    right = _typed(typed_events, "click", "cv")
+    window_batch = (
+        left.join_passive(right).df.select("user_id", "ts_us", "pv", "cv").toPandas()
+    )
+    op, union = combine_latest_op(left, right, ["pv"], ["cv"], emit="left")
+    step_batch = op.run_batch(union).toPandas()
+    key = ["user_id", "ts_us", "pv"]
+    w = window_batch.sort_values(key).reset_index(drop=True)
+    b = step_batch[w.columns].sort_values(key).reset_index(drop=True)
+    assert len(w) == len(b) > 0
+    for c in ("pv", "cv"):
+        wv, bv = (x[c].to_numpy(dtype=float) for x in (w, b))
+        nan2 = (wv != wv) & (bv != bv)
+        assert ((wv == bv) | nan2).all(), f"join_passive diverged on {c}"
+
+
+def test_rolling_stats_duality(spark, typed_events):
+    """Window-function stats matrix == step batch == step stream, bitwise."""
+    from wingfoil_spark.stream import Stream
+    from wingfoil_spark.streaming.twins import rolling_stats_step
+
+    base = typed_events.select("user_id", "ts_us", "event_id", "value")
+    s = Stream(base, ts="ts_us", seq="event_id", keys=("user_id",))
+    w = s.w_rows(-4, 0)
+    dec = F.col("value").cast("decimal(12,2)")
+    dec2 = (dec * dec).cast("decimal(24,4)")
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec2).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    var = F.when(cnt > 1, F.greatest((s2 - s1 * s1 / cnt) / (cnt - 1), F.lit(0.0)))
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n_ = F.size(arr)
+    med = (F.element_at(arr, ((n_ + 1) / 2).cast("int")) + F.element_at(arr, (n_ / 2 + 1).cast("int"))) / 2
+    window_batch = s.df.select(
+        "user_id", "ts_us", "event_id", "value",
+        s1.alias("st_sum"), (s1 / cnt).alias("st_mean"),
+        F.min("value").over(w).alias("st_min"), F.max("value").over(w).alias("st_max"),
+        var.alias("st_var"), F.sqrt(var).alias("st_std"), med.alias("st_median"),
+    ).toPandas()
+
+    op = KeyedStateOp(
+        rolling_stats_step("value", 5, "ts_us", "event_id", ["user_id"]),
+        out_schema="user_id long, ts_us long, event_id long, value double, "
+                   "st_sum double, st_mean double, st_min double, st_max double, "
+                   "st_var double, st_std double, st_median double",
+        init_state=None, ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    step_batch = op.run_batch(base).toPandas()
+    streamed = _run_stream_chunks(
+        spark, op, base.toPandas(),
+        "user_id long, ts_us long, event_id long, value double",
+        ["ts_us", "event_id"], name="stats_twin",
+    )
+    key = ["user_id", "ts_us", "event_id"]
+    wdf = window_batch.sort_values(key).reset_index(drop=True)
+    b = step_batch[wdf.columns].sort_values(key).reset_index(drop=True)
+    st = streamed[list(wdf.columns)].sort_values(key).reset_index(drop=True)
+    assert len(wdf) == len(b) == len(st) > 0
+    for c in ("st_sum", "st_mean", "st_min", "st_max", "st_var", "st_std", "st_median"):
+        wv, bv, sv = (x[c].to_numpy(dtype=float) for x in (wdf, b, st))
+        nan3 = (wv != wv) & (bv != bv) & (sv != sv)
+        assert (((wv == bv) & (bv == sv)) | nan3).all(), f"stats diverged on {c}"
+
+
+def test_delay_timer_duality(spark, typed_events):
+    """Batch re-stamp delay == streaming timer delay (after the stream's
+    event time passes every fire time via a sentinel chunk)."""
+    from wingfoil_spark.stream import Stream
+    from wingfoil_spark.streaming.twins import delay_step
+    import pandas as pd
+
+    DELAY = 1_000_000  # 1s
+    base = typed_events.select("user_id", "ts_us", "event_id", "value")
+    s = Stream(base, ts="ts_us", seq="event_id", keys=("user_id",))
+    batch = s.delay(DELAY).df.select("user_id", "ts_us", "value").toPandas()
+
+    op = KeyedStateOp(
+        delay_step(DELAY, "ts_us", ["value"], ["user_id"]),
+        out_schema="user_id long, ts_us long, value double",
+        init_state=None, ts="ts_us", seq=None, keys=("user_id",),
+    )
+    pdf = base.toPandas()
+    # sentinel rows (event_id -1) at max_ts + 2*delay advance every key's
+    # event time past all pending fire times (watermark-push pattern)
+    sent_ts = int(pdf["ts_us"].max()) + 2 * DELAY
+    sent = pd.DataFrame({
+        "user_id": sorted(pdf["user_id"].unique()),
+        "ts_us": sent_ts, "event_id": -1, "value": 0.0,
+    })
+    streamed = _run_stream_chunks(
+        spark, op, pd.concat([pdf, sent], ignore_index=True),
+        "user_id long, ts_us long, event_id long, value double",
+        ["ts_us", "event_id"], name="delay_twin",
+    )
+    # drop the sentinels' own delayed emissions from the stream output
+    streamed = streamed[streamed["ts_us"] != sent_ts + DELAY]
+    key = ["user_id", "ts_us", "value"]
+    b = batch.drop_duplicates().sort_values(key).reset_index(drop=True)
+    st = streamed[list(b.columns)].drop_duplicates().sort_values(key).reset_index(drop=True)
+    assert len(b) == len(st) > 0
+    assert b.equals(st), "delay timer semantics diverged"
+
+
 def test_order_book_batch_vs_stream(spark, events_df):
     """The flagship stateful op (order book) under both run modes."""
     from pyspark.sql import types as T
