@@ -73,8 +73,25 @@ class KeyedStateOp:
             _, out = step(init, pdf.sort_values(order, kind="mergesort"))
             return out
 
-        grouped = df.groupBy(*self.keys) if self.keys else df.groupBy(F.lit(1).alias("__g"))
-        return grouped.applyInPandas(fn, schema=self.out_schema)
+        if not self.keys:
+            return df.groupBy(F.lit(1).alias("__g")).applyInPandas(
+                lambda p: fn(p.drop(columns="__g", errors="ignore")),
+                schema=self.out_schema,
+            )
+        # packed binding: whole key groups per Arrow batch, one Python
+        # round-trip per batch instead of per key (per-group applyInPandas
+        # pays Arrow overhead × |keys| — ~4× slower with thousands of
+        # small instruments)
+        from pyspark.sql import types as T
+
+        from wingfoil_spark.operators.stateful import _apply_per_key_reshape
+        from wingfoil_spark.stream import Stream
+
+        schema = self.out_schema
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        s = Stream(df, ts=self.ts, seq=self.seq, keys=self.keys)
+        return _apply_per_key_reshape(s, fn, schema)
 
     # -------------------------------------------------------------- realtime
 
