@@ -278,6 +278,58 @@ def test_delay_timer_duality(spark, typed_events):
     assert b.equals(st), "delay timer semantics diverged"
 
 
+def test_close_event_releases_slot(spark, typed_events):
+    """demux_map Close lifecycle (interp.rs:4145-4168, DemuxEvent :4273):
+    a close row resets the member's state (fresh on re-add) in BOTH run
+    modes; in streaming a trailing close removes the state-store entry."""
+    import pandas as pd
+
+    from wingfoil_spark.streaming.stateful import with_close
+
+    base = typed_events.select(
+        "user_id", "ts_us", "event_id", "value",
+        (F.col("event_type") == "error").cast("int").alias("close"),
+    )
+    step = with_close(
+        ewma_step("value", 0.25, "ewma", ["user_id", "ts_us", "event_id", "value", "close"]),
+        "close", (False, 0.0),
+    )
+    op = KeyedStateOp(
+        step,
+        out_schema="user_id long, ts_us long, event_id long, value double, "
+                   "close int, ewma double",
+        init_state=(False, 0.0), ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    batch = op.run_batch(base).toPandas()
+    # semantic check vs a python replay: ewma restarts after every close
+    pdf = base.toPandas().sort_values(["user_id", "ts_us", "event_id"])
+    expected = []
+    for _, g in pdf.groupby("user_id"):
+        acc, started = 0.0, False
+        for _, r in g.iterrows():
+            if r["close"]:
+                acc, started = 0.0, False
+                continue
+            acc = r["value"] if not started else acc + 0.25 * (r["value"] - acc)
+            started = True
+            expected.append((r["user_id"], r["event_id"], acc))
+    exp = pd.DataFrame(expected, columns=["user_id", "event_id", "exp"])
+    m = batch.merge(exp, on=["user_id", "event_id"])
+    assert len(m) == len(batch) == len(exp) > 0
+    assert (m["ewma"].to_numpy() == m["exp"].to_numpy()).all()
+
+    streamed = _run_stream_chunks(
+        spark, op, base.toPandas(),
+        "user_id long, ts_us long, event_id long, value double, close int",
+        ["ts_us", "event_id"], name="close_twin",
+    )
+    key = ["user_id", "ts_us", "event_id"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = streamed[list(batch.columns)].sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) > 0
+    assert (b["ewma"].to_numpy() == s["ewma"].to_numpy()).all()
+
+
 def test_order_book_batch_vs_stream(spark, events_df):
     """The flagship stateful op (order book) under both run modes."""
     from pyspark.sql import types as T

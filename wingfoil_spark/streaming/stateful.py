@@ -28,6 +28,7 @@ import pickle
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,9 +69,17 @@ class KeyedStateOp:
 
     def run_batch(self, df: DataFrame) -> DataFrame:
         step, init, order = self.step, self.init_state, self._order()
+        from pyspark.sql import types as T
+
+        names = (
+            T.StructType.fromDDL(self.out_schema).fieldNames()
+            if isinstance(self.out_schema, str) else self.out_schema.fieldNames()
+        )
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             _, out = step(init, pdf.sort_values(order, kind="mergesort"))
+            if len(out.columns) == 0:  # e.g. a close-only batch (with_close)
+                out = pd.DataFrame({c: [] for c in names})
             return out
 
         if not self.keys:
@@ -95,13 +104,29 @@ class KeyedStateOp:
 
     # -------------------------------------------------------------- realtime
 
-    def run_stream(self, df: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    def run_stream(
+        self,
+        df: DataFrame,
+        timeout: str = "NoTimeout",
+        idle_timeout_ms: int | None = None,
+    ) -> DataFrame:
         """Bind to a streaming DataFrame via applyInPandasWithState. State is
         pickled into a single binary state column — opaque to Spark, owned by
-        the state store (the engine-owned per-node state model)."""
+        the state store (the engine-owned per-node state model).
+
+        Slot lifecycle (the reference's ``demux_map`` capacity/Close model,
+        interp.rs:4145-4168, DemuxEvent :4273): a step that returns ``None``
+        state releases the key's slot — the state-store entry is REMOVED, so
+        a later tick re-creates the member fresh (see :func:`with_close`).
+        ``idle_timeout_ms`` additionally reaps keys with no traffic (pass
+        ``timeout="ProcessingTimeTimeout"``) — the bounded-capacity analog:
+        state volume tracks live keys, not ever-seen keys."""
         step, init, order = self.step, self.init_state, self._order()
 
         def fn(key, pdfs, state: GroupState):
+            if timeout != "NoTimeout" and state.hasTimedOut:
+                state.remove()  # idle slot reaped
+                return
             if state.exists:
                 (blob,) = state.get
                 st = pickle.loads(bytes(blob))
@@ -111,7 +136,13 @@ class KeyedStateOp:
                 st, out = step(st, pdf.sort_values(order, kind="mergesort"))
                 if len(out):
                     yield out
-            state.update((bytearray(pickle.dumps(st)),))
+            if st is None:
+                if state.exists:
+                    state.remove()  # Close: release the slot
+            else:
+                state.update((bytearray(pickle.dumps(st)),))
+                if idle_timeout_ms is not None:
+                    state.setTimeoutDuration(idle_timeout_ms)
 
         return df.groupBy(*self.keys).applyInPandasWithState(
             fn,
@@ -120,6 +151,41 @@ class KeyedStateOp:
             outputMode="append",
             timeoutConf=getattr(GroupStateTimeout, timeout),
         )
+
+
+def with_close(step: StepFn, close_col: str, init_state) -> StepFn:
+    """Wrap a step with Close-event slot release (reference ``demux_map``
+    Close, interp.rs:4145-4168): rows where ``close_col`` is truthy split
+    the batch — state resets to ``init_state`` at each close (the slot is
+    re-created fresh on the next data tick), and a trailing close returns
+    ``None`` state so :meth:`KeyedStateOp.run_stream` removes the
+    state-store entry entirely. Close rows themselves emit nothing.
+    Works identically under run_batch (one big batch) and run_stream."""
+
+    def step2(state, pdf: pd.DataFrame):
+        closes = pdf[close_col].to_numpy()
+        outs = []
+        st = state
+        start = 0
+        idx = list(np.flatnonzero(closes)) if len(pdf) else []
+        for ci in idx:
+            seg = pdf.iloc[start:ci]
+            if len(seg):
+                st, out = step(st if st is not None else init_state, seg)
+                outs.append(out)
+            st = None  # slot released; next segment starts fresh
+            start = ci + 1
+        seg = pdf.iloc[start:]
+        if len(seg):
+            st, out = step(st if st is not None else init_state, seg)
+            outs.append(out)
+        merged = (
+            pd.concat(outs, ignore_index=True) if outs
+            else pd.DataFrame()
+        )
+        return st, merged
+
+    return step2
 
 
 # ------------------------------------------------------------ standard steps
