@@ -17,7 +17,10 @@ DuckDB oracle (list_dot_product over DOUBLE[]) matches bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: str, b: str):
@@ -77,31 +80,48 @@ def cosine_topk(
     )
 
 
+def hyperplane_coefs(bits: int, dim: int):
+    """Deterministic hyperplane matrix: coef(plane, dim) =
+    (md5int('hp{p}:{d}') mod 2001 - 1000) / 1000 ∈ [-1, 1] — reproducible
+    in any engine with md5 (the DuckDB oracle regenerates it verbatim)."""
+    import hashlib
+
+    m = np.empty((bits, dim), dtype=np.float64)
+    for p in range(bits):
+        for d in range(dim):
+            h = int(hashlib.md5(f"hp{p}:{d}".encode()).hexdigest()[:15], 16)
+            m[p, d] = (h % 2001 - 1000) / 1000.0
+    return m
+
+
 def hyperplane_signature(
     df: DataFrame, emb_col: str = "embedding", bits: int = 8, dim: int = 64
 ) -> DataFrame:
-    """b-bit random-hyperplane signature. Hyperplane coefficients are
-    pseudo-random but fully deterministic: coef(plane, dim) =
-    (md5int(plane:dim) mod 2001 - 1000) / 1000 ∈ [-1, 1] — reproducible in
-    any engine with md5."""
-    sig = F.lit(0).cast("bigint")
-    for p in range(bits):
-        coefs = F.array(
-            *[
-                (
-                    F.conv(F.substring(F.md5(F.lit(f"hp{p}:{d}")), 1, 15), 16, 10)
-                    .cast("bigint") % 2001 - 1000
-                ).cast("double") / 1000.0
-                for d in range(dim)
-            ]
-        )
-        proj = F.aggregate(
-            F.zip_with(F.col(emb_col), coefs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0))
-    return df.withColumn("bucket", sig)
+    """b-bit random-hyperplane signature, Arrow-batched.
+
+    A pure-Catalyst formulation (bits × dim literal arrays folded per row)
+    blows past the codegen method limit and falls back to interpreted
+    expression evaluation (~8s at 500 rows); the vectorized kernel does the
+    same math in milliseconds. Exactness: projections accumulate
+    dim-SEQUENTIALLY (row-vectorized), the same order as a left fold, so
+    buckets are bitwise-reproducible by the SQL oracle's list_reduce."""
+    coefs = hyperplane_coefs(bits, dim)
+
+    @F.pandas_udf(T.LongType())
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        out = np.zeros(len(emb), dtype=np.int64)
+        for p in range(bits):
+            acc = np.zeros(len(emb))
+            row = coefs[p]
+            for d in range(dim):  # sequential over dims = fold order
+                acc = acc + m[:, d] * row[d]
+            out |= (acc > 0).astype(np.int64) << p
+        return pd.Series(out)
+
+    return df.withColumn("bucket", sig_udf(F.col(emb_col)))
 
 
 def lsh_bucketed_topk(
