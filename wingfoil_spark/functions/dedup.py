@@ -18,7 +18,10 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from wingfoil_spark.functions.text import fingerprint, tokens
 
@@ -84,9 +87,13 @@ def minhash_signatures(
     shingles. Row-local (no shuffle); single-token docs hash their lone
     token so every doc gets a signature.
 
-    One md5 per shingle; the k permutations are universal-hash derivations
-    of that base (the standard minhash trick — hashing dominates the cost,
-    so this is ~k× cheaper than k independent md5s)."""
+    One md5 per shingle (JVM-side); the k permutations are universal-hash
+    derivations of that base. With k=128, expressing the derivation as 128
+    Catalyst `transform` scans re-walks the shingle array 128× through
+    giant expression trees — the min-matrix instead computes in ONE
+    Arrow-batched kernel: (base ⊗ A + B) mod P, min over shingles,
+    vectorized. Integer math is exact, so the DuckDB oracle (the
+    transform formulation) matches regardless of evaluation strategy."""
     df = docs.withColumn("__toks", tokens(F.col(text_col)))
     df = df.withColumn(
         "__shingles",
@@ -98,13 +105,25 @@ def minhash_signatures(
     )
     df = df.withColumn("__base", base)
 
-    def mh_col(j: int):
-        a, b = F.lit(_MINHASH_A[j]), F.lit(_MINHASH_B[j])
-        return F.array_min(
-            F.transform(F.col("__base"), lambda h: (h * a + b) % MINHASH_P)
-        ).alias(f"mh{j}")
+    A = np.array(_MINHASH_A[:k], dtype=np.int64)
+    B = np.array(_MINHASH_B[:k], dtype=np.int64)
 
-    return df.select(F.col(id_col), *[mh_col(j) for j in range(k)])
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(bases: pd.Series) -> pd.Series:
+        out = []
+        for b in bases:
+            h = np.asarray(b, dtype=np.int64)
+            if len(h) == 0:
+                out.append([None] * k)
+                continue
+            # (shingles × k): products < 2^56, no int64 overflow
+            out.append(((h[:, None] * A[None, :] + B[None, :]) % MINHASH_P).min(axis=0).tolist())
+        return pd.Series(out)
+
+    sig = df.select(F.col(id_col), sig_udf(F.col("__base")).alias("__sig"))
+    return sig.select(
+        id_col, *[F.col("__sig")[j].alias(f"mh{j}") for j in range(k)]
+    )
 
 
 def lsh_candidate_pairs(
