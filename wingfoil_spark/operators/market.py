@@ -172,9 +172,9 @@ def order_book_step(state, pdf: pd.DataFrame):
     only when the current best level is deleted, not per row."""
     bids, asks = state if state is not None else ({}, {})
     n = len(pdf)
-    is_snap = (pdf["kind"].to_numpy() == "snapshot")
-    is_bid = (pdf["side"].to_numpy() == "bid")
-    lvl_l = pdf["level"].to_numpy().tolist()   # python ints: fast dict keys
+    is_snap = (pdf["kind"].to_numpy() == "snapshot").tolist()
+    is_bid = (pdf["side"].to_numpy() == "bid").tolist()
+    lvl_l = pdf["level"].to_numpy().tolist()   # python scalars: fast dict keys
     qd_l = pdf["qty_delta"].to_numpy().tolist()
     o_bb = [None] * n
     o_bq = [None] * n
