@@ -50,6 +50,33 @@ def test_lsh_recall_on_near_dups(corpus):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def test_cosine_near_dup_pairs(spark):
+    """Embedding-cosine near-dup tier: seeded near-identical vectors are
+    found; unrelated random vectors are not."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows, expected = [], set()
+    vid = 0
+    for i in range(40):
+        v = rng.normal(size=64).astype(np.float32)
+        rows.append((vid, [float(x) for x in v]))
+        base_id = vid
+        vid += 1
+        if i < 12:  # near-dup: tiny perturbation, cosine ≈ 0.999
+            w = v + rng.normal(scale=0.02, size=64).astype(np.float32)
+            rows.append((vid, [float(x) for x in w]))
+            expected.add((base_id, vid))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dd.cosine_near_dups(df, threshold=0.98)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    missed = expected - got
+    assert not missed, f"missed near-identical pairs: {missed}"
+    false_pos = got - expected
+    assert not false_pos, f"random vectors scored >=0.98: {false_pos}"
+
+
 def test_lsh_no_candidate_explosion(corpus):
     docs, _ = corpus
     n = docs.count()
