@@ -63,10 +63,21 @@ def test_extract_features_deterministic(media_df):
     assert sorted(map(str, a)) == sorted(map(str, b))
 
 
-def test_resize_rewrites_metadata_only(media_df):
+def test_resize_rewrites_payload_and_metadata(media_df):
+    import hashlib
+
     out = mm.resize(media_df, 224, 224)
-    r = out.where(F.col("doc_id") == 1).select("media.meta.width", "media.meta.height").first()
+    r = out.where(F.col("doc_id") == 1).select(
+        "media.meta.width", "media.meta.height", "media.meta.n_bytes",
+        "media.meta.content_hash", "media.payload",
+    ).first()
     assert (r[0], r[1]) == (224, 224)
-    # payload untouched
-    p = out.where(F.col("doc_id") == 1).select("media.payload").first()[0]
-    assert bytes(p) == b"hello world " * 10
+    payload = bytes(r[4])
+    assert len(payload) == 224 * 224 == r[2]       # payload rewritten to W×H
+    assert r[3] == hashlib.md5(payload).hexdigest()  # hash recomputed
+    # deterministic: same input → same resampled bytes
+    again = bytes(
+        mm.resize(media_df, 224, 224).where(F.col("doc_id") == 1)
+        .select("media.payload").first()[0]
+    )
+    assert again == payload

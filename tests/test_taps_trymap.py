@@ -56,6 +56,33 @@ def test_inspect_passes_rows_through_unchanged(spark):
     assert tapped == base
 
 
+def test_try_filter_and_try_fold(spark):
+    s = _events(spark)
+
+    def pred(row):
+        if row["value"] < 1.0:
+            raise ValueError("degenerate")
+        return row["value"] > 100
+
+    kept, err = s.try_filter(pred)
+    k, e, total = kept.df.count(), err.df.count(), s.df.count()
+    assert k > 0 and k < total
+    assert all(r.value > 100 for r in kept.df.collect())
+
+    def stepper(acc, row):
+        if row["value"] > 240:
+            raise ValueError("spike")
+        return acc + row["value"]
+
+    ok, ferr = s.try_fold(stepper, 0.0, out="acc")
+    ok_rows = ok.df.count()
+    ferr_rows = ferr.df.collect()
+    assert ok_rows + len(ferr_rows) == total
+    # error rows skipped: accumulator unaffected by spiking rows
+    if ferr_rows:
+        assert all(r.error.startswith("ValueError: spike") for r in ferr_rows)
+
+
 def test_try_map_routes_errors_to_side_stream(spark):
     s = _events(spark)
 

@@ -188,29 +188,65 @@ def extract_features(
     return df.mapInPandas(kernel, schema=schema)
 
 
+def _fake_resize(buf: bytes, src_w: int, src_h: int, width: int, height: int) -> bytes:
+    """DETERMINISTIC FAKE of decode→resize→re-encode: the payload is
+    treated as a row-major src_w×src_h grayscale raster (zero-padded) and
+    nearest-neighbor resampled to width×height. A real kernel swaps this
+    for PIL decode/resize/encode; every Spark-side contract is identical."""
+    need = src_w * src_h
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if len(a) < need:
+        a = np.concatenate([a, np.zeros(need - len(a), dtype=np.uint8)])
+    img = a[:need].reshape(src_h, src_w)
+    ys = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    xs = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return img[np.ix_(ys, xs)].tobytes()
+
+
 def resize(
     df: DataFrame,
     width: int,
     height: int,
     media_col: str = "media",
 ) -> DataFrame:
-    """Resize stage. With codecs: decode → resize → re-encode in the same
-    mapInPandas shape as :func:`extract_features`. Without codecs this is a
-    metadata-only rewrite (payload untouched) — a deliberate stub that keeps
-    the pipeline runnable end-to-end."""
+    """Resize stage: decode → resample → re-encode as an Arrow-batched
+    ``mapInPandas`` pass, same shape as :func:`extract_features`. The
+    payload is REWRITTEN (width×height bytes) and the metadata updated
+    (n_bytes, content_hash recomputed, new dimensions). The resample
+    kernel is the documented codec stand-in (:func:`_fake_resize`); with
+    codecs installed only that kernel changes."""
     if _HAS_CODECS:  # pragma: no cover
-        raise NotImplementedError("plug PIL resize into a mapInPandas kernel")
-    meta = f"{media_col}.meta"
-    new_meta = F.struct(
-        F.col(f"{meta}.kind").alias("kind"),
-        F.col(f"{meta}.n_bytes").alias("n_bytes"),
-        F.col(f"{meta}.content_hash").alias("content_hash"),
-        F.lit(width).cast("int").alias("width"),
-        F.lit(height).cast("int").alias("height"),
-        F.col(f"{meta}.sample_rate").alias("sample_rate"),
-        F.col(f"{meta}.n_frames").alias("n_frames"),
-    )
-    return df.withColumn(
-        media_col,
-        F.struct(F.col(f"{media_col}.payload").alias("payload"), new_meta.alias("meta")),
-    )
+        raise NotImplementedError("plug PIL resize into the kernel below")
+    import hashlib
+
+    keep = [c for c in df.columns if c != media_col]
+    schema = T.StructType([df.schema[c] for c in keep] + [
+        T.StructField(media_col, df.schema[media_col].dataType)
+    ])
+    mcol, w_out, h_out = media_col, int(width), int(height)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for m in pdf[mcol]:
+                if m is None:
+                    medias.append(None)
+                    continue
+                meta = dict(m["meta"])
+                src_w = meta.get("width") or w_out
+                src_h = meta.get("height") or h_out
+                payload = _fake_resize(
+                    bytes(m["payload"] or b""), int(src_w), int(src_h), w_out, h_out
+                )
+                meta.update(
+                    n_bytes=len(payload),
+                    content_hash=hashlib.md5(payload).hexdigest(),
+                    width=w_out,
+                    height=h_out,
+                )
+                medias.append({"payload": bytearray(payload), "meta": meta})
+            out = pdf[keep].copy()
+            out[mcol] = medias
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)

@@ -163,6 +163,64 @@ class Stream:
         )
         return ok, err
 
+    def try_filter(self, fn: Callable) -> tuple["Stream", "Stream"]:
+        """Fallible predicate (try twin of ``filter_value``, fluent.rs:873):
+        rows where ``fn`` raises go to the error stream; surviving rows are
+        those where it returns truthy. Returns ``(kept, err)``."""
+        from pyspark.sql import types as T
+
+        ok, err = self.try_map(fn, out="__keep", dtype=T.BooleanType())
+        kept = Stream(
+            ok.df.where(F.col("__keep")).drop("__keep"),
+            self.ts, self.seq, self.keys,
+        )
+        return kept, err
+
+    def try_fold(
+        self, fn: Callable, init, out: str = "acc", dtype=None,
+        cols: list[str] | None = None,
+    ) -> tuple["Stream", "Stream"]:
+        """Fallible fold/scan (try twin of ``fold``, fluent.rs:887): per-key
+        running accumulator ``acc' = fn(acc, row)``; a row whose step raises
+        is routed to the error stream and the accumulator is left unchanged
+        (the reference's Err-skip contract — the graph keeps running).
+        Returns ``(ok_with_acc, err)``."""
+        from pyspark.sql import types as T
+
+        from wingfoil_spark.operators.stateful import _apply_per_key
+
+        use = cols or [c for c in self.df.columns if c not in (self.ts, self.seq, *self.keys)]
+        dt = dtype or T.DoubleType()
+
+        def step(pdf):
+            acc = init
+            vals, errs = [], []
+            for row in pdf[use].to_dict("records"):
+                try:
+                    acc = fn(acc, row)
+                    vals.append(acc)
+                    errs.append(None)
+                except Exception as e:
+                    vals.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            pdf[out] = vals
+            pdf["error"] = errs
+            return pdf
+
+        folded = _apply_per_key(
+            self, step,
+            [T.StructField(out, dt), T.StructField("error", T.StringType())],
+        )
+        ok = Stream(
+            folded.df.where(F.col("error").isNull()).drop("error"),
+            self.ts, self.seq, self.keys,
+        )
+        err = Stream(
+            folded.df.where(F.col("error").isNotNull()).drop(out),
+            self.ts, self.seq, self.keys,
+        )
+        return ok, err
+
     def filter_value(self, cond: Column) -> "Stream":
         """Predicate on own value. Reference: ``filter_value``
         (fluent.rs:924, ops.rs:2716-2747)."""
