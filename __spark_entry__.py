@@ -263,7 +263,8 @@ def q_accumulate(spark, sf_dir):
 def q_delay_with_reset(spark, sf_dir):
     """delay_with_reset (fluent.rs:1060, ops.rs:3486-3604): purchases
     re-emitted +2h, error ticks cancel pending and snap to the current
-    value. Stateful timer op → rows-only check."""
+    value. Exact oracle: delivery/cancel/snap as set logic over the
+    purchase×error windows (see oracle_sql)."""
     from wingfoil_spark.operators.stateful import delay_with_reset
 
     s = _ev(spark, sf_dir)
@@ -480,7 +481,8 @@ def q_stats_tw_kernel(spark, sf_dir):
 
 def q_ewma(spark, sf_dir):
     """ewma_per_tick + ewma_half_life (stats.rs:21-29, ops.rs:821-951).
-    Recursive → stateful pandas op; no SQL oracle (rows-only check)."""
+    Exact oracle: recursive CTE carrying the two accumulators — bitwise
+    parity with the pandas kernels (pow included)."""
     from wingfoil_spark.operators.stateful import ewma_multi
 
     s = _ev(spark, sf_dir)
@@ -493,7 +495,7 @@ def q_ewma(spark, sf_dir):
 
 def q_drop_small_change(spark, sf_dir):
     """drop_small_change (fluent.rs:1022, ops.rs:227-262); stateful
-    last-emitted reference → rows-only check."""
+    last-emitted reference. Exact oracle: recursive-CTE state walk."""
     from wingfoil_spark.operators.stateful import drop_small_change
 
     s = _ev(spark, sf_dir)
@@ -502,7 +504,8 @@ def q_drop_small_change(spark, sf_dir):
 
 
 def q_throttle_exact(spark, sf_dir):
-    """Timer-accurate throttle (ops.rs:381-414); stateful → rows-only."""
+    """Timer-accurate throttle (ops.rs:381-414). Exact oracle:
+    recursive-CTE timer walk."""
     from wingfoil_spark.operators.stateful import throttle_exact
 
     s = _ev(spark, sf_dir)
@@ -617,7 +620,8 @@ def q_seq_gaps(spark, sf_dir):
 def q_order_book_top(spark, sf_dir):
     """Snapshot/delta order-book maintenance per instrument — the flagship
     custom stateful op (market.rs:1227-1250), emitting top-of-book after
-    every update. Stateful dict fold → rows-only check; semantics pinned by
+    every update. Exact oracle: recursive-CTE book fold (struct-list book
+    sides); semantics also pinned by
     tests/test_market.py goldens."""
     from wingfoil_spark.operators import market
 
