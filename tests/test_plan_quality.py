@@ -126,6 +126,18 @@ _NO_GLOBAL_EXCHANGE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
+    # round-2 merged queries: unions must not smuggle in a global exchange
+    "stats_matrix",
+    "stats_tw",
+    "stats_tw_kernel",
+    "text_stats",
+    "media_doc",
+    "media_frames",
+    "jaccard_pairs",
+    "dedup_exact",
+    "ewma",
+    "drop_small_change",
+    "order_book_top",
 ]
 
 _REDUCERS = re.compile(
