@@ -62,3 +62,36 @@ def test_combine_latest_matches_model(spark, left, right):
         for r in a.combine_latest(b).df.collect()
     )
     assert got == model_combine_latest(left, right)
+
+
+def test_delay_with_reset_strategies_agree(spark, sf_dir):
+    """Relational (window-logic) and timer (pending-queue walk) strategies
+    of delay_with_reset are two physical plans for one semantics."""
+    import pyspark.sql.functions as F
+
+    from wingfoil_spark.operators.stateful import delay_with_reset
+    from wingfoil_spark.sources.tables import load_table
+    from wingfoil_spark.stream import Stream
+
+    df = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000").alias("ts_us"), "event_id", "user_id",
+        "event_type", "value",
+    )
+    s = Stream(df, ts="ts_us", seq="event_id", keys=("user_id",))
+    purchases = Stream(
+        s.df.where(F.col("event_type") == "purchase")
+        .select("ts_us", "event_id", "user_id", F.col("value").alias("pv")),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    errors = Stream(
+        s.df.where(F.col("event_type") == "error")
+        .select("ts_us", "event_id", "user_id"),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    key = ["user_id", "ts_us", "pv"]
+    a = (delay_with_reset(purchases, 7200_000_000, errors, ["pv"], strategy="relational")
+         .df.toPandas().sort_values(key).reset_index(drop=True))
+    b = (delay_with_reset(purchases, 7200_000_000, errors, ["pv"], strategy="timer")
+         .df.toPandas().sort_values(key).reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert a[key].equals(b[key])
