@@ -247,25 +247,26 @@ def cosine_near_dups(
 
 def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per doc: per-token 60-bit md5 hash votes on each bit;
-    bit set iff positive vote. Bounded explode (tokens × 32) then two
-    partial-aggregating shuffles on doc_id."""
-    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = tok.withColumn("h", _md5_int(F.col("tok")))
-    bits = h.select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
-    )
-    votes = (
-        bits.withColumn(
-            "vote", F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END")
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn(
-            "contrib",
-            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("contrib").alias("simhash"))
-    )
+    bit set iff positive vote. The md5 stays JVM-side (one per token,
+    row-local); the bit-vote tally runs as one Arrow-batched kernel —
+    row-local, ZERO shuffle (the explode/groupBy formulation moved
+    tokens × 32 rows through two doc_id exchanges). Integer math is exact,
+    so the DuckDB vote-pipeline oracle is unchanged."""
+    base = F.transform(tokens(F.col(text_col)), lambda t: _md5_int(t))
+    # token-less docs have no votes — dropped, matching the explode/groupBy
+    # formulation (and the SQL oracle's unnest)
+    df = docs.select(F.col(id_col), base.alias("__h")).where(F.size("__h") > 0)
+
+    @F.pandas_udf(T.LongType())
+    def sh_udf(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            a = np.asarray(h, dtype=np.int64)
+            if len(a) == 0:
+                continue
+            bits = (a[:, None] >> np.arange(32)[None, :]) & 1   # tokens × 32
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = int(((votes > 0).astype(np.int64) << np.arange(32)).sum())
+        return pd.Series(out)
+
+    return df.select(id_col, sh_udf(F.col("__h")).alias("simhash"))
