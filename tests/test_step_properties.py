@@ -1,0 +1,161 @@
+"""Property-based tests for the KeyedStateOp step kernels (hypothesis).
+
+The step functions are the single source of operator semantics for both
+run modes, so they get adversarial inputs here: random tick streams,
+random micro-batch splits — a step must produce identical output whether
+it sees the whole history at once or any chunking of it (the resumability
+law that makes run-mode duality hold), and must agree with a naive
+reference model. Pure python/pandas — no SparkSession needed.
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from wingfoil_spark.operators.market import order_book_step
+from wingfoil_spark.streaming.twins import combine_step, delay_step, rolling_stats_step
+
+
+def _chunks(pdf, cuts):
+    bounds = [0] + sorted(set(cuts)) + [len(pdf)]
+    return [pdf.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+
+def _run_chunked(step, init, pdf, cuts):
+    st_, outs = init, []
+    for chunk in _chunks(pdf, cuts):
+        st_, out = step(st_, chunk)
+        if len(out):
+            outs.append(out)
+    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 50),             # ts (duplicates allowed)
+        st.integers(0, 1),              # side / flag
+        st.floats(-100, 100, allow_nan=False, width=32),
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(events, st.lists(st.integers(1, 39), max_size=3))
+def test_combine_step_chunking_invariant(rows, cuts):
+    rows = sorted(rows)
+    pdf = pd.DataFrame(
+        [(1, t, side, i, v if side else None, None if side else v)
+         for i, (t, side, v) in enumerate(rows)],
+        columns=["k", "ts", "__side", "__seq", "l", "r"],
+    )
+    step = combine_step("ts", ["l"], ["r"], ["k"], emit="left")
+    _, whole = step(None, pdf)
+    # chunk at instant boundaries only (the documented burst-atomicity
+    # contract: an instant's rows arrive within one micro-batch)
+    ts_sorted = pdf["ts"].to_numpy()
+    cuts = [c for c in cuts if c < len(pdf) and ts_sorted[c - 1] != ts_sorted[c]]
+    chunked = _run_chunked(step, None, pdf, cuts)
+    assert len(whole) == len(chunked)
+    if len(whole):
+        for c in ("ts", "l", "r"):
+            a = whole[c].to_numpy(dtype=float)
+            b = chunked[c].to_numpy(dtype=float)
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(events, st.lists(st.integers(1, 39), max_size=3))
+def test_rolling_stats_step_matches_naive_model(rows, cuts):
+    rows = sorted(rows)
+    pdf = pd.DataFrame(
+        [(1, t, i, round(v, 2)) for i, (t, _, v) in enumerate(rows)],
+        columns=["k", "ts", "seq", "v"],
+    )
+    step = rolling_stats_step("v", 5, "ts", "seq", ["k"])
+    cuts = [c for c in cuts if c < len(pdf)]
+    out = _run_chunked(step, None, pdf, cuts)
+    vals = pdf["v"].to_numpy()
+    for i in range(len(pdf)):
+        w = vals[max(0, i - 4): i + 1]
+        assert out["st_min"].iloc[i] == w.min()
+        assert out["st_max"].iloc[i] == w.max()
+        assert abs(out["st_sum"].iloc[i] - round(w.sum(), 2)) < 1e-9
+        sw = np.sort(w)
+        n = len(sw)
+        med = (sw[(n + 1) // 2 - 1] + sw[n // 2]) / 2
+        assert out["st_median"].iloc[i] == med
+
+
+@settings(max_examples=60, deadline=None)
+@given(events)
+def test_delay_step_fires_everything_once_time_passes(rows):
+    rows = sorted(rows)
+    pdf = pd.DataFrame(
+        [(1, t, float(i)) for i, (t, _, _) in enumerate(rows)],
+        columns=["k", "ts", "v"],
+    )
+    DELAY = 7
+    step = delay_step(DELAY, "ts", ["v"], ["k"])
+    sentinel = pd.DataFrame([(1, pdf["ts"].max() + 2 * DELAY, -1.0)],
+                            columns=["k", "ts", "v"])
+    out = _run_chunked(step, None, pd.concat([pdf, sentinel], ignore_index=True),
+                       [len(pdf) // 2, len(pdf)])
+    fired = out[out["v"] >= 0]
+    # every original tick delivered exactly once, restamped by +DELAY,
+    # deduped on identical (fire_at, value) schedules
+    expect = pdf.assign(ts=pdf["ts"] + DELAY)[["k", "ts", "v"]].drop_duplicates()
+    got = fired[["k", "ts", "v"]].reset_index(drop=True)
+    assert len(got) == len(expect)
+    assert set(map(tuple, got.values)) == set(map(tuple, expect.values))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),          # snapshot?
+            st.integers(0, 1),          # bid side?
+            st.integers(0, 5),          # level
+            st.integers(-2, 7),         # qty delta
+        ),
+        min_size=1, max_size=50,
+    ),
+    st.lists(st.integers(1, 49), max_size=3),
+)
+def test_order_book_step_matches_naive_model(updates, cuts):
+    pdf = pd.DataFrame(
+        [(i, i, "snapshot" if snap else "delta", "bid" if bid else "ask", lvl, qd)
+         for i, (snap, bid, lvl, qd) in enumerate(updates)],
+        columns=["ts", "upd_seq", "kind", "side", "level", "qty_delta"],
+    )
+    cuts = [c for c in cuts if c < len(pdf)]
+    out_chunks = []
+    state = None
+    for chunk in _chunks(pdf, cuts):
+        state, out = order_book_step(state, chunk)
+        out_chunks.append(out)
+    out = pd.concat(out_chunks, ignore_index=True)
+
+    bids, asks = {}, {}
+    for i, (snap, bid, lvl, qd) in enumerate(updates):
+        if snap:
+            bids, asks = {}, {}
+            if qd > 0:
+                (bids if bid else asks)[lvl] = qd
+        else:
+            book = bids if bid else asks
+            q = book.get(lvl, 0) + qd
+            if q <= 0:
+                book.pop(lvl, None)
+            else:
+                book[lvl] = q
+        bb = max(bids) if bids else None
+        ba = min(asks) if asks else None
+        r = out.iloc[i]
+        assert (pd.isna(r["best_bid"]) and bb is None) or r["best_bid"] == bb
+        assert (pd.isna(r["best_ask"]) and ba is None) or r["best_ask"] == ba
+        assert r["n_bid_levels"] == len(bids)
+        assert r["n_ask_levels"] == len(asks)
+        if bb is not None:
+            assert r["bid_qty"] == bids[bb]
