@@ -74,6 +74,48 @@ def global_prefix_sum(
     return Stream(res, ts=s.ts, seq=s.seq, keys=s.keys)
 
 
+def salted_agg(
+    df,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+):
+    """Two-level aggregation for SKEWED group keys: rows first aggregate on
+    (key, salt) — the hot key's load spreads over ``salt_buckets`` tasks —
+    then the tiny salted partials combine on the key alone.
+
+    Only works for algebraic aggregates (sum/count/min/max — anything with
+    a combine step); pass ``aggs`` as {out_name: partial_agg_expr} and the
+    combiner is a SUM over partials for sum/count and min/max over partials
+    for min/max (detected from the expression name).
+
+    AQE's skew-join handling covers joins; this is the groupBy analog for
+    when one key holds an outsized share of a 100 TB table. Salting is
+    deterministic (hash of a monotone row component would break partial
+    ordering — a random salt per row is fine for aggregation since the
+    combine is order-free), here ``pmod(hash of all columns), buckets``.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[expr.alias(f"__p_{name}") for name, expr in aggs.items()])
+    )
+
+    def combiner(name, expr):
+        fn = expr._jc.toString().lower()
+        col = F.col(f"__p_{name}")
+        if fn.startswith("min"):
+            return F.min(col).alias(name)
+        if fn.startswith("max"):
+            return F.max(col).alias(name)
+        return F.sum(col).alias(name)  # sum / count combine by sum
+
+    return partial.groupBy(*keys).agg(
+        *[combiner(name, expr) for name, expr in aggs.items()]
+    )
+
+
 def global_lag(s: Stream, col: str, out: str, bucket_width: int) -> Stream:
     """``lag(col)`` over the total (ts, seq) order without a full-data
     single-partition exchange: lag within buckets; each bucket-first row

@@ -92,6 +92,30 @@ def parquet_write(s: Stream, path: str, partition_by: Sequence[str] = (),
 # --------------------------------------------------------------------- kafka
 
 
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join/agg keys —
+    the co-located-join primitive: two tables bucketed the same way join
+    WITHOUT a shuffle (SortMergeJoin reads the bucket layout directly), and
+    aggregations on the bucket keys skip their exchange too.
+
+    The 100 TB story: bucket the big fact tables ONCE at ingest on the keys
+    they join/aggregate on (e.g. events by user_id, lineitem by orderkey);
+    every downstream query saves the dominant shuffle. Spark requires a
+    saveAsTable (metastore-tracked) target for bucketing — plain
+    ``parquet(path)`` cannot record bucket metadata."""
+    w = df.write.format("parquet").mode(mode).bucketBy(int(n_buckets), *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,
