@@ -20,8 +20,13 @@ def _shuffles(plan: str) -> int:
 
 
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
-    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
-    spark.sql("DROP TABLE IF EXISTS cust_totals_bucketed")
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ev_bucketed", "cust_totals_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a prior session's managed-table dir outlives the in-memory catalog
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     totals = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     write_bucketed(ev, "ev_bucketed", ["user_id"], n_buckets=8)
