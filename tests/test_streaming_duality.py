@@ -278,6 +278,56 @@ def test_delay_timer_duality(spark, typed_events):
     assert b.equals(st), "delay timer semantics diverged"
 
 
+def test_ewma_step_matches_batch_operator_bitwise(spark, typed_events):
+    """The streaming step and the batch pandas operator are the SAME ewma,
+    bit-for-bit — one semantics, three bindings."""
+    from wingfoil_spark.operators.stateful import ewma as batch_ewma
+    from wingfoil_spark.stream import Stream
+
+    base = typed_events.select("user_id", "ts_us", "event_id", "value")
+    s = Stream(base, ts="ts_us", seq="event_id", keys=("user_id",))
+    batch = batch_ewma(s, "value", alpha=0.25, out="ewma").df.toPandas()
+    step_out = _op().run_batch(base).toPandas()
+    key = ["user_id", "ts_us", "event_id"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = step_out.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a["ewma"].to_numpy() == b["ewma"].to_numpy()).all()
+
+
+def test_throttle_and_dsc_step_duality(spark, typed_events):
+    """Streaming twins of throttle_exact / drop_small_change equal the
+    batch kernels across micro-batch splits."""
+    from wingfoil_spark.operators.stateful import drop_small_change, throttle_exact
+    from wingfoil_spark.stream import Stream
+    from wingfoil_spark.streaming.twins import drop_small_change_step, throttle_step
+
+    base = typed_events.select("user_id", "ts_us", "event_id", "value")
+    s = Stream(base, ts="ts_us", seq="event_id", keys=("user_id",))
+    schema = "user_id long, ts_us long, event_id long, value double"
+
+    cases = [
+        ("throttle_twin",
+         throttle_exact(s, 1800_000_000).df,
+         throttle_step(1800_000_000, "ts_us", ["user_id"])),
+        ("dsc_twin",
+         drop_small_change(s, "value", 50.0).df,
+         drop_small_change_step("value", 50.0, ["user_id"])),
+    ]
+    for name, batch_df, step in cases:
+        op = KeyedStateOp(step, out_schema=schema, init_state=None,
+                          ts="ts_us", seq="event_id", keys=("user_id",))
+        batch = batch_df.toPandas()
+        streamed = _run_stream_chunks(
+            spark, op, base.toPandas(), schema, ["ts_us", "event_id"], name=name
+        )
+        key = ["user_id", "ts_us", "event_id"]
+        a = batch.sort_values(key).reset_index(drop=True)
+        b = streamed[list(batch.columns)].sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b) > 0, name
+        assert a[key].equals(b[key]), f"{name} diverged"
+
+
 def test_close_event_releases_slot(spark, typed_events):
     """demux_map Close lifecycle (interp.rs:4145-4168, DemuxEvent :4273):
     a close row resets the member's state (fresh on re-add) in BOTH run
@@ -310,7 +360,7 @@ def test_close_event_releases_slot(spark, typed_events):
             if r["close"]:
                 acc, started = 0.0, False
                 continue
-            acc = r["value"] if not started else acc + 0.25 * (r["value"] - acc)
+            acc = r["value"] if not started else 0.75 * acc + 0.25 * r["value"]
             started = True
             expected.append((r["user_id"], r["event_id"], acc))
     exp = pd.DataFrame(expected, columns=["user_id", "event_id", "exp"])

@@ -195,6 +195,8 @@ def ewma_step(col: str, alpha: float, out: str, passthrough: list[str]) -> StepF
     """EWMA as a resumable step: state = (initialised, value).
     Semantics identical to operators.stateful.ewma (ops.rs:904-927)."""
 
+    one_m = 1.0 - alpha
+
     def step(state, pdf: pd.DataFrame):
         init, value = state
         res = []
@@ -202,7 +204,10 @@ def ewma_step(col: str, alpha: float, out: str, passthrough: list[str]) -> StepF
             if not init:
                 value, init = x, True
             else:
-                value = value + alpha * (x - value)
+                # same float op-order as pandas ewm(adjust=False) and the
+                # recursive-CTE oracle: (1-α)·acc + α·x — bitwise equal to
+                # the batch operator, not just approximately
+                value = one_m * value + alpha * x
             res.append(value)
         out_pdf = pdf[passthrough].copy()
         out_pdf[out] = res

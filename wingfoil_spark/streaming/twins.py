@@ -167,6 +167,42 @@ def rolling_stats_step(
     return step
 
 
+def throttle_step(interval_ns: int, ts: str, keys: list[str]) -> StepFn:
+    """Timer-accurate throttle as a resumable step (state = next-allowed
+    ts), identical to the batch ``throttle_exact`` walk (ops.rs:381-414)."""
+
+    def step(state, pdf: pd.DataFrame):
+        next_ok = state if state is not None else -(1 << 62)
+        keep = []
+        t_arr = pdf[ts].to_numpy()
+        for i in range(len(pdf)):
+            t = int(t_arr[i])
+            if t >= next_ok:
+                keep.append(i)
+                next_ok = t + interval_ns
+        return next_ok, pdf.iloc[keep]
+
+    return step
+
+
+def drop_small_change_step(col: str, tol: float, keys: list[str]) -> StepFn:
+    """drop_small_change as a resumable step (state = last emitted value),
+    identical to the batch kernel (ops.rs:227-262)."""
+
+    def step(state, pdf: pd.DataFrame):
+        ref = state
+        keep = []
+        v = pdf[col].to_numpy(dtype=np.float64)
+        for i in range(len(pdf)):
+            x = float(v[i])
+            if ref is None or abs(x - ref) > tol:
+                keep.append(i)
+                ref = x
+        return ref, pdf.iloc[keep]
+
+    return step
+
+
 def delay_step(
     delay_ns: int, ts: str, vals: list[str], keys: list[str]
 ) -> StepFn:
