@@ -128,9 +128,38 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "contaminated": contaminated,
+                # like-for-like with BASELINE.md's only comparable figure
+                # (order-book replay ~0.9M msg/s single-core): the pure
+                # fold, one core, no Spark overhead — the cluster runs this
+                # in parallel across instruments
+                "order_book_single_core_msg_per_s": _order_book_single_core(),
             }
         )
     )
+
+
+def _order_book_single_core(n: int = 600_000) -> int:
+    import numpy as np
+    import pandas as _pd
+
+    from wingfoil_spark.operators.market import order_book_step
+
+    rng = np.random.default_rng(7)
+    pdf = _pd.DataFrame({
+        "ts": np.arange(n, dtype=np.int64),
+        "upd_seq": np.arange(n, dtype=np.int64),
+        "kind": np.where(np.arange(n) % 50 == 0, "snapshot", "delta"),
+        "side": np.where(np.arange(n) % 2 == 0, "bid", "ask"),
+        "level": rng.integers(0, 250, n),
+        "qty_delta": (np.arange(n) % 10 - 2).astype(np.int64),
+    })
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        order_book_step(None, pdf)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return int(n / best)
 
 
 if __name__ == "__main__":
