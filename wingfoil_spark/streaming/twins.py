@@ -20,6 +20,15 @@ Burst atomicity note: an instant's rows must arrive within one micro-batch
 (the reference delivers bursts in one cycle — runtime/burst.rs:16; Kafka
 partition order gives this in practice). ``combine`` emission happens when
 the instant completes inside the batch.
+
+Timer API note: Spark 4.1's ``transformWithStateInPandas`` offers true
+event-time timers (a pending delivery would fire on watermark passage with
+no new data for the key — the exact reference timer node, ops.rs:3090).
+Its state protocol requires ``google.protobuf``, absent from this
+environment (verified: the TWS driver worker crashes importing
+StateMessage_pb2), so the twins here bind via ``applyInPandasWithState``
+and check pending deliveries against each batch's max event time; swap the
+binding when protobuf is available — the step functions carry over.
 """
 
 from __future__ import annotations
