@@ -28,6 +28,7 @@ from wingfoil_spark.sources.tables import (
     replay_rows,
     ticker,
 )
+from wingfoil_spark.streaming.stateful import KeyedStateOp, with_close
 
 __all__ = [
     "Stream",
@@ -38,6 +39,8 @@ __all__ = [
     "events_stream",
     "replay_rows",
     "ticker",
+    "KeyedStateOp",
+    "with_close",
 ]
 
 __version__ = "0.1.0"
