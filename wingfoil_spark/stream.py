@@ -122,9 +122,15 @@ class Stream:
         """Fallible map with an error side-channel: ``fn(row: dict) -> value``
         per tick; rows where ``fn`` raises are routed to the returned error
         stream (with an ``error`` column) instead of failing the task.
-        Returns ``(ok_stream, err_stream)``. Reference: the ``try_map`` /
-        try-twin family (fluent.rs:787, 873-896) whose Err channel feeds a
-        side stream rather than aborting the graph.
+        Returns ``(ok_stream, err_stream)``.
+
+        Reference: the ``try_map`` / try-twin family (fluent.rs:787,
+        873-896). The reference's contract is ABORT-on-error — a failing
+        cycle stops the run with node context (tests/fallibility.rs:19-57);
+        that behavior is Spark's default for a raising UDF/kernel (the task,
+        then the job, fails with the python traceback). This op is the
+        deliberate scale-friendly extension: at 100 TB you quarantine bad
+        rows and keep the job alive, so Err feeds a side stream instead.
 
         One Arrow-batched stage computes value+error; the two returned
         streams are filters over it (cache the input upstream if both sides
