@@ -54,6 +54,41 @@ def test_join_combines_current_values_like_reference(spark):
     assert vals == [3, 6, 9]
 
 
+def test_rerun_reproduces_fresh_graph(spark, sf_dir):
+    """rerun.rs: a re-runnable graph restores wiring-time state each run —
+    two runs reproduce a freshly-built graph exactly. Spark plans are pure
+    (state lives in the execution, not the plan), so the same holds for the
+    stateful pandas ops: byte-identical output across runs."""
+    import __spark_entry__ as entry
+
+    a = entry.q_ewma(spark, sf_dir).toPandas()
+    b = entry.q_ewma(spark, sf_dir).toPandas()
+    key = ["user_id", "event_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert (a["ewma_tick"].to_numpy() == b["ewma_tick"].to_numpy()).all()
+    assert (a["ewma_hl"].to_numpy() == b["ewma_hl"].to_numpy()).all()
+
+
+def test_fan_map_n_sugar_equals_manual_wiring(spark):
+    """repetition.rs: fan/map_n sugar unrolls to the same graph as
+    hand-written maps + merges — same values out."""
+    src = ticker(spark, period_ns=10, n=5).count(out="v")
+    src = Stream(
+        src.df.select("ts", "seq", F.col("v").cast("long").alias("v")),
+        ts="ts", seq="seq",
+    )
+    sugared = src.fan(3, lambda s, i: s.map_n(2, lambda x: x.map(v=F.col("v") + 1)))
+
+    def branch(s):
+        return s.map(v=F.col("v") + 1).map(v=F.col("v") + 1)
+
+    manual = branch(src).union_all(branch(src), branch(src))
+    a = sorted((r.ts, r.v) for r in sugared.df.collect())
+    b = sorted((r.ts, r.v) for r in manual.df.collect())
+    assert a == b and len(a) == 15
+
+
 def test_for_each_observes_every_tick_like_reference(spark):
     """engine_semantics.rs:90-105: a sink side effect runs once per source
     tick, in tick order → [1, 2, 3]."""
