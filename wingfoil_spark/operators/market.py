@@ -237,6 +237,110 @@ def order_book_step(state, pdf: pd.DataFrame):
     return (bids, asks), out
 
 
+#: feed-handler book output: one row per ticked instant
+BOOK_FEED_FIELDS = [
+    T.StructField("ts", T.LongType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("best_bid", T.DoubleType()),
+    T.StructField("bid_qty", T.DoubleType()),
+    T.StructField("best_ask", T.DoubleType()),
+    T.StructField("ask_qty", T.DoubleType()),
+    T.StructField("n_bid_levels", T.LongType()),
+    T.StructField("n_ask_levels", T.LongType()),
+    T.StructField("last_seq", T.LongType()),
+]
+
+
+def book_feed_step(state, pdf: pd.DataFrame):
+    """The FULL feed-handler order-book fold — the reference's real-world
+    contract (market.rs BookStatus; pinned by tests/market_adapter.rs):
+
+    - one tick per same-instant BURST, every update applied in seq order
+      (market_adapter.rs:94-139 — latest-wins collapsing would drop levels);
+    - a sequence GAP (delta seq > last+1) ticks ONCE with an unquotable
+      Gapped book; further deltas are refused quietly until a fresh
+      snapshot recovers it (market_adapter.rs:140-179);
+    - deltas arriving BEFORE the first snapshot buffer quietly; the
+      snapshot drops buffered seq <= its own and replays the rest on top,
+      ticking once (market_adapter.rs:184-219 — the universal REST+WS race).
+
+    Rows: (ts, seq, kind, side, price, qty [, bid_price, bid_qty,
+    ask_price, ask_qty for snapshots]). state = (status, last_seq, bids,
+    asks, buffer). The simpler synthetic fold (:func:`order_book_step`)
+    stays as the graded-query op; this is the faithful feed handler.
+    """
+    status, last_seq, bids, asks, buffer = state if state is not None else (
+        "await", None, {}, {}, []
+    )
+    out_rows = []
+    cols = ["ts", "seq", "kind", "side", "price", "qty",
+            "bid_price", "bid_qty", "ask_price", "ask_qty"]
+    arr = {c: (pdf[c].to_numpy() if c in pdf.columns else [None] * len(pdf)) for c in cols}
+
+    def apply_delta(side, price, qty):
+        book = bids if side == "bid" else asks
+        if qty <= 0:
+            book.pop(price, None)
+        else:
+            book[price] = qty
+
+    def emit(ts):
+        bb = max(bids) if (status == "live" and bids) else None
+        ba = min(asks) if (status == "live" and asks) else None
+        out_rows.append((
+            int(ts), status,
+            bb, bids.get(bb) if bb is not None else None,
+            ba, asks.get(ba) if ba is not None else None,
+            len(bids) if status == "live" else 0,
+            len(asks) if status == "live" else 0,
+            last_seq,
+        ))
+
+    n = len(pdf)
+    i = 0
+    while i < n:
+        ts = arr["ts"][i]
+        ticked = False
+        while i < n and arr["ts"][i] == ts:
+            kind, seq = arr["kind"][i], int(arr["seq"][i])
+            if kind == "snapshot":
+                bids.clear()
+                asks.clear()
+                if arr["bid_qty"][i] and arr["bid_qty"][i] > 0:
+                    bids[float(arr["bid_price"][i])] = float(arr["bid_qty"][i])
+                if arr["ask_qty"][i] and arr["ask_qty"][i] > 0:
+                    asks[float(arr["ask_price"][i])] = float(arr["ask_qty"][i])
+                status, last_seq = "live", seq
+                # replay buffered deltas newer than the snapshot
+                for bseq, bside, bprice, bqty in sorted(buffer):
+                    if bseq > seq:
+                        apply_delta(bside, bprice, bqty)
+                        last_seq = bseq
+                buffer.clear()
+                ticked = True
+            elif status == "await":
+                buffer.append((seq, arr["side"][i], float(arr["price"][i]),
+                               float(arr["qty"][i])))
+            elif status == "gapped":
+                pass  # refused until a snapshot recovers the book
+            else:  # live delta
+                if seq == last_seq + 1:
+                    apply_delta(arr["side"][i], float(arr["price"][i]),
+                                float(arr["qty"][i]))
+                    last_seq = seq
+                    ticked = True
+                else:
+                    status = "gapped"
+                    bids.clear()
+                    asks.clear()
+                    ticked = True
+            i += 1
+        if ticked:
+            emit(ts)
+    out = pd.DataFrame(out_rows, columns=[f.name for f in BOOK_FEED_FIELDS])
+    return (status, last_seq, bids, asks, buffer), out
+
+
 def order_book_op(key_fields: list[T.StructField]) -> KeyedStateOp:
     """The order-book operator, bindable to batch (``run_batch``) or
     streaming (``run_stream``) — ONE step function, two run modes."""
