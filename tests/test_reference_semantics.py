@@ -89,6 +89,37 @@ def test_fan_map_n_sugar_equals_manual_wiring(spark):
     assert a == b and len(a) == 15
 
 
+def test_dynamic_group_live_price_book(spark):
+    """dynamic_graph.rs:308-360: feed (key=c%2, price=10c), add key0@1 and
+    key1@2, del key0@4 (control-first: key0 never sees the cycle-4 price)
+    plus a no-op del of key 99@5. Member emissions are exactly
+    key0:(2,20), key1:(3,30),(5,50) — the final live book {1: 50}."""
+    from wingfoil_spark.operators.dynamic import dynamic_group
+    from wingfoil_spark.sources.tables import replay_rows
+
+    data = replay_rows(
+        spark,
+        [(c, c, c % 2, float(10 * c)) for c in range(1, 7)],
+        "ts long, seq long, k long, price double",
+        ts="ts", seq="seq", keys=("k",),
+    )
+    add = replay_rows(
+        spark, [(1, 1, 0), (2, 2, 1)], "ts long, seq long, k long",
+        ts="ts", seq="seq", keys=("k",),
+    )
+    rem = replay_rows(
+        spark, [(4, 4, 0), (5, 5, 99)], "ts long, seq long, k long",
+        ts="ts", seq="seq", keys=("k",),
+    )
+    out = dynamic_group(data, add, rem, "price",
+                        fold_fn=lambda acc, v: v, init=0.0, out="latest")
+    rows = sorted((r.k, r.ts, r.price) for r in out.df.collect())
+    assert rows == [(0, 2, 20.0), (1, 3, 30.0), (1, 5, 50.0)]
+    # the group-level read: last emission per still-live key
+    book = {r.k: r.latest for r in out.df.collect() if r.k == 1}
+    assert max(book.items()) == (1, 50.0)
+
+
 def test_for_each_observes_every_tick_like_reference(spark):
     """engine_semantics.rs:90-105: a sink side effect runs once per source
     tick, in tick order → [1, 2, 3]."""
