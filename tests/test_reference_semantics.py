@@ -89,6 +89,26 @@ def test_fan_map_n_sugar_equals_manual_wiring(spark):
     assert a == b and len(a) == 15
 
 
+def test_drop_small_change_compares_to_last_emitted(spark):
+    """catalog.rs:60-83: the reference point is the last EMITTED value, not
+    the last seen one — an accumulating drift of individually-small steps
+    ticks once it crosses the threshold, and suppressed ticks are absent
+    (tick times are part of the contract)."""
+    from wingfoil_spark.operators.stateful import drop_small_change
+    from wingfoil_spark.sources.tables import replay_rows
+
+    prices = replay_rows(
+        spark,
+        [(0, 1, 1, 100.000), (100, 2, 1, 100.005),
+         (200, 3, 1, 100.020), (300, 4, 1, 100.025)],
+        "ts long, seq long, k long, price double",
+        ts="ts", seq="seq", keys=("k",),
+    )
+    out = drop_small_change(prices, "price", tol=0.01)
+    got = sorted((r.ts, r.price) for r in out.df.collect())
+    assert got == [(0, 100.000), (200, 100.020)]
+
+
 def test_dynamic_group_live_price_book(spark):
     """dynamic_graph.rs:308-360: feed (key=c%2, price=10c), add key0@1 and
     key1@2, del key0@4 (control-first: key0 never sees the cycle-4 price)
