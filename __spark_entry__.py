@@ -448,18 +448,25 @@ FROM agg"""
 
 def q_stats_tw(spark, sf_dir):
     """Window-expressible time-weighted family (cumulative + rolling
-    frames), unioned with a frame tag — one window pass per frame."""
+    frames). Both frames share one scan and one key shuffle: the two
+    window-frame aggregate sets evaluate side by side (same partition/
+    order → no extra sort), then stack() unpivots to the tagged rows — a
+    union formulation would re-scan and re-shuffle per branch."""
     s = _ev(spark, sf_dir)
-    parts = []
-    for tag, fr in (("cumulative", None), ("rolling", ("rows", 5))):
-        base, cols = _tw_cols(s, fr)
-        parts.append(
-            base.map(**cols).df.select(
-                F.lit(tag).alias("frame"),
-                "user_id", "event_id", "ts_us", "tw_mean", "tw_var", "tw_std",
-            )
-        )
-    return parts[0].unionByName(parts[1])
+    base_c, cum = _tw_cols(s, None)
+    _, roll = _tw_cols(s, ("rows", 5))
+    both = base_c.map(
+        **{f"c_{k}": v for k, v in cum.items()},
+        **{f"r_{k}": v for k, v in roll.items()},
+    )
+    return both.df.select(
+        "user_id", "event_id", "ts_us",
+        F.expr(
+            "stack(2, 'cumulative', c_tw_mean, c_tw_var, c_tw_std, "
+            "'rolling', r_tw_mean, r_tw_var, r_tw_std) "
+            "AS (frame, tw_mean, tw_var, tw_std)"
+        ),
+    )
 
 
 def q_stats_tw_kernel(spark, sf_dir):
