@@ -382,21 +382,39 @@ def _stats_frame(spark, sf_dir, frame):
 
 def q_stats_matrix(spark, sf_dir):
     """The §2.3 tick-weighted matrix in one graded query: rolling /
-    cumulative / time-windowed frames unioned with a frame tag (each frame
-    is the same one-window-pass plan as before; the union is
-    Catalyst-flattened, no extra shuffle)."""
-    parts = [
-        _stats_frame(spark, sf_dir, fr).withColumn("frame", F.lit(tag))
-        for tag, fr in (
-            ("rolling", ("rows", 5)),
-            ("cumulative", ("cum",)),
-            ("time_windowed", ("range", 3600 * US)),
-        )
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    cumulative / time-windowed frames evaluate side by side over ONE scan
+    and ONE key shuffle (the frames share the partition/order sort), then
+    stack() unpivots to the tagged rows — a union would re-scan and
+    re-shuffle per frame."""
+    s = _ev(spark, sf_dir)
+    frames = {
+        "rolling": s.w_rows(-4, 0),
+        "cumulative": s.w_cum(),
+        "time_windowed": s.w_range(-3600 * US, 0),
+    }
+    cols = {}
+    for tag, w in frames.items():
+        p = tag[0]
+        cols[f"{p}_sum"] = F.sum(_vdec()).over(w).cast("double")
+        cols[f"{p}_mean"] = cols[f"{p}_sum"] / F.count(F.lit(1)).over(w).cast("double")
+        cols[f"{p}_min"] = F.min("value").over(w)
+        cols[f"{p}_max"] = F.max("value").over(w)
+        vc = _var_cols(s, w, f"{p}v")
+        cols[f"{p}_var"] = vc[f"{p}v_var"]
+        cols[f"{p}_std"] = vc[f"{p}v_std"]
+        cols[f"{p}_median"] = _median_col(w)
+    stat_names = ("sum", "mean", "min", "max", "var", "std", "median")
+    rowspec = ", ".join(
+        f"'{tag}', " + ", ".join(f"{tag[0]}_{n}" for n in stat_names)
+        for tag in frames
+    )
+    return s.map(**cols).df.select(
+        "user_id", "event_id", "ts_us",
+        F.expr(
+            f"stack(3, {rowspec}) AS (frame, st_sum, st_mean, st_min, st_max, "
+            "st_var, st_std, st_median)"
+        ),
+    )
 
 
 def _tw_cols(s: Stream, rows_frame: tuple | None):
