@@ -995,9 +995,12 @@ dedup AS (
 SELECT user_id, ts_us, a, b, c FROM dedup WHERE rn = 1"""
     o["gather_burst"] = f"""
 WITH ev AS ({EV_SQL}),
-t AS (SELECT user_id, ts_us, CAST(value AS DECIMAL(12,2))::VARCHAR AS vs
+t AS (SELECT user_id, ts_us, event_id,
+        CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 ELSE 2 END AS pri,
+        CAST(value AS DECIMAL(12,2))::VARCHAR AS vs
       FROM ev WHERE event_type IN ('click', 'view', 'purchase'))
-SELECT user_id, ts_us, array_to_string(list_sort(list(vs)), ',') AS burst
+SELECT user_id, ts_us,
+  array_to_string(list(vs ORDER BY pri, event_id), ',') AS burst
 FROM t GROUP BY user_id, ts_us"""
     o["accumulate"] = f"""
 WITH ev AS ({EV_SQL})

@@ -89,6 +89,25 @@ def test_fan_map_n_sugar_equals_manual_wiring(spark):
     assert a == b and len(a) == 15
 
 
+def test_combine_gathers_only_ticked_inputs_in_supplied_order(spark):
+    """combine_n.rs:96-146: a burst carries ONLY the inputs that ticked at
+    the instant, in supplied order — fast=10ns counts, slow=30ns counts+100:
+    [1,101], [2], [3], [4,102], [5], [6]."""
+    from wingfoil_spark.sources.tables import replay_rows
+
+    fast = replay_rows(
+        spark, [(t, i + 1, float(i + 1)) for i, t in enumerate(range(0, 60, 10))],
+        "ts long, seq long, value double", ts="ts", seq="seq",
+    )
+    slow = replay_rows(
+        spark, [(0, 1, 101.0), (30, 2, 102.0)],
+        "ts long, seq long, value double", ts="ts", seq="seq",
+    )
+    out = fast.gather(slow)
+    got = [tuple(r.burst) for r in out.df.orderBy("ts").collect()]
+    assert got == [(1.0, 101.0), (2.0,), (3.0,), (4.0, 102.0), (5.0,), (6.0,)]
+
+
 def test_drop_small_change_compares_to_last_emitted(spark):
     """catalog.rs:60-83: the reference point is the last EMITTED value, not
     the last seen one — an accumulating drift of individually-small steps

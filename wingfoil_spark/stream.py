@@ -490,16 +490,34 @@ class Stream:
     def gather(self, *others: "Stream", value_col: str = "value",
                out: str = "burst") -> "Stream":
         """n-ary burst gather: all inputs that ticked at one instant are
-        delivered together as ONE sorted array per (key, ts). Reference:
-        ``combine`` (fluent.rs:198, CombineN ops.rs:3330+) and the engine's
-        burst atomicity (runtime/burst.rs:16): same-instant values are never
-        coalesced or dropped."""
-        u = self.df.select(*self.keys, self.ts, value_col)
-        for o in others:
-            u = u.unionByName(o.df.select(*o.keys, o.ts, value_col))
+        delivered together as ONE array per (key, ts), in SUPPLIED input
+        order (then upstream seq within an input) — only the inputs that
+        actually ticked appear (the tick mask). Reference: ``combine``
+        (fluent.rs:198, CombineN ops.rs:3330+; supplied-order and tick-mask
+        semantics pinned by tests/combine_n.rs:96-146) and burst atomicity
+        (runtime/burst.rs:16): same-instant values are never coalesced or
+        dropped."""
+        def tagged(s: "Stream", pri: int):
+            seq = (F.col(s.seq) if s.seq else F.lit(0)).cast("long")
+            return s.df.select(
+                *s.keys, F.col(s.ts).alias(self.ts),
+                F.struct(
+                    F.lit(pri).alias("pri"), seq.alias("seq"),
+                    F.col(value_col).alias("v"),
+                ).alias("__item"),
+            )
+
+        u = tagged(self, 0)
+        for i, o in enumerate(others, start=1):
+            u = u.unionByName(tagged(o, i))
+        # sort_array on (pri, seq, v) structs = supplied order, then seq
         df = (
             u.groupBy(*self.keys, self.ts)
-            .agg(F.sort_array(F.collect_list(value_col)).alias(out))
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list("__item")), lambda x: x["v"]
+                ).alias(out)
+            )
         )
         return Stream(df, ts=self.ts, seq=None, keys=self.keys)
 
