@@ -89,6 +89,48 @@ def test_fan_map_n_sugar_equals_manual_wiring(spark):
     assert a == b and len(a) == 15
 
 
+def test_throttle_timing_goldens(spark):
+    """catalog_flow.rs:173-219: 10ns source throttled at 25ns emits at
+    t = 0, 30, 60 (timer-exact: next emission >= last + interval); a zero
+    interval throttles nothing."""
+    from wingfoil_spark.operators.stateful import throttle_exact
+    from wingfoil_spark.sources.tables import replay_rows
+
+    src = replay_rows(
+        spark, [(t, t // 10 + 1, 0.0) for t in range(0, 70, 10)],
+        "ts long, seq long, value double", ts="ts", seq="seq",
+    )
+    out = throttle_exact(src, 25)
+    assert sorted(r.ts for r in out.df.collect()) == [0, 30, 60]
+    out0 = throttle_exact(src, 0)
+    assert sorted(r.ts for r in out0.df.collect()) == list(range(0, 70, 10))
+
+
+def test_delay_with_reset_never_reset_matches_delay(spark):
+    """catalog_flow.rs:42-55: with a never-ticking trigger,
+    delay_with_reset degenerates to plain delay; and zero delay passes
+    every tick through unchanged (:145-162)."""
+    from wingfoil_spark.operators.stateful import delay_with_reset
+    from wingfoil_spark.sources.tables import never, replay_rows
+
+    src = replay_rows(
+        spark, [(100 * i, i, float(i)) for i in range(1, 11)],
+        "ts long, seq long, v double", ts="ts", seq="seq",
+    )
+    nv = never(spark, schema="v double")
+    nv = Stream(nv.df.select("ts", F.lit(0).alias("seq"), "v"), ts="ts", seq="seq")
+
+    with_reset = delay_with_reset(src, 300, nv, ["v"])
+    plain = sorted((r.ts + 300, r.v) for r in src.df.collect())
+    got = sorted((r.ts, r.v) for r in with_reset.df.collect())
+    assert got == plain
+
+    zero = delay_with_reset(src, 0, nv, ["v"])
+    assert sorted((r.ts, r.v) for r in zero.df.collect()) == sorted(
+        (r.ts, r.v) for r in src.df.collect()
+    )
+
+
 def test_combine_gathers_only_ticked_inputs_in_supplied_order(spark):
     """combine_n.rs:96-146: a burst carries ONLY the inputs that ticked at
     the instant, in supplied order — fast=10ns counts, slow=30ns counts+100:
