@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from wingfoil_spark.stream import Stream
 from wingfoil_spark.session import configure_session
-from wingfoil_spark.sources.tables import load_table
+from wingfoil_spark.sources.tables import load_table, ts_us_expr
 from wingfoil_spark.plans import relational
 from wingfoil_spark.functions import dedup as dd
 from wingfoil_spark.functions import similarity as sim
@@ -43,8 +43,9 @@ TOKS_SQL = (
 def _ev(spark: SparkSession, sf_dir: str, keyed: bool = True) -> Stream:
     """events as a Stream: ts_us = exact long µs (matches DuckDB's epoch_us
     view of the nanos timestamp), seq = event_id, keyed per user."""
-    df = load_table(spark, sf_dir, "events").select(
-        F.expr("ts div 1000").alias("ts_us"),
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        ts_us_expr(ev).alias("ts_us"),
         "event_id",
         "user_id",
         "event_type",

@@ -70,11 +70,12 @@ def test_delay_with_reset_strategies_agree(spark, sf_dir):
     import pyspark.sql.functions as F
 
     from wingfoil_spark.operators.stateful import delay_with_reset
-    from wingfoil_spark.sources.tables import load_table
+    from wingfoil_spark.sources.tables import load_table, ts_us_expr
     from wingfoil_spark.stream import Stream
 
-    df = load_table(spark, sf_dir, "events").select(
-        F.expr("ts div 1000").alias("ts_us"), "event_id", "user_id",
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        ts_us_expr(ev).alias("ts_us"), "event_id", "user_id",
         "event_type", "value",
     )
     s = Stream(df, ts="ts_us", seq="event_id", keys=("user_id",))

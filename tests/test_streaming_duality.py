@@ -12,7 +12,7 @@ import time
 import pyspark.sql.functions as F
 import pytest
 
-from wingfoil_spark.sources.tables import load_table
+from wingfoil_spark.sources.tables import load_table, ts_us_expr
 from wingfoil_spark.streaming.stateful import KeyedStateOp, ewma_step
 
 OUT_SCHEMA = "user_id long, ts_us long, event_id long, value double, ewma double"
@@ -31,11 +31,11 @@ def _op():
 
 @pytest.fixture(scope="module")
 def events_df(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
     return (
-        load_table(spark, sf_dir, "events")
-        .select(
+        ev.select(
             "user_id",
-            F.expr("ts div 1000").alias("ts_us"),
+            ts_us_expr(ev).alias("ts_us"),
             "event_id",
             "value",
         )
@@ -134,10 +134,10 @@ def _typed(events_df, etype, val_name):
 
 @pytest.fixture(scope="module")
 def typed_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
     return (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id",
-                "event_type", "value")
+        ev.select("user_id", ts_us_expr(ev).alias("ts_us"), "event_id",
+                  "event_type", "value")
         .where(F.col("user_id") < 10)
     )
 

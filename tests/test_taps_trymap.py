@@ -12,16 +12,16 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from wingfoil_spark.sources.tables import load_table
+from wingfoil_spark.sources.tables import load_table, ts_us_expr
 from wingfoil_spark.stream import Stream
 
 SF = "/root/testdata/sf0.001"
 
 
 def _events(spark, n=200):
+    ev = load_table(spark, SF, "events")
     df = (
-        load_table(spark, SF, "events")
-        .select(F.expr("ts div 1000").alias("ts_us"), "event_id", "user_id", "value")
+        ev.select(ts_us_expr(ev).alias("ts_us"), "event_id", "user_id", "value")
         .limit(n)
     )
     return Stream(df, ts="ts_us", seq="event_id", keys=("user_id",))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wingfoil_spark.sources.tables import load_table
+from wingfoil_spark.sources.tables import load_table, ts_us_expr
 
 D18 = "decimal(18,2)"
 D4 = "decimal(4,2)"
@@ -157,9 +157,8 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_us: int = 30 * 60 * 1_000_0
     """Gap-based sessionization of the events stream (30-min inactivity):
     a watermark/session-window capability the reference lacks entirely
     (SURVEY §2.10 — no session windows). Per-user windows → parallel."""
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("ts_us", ts_us_expr(e))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     new_sess = (
         (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us)

@@ -38,6 +38,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ts_us_expr(df: DataFrame, col: str = "ts"):
+    """Event-time of ``col`` as exact long microseconds, robust to the
+    physical type the data generator chose: parquet TIMESTAMP(MICROS) →
+    ``unix_micros`` (session tz is UTC, so the NTZ→TZ cast is
+    value-preserving and matches DuckDB's ``epoch_us``); int64 nanos
+    (read as long under ``nanosAsLong``) → integer ``div 1000``."""
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.expr(f"{col} div 1000")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
@@ -47,7 +59,7 @@ def events_stream(
     sf_dir: str,
     keyed: bool = True,
 ) -> Stream:
-    """The ``events`` table as a Stream: ts int64-nanos, seq = event_id.
+    """The ``events`` table as a Stream: ts_us long-µs, seq = event_id.
 
     ``keyed=True`` partitions the stream per ``user_id`` — the scalable
     layout (per-key windows parallelize; a keyless stream is a single
@@ -55,9 +67,9 @@ def events_stream(
     single-threaded graph).
     """
     df = load_table(spark, sf_dir, "events")
-    # ts is already int64 nanoseconds (parquet TIMESTAMP(NANOS) read as long).
+    df = df.withColumn("ts_us", ts_us_expr(df)).drop("ts")
     keys = ("user_id",) if keyed else ()
-    return Stream(df, ts="ts", seq="event_id", keys=keys)
+    return Stream(df, ts="ts_us", seq="event_id", keys=keys)
 
 
 def replay_rows(
