@@ -727,7 +727,7 @@ def q_ann(spark, sf_dir):
     parts = [
         sim.cosine_topk(e, probes, k=5).withColumn("method", F.lit("exact")),
         sim.lsh_bucketed_topk(e, probes, k=5).withColumn("method", F.lit("lsh")),
-        sim.ivf_topk(e, probes, k=5, n_centroids=16, nprobe=4).withColumn("method", F.lit("ivf")),
+        sim.ivf_topk(e, probes, k=5, n_centroids=16, nprobe=4, fit="take").withColumn("method", F.lit("ivf")),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -86,3 +86,107 @@ def test_salted_agg_spreads_hot_key(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # two-level: partial on (key, salt), combine on key — exactly 2 exchanges
     assert _shuffles(plan) == 2, plan
+
+
+def _skewed_df(spark, n=4_000_000, hot_share=0.5, cold_keys=30):
+    """Synthetic skew: key 0 holds ``hot_share`` of all rows, the rest
+    spread over ``cold_keys`` keys. Few-but-hot is the shape that bites: a
+    long tail of tiny keys amortizes fine; one instrument/user owning half
+    the stream serializes the whole stage."""
+    mod = int(1 / hot_share)
+    return spark.range(n).select(
+        F.when(F.col("id") % mod == 0, F.lit(0))
+        .otherwise(F.pmod(F.hash("id"), F.lit(cold_keys)) + 1)
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_hot_key_values_and_timing(spark):
+    """VERDICT r2 item 10 (JVM half): one key = 50% of 4M rows; salted and
+    plain return IDENTICAL values. Timing is reported, not asserted as a
+    win: HashAggregate's map-side partial combine already collapses the hot
+    key to ~1 row per map task, so plain JVM groupBy is near-skew-immune
+    for algebraic aggs — the measurement documents that fact, and the
+    Python-stage test below shows where salting genuinely pays."""
+    import time
+
+    df = _skewed_df(spark)
+    df.cache().count()
+    aggs = {"s": F.sum("v"), "mx": F.max("v"), "cnt": F.count("*")}
+    try:
+        t0 = time.perf_counter()
+        plain = df.groupBy("k").agg(*[v.alias(k) for k, v in aggs.items()]).collect()
+        t_plain = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        salted = salted_agg(df, ["k"], aggs, salt_buckets=16).collect()
+        t_salted = time.perf_counter() - t0
+    finally:
+        df.unpersist()
+    p = {r["k"]: (r["s"], r["mx"], r["cnt"]) for r in plain}
+    s = {r["k"]: (r["s"], r["mx"], r["cnt"]) for r in salted}
+    assert p == s
+    print(f"\nsalted_agg JVM 4M rows, hot key 50%: plain={t_plain:.2f}s "
+          f"salted={t_salted:.2f}s (map-side combine makes plain skew-tolerant)")
+
+
+def test_salted_grouped_apply_beats_hot_python_stage(spark):
+    """VERDICT r2 item 10 (the half that bites): a groupBy().applyInPandas
+    stage has NO map-side combine, so a hot key = one Python task doing
+    half the total work. salted_grouped_apply spreads it across 16 salt
+    tasks; values identical, wall-clock strictly better."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from wingfoil_spark.operators.scale import salted_grouped_apply
+
+    df = _skewed_df(spark)
+    df.cache().count()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # stands in for a real per-key Arrow kernel (DTW, book fold, MinHash
+        # shingling all cost far more per row than a sort): repeated
+        # O(n log n) work so the hot group's cost scales with its size
+        v = pdf["v"].to_numpy()
+        for _ in range(8):
+            v = np.sort((v * 1103515245.0) % 97.0)  # scramble → full-cost sort
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "s": [float(pdf["v"].sum())]})
+
+    def run_plain():
+        return df.groupBy("k").applyInPandas(kernel, schema="k long, s double").collect()
+
+    def run_salted():
+        return salted_grouped_apply(
+            df, ["k"], kernel, "k long, s double", {"s": F.sum("s")},
+            salt_buckets=16,
+        ).collect()
+
+    def timed_best(f, k=2):
+        best, rows = float("inf"), None
+        for _ in range(k):
+            t0 = time.perf_counter()
+            rows = f()
+            best = min(best, time.perf_counter() - t0)
+        return best, rows
+
+    try:
+        run_salted()  # warm the Python workers once for both plans
+        t_plain, plain = timed_best(run_plain)
+        t_salted, salted = timed_best(run_salted)
+    finally:
+        df.unpersist()
+    p = {r["k"]: r["s"] for r in plain}
+    s = {r["k"]: r["s"] for r in salted}
+    assert set(p) == set(s)
+    for k in p:
+        assert abs(p[k] - s[k]) <= 1e-6 * max(1.0, abs(p[k])), k
+    print(f"\nsalted_grouped_apply 4M rows, hot key 50%: plain={t_plain:.2f}s "
+          f"salted={t_salted:.2f}s ({t_plain / t_salted:.1f}x)")
+    # best-of-2 each: the structural win (hot key's Arrow transfer + kernel
+    # spread over 16 tasks) must survive CI noise
+    assert t_salted < t_plain, (
+        f"salted {t_salted:.2f}s should beat plain {t_plain:.2f}s on a "
+        f"50%-hot-key Python aggregation"
+    )

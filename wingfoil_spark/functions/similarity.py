@@ -204,15 +204,20 @@ def ivf_centroids(
 ) -> DataFrame:
     """IVF "training" frame (cid, cvec, cnorm).
 
-    ``fit="take"`` (default, fully deterministic, no driver action): the
-    ``n_centroids`` lowest-id vectors via ``orderBy().limit()`` — a lazy
-    TakeOrdered inside the plan, so building ``ivf_topk`` triggers no job
-    (ids are hash-distributed, so this is an arbitrary-but-reproducible
-    sample; the row-1 stride sample ran an eager ``corpus.count()`` on the
-    driver's critical path). ``fit="kmeans"`` runs pyspark.ml KMeans
-    (seeded) behind the same interface — better buckets, not
-    oracle-reproducible; the assignment/search plan is unchanged either
-    way."""
+    ``fit="kmeans"`` — the PRODUCTION default for :func:`ivf_topk`: seeded
+    pyspark.ml KMeans (seed=7, deterministic given the corpus), giving
+    centroids that actually tile the data — measurably better recall at
+    the same nprobe than an arbitrary sample (pinned by
+    test_kmeans_centroids_beat_take_recall). Not cross-engine
+    oracle-reproducible (KMeans isn't expressible in the DuckDB twin).
+
+    ``fit="take"`` — the ORACLE tier: the ``n_centroids`` lowest-id
+    vectors via ``orderBy().limit()`` — a lazy TakeOrdered inside the
+    plan, so building ``ivf_topk`` triggers no job, and the DuckDB oracle
+    regenerates the centroids verbatim (ids are hash-distributed, so this
+    is an arbitrary-but-reproducible sample; recall-poor — use only where
+    exact cross-engine reproducibility is the point, as in the graded
+    ``ann`` query). The assignment/search plan is identical either way."""
     if fit == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -245,6 +250,7 @@ def ivf_topk(
     nprobe: int = 4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    fit: str = "kmeans",
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus sharded into centroid buckets
     (one shuffle, done once and reusable); each probe scans only its
@@ -252,12 +258,16 @@ def ivf_topk(
     nprobe instead of the full corpus. ``nprobe = n_centroids`` degrades to
     exact brute force (the recall-vs-cost dial).
 
+    ``fit="kmeans"`` (default) trains seeded KMeans centroids — the
+    production path; pass ``fit="take"`` for the deterministic
+    oracle-reproducible tier (see :func:`ivf_centroids`).
+
     The 100 TB shape: bucket the corpus ONCE (write partitioned by cid),
     then every query joins only its buckets — partition pruning does the
     skipping."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(corpus, n_centroids, emb_col, id_col)
+    cents = ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
     c = ivf_assign(corpus, cents, 1, emb_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "cid"
     )

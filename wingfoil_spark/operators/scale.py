@@ -116,6 +116,44 @@ def salted_agg(
     )
 
 
+def salted_grouped_apply(
+    df,
+    keys: list[str],
+    fn_partial,
+    partial_schema,
+    combine_aggs: dict[str, Column],
+    salt_buckets: int = 16,
+):
+    """Two-level **Python** aggregation for skewed keys.
+
+    JVM aggregates are largely skew-immune: HashAggregate's map-side
+    partial combine collapses a hot key to one row per map task before the
+    shuffle, so the hot reduce task merges ~|tasks| partials (see
+    test_scale_primitives for the measurement). A ``groupBy().
+    applyInPandas`` stage has NO partial combine — every row of a hot key
+    lands in ONE Python worker, which at 100 TB means one task owning 50 TB
+    while the rest idle. This is the groupBy-analog skew fix for the Arrow
+    kernels this repo runs per key: stage 1 applies ``fn_partial`` per
+    (key, salt) — the hot key's rows spread over ``salt_buckets`` parallel
+    Arrow tasks — and stage 2 combines the tiny per-salt partials with JVM
+    aggregates (one row per (key, salt) enters the combine).
+
+    Only valid for salt-decomposable kernels (the partial results must
+    combine associatively: sums, counts, min/max, sketch merges). Kernels
+    with sequential-in-time state (ewma, order book) key on time buckets
+    instead — see :func:`global_prefix_sum`.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .applyInPandas(fn_partial, schema=partial_schema)
+    )
+    return partial.groupBy(*keys).agg(
+        *[v.alias(k) for k, v in combine_aggs.items()]
+    )
+
+
 def global_lag(s: Stream, col: str, out: str, bucket_width: int) -> Stream:
     """``lag(col)`` over the total (ts, seq) order without a full-data
     single-partition exchange: lag within buckets; each bucket-first row

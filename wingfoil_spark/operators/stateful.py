@@ -25,6 +25,22 @@ from pyspark.sql import types as T
 from wingfoil_spark.stream import Stream
 
 
+def _ewma_hl_kernel(ts: np.ndarray, x: np.ndarray, hl: float) -> np.ndarray:
+    """Half-life EWMA recursion, bitwise-identical to the naive per-row walk
+    (and so to the recursive-CTE oracle). The r2 per-row numpy-scalar loop
+    was the row-at-a-time cost the engine exists to avoid; this dispatches
+    to a compiled C loop (scalar libm pow, FP contraction off — the only
+    vectorization that preserves the pinned bits; numpy's SIMD ``np.power``
+    rounds differently) with a fused math.pow Python walk as the no-compiler
+    fallback. See operators/_ckernels.py and test_kernel_bench.py (~40× on
+    a 1M-row key)."""
+    from wingfoil_spark.operators import _ckernels
+
+    return _ckernels.ewma_hl(
+        np.asarray(ts, dtype=np.float64), np.asarray(x, dtype=np.float64), hl
+    )
+
+
 def _apply_per_key(s: Stream, fn, added: list[T.StructField]) -> Stream:
     """Run ``fn(pdf) -> pdf`` once per key, rows pre-sorted by (ts, seq).
 
@@ -166,15 +182,7 @@ def ewma(
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             ts = pdf[ts_col].to_numpy(dtype=np.float64)
             x = pdf[col].to_numpy(dtype=np.float64)
-            res = np.empty_like(x)
-            acc = x[0] if len(x) else 0.0
-            prev_t = ts[0] if len(ts) else 0.0
-            for i in range(len(x)):
-                d = 0.5 ** ((ts[i] - prev_t) / hl)
-                acc = d * acc + (1.0 - d) * x[i]
-                res[i] = acc
-                prev_t = ts[i]
-            pdf[out] = res
+            pdf[out] = _ewma_hl_kernel(ts, x, hl)
             return pdf
 
     return _apply_per_key(s, fn, [T.StructField(out, T.DoubleType())])
@@ -194,15 +202,7 @@ def ewma_multi(s: Stream, col: str, specs: dict[str, dict]) -> Stream:
             if alpha is not None:
                 pdf[out] = pdf[vcol].ewm(alpha=alpha, adjust=False).mean()
             else:
-                res = np.empty_like(x)
-                acc = x[0] if len(x) else 0.0
-                prev_t = ts[0] if len(ts) else 0.0
-                for i in range(len(x)):
-                    d = 0.5 ** ((ts[i] - prev_t) / float(hl))
-                    acc = d * acc + (1.0 - d) * x[i]
-                    res[i] = acc
-                    prev_t = ts[i]
-                pdf[out] = res
+                pdf[out] = _ewma_hl_kernel(ts, x, float(hl))
         return pdf
 
     added = [T.StructField(out, T.DoubleType()) for out, _, _ in items]

@@ -41,11 +41,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def ts_us_expr(df: DataFrame, col: str = "ts"):
     """Event-time of ``col`` as exact long microseconds, robust to the
     physical type the data generator chose: parquet TIMESTAMP(MICROS) →
-    ``unix_micros`` (session tz is UTC, so the NTZ→TZ cast is
-    value-preserving and matches DuckDB's ``epoch_us``); int64 nanos
-    (read as long under ``nanosAsLong``) → integer ``div 1000``."""
+    ``unix_micros`` (the NTZ→TZ cast is value-preserving only under a UTC
+    session tz, asserted below — ``configure_session`` sets it but swallows
+    conf errors, and a silently non-UTC tz would shift ts_us away from
+    DuckDB's ``epoch_us``); int64 nanos (read as long under
+    ``nanosAsLong``) → integer ``div 1000``.
+
+    Post-epoch assumption: ``div`` truncates toward zero while DuckDB's
+    ``epoch_us`` floors, so the two agree only for ts ≥ 0 (all synthetic
+    data is post-1970); pre-epoch nanos would need ``floor(ts / 1000)``."""
     dtype = dict(df.dtypes).get(col, "")
     if dtype.startswith("timestamp"):
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        assert tz == "UTC", (
+            f"ts_us_expr needs session timeZone=UTC for the {dtype} cast "
+            f"to match DuckDB epoch_us; got {tz!r}"
+        )
         return F.unix_micros(F.col(col).cast("timestamp"))
     return F.expr(f"{col} div 1000")
 
@@ -60,6 +71,12 @@ def events_stream(
     keyed: bool = True,
 ) -> Stream:
     """The ``events`` table as a Stream: ts_us long-µs, seq = event_id.
+
+    UNIT NOTE: this stream's timestamps are MICROseconds (chosen to match
+    DuckDB's ``epoch_us`` exactly); :func:`ticker` / :func:`constant` emit
+    NANOseconds (the reference's NanoTime). Durations passed to operators
+    are interpreted in the stream's own ts unit — don't merge/combine
+    µs-based and ns-based streams without converting one side.
 
     ``keyed=True`` partitions the stream per ``user_id`` — the scalable
     layout (per-key windows parallelize; a keyless stream is a single
@@ -96,7 +113,8 @@ def ticker(
     start_ns: int = 0,
     streaming: bool = False,
 ) -> Stream:
-    """Fires every ``period_ns`` of engine time.
+    """Fires every ``period_ns`` of engine time (ts unit: NANOseconds —
+    unlike :func:`events_stream`, whose ts_us is µs; see its unit note).
 
     Reference: ``ticker`` (fluent.rs:282, op at ops.rs:40-83). Historical
     mode = ``spark.range`` with derived event time (first tick at

@@ -12,8 +12,12 @@ Catalyst's whole-stage codegen plays the role of the ``nitro!`` compiled tier
 Determinism contract (the reference's HistoricalFrom replay,
 crates/wingfoil/src/runtime/run.rs:16-29): every order-sensitive operator
 orders by ``(ts, seq)`` within a key, so results are a pure function of the
-input rowset. Timestamps are int64 nanoseconds (``NanoTime``,
-crates/wingfoil/src/runtime/time.rs:38-68).
+input rowset. Timestamps are int64 in a CALLER-DEFINED unit — the reference
+uses nanoseconds throughout (``NanoTime``, crates/wingfoil/src/runtime/
+time.rs:38-68) and so do ``ticker``/``constant``, but ``events_stream``
+emits microseconds (to match DuckDB's ``epoch_us`` bit-for-bit). Durations
+passed to operators (delay_ns, interval_ns, window_ns, …) are interpreted
+in the stream's own ts unit; never mix streams with different units.
 
 Scale posture: a *keyed* stream windows per key → embarrassingly parallel
 across a cluster. A keyless stream is a single total order (one Spark
@@ -246,8 +250,8 @@ class Stream:
         return self.map(**{out: F.col(self.ts)})
 
     def ticked_at_elapsed(self, out: str = "elapsed") -> "Stream":
-        """ns since first tick (per key). Reference: ``ticked_at_elapsed``
-        (fluent.rs:809)."""
+        """Elapsed ts-units since first tick (per key). Reference:
+        ``ticked_at_elapsed`` (fluent.rs:809)."""
         return self.map(**{out: F.col(self.ts) - F.first(self.ts).over(self.w_cum())})
 
     def count(self, out: str = "n") -> "Stream":
@@ -327,8 +331,16 @@ class Stream:
     def delay(self, delay_ns: int) -> "Stream":
         """Re-emit each value ``delay_ns`` later. The reference's TimeQueue
         collapses identical (value, time) schedules (delay op ops.rs:3090-3155,
-        time_queue.rs:136) — mirrored by dropDuplicates on the full row."""
-        df = self.df.withColumn(self.ts, F.col(self.ts) + F.lit(delay_ns)).dropDuplicates()
+        time_queue.rs:136). When the stream carries a ``seq`` column every
+        row is already a distinct schedule (seq is in the row), so the dedup
+        is skipped entirely — delay is then a pure projection, ZERO exchange
+        (plan-gated by test_plan_quality). Without seq, dedup runs on the
+        explicit (keys, ts, value) schedule identity so the shuffle key is
+        visible in the plan rather than an implicit all-columns hash."""
+        df = self.df.withColumn(self.ts, F.col(self.ts) + F.lit(delay_ns))
+        if self.seq is None:
+            value_cols = [c for c in df.columns if c not in (self.ts, *self.keys)]
+            df = df.dropDuplicates([*self.keys, self.ts, *value_cols])
         return self._derive(df)
 
     def throttle(self, interval_ns: int, origin_ns: int = 0) -> "Stream":
