@@ -239,6 +239,184 @@ def test_rolling_stats_duality(spark, typed_events):
         assert (((wv == bv) & (bv == sv)) | nan3).all(), f"stats diverged on {c}"
 
 
+def test_range_stats_duality(spark, typed_events):
+    """Trailing-DURATION frame (("range", ns) — the r2 gap): window batch ==
+    step batch == step stream, bitwise."""
+    from wingfoil_spark.stream import Stream
+    from wingfoil_spark.streaming.twins import range_stats_step
+
+    W = 3600_000_000  # 1h in µs
+    base = typed_events.select("user_id", "ts_us", "event_id", "value")
+    s = Stream(base, ts="ts_us", seq="event_id", keys=("user_id",))
+    w = s.w_range(-W, 0)
+    dec = F.col("value").cast("decimal(12,2)")
+    dec2 = (dec * dec).cast("decimal(24,4)")
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec2).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    var = F.when(cnt > 1, F.greatest((s2 - s1 * s1 / cnt) / (cnt - 1), F.lit(0.0)))
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n_ = F.size(arr)
+    med = (F.element_at(arr, ((n_ + 1) / 2).cast("int"))
+           + F.element_at(arr, (n_ / 2 + 1).cast("int"))) / 2
+    window_batch = s.df.select(
+        "user_id", "ts_us", "event_id", "value",
+        s1.alias("st_sum"), (s1 / cnt).alias("st_mean"),
+        F.min("value").over(w).alias("st_min"), F.max("value").over(w).alias("st_max"),
+        var.alias("st_var"), F.sqrt(var).alias("st_std"), med.alias("st_median"),
+    ).toPandas()
+
+    op = KeyedStateOp(
+        range_stats_step("value", W, "ts_us", "event_id", ["user_id"]),
+        out_schema="user_id long, ts_us long, event_id long, value double, "
+                   "st_sum double, st_mean double, st_min double, st_max double, "
+                   "st_var double, st_std double, st_median double",
+        init_state=None, ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    step_batch = op.run_batch(base).toPandas()
+    streamed = _run_stream_chunks(
+        spark, op, base.toPandas(),
+        "user_id long, ts_us long, event_id long, value double",
+        ["ts_us", "event_id"], name="range_twin",
+    )
+    key = ["user_id", "ts_us", "event_id"]
+    wdf = window_batch.sort_values(key).reset_index(drop=True)
+    b = step_batch[wdf.columns].sort_values(key).reset_index(drop=True)
+    st = streamed[list(wdf.columns)].sort_values(key).reset_index(drop=True)
+    assert len(wdf) == len(b) == len(st) > 0
+    for c in ("st_sum", "st_mean", "st_min", "st_max", "st_var", "st_std", "st_median"):
+        wv, bv, sv = (x[c].to_numpy(dtype=float) for x in (wdf, b, st))
+        nan3 = (wv != wv) & (bv != bv) & (sv != sv)
+        assert (((wv == bv) & (bv == sv)) | nan3).all(), f"range stats diverged on {c}"
+
+
+def test_tw_profile_duality(spark, typed_events):
+    """Time-weighted matrix (clipped trailing mean/var + cumulative weighted
+    median) — the r2 streaming gap: batch kernel == step batch == step
+    stream, bitwise (the step re-runs the SHARED kernel on its history)."""
+    from wingfoil_spark.operators.stateful import time_weighted_profile
+    from wingfoil_spark.stream import Stream
+    from wingfoil_spark.streaming.twins import tw_profile_step
+
+    W = 6 * 3600_000_000
+    base = typed_events.select("user_id", "ts_us", "value")
+    s = Stream(base, ts="ts_us", seq=None, keys=("user_id",))
+    batch = time_weighted_profile(s, "value", W).df.select(
+        "user_id", "ts_us", "value", "tw_mean", "tw_var", "tw_median"
+    ).toPandas()
+
+    op = KeyedStateOp(
+        tw_profile_step("value", W, "ts_us", ["user_id"]),
+        out_schema="user_id long, ts_us long, value double, "
+                   "tw_mean double, tw_var double, tw_median double",
+        init_state=None, ts="ts_us", seq=None, keys=("user_id",),
+    )
+    step_batch = op.run_batch(base).toPandas()
+    streamed = _run_stream_chunks(
+        spark, op, base.toPandas(),
+        "user_id long, ts_us long, value double",
+        ["ts_us"], name="tw_twin",
+    )
+    key = ["user_id", "ts_us"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = step_batch[a.columns].sort_values(key).reset_index(drop=True)
+    st = streamed[list(a.columns)].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == len(st) > 0
+    for c in ("tw_mean", "tw_var", "tw_median"):
+        av, bv, sv = (x[c].to_numpy(dtype=float) for x in (a, b, st))
+        assert (av == bv).all() and (bv == sv).all(), f"tw diverged on {c}"
+
+
+def test_buffer_step_duality(spark, typed_events):
+    """Count-window buffer twin: streaming output == batch buffer on every
+    COMPLETE group (a trailing partial group stays pending in state —
+    streaming can't know history ended; the batch op emits it)."""
+    from wingfoil_spark.stream import Stream
+    from wingfoil_spark.streaming.twins import buffer_step
+
+    CAP = 10
+    base = typed_events.select("user_id", "ts_us", "event_id", "value")
+    s = Stream(base, ts="ts_us", seq="event_id", keys=("user_id",))
+    dec = F.col("value").cast("decimal(12,2)")
+    batch = s.buffer(CAP, {
+        "b_sum": F.sum(dec).cast("double"),
+        "b_mean": (F.sum(dec).cast("double") / F.count(F.lit(1))),
+        "b_min": F.min("value"),
+        "b_max": F.max("value"),
+        "b_count": F.count(F.lit(1)),
+    }).df.toPandas()
+
+    op = KeyedStateOp(
+        buffer_step(CAP, "value", "ts_us", "event_id", ["user_id"]),
+        out_schema="user_id long, ts_us long, b_sum double, b_mean double, "
+                   "b_min double, b_max double, b_count long",
+        init_state=None, ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    streamed = _run_stream_chunks(
+        spark, op, base.toPandas(),
+        "user_id long, ts_us long, event_id long, value double",
+        ["ts_us", "event_id"], name="buffer_twin",
+    )
+    complete = batch[batch["b_count"] == CAP]
+    key = ["user_id", "ts_us"]
+    a = complete.sort_values(key).reset_index(drop=True)
+    b = streamed[list(complete.columns)].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    # exactly the trailing partial per key is withheld in streaming
+    n_partial = len(batch) - len(complete)
+    assert n_partial <= base.select("user_id").distinct().count()
+    for c in ("b_sum", "b_mean", "b_min", "b_max", "b_count"):
+        av, bv = (x[c].to_numpy(dtype=float) for x in (a, b))
+        assert (av == bv).all(), f"buffer diverged on {c}"
+
+
+def test_stream_stat_api_on_readstream(spark, typed_events, tmp_path):
+    """The r2 gap stated verbatim: a readStream user of
+    ``stat(..., ("range", ns))`` hit AnalysisException. Now window_stat
+    transparently rebinds to the KeyedStateOp twin on a streaming frame."""
+    from wingfoil_spark.stream import Stream
+
+    W = 3600_000_000
+    base = typed_events.select("user_id", "ts_us", "event_id", "value")
+    batch = (
+        Stream(base, ts="ts_us", seq="event_id", keys=("user_id",))
+        .stat("value", "mean", ("range", W), out="m")
+        .df.select("user_id", "ts_us", "event_id", "m").toPandas()
+    )
+
+    src = str(tmp_path / "stat_src")
+    os.makedirs(src, exist_ok=True)
+    base.toPandas().sort_values(["ts_us", "event_id"]).to_parquet(
+        os.path.join(src, "all.parquet"), index=False
+    )
+    sdf = (
+        spark.readStream.schema("user_id long, ts_us long, event_id long, value double")
+        .parquet(src)
+    )
+    out = (
+        Stream(sdf, ts="ts_us", seq="event_id", keys=("user_id",))
+        .stat("value", "mean", ("range", W), out="m")
+        .df
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("stat_api_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM stat_api_twin").toPandas()
+
+    key = ["user_id", "ts_us", "event_id"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = streamed[["user_id", "ts_us", "event_id", "m"]].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    av, bv = a["m"].to_numpy(dtype=float), b["m"].to_numpy(dtype=float)
+    # batch side uses double window sums; the twin uses exact cents ints —
+    # cent-rounded inputs make both exact, but guard with ulp-level tolerance
+    import numpy as np
+    assert np.allclose(av, bv, rtol=1e-12, atol=1e-9), "stat API twin diverged"
+
+
 def test_delay_timer_duality(spark, typed_events):
     """Batch re-stamp delay == streaming timer delay (after the stream's
     event time passes every fire time via a sentinel chunk)."""

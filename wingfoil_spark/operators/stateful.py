@@ -340,6 +340,56 @@ def weighted_median(s: Stream, col: str, wname: str, frame, out: str) -> Stream:
     return Stream(result.df.select(*dropped, out), ts=s.ts, seq=s.seq, keys=s.keys)
 
 
+def _tw_profile_kernel(ts: np.ndarray, v: np.ndarray, window_ns: int):
+    """The fused time-weighted kernel over one key's FULL (ts,seq)-sorted
+    history: returns (mean, var, median) arrays — trailing-duration clipped
+    mean/var (integer-exact integrals) + cumulative weighted median. Shared
+    verbatim by the batch operator and the streaming twin
+    (streaming/twins.py:tw_profile_step), so run-mode duality is bitwise by
+    construction — both modes execute THIS code on the same history."""
+    ts = np.asarray(ts, dtype=np.int64)
+    v = np.asarray(v, dtype=np.float64)
+    vc = np.rint(v * 100).astype(np.int64)
+    n = len(ts)
+    mean = np.empty(n)
+    var = np.empty(n)
+    med = np.empty(n)
+    if n:
+        tsl, vcl = ts.tolist(), vc.tolist()
+        P1 = [0] * (n + 1)
+        P2 = [0] * (n + 1)
+        for k in range(n - 1):
+            w = tsl[k + 1] - tsl[k]
+            P1[k + 1] = P1[k] + vcl[k] * w
+            P2[k + 1] = P2[k] + vcl[k] * vcl[k] * w
+        wdiff = np.diff(ts).astype(np.float64)
+        for i in range(n):
+            t0 = max(tsl[0], tsl[i] - window_ns)
+            j = int(np.searchsorted(ts, t0, side="right")) - 1
+            span = tsl[i] - t0
+            if span <= 0:
+                mean[i], var[i] = v[i], 0.0
+            else:
+                i1 = P1[i] - (P1[j] + vcl[j] * (t0 - tsl[j]))
+                m = float(i1) / float(span * 100)
+                i2 = P2[i] - (P2[j] + vcl[j] * vcl[j] * (t0 - tsl[j]))
+                mean[i] = m
+                var[i] = max(float(i2) / float(span * 10000) - m * m, 0.0)
+            vv, ww = v[:i], wdiff[:i]
+            mask = ww > 0
+            vv, ww = vv[mask], ww[mask]
+            if len(vv) == 0:
+                med[i] = v[i]
+            else:
+                order = np.argsort(vv, kind="mergesort")
+                vv, ww = vv[order], ww[order]
+                c = np.cumsum(ww)
+                half = c[-1] / 2.0
+                k = int(np.searchsorted(c, half))
+                med[i] = vv[min(k, len(vv) - 1)]
+    return mean, var, med
+
+
 def time_weighted_profile(
     s: Stream,
     col: str,
@@ -354,50 +404,16 @@ def time_weighted_profile(
     costs three repartition+sort+mapInPandas stages; this computes all
     three columns from one sorted pass — the fused form, same semantics
     (numpy-oracle-pinned by tests; integer-exact integrals as in
-    :func:`time_windowed_time_weighted`)."""
+    :func:`time_windowed_time_weighted`). Kernel shared with the streaming
+    twin: :func:`_tw_profile_kernel`."""
     ts_col = s.ts
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = pdf[ts_col].to_numpy(dtype=np.int64)
-        v = pdf[col].to_numpy(dtype=np.float64)
-        vc = np.rint(v * 100).astype(np.int64)
-        n = len(ts)
-        mean = np.empty(n)
-        var = np.empty(n)
-        med = np.empty(n)
-        if n:
-            tsl, vcl = ts.tolist(), vc.tolist()
-            P1 = [0] * (n + 1)
-            P2 = [0] * (n + 1)
-            for k in range(n - 1):
-                w = tsl[k + 1] - tsl[k]
-                P1[k + 1] = P1[k] + vcl[k] * w
-                P2[k + 1] = P2[k] + vcl[k] * vcl[k] * w
-            wdiff = np.diff(ts).astype(np.float64)
-            for i in range(n):
-                t0 = max(tsl[0], tsl[i] - window_ns)
-                j = int(np.searchsorted(ts, t0, side="right")) - 1
-                span = tsl[i] - t0
-                if span <= 0:
-                    mean[i], var[i] = v[i], 0.0
-                else:
-                    i1 = P1[i] - (P1[j] + vcl[j] * (t0 - tsl[j]))
-                    m = float(i1) / float(span * 100)
-                    i2 = P2[i] - (P2[j] + vcl[j] * vcl[j] * (t0 - tsl[j]))
-                    mean[i] = m
-                    var[i] = max(float(i2) / float(span * 10000) - m * m, 0.0)
-                vv, ww = v[:i], wdiff[:i]
-                mask = ww > 0
-                vv, ww = vv[mask], ww[mask]
-                if len(vv) == 0:
-                    med[i] = v[i]
-                else:
-                    order = np.argsort(vv, kind="mergesort")
-                    vv, ww = vv[order], ww[order]
-                    c = np.cumsum(ww)
-                    half = c[-1] / 2.0
-                    k = int(np.searchsorted(c, half))
-                    med[i] = vv[min(k, len(vv) - 1)]
+        mean, var, med = _tw_profile_kernel(
+            pdf[ts_col].to_numpy(dtype=np.int64),
+            pdf[col].to_numpy(dtype=np.float64),
+            window_ns,
+        )
         pdf[out_mean] = mean
         pdf[out_var] = var
         pdf[out_median] = med

@@ -74,8 +74,17 @@ def window_stat(
     weighting: str = "tick",
     out: str | None = None,
 ) -> Stream:
-    """One cell of the statistics matrix, as a new column ``out``."""
+    """One cell of the statistics matrix, as a new column ``out``.
+
+    On a STREAMING DataFrame the window-function form is rejected by
+    Structured Streaming; the call transparently rebinds to the equivalent
+    KeyedStateOp twin (:mod:`wingfoil_spark.streaming.twins`) — same
+    semantics, pinned bitwise by test_streaming_duality. Supported there:
+    ("rows", n) and ("range", ns) frames for tick weighting, ("range", ns)
+    for time weighting (mean/var/std/median)."""
     out = out or f"{stat}_{frame[0]}"
+    if s.df.isStreaming:
+        return _streaming_stat(s, col, stat, frame, weighting, out)
     w, w_prev = _frame_window(s, frame)
 
     if weighting == "tick":
@@ -134,6 +143,77 @@ def _time_weighted(s: Stream, col: str, stat: str, frame, out: str) -> Stream:
         from wingfoil_spark.operators.stateful import weighted_median
         return weighted_median(base, col, wname, frame, out)
     raise ValueError(f"time weighting undefined for stat {stat!r}")
+
+
+def _streaming_stat(s: Stream, col: str, stat: str, frame, weighting: str,
+                    out: str) -> Stream:
+    """Bind one stats-matrix cell on a streaming frame via the KeyedStateOp
+    twins (r2 gap: ``stat(..., ("range", ns))`` on readStream raised
+    AnalysisException). Output carries (keys, ts[, seq], col, out) — other
+    payload columns don't pass through the stateful stage."""
+    from pyspark.sql import types as T
+
+    from wingfoil_spark.streaming.stateful import KeyedStateOp
+    from wingfoil_spark.streaming import twins
+
+    keys = list(s.keys)
+    if not keys:
+        raise ValueError("streaming stats need a keyed stream")
+    key_fields = [s.df.schema[k] for k in keys]
+    base_fields = key_fields + [T.StructField(s.ts, T.LongType())]
+    seq_fields = [T.StructField(s.seq, s.df.schema[s.seq].dataType)] if s.seq else []
+
+    if weighting == "tick":
+        names = {"sum": "st_sum", "mean": "st_mean", "min": "st_min",
+                 "max": "st_max", "var": "st_var", "std": "st_std",
+                 "median": "st_median"}
+        if stat not in names:
+            raise ValueError(f"unsupported streaming stat {stat!r}")
+        if frame[0] == "rows":
+            step = twins.rolling_stats_step(col, frame[1], s.ts, s.seq, keys)
+        elif frame[0] == "range":
+            step = twins.range_stats_step(col, frame[1], s.ts, s.seq, keys)
+        else:
+            raise NotImplementedError(
+                f"streaming frame {frame!r}: use fold()/running aggregates "
+                f"for cumulative stats on streams"
+            )
+        schema = T.StructType(
+            base_fields + seq_fields + [T.StructField(col, T.DoubleType())]
+            + [T.StructField(n, T.DoubleType()) for n in
+               ("st_sum", "st_mean", "st_min", "st_max", "st_var", "st_std",
+                "st_median")]
+        )
+        op = KeyedStateOp(step, out_schema=schema, init_state=None,
+                          ts=s.ts, seq=s.seq, keys=tuple(keys))
+        res = op.run_stream(s.df)
+        keep = [*keys, s.ts, *([s.seq] if s.seq else []), col]
+        res = res.select(*keep, F.col(names[stat]).alias(out))
+        return Stream(res, ts=s.ts, seq=s.seq, keys=s.keys)
+
+    if weighting != "time" or frame[0] != "range":
+        raise NotImplementedError(
+            f"streaming time-weighted stats support the ('range', ns) frame; "
+            f"got frame={frame!r} weighting={weighting!r}"
+        )
+    names = {"mean": "tw_mean", "var": "tw_var", "std": "tw_var",
+             "median": "tw_median"}
+    if stat not in names:
+        raise ValueError(f"unsupported streaming time-weighted stat {stat!r}")
+    step = twins.tw_profile_step(col, frame[1], s.ts, keys)
+    schema = T.StructType(
+        base_fields + [T.StructField(col, T.DoubleType())]
+        + [T.StructField(n, T.DoubleType()) for n in
+           ("tw_mean", "tw_var", "tw_median")]
+    )
+    op = KeyedStateOp(step, out_schema=schema, init_state=None,
+                      ts=s.ts, seq=None, keys=tuple(keys))
+    res = op.run_stream(s.df)
+    expr = F.col(names[stat])
+    if stat == "std":
+        expr = F.sqrt(expr)
+    res = res.select(*keys, s.ts, col, expr.alias(out))
+    return Stream(res, ts=s.ts, seq=None, keys=s.keys)
 
 
 def approx_median(s: Stream, col: str, frame, out: str = "median_approx",

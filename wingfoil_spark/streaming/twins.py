@@ -21,14 +21,18 @@ Burst atomicity note: an instant's rows must arrive within one micro-batch
 partition order gives this in practice). ``combine`` emission happens when
 the instant completes inside the batch.
 
-Timer API note: Spark 4.1's ``transformWithStateInPandas`` offers true
-event-time timers (a pending delivery would fire on watermark passage with
-no new data for the key — the exact reference timer node, ops.rs:3090).
-Its state protocol requires ``google.protobuf``, absent from this
-environment (verified: the TWS driver worker crashes importing
-StateMessage_pb2), so the twins here bind via ``applyInPandasWithState``
-and check pending deliveries against each batch's max event time; swap the
-binding when protobuf is available — the step functions carry over.
+Timer API note: Spark 4.1's ``transformWithStateInPandas`` offers the
+richest timer surface but its state protocol requires ``google.protobuf``,
+absent from this environment (verified: the TWS driver worker crashes
+importing StateMessage_pb2). TRUE event-time timers do not need TWS:
+``applyInPandasWithState`` with ``GroupStateTimeout.EventTimeTimeout``
+invokes the function with ``hasTimedOut`` for any key whose armed timeout
+falls behind the advancing WATERMARK — with no new input for the key. The
+:class:`EventTimeTimerOp` binding below uses exactly that, closing the r2
+gap where a key with no traffic never fired its pending ``delay``
+deliveries (the reference timer node contract, ops.rs:3090-3155; timer
+cancel :3486-3604). The older max-event-time twins remain for ops that
+don't need wall-to-watermark firing.
 """
 
 from __future__ import annotations
@@ -176,6 +180,143 @@ def rolling_stats_step(
     return step
 
 
+def range_stats_step(
+    col: str, window_ns: int, ts: str, seq: str | None, keys: list[str]
+) -> StepFn:
+    """Trailing-DURATION tick-weighted stats matrix (the ``("range", ns)``
+    frame, reference time_windowed_* stats.rs:90-131) as a resumable step.
+    State = the (ts, cents, value) samples still inside any future frame
+    (ts ≥ newest − window). Burst atomicity: every row of one instant sees
+    the full instant in-frame (rangeBetween includes same-ts rows in both
+    directions — runtime/burst.rs:16), so rows are processed per instant.
+    Sums accumulate in exact integer cents with the same double op-order as
+    the decimal window formulation — bitwise across all three bindings."""
+
+    def step(state, pdf: pd.DataFrame):
+        hist: list[tuple[int, int, float]] = list(state) if state else []
+        order = [ts] + ([seq] if seq else [])
+        pdf = pdf.sort_values(order, kind="mergesort")
+        keyvals = tuple(pdf.iloc[0][k] for k in keys) if len(pdf) else ()
+        meta = pdf[order].to_numpy()
+        t_arr = pdf[ts].to_numpy()
+        vals = pdf[col].to_numpy(dtype=np.float64)
+        out_rows = []
+        i = 0
+        n = len(pdf)
+        while i < n:
+            t = int(t_arr[i])
+            j = i
+            while j < n and int(t_arr[j]) == t:  # the whole instant
+                hist.append((int(t_arr[j]), int(round(float(vals[j]) * 100)),
+                             float(vals[j])))
+                j += 1
+            hist = [h for h in hist if h[0] >= t - window_ns]
+            cs = [c for _, c, _ in hist]
+            vs = sorted(x for _, _, x in hist)
+            cnt = len(hist)
+            s1 = float(sum(cs)) / 100.0
+            s2 = float(sum(c * c for c in cs)) / 10000.0
+            var = max((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0) if cnt > 1 else None
+            med = (vs[(cnt + 1) // 2 - 1] + vs[cnt // 2]) / 2
+            row_stats = (s1, s1 / cnt, vs[0], vs[-1], var,
+                         np.sqrt(var) if var is not None else None, med)
+            for r in range(i, j):
+                out_rows.append(
+                    (*[int(m) for m in meta[r]], float(vals[r]), *row_stats)
+                )
+            i = j
+        out = pd.DataFrame(
+            [(*keyvals, *r) for r in out_rows],
+            columns=[*keys, *order, col, "st_sum", "st_mean", "st_min",
+                     "st_max", "st_var", "st_std", "st_median"],
+        )
+        return hist, out
+
+    return step
+
+
+def tw_profile_step(
+    col: str, window_ns: int, ts: str, keys: list[str],
+    passthrough: list[str] | None = None,
+) -> StepFn:
+    """The fused time-weighted profile (clipped trailing mean/var +
+    cumulative weighted median — stats.rs:154-185) as a resumable step.
+
+    Duality by CONSTRUCTION: state is the key's full (ts, value) history
+    (the cumulative median needs it — the reference holds the same growing
+    structure, ops.rs:2502-2669); each batch re-runs the SHARED batch
+    kernel (:func:`wingfoil_spark.operators.stateful._tw_profile_kernel`)
+    over history+new and emits only the new rows' outputs, so stream ==
+    batch bitwise because both execute identical code on identical input.
+    An O(increment) incremental-integral variant is the optimization path
+    once semantics bake; the kernel's integrals are already exact ints, so
+    it would stay bitwise."""
+
+    def step(state, pdf: pd.DataFrame):
+        from wingfoil_spark.operators.stateful import _tw_profile_kernel
+
+        h_ts, h_v = (list(state[0]), list(state[1])) if state else ([], [])
+        pdf = pdf.sort_values([ts], kind="mergesort")
+        keyvals = tuple(pdf.iloc[0][k] for k in keys) if len(pdf) else ()
+        new_ts = [int(t) for t in pdf[ts].to_numpy()]
+        new_v = [float(x) for x in pdf[col].to_numpy(dtype=np.float64)]
+        h_ts += new_ts
+        h_v += new_v
+        mean, var, med = _tw_profile_kernel(
+            np.array(h_ts, dtype=np.int64), np.array(h_v, dtype=np.float64),
+            window_ns,
+        )
+        k = len(new_ts)
+        base_cols = passthrough or [*keys, ts, col]
+        out = pdf[[c for c in base_cols if c in pdf.columns]].copy()
+        out["tw_mean"] = mean[-k:] if k else np.array([])
+        out["tw_var"] = var[-k:] if k else np.array([])
+        out["tw_median"] = med[-k:] if k else np.array([])
+        return (h_ts, h_v), out
+
+    return step
+
+
+def buffer_step(
+    capacity: int, col: str, ts: str, seq: str | None, keys: list[str]
+) -> StepFn:
+    """Count-window ``buffer`` (reference ops.rs:659-686) as a resumable
+    step: flush {sum, mean, min, max, count} every ``capacity`` values,
+    stamped at the last element's ts. State = the current partial group
+    (streaming can't know history ended, so a trailing partial group stays
+    pending — the batch operator emits it, which is exactly the delta the
+    duality test accounts for). Sums in exact integer cents, converted with
+    the decimal window op-order."""
+
+    def step(state, pdf: pd.DataFrame):
+        partial: list[tuple[int, int, float]] = list(state) if state else []
+        order = [ts] + ([seq] if seq else [])
+        pdf = pdf.sort_values(order, kind="mergesort")
+        keyvals = tuple(pdf.iloc[0][k] for k in keys) if len(pdf) else ()
+        t_arr = pdf[ts].to_numpy()
+        vals = pdf[col].to_numpy(dtype=np.float64)
+        out_rows = []
+        for i in range(len(pdf)):
+            partial.append((int(t_arr[i]), int(round(float(vals[i]) * 100)),
+                            float(vals[i])))
+            if len(partial) == capacity:
+                cs = [c for _, c, _ in partial]
+                xs = [x for _, _, x in partial]
+                s1 = float(sum(cs)) / 100.0
+                out_rows.append((
+                    max(t for t, _, _ in partial),
+                    s1, s1 / capacity, min(xs), max(xs), capacity,
+                ))
+                partial = []
+        out = pd.DataFrame(
+            [(*keyvals, *r) for r in out_rows],
+            columns=[*keys, ts, "b_sum", "b_mean", "b_min", "b_max", "b_count"],
+        )
+        return partial, out
+
+    return step
+
+
 def throttle_step(interval_ns: int, ts: str, keys: list[str]) -> StepFn:
     """Timer-accurate throttle as a resumable step (state = next-allowed
     ts), identical to the batch ``throttle_exact`` walk (ops.rs:381-414)."""
@@ -210,6 +351,214 @@ def drop_small_change_step(col: str, tol: float, keys: list[str]) -> StepFn:
         return ref, pdf.iloc[keep]
 
     return step
+
+
+class EventTimeTimerOp:
+    """A keyed stateful op with TRUE event-time timers, bound via
+    ``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``.
+
+    The reference's timer nodes (delay ops.rs:3090-3155, delay_with_reset
+    :3486-3604) fire a pending delivery when ENGINE TIME passes its fire
+    time, with no new input on the node. The Spark-native equivalent of
+    engine time is the watermark: the op arms a per-key timeout at its
+    earliest pending fire time; when the global watermark passes it, Spark
+    invokes the function for that key with ``hasTimedOut`` and an empty
+    batch — a key that never receives another row still drains
+    (test_streaming_timers pins exactly that).
+
+    Hooks (all pure; state is pickled into the state store):
+      ``on_data(state, pdf, wm_us)  -> (state', out_pdf)``
+      ``on_timer(state, wm_us)     -> (state', out_pdf)``
+      ``next_timer(state)          -> int | None``  (µs; earliest wake-up)
+
+    Input must carry ``ts`` as long MICROseconds (the watermark column is
+    derived via ``timestamp_micros``). Timer granularity is the watermark's
+    (ms); the EMITTED timestamps are exact µs from state, so granularity
+    affects only firing latency, never values — batch/stream duality stays
+    bitwise.
+    """
+
+    def __init__(self, on_data, on_timer, next_timer, out_schema,
+                 init_state, ts: str = "ts", seq: str | None = None,
+                 keys: tuple[str, ...] = (), watermark_delay: str = "0 seconds",
+                 order: list[str] | None = None):
+        self.on_data = on_data
+        self.on_timer = on_timer
+        self.next_timer = next_timer
+        self.out_schema = out_schema
+        self.init_state = init_state
+        self.ts = ts
+        self.seq = seq
+        self.keys = keys
+        self.watermark_delay = watermark_delay
+        self.order = order
+
+    def run_stream(self, df: DataFrame) -> DataFrame:
+        import pickle
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        on_data, on_timer, next_timer = self.on_data, self.on_timer, self.next_timer
+        init = self.init_state
+        order = self.order or [self.ts] + ([self.seq] if self.seq else [])
+
+        wdf = df.withColumn("__et", F.timestamp_micros(F.col(self.ts))) \
+                .withWatermark("__et", self.watermark_delay)
+
+        def fn(key, pdfs, state: GroupState):
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            if state.exists:
+                (blob,) = state.get
+                st = pickle.loads(bytes(blob))
+            else:
+                st = init
+            if state.hasTimedOut:
+                st, out = on_timer(st, wm_us)
+                if len(out):
+                    yield out
+            else:
+                for pdf in pdfs:
+                    pdf = pdf.drop(columns="__et").sort_values(order, kind="mergesort")
+                    st, out = on_data(st, pdf, wm_us)
+                    if len(out):
+                        yield out
+            if st is None:
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((bytearray(pickle.dumps(st)),))
+                nt = next_timer(st)
+                if nt is not None:
+                    # arm strictly ahead of the current watermark (Spark
+                    # rejects a timeout at/behind it); +1ms covers µs→ms
+                    # truncation so the timer never fires early
+                    ms = max(nt // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+                    state.setTimeoutTimestamp(ms)
+
+        return wdf.groupBy(*self.keys).applyInPandasWithState(
+            fn,
+            outputStructType=self.out_schema,
+            stateStructType="state binary",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
+
+def delay_timer_op(
+    delay_us: int, ts: str, vals: list[str], keys: list[str], out_schema
+) -> EventTimeTimerOp:
+    """``delay`` with watermark-driven firing (reference delay timer node,
+    ops.rs:3090-3155): every tick schedules (t+delay, values); a pending
+    delivery fires when the WATERMARK passes its fire time — zero further
+    input needed on the key. TimeQueue dedup collapses identical
+    (fire_at, values) schedules (runtime/time_queue.rs:136)."""
+
+    def fire(pending, upto_us):
+        fired = [p for p in pending if p[0] <= upto_us]
+        keep = [p for p in pending if p[0] > upto_us]
+        fired.sort(key=lambda p: p[0])
+        return fired, keep
+
+    def on_data(pending, pdf: pd.DataFrame, wm_us):
+        pending = list(pending) if pending else []
+        keyvals = tuple(pdf.iloc[0][k] for k in keys) if len(pdf) else ()
+        t_arr = pdf[ts].to_numpy()
+        val_arrs = [pdf[c].to_numpy() for c in vals]
+        for i in range(len(pdf)):
+            item = (int(t_arr[i]) + delay_us, tuple(a[i] for a in val_arrs))
+            if item not in pending:
+                pending.append(item)
+        fired, keep = fire(pending, wm_us)
+        out = pd.DataFrame(
+            [(*keyvals, t, *v) for t, v in fired], columns=[*keys, ts, *vals]
+        )
+        return (keep, keyvals), out
+
+    def on_timer(state, wm_us):
+        pending, keyvals = state if state else ([], ())
+        fired, keep = fire(list(pending), wm_us)
+        out = pd.DataFrame(
+            [(*keyvals, t, *v) for t, v in fired], columns=[*keys, ts, *vals]
+        )
+        # no pending left and nothing new coming → release the slot
+        return ((keep, keyvals) if keep else None), out
+
+    def next_timer(state):
+        pending, _ = state
+        return min(p[0] for p in pending) if pending else None
+
+    def on_data_wrapped(state, pdf, wm_us):
+        pending = state[0] if state else []
+        return on_data(pending, pdf, wm_us)
+
+    return EventTimeTimerOp(
+        on_data_wrapped, on_timer, next_timer, out_schema,
+        init_state=None, ts=ts, seq=None, keys=tuple(keys),
+    )
+
+
+def delay_with_reset_timer_op(
+    delay_us: int, ts: str, vals: list[str], keys: list[str], out_schema
+) -> EventTimeTimerOp:
+    """``delay_with_reset`` with watermark-driven firing (reference timer-
+    cancel node, ops.rs:3486-3604): input is the tagged union frame
+    (``__trig`` 0=source / 1=trigger, ``__seq``). The per-batch walk is the
+    SAME order as the batch timer strategy (operators/stateful.py
+    ``_delay_with_reset_timer``): deliveries due at/<= a row's instant fire
+    before it; a trigger drops all pending and re-emits the current value.
+    Event-time guarantee makes watermark-firing safe: once the watermark
+    passes a fire time, any future trigger has ts ≥ watermark and could not
+    have cancelled that delivery."""
+
+    def walk(state, pdf: pd.DataFrame, wm_us):
+        pending, current, keyvals = state if state else ([], None, ())
+        pending = list(pending)
+        rows = []
+
+        def flush(upto):
+            nonlocal pending
+            fired = sorted([p for p in pending if p[0] <= upto], key=lambda p: p[0])
+            pending = [p for p in pending if p[0] > upto]
+            rows.extend(fired)
+
+        if len(pdf):
+            keyvals = tuple(pdf.iloc[0][k] for k in keys)
+            t_arr = pdf["__t"].to_numpy()
+            trig_arr = pdf["__trig"].to_numpy()
+            val_arrs = [pdf[c].to_numpy() for c in vals]
+            for i in range(len(pdf)):
+                t = int(t_arr[i])
+                flush(t)
+                if trig_arr[i]:
+                    pending.clear()
+                    if current is not None:
+                        rows.append((t, current))
+                else:
+                    current = tuple(a[i] for a in val_arrs)
+                    pending.append((t + delay_us, current))
+        flush(wm_us)
+        out = pd.DataFrame(
+            [(*keyvals, t, *v) for t, v in rows], columns=[*keys, ts, *vals]
+        )
+        # TimeQueue dedup on (time, value) schedules (time_queue.rs:136)
+        out = out.drop_duplicates()
+        return (pending, current, keyvals), out
+
+    def on_data(state, pdf, wm_us):
+        return walk(state, pdf, wm_us)
+
+    def on_timer(state, wm_us):
+        return walk(state, pd.DataFrame(), wm_us)
+
+    def next_timer(state):
+        pending, _, _ = state
+        return min(p[0] for p in pending) if pending else None
+
+    return EventTimeTimerOp(
+        on_data, on_timer, next_timer, out_schema,
+        init_state=None, ts="__t", keys=tuple(keys),
+        order=["__t", "__trig", "__seq"],
+    )
 
 
 def delay_step(
