@@ -611,25 +611,75 @@ def q_cluster(spark, sf_dir):
 # -------------------------------------------------------------------- market
 
 
-def q_vwap(spark, sf_dir):
-    """Tumbling per-instrument VWAP over the derived trade stream
-    (market.rs:579 Trade / fixed-point Px·Qty accumulation)."""
+def q_vwap_suite(spark, sf_dir):
+    """Tumbling AND rolling per-instrument VWAP over the derived trade
+    stream (market.rs:579 Trade / fixed-point Px·Qty accumulation), as one
+    tagged union — both fully hash-graded (merged from r2's separate vwap /
+    rolling_vwap rows to stay inside the driver's 50-query cap while
+    book_feed takes a slot; COVERAGE.md maps both ops here)."""
     from wingfoil_spark.operators import market
 
     s = _ev(spark, sf_dir)
     t = market.trades_from_events(s)
-    v = market.tumbling_vwap(t, 3600 * US)
-    return v.df.select("user_id", "ts_us", "vwap", "volume", "n_trades")
+    tv = market.tumbling_vwap(t, 3600 * US).df.select(
+        F.lit("tumbling").alias("method"), "user_id", "ts_us",
+        F.lit(None).cast("long").alias("seq"),
+        "vwap", "volume", F.col("n_trades").cast("long").alias("n_trades"),
+    )
+    rv = market.rolling_vwap(t, 20).df.select(
+        F.lit("rolling").alias("method"), "user_id", "ts_us",
+        F.col("trade_seq").cast("long").alias("seq"), "vwap",
+        F.lit(None).cast("double").alias("volume"),
+        F.lit(None).cast("long").alias("n_trades"),
+    )
+    return tv.unionByName(rv)
 
 
-def q_rolling_vwap(spark, sf_dir):
-    """VWAP over the last 20 trades per instrument (window pass)."""
+def q_book_feed(spark, sf_dir):
+    """The FULL feed-handler order book (market_adapter.rs:94-219) over a
+    derived feed with every hard case live: per-user contiguous seq with
+    ~4%% of rows dropped (→ gaps: tick once unquotable, refuse deltas,
+    recover on snapshot), snapshots every 40 rows, deltas BEFORE the first
+    snapshot buffering in 'await' (even pre-snapshot seqs are boosted +100
+    so they land NEWER than the first snapshot → replay-on-top is graded,
+    odd ones older → dropped — the REST+WS race both ways). One emitted row
+    per ticked instant. Oracle: recursive-CTE status machine extending the
+    order_book_top book fold with status/last_seq state and a static
+    await-phase replay (buffer state is resolvable before the walk because
+    'await' only exists before the first snapshot)."""
+    from pyspark.sql import Window
+
     from wingfoil_spark.operators import market
 
     s = _ev(spark, sf_dir)
-    t = market.trades_from_events(s)
-    v = market.rolling_vwap(t, 20)
-    return v.df.select("user_id", "ts_us", F.col("trade_seq").alias("event_id"), "vwap")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    n = s.df.select(
+        "user_id", "ts_us", "event_id", "value",
+        F.row_number().over(w).cast("long").alias("pre_rn"),
+    )
+    kind = F.when(F.col("pre_rn") % 40 == 7, F.lit("snapshot")).otherwise(F.lit("delta"))
+    feed = n.where(F.col("event_id") % 23 != 3).select(
+        "user_id", "ts_us",
+        kind.alias("kind"),
+        F.when(
+            (kind == "delta") & (F.col("pre_rn") < 7) & (F.col("pre_rn") % 2 == 0),
+            F.col("pre_rn") + 100,
+        ).otherwise(F.col("pre_rn")).cast("long").alias("seq"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("bid")).otherwise(F.lit("ask")).alias("side"),
+        F.round("value").cast("double").alias("price"),
+        (F.col("event_id") % 9 - 1).cast("double").alias("qty"),
+        (F.round("value") - 1).cast("double").alias("bid_price"),
+        (1 + F.col("event_id") % 5).cast("double").alias("bid_qty"),
+        (F.round("value") + 1).cast("double").alias("ask_price"),
+        (1 + F.col("event_id") % 3).cast("double").alias("ask_qty"),
+    )
+    u = Stream(feed, ts="ts_us", seq="seq", keys=("user_id",))
+    b = market.book_feed(u)
+    return b.df.select(
+        "user_id", F.col("ts").alias("ts_us"), "status",
+        "best_bid", "bid_qty", "best_ask", "ask_qty",
+        "n_bid_levels", "n_ask_levels", "last_seq",
+    )
 
 
 def q_seq_gaps(spark, sf_dir):
@@ -831,10 +881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasons": q_seasons,
         "dtw": q_dtw,
         "cluster": q_cluster,
-        "vwap": q_vwap,
-        "rolling_vwap": q_rolling_vwap,
+        "vwap_suite": q_vwap_suite,
         "seq_gaps": q_seq_gaps,
         "order_book_top": q_order_book_top,
+        "book_feed": q_book_feed,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_revenue_by_nation": relational.q5_revenue_by_nation,
@@ -1280,6 +1330,126 @@ SELECT user_id, ts_us, upd_seq,
   len(bids) AS n_bid_levels, len(asks) AS n_ask_levels
 FROM walk"""
 
+    # feed-handler book: status machine + buffer replay as CTE state
+    # (market_adapter.rs:94-219). 'await' exists only before the first
+    # snapshot, so the buffer resolves STATICALLY (last-wins per price among
+    # buffered deltas newer than the snapshot) and the recursion carries
+    # only (status, last_seq, bids, asks).
+    _bf_empty = "CAST([] AS STRUCT(l DOUBLE, q DOUBLE)[])"
+    _bf_apply = """
+CASE WHEN n.kind = 'snapshot' THEN
+    CASE WHEN n.{S}_qty > 0 THEN [{{'l': n.{S}_price, 'q': n.{S}_qty}}] ELSE {E} END
+  WHEN w.status = 'gapped' THEN w.{B}
+  WHEN n.seq = w.last_seq + 1 THEN
+    CASE WHEN n.side = '{S2}' THEN
+      list_concat(list_filter(w.{B}, e -> e.l != n.price),
+        CASE WHEN n.qty > 0 THEN [{{'l': n.price, 'q': n.qty}}] ELSE {E} END)
+    ELSE w.{B} END
+  ELSE {E} END"""
+    o["book_feed"] = f"""
+WITH RECURSIVE ev AS ({EV_SQL}),
+numbered AS (
+  SELECT user_id, ts_us, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pre_rn
+  FROM ev
+),
+feed AS (
+  SELECT user_id, ts_us,
+    CASE WHEN pre_rn % 40 = 7 THEN 'snapshot' ELSE 'delta' END AS kind,
+    CASE WHEN pre_rn < 7 AND pre_rn % 2 = 0 THEN pre_rn + 100 ELSE pre_rn END AS seq,
+    CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+    CAST(round(value) AS DOUBLE) AS price,
+    CAST(event_id % 9 - 1 AS DOUBLE) AS qty,
+    CAST(round(value) - 1 AS DOUBLE) AS bid_price,
+    CAST(1 + event_id % 5 AS DOUBLE) AS bid_qty,
+    CAST(round(value) + 1 AS DOUBLE) AS ask_price,
+    CAST(1 + event_id % 3 AS DOUBLE) AS ask_qty,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn2
+  FROM numbered
+  WHERE event_id % 23 != 3
+),
+fs AS (
+  SELECT user_id, min(rn2) AS fs_rn FROM feed WHERE kind = 'snapshot'
+  GROUP BY user_id
+),
+snap0 AS (
+  SELECT f.* FROM feed f JOIN fs ON f.user_id = fs.user_id AND f.rn2 = fs.fs_rn
+),
+pre AS (
+  SELECT p.user_id, p.side, p.price, p.qty, p.seq,
+    row_number() OVER (PARTITION BY p.user_id, p.side, p.price
+                       ORDER BY p.seq DESC) AS rp
+  FROM feed p
+  JOIN fs ON p.user_id = fs.user_id
+  JOIN snap0 s0 ON p.user_id = s0.user_id
+  WHERE p.rn2 < fs.fs_rn AND p.kind = 'delta' AND p.seq > s0.seq
+),
+applied AS (SELECT user_id, side, price, qty, seq FROM pre WHERE rp = 1),
+init_levels AS (
+  SELECT s0.user_id, 'bid' AS side, s0.bid_price AS l, s0.bid_qty AS q
+  FROM snap0 s0
+  WHERE s0.bid_qty > 0 AND NOT EXISTS (
+    SELECT 1 FROM applied a
+    WHERE a.user_id = s0.user_id AND a.side = 'bid' AND a.price = s0.bid_price)
+  UNION ALL
+  SELECT s0.user_id, 'ask', s0.ask_price, s0.ask_qty
+  FROM snap0 s0
+  WHERE s0.ask_qty > 0 AND NOT EXISTS (
+    SELECT 1 FROM applied a
+    WHERE a.user_id = s0.user_id AND a.side = 'ask' AND a.price = s0.ask_price)
+  UNION ALL
+  SELECT user_id, side, price, qty FROM applied WHERE qty > 0
+),
+init_books AS (
+  SELECT user_id,
+    list({{'l': l, 'q': q}}) FILTER (WHERE side = 'bid') AS bids,
+    list({{'l': l, 'q': q}}) FILTER (WHERE side = 'ask') AS asks
+  FROM init_levels GROUP BY user_id
+),
+walk AS (
+  SELECT s0.user_id, s0.ts_us, s0.rn2, 'live' AS status,
+    greatest(s0.seq, coalesce(am.mx, s0.seq)) AS last_seq,
+    coalesce(b.bids, {_bf_empty}) AS bids,
+    coalesce(b.asks, {_bf_empty}) AS asks,
+    true AS ticked
+  FROM snap0 s0
+  LEFT JOIN init_books b ON b.user_id = s0.user_id
+  LEFT JOIN (SELECT user_id, max(seq) AS mx FROM applied GROUP BY user_id) am
+    ON am.user_id = s0.user_id
+  UNION ALL
+  SELECT n.user_id, n.ts_us, n.rn2,
+    CASE WHEN n.kind = 'snapshot' THEN 'live'
+         WHEN w.status = 'gapped' THEN 'gapped'
+         WHEN n.seq = w.last_seq + 1 THEN 'live'
+         ELSE 'gapped' END AS status,
+    CASE WHEN n.kind = 'snapshot' THEN n.seq
+         WHEN w.status = 'gapped' THEN w.last_seq
+         WHEN n.seq = w.last_seq + 1 THEN n.seq
+         ELSE w.last_seq END AS last_seq,
+    {_bf_apply.format(S='bid', S2='bid', B='bids', E=_bf_empty)} AS bids,
+    {_bf_apply.format(S='ask', S2='ask', B='asks', E=_bf_empty)} AS asks,
+    CASE WHEN n.kind = 'snapshot' THEN true
+         WHEN w.status = 'gapped' THEN false
+         ELSE true END AS ticked
+  FROM walk w JOIN feed n ON n.user_id = w.user_id AND n.rn2 = w.rn2 + 1
+),
+inst AS (
+  SELECT user_id, ts_us, max(rn2) AS mrn, bool_or(ticked) AS any_tick
+  FROM walk GROUP BY user_id, ts_us
+)
+SELECT w.user_id, w.ts_us, w.status,
+  CASE WHEN w.status = 'live' THEN list_max(list_transform(w.bids, e -> e.l)) END AS best_bid,
+  CASE WHEN w.status = 'live' AND len(w.bids) > 0 THEN
+    (list_filter(w.bids, e -> e.l = list_max(list_transform(w.bids, e2 -> e2.l))))[1].q END AS bid_qty,
+  CASE WHEN w.status = 'live' THEN list_min(list_transform(w.asks, e -> e.l)) END AS best_ask,
+  CASE WHEN w.status = 'live' AND len(w.asks) > 0 THEN
+    (list_filter(w.asks, e -> e.l = list_min(list_transform(w.asks, e2 -> e2.l))))[1].q END AS ask_qty,
+  CASE WHEN w.status = 'live' THEN len(w.bids) ELSE 0 END AS n_bid_levels,
+  CASE WHEN w.status = 'live' THEN len(w.asks) ELSE 0 END AS n_ask_levels,
+  w.last_seq
+FROM inst i JOIN walk w ON w.user_id = i.user_id AND w.rn2 = i.mrn
+WHERE i.any_tick"""
+
     o["mad_outlier"] = f"""
 WITH ev AS ({EV_SQL}), base AS (
   SELECT user_id, ts_us, event_id, value,
@@ -1448,17 +1618,19 @@ SELECT b.k, coalesce(c.lbl, -1), false FROM border b LEFT JOIN comp c ON c.node 
     trade_pv = ("CAST(CAST(value AS DECIMAL(18,9)) * CAST(1 + event_id % 100 AS DECIMAL(18,4)) "
                 "AS DECIMAL(38,13))")
     trade_qty = "CAST(1 + event_id % 100 AS DECIMAL(18,4))"
-    o["vwap"] = f"""
+    o["vwap_suite"] = f"""
 WITH ev AS ({EV_SQL})
-SELECT user_id, (ts_us // 3600000000 + 1) * 3600000000 AS ts_us,
+SELECT 'tumbling' AS method, user_id,
+  (ts_us // 3600000000 + 1) * 3600000000 AS ts_us,
+  CAST(NULL AS BIGINT) AS seq,
   (sum({trade_pv}))::DOUBLE / (sum({trade_qty}))::DOUBLE AS vwap,
   (sum({trade_qty}))::DOUBLE AS volume,
   count(*) AS n_trades
-FROM ev GROUP BY user_id, ts_us // 3600000000"""
-    o["rolling_vwap"] = f"""
-WITH ev AS ({EV_SQL})
-SELECT user_id, ts_us, event_id,
-  (sum({trade_pv}) OVER w)::DOUBLE / (sum({trade_qty}) OVER w)::DOUBLE AS vwap
+FROM ev GROUP BY user_id, ts_us // 3600000000
+UNION ALL
+SELECT 'rolling' AS method, user_id, ts_us, event_id AS seq,
+  (sum({trade_pv}) OVER w)::DOUBLE / (sum({trade_qty}) OVER w)::DOUBLE AS vwap,
+  CAST(NULL AS DOUBLE) AS volume, CAST(NULL AS BIGINT) AS n_trades
 FROM ev
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"""

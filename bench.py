@@ -43,9 +43,9 @@ HEADLINE = [
     "minhash",
     "jaccard_pairs",
     "ann",
-    "vwap",
-    "rolling_vwap",
+    "vwap_suite",
     "order_book_top",
+    "book_feed",
     "mad_outlier",
     "forecast_linear",
     "dynamic_membership",

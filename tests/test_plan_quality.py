@@ -144,8 +144,8 @@ _NO_GLOBAL_EXCHANGE = [
     "mad_outlier",
     "forecast_linear",
     "changepoint",
-    "vwap",
-    "rolling_vwap",
+    "vwap_suite",
+    "book_feed",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",

@@ -362,6 +362,41 @@ def order_book_op(key_fields: list[T.StructField]) -> KeyedStateOp:
     )
 
 
+def book_feed_op(key_fields: list[T.StructField]) -> KeyedStateOp:
+    """The FULL feed-handler book (:func:`book_feed_step` — status machine,
+    gap refusal, pre-snapshot buffering) as a two-run-mode KeyedStateOp."""
+    keys = tuple(f.name for f in key_fields)
+
+    def step_with_keys(state, pdf):
+        state, out = book_feed_step(state, pdf)
+        for k in keys:
+            out[k] = pdf[k].iloc[0] if len(pdf) else None
+        return state, out
+
+    return KeyedStateOp(
+        step_with_keys,
+        out_schema=T.StructType(list(key_fields) + BOOK_FEED_FIELDS),
+        init_state=None,
+        ts="ts",
+        seq="seq",
+        keys=keys,
+    )
+
+
+def book_feed(updates: Stream) -> Stream:
+    """Maintain per-instrument feed-handler books (market_adapter.rs:94-219
+    semantics) from a feed-update stream with columns (keys..., ts, seq,
+    kind, side, price, qty, bid_price, bid_qty, ask_price, ask_qty);
+    emits one row per ticked instant."""
+    keys = updates.keys
+    op = book_feed_op([updates.df.schema[k] for k in keys])
+    renamed = (
+        updates.df.withColumnRenamed(updates.ts, "ts")
+        if updates.ts != "ts" else updates.df
+    )
+    return Stream(op.run_batch(renamed), ts="ts", seq=None, keys=keys)
+
+
 def order_book(updates: Stream) -> Stream:
     """Maintain per-instrument order books from a BookUpdate stream,
     emitting top-of-book after every update (batch binding; streaming twin
