@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Empirical scale validation (VERDICT r2 item 9): the generator tops out
+at sf0.1, so this builds an sf1-EQUIVALENT dataset (10x replication with
+key-space widening) and checks that no headline query regresses
+superlinearly in sf.
+
+Replication is scale-honest, not byte-copy:
+- events: event_id and user_id offset per replica — 10x the KEYS, same
+  per-key depth (the realistic growth direction for a keyed stream; naive
+  duplication would create 10-row bursts at every instant instead).
+- documents: doc_id offset AND every word suffixed with the replica tag, so
+  replicas are textually distinct — otherwise MinHash/LSH sees 10-way
+  near-dup clusters everywhere and candidate pairs explode quadratically by
+  DATA construction, not by plan defect.
+- embeddings: vec_id offset + deterministic per-replica jitter (direction
+  actually changes; pure scaling would leave cosine geometry identical).
+- lineitem/orders: plain row replication (scan+agg queries measure bytes).
+- ANN runs with a FIXED probe set at both scales: the graded query's
+  probe count grows with the corpus, which makes the exact tier
+  quadratic-by-design; scaling corpus-only isolates the engine's cost.
+
+Output: one JSON line {"queries": {name: {t_small, t_big, ratio}},
+"replication": 10, "superlinear": [...]} and exit 1 if any ratio exceeds
+replication * SLACK.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from wingfoil_spark.session import get_spark  # noqa: E402
+
+SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/wingfoil_scale_sf1eq")
+REPL = 10
+SLACK = 1.6  # parallel slack: ratio <= REPL * SLACK counts as linear
+
+#: linear-expected graded queries exercised at both scales
+QUERIES = [
+    "q1_pricing_summary",
+    "tumbling_1h",
+    "ewma",
+    "stats_tw_kernel",
+    "order_book_top",
+    "book_feed",
+    "dynamic_membership",
+    "text_stats",
+    "minhash",
+    "jaccard_pairs",
+]
+
+
+def build_big(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.sources.tables import TABLES, load_table
+
+    os.makedirs(BIG, exist_ok=True)
+    marker = os.path.join(BIG, "_built")
+    if os.path.exists(marker):
+        return
+    ev = load_table(spark, SMALL, "events")
+    n_ev = 10_000_000
+    n_user = 1_000_000
+    parts = [
+        ev.select(
+            (F.col("event_id") + i * n_ev).alias("event_id"),
+            (F.col("user_id") + i * n_user).alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        )
+        for i in range(REPL)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(os.path.join(BIG, "events.parquet"))
+
+    doc = load_table(spark, SMALL, "documents")
+    parts = [
+        doc.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1r{i}").alias("text"),
+            *[c for c in doc.columns if c not in ("doc_id", "text")],
+        )
+        for i in range(REPL)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(os.path.join(BIG, "documents.parquet"))
+
+    emb = load_table(spark, SMALL, "embeddings")
+    parts = [
+        emb.select(
+            (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: x + F.lit(0.0037 * i) * ((j % 5) - 2).cast("double"),
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        for i in range(REPL)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(os.path.join(BIG, "embeddings.parquet"))
+
+    for t in ("lineitem", "orders"):
+        d = load_table(spark, SMALL, t)
+        u = d
+        for _ in range(REPL - 1):
+            u = u.unionByName(d)
+        u.write.mode("overwrite").parquet(os.path.join(BIG, f"{t}.parquet"))
+
+    for t in TABLES:
+        dst = os.path.join(BIG, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SMALL, f"{t}.parquet"), dst)
+    open(marker, "w").write("ok")
+
+
+def ann_fixed_probes(spark, sf_dir):
+    """ANN with a scale-FIXED probe set (40 probes from the original id
+    range at both scales): exact + IVF tiers, corpus-linear cost."""
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.functions import similarity as sim
+    from wingfoil_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    exact = sim.cosine_topk(e, probes, k=5)
+    ivf = sim.ivf_topk(e, probes, k=5, n_centroids=16, nprobe=4, fit="take")
+    return exact.withColumn("method", F.lit("exact")).unionByName(
+        ivf.withColumn("method", F.lit("ivf"))
+    )
+
+
+def timed(fn, spark, sf_dir) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt  # steady-state (2nd) run, matching bench.py
+    return best
+
+
+def main() -> None:
+    spark = get_spark("wingfoil_scale_check")
+    t0 = time.perf_counter()
+    build_big(spark)
+    print(f"# sf1-equivalent build: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    qs = entry.queries()
+    runs = [(name, qs[name]) for name in QUERIES] + [("ann_fixed", ann_fixed_probes)]
+    out = {}
+    superlinear = []
+    for name, fn in runs:
+        t_small = timed(fn, spark, SMALL)
+        t_big = timed(fn, spark, BIG)
+        ratio = t_big / t_small
+        out[name] = {
+            "t_small": round(t_small, 3),
+            "t_big": round(t_big, 3),
+            "ratio": round(ratio, 2),
+        }
+        flag = " SUPERLINEAR" if ratio > REPL * SLACK else ""
+        if flag:
+            superlinear.append(name)
+        print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x){flag}",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "scale_check_sf0.1_to_sf1eq",
+        "replication": REPL,
+        "slack": SLACK,
+        "queries": out,
+        "superlinear": superlinear,
+    }))
+    sys.exit(1 if superlinear else 0)
+
+
+if __name__ == "__main__":
+    main()
