@@ -48,6 +48,83 @@ def test_ewma_hl_kernel_empty_and_single():
     assert one.tolist() == [42.5]
 
 
+def _random_book_updates(n, n_levels=250, seed=7):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "ts": np.arange(n, dtype=np.int64),
+        "upd_seq": np.arange(n, dtype=np.int64),
+        "kind": np.where(rng.integers(0, 50, n) == 0, "snapshot", "delta"),
+        "side": np.where(rng.integers(0, 2, n) == 0, "bid", "ask"),
+        "level": rng.integers(0, n_levels, n),
+        "qty_delta": rng.integers(-3, 8, n).astype(np.int64),
+    })
+
+
+def _book_fold_py(state, pdf):
+    """The pure-Python walk, by forcing the C path off (span guard)."""
+    from wingfoil_spark.operators import _ckernels, market
+
+    saved = _ckernels._BOOK_MAX_SPAN
+    _ckernels._BOOK_MAX_SPAN = -1
+    try:
+        return market.order_book_step(state, pdf)
+    finally:
+        _ckernels._BOOK_MAX_SPAN = saved
+
+
+def test_book_fold_c_matches_python():
+    """The C book kernel and the Python dict walk are integer-exact
+    identical — per-row outputs AND carried state, including across an
+    arbitrary batch split (the KeyedStateOp resumability contract)."""
+    import pandas as pd
+
+    from wingfoil_spark.operators.market import order_book_step
+
+    pdf = _random_book_updates(20_000)
+    st_c, out_c = order_book_step(None, pdf)
+    st_p, out_p = _book_fold_py(None, pdf)
+    assert len(out_c) == len(out_p)
+    for c in out_c.columns:
+        a = pd.Series(out_c[c]).astype("Float64")
+        b = pd.Series(out_p[c]).astype("Float64")
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
+    assert st_c[0] == st_p[0] and st_c[1] == st_p[1], "carried state diverged"
+
+    # split at an arbitrary point: state carries, concatenated output equal
+    cut = 7_331
+    st1, o1 = order_book_step(None, pdf.iloc[:cut])
+    st2, o2 = order_book_step(st1, pdf.iloc[cut:])
+    merged = pd.concat([o1, o2], ignore_index=True)
+    for c in out_c.columns:
+        a = pd.Series(merged[c]).astype("Float64")
+        b = pd.Series(out_c[c]).astype("Float64")
+        assert ((a == b) | (a.isna() & b.isna())).all(), f"split: {c}"
+    assert st2[0] == st_c[0] and st2[1] == st_c[1]
+
+
+def test_book_fold_c_throughput():
+    """The C fold must clear the reference's ~0.9M msg/s single-core replay
+    figure (BASELINE.md) with room to spare."""
+    from wingfoil_spark.operators import _ckernels
+    from wingfoil_spark.operators.market import order_book_step
+
+    if _ckernels._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    n = 600_000
+    pdf = _random_book_updates(n)
+    best = min(
+        (lambda t0=time.perf_counter(): (order_book_step(None, pdf), time.perf_counter() - t0)[1])()
+        for _ in range(3)
+    )
+    rate = n / best
+    print(f"\nbook_fold C kernel: {rate/1e6:.1f}M msg/s single-core")
+    assert rate > 2_000_000, f"expected >2M msg/s, got {rate:,.0f}"
+
+
 def test_ewma_kernel_bench():
     """VERDICT r2 item 4: >=10x on a 1M-row key (median of 3 runs each)."""
     rng = np.random.default_rng(11)

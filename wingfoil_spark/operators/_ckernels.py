@@ -43,6 +43,85 @@ void ewma_hl(const double* ts, const double* x, double hl,
         prev = ts[i];
     }
 }
+
+/* Order-book fold over one batch (semantics identical to the Python walk
+   in operators/market.py:order_book_step — integer-exact, so the two
+   paths are differentially testable bit-for-bit).
+
+   Book sides are level-indexed arrays over [lo, hi] with EPOCH validity
+   (snapshot = epoch bump, O(1) clear); best bid/ask tracked
+   incrementally, scanning only when the current best level empties.
+
+   io_state: [epoch, bb, ba, nb, na]  (NONE = LLONG_MIN for bb/ba).
+   Outputs use NONE where the side is empty. */
+#define BOOK_NONE (-9223372036854775807LL - 1)
+
+void book_fold(const signed char* is_snap, const signed char* is_bid,
+               const long long* lvl, const long long* qd, long long n,
+               long long lo, long long span,
+               long long* bq, long long* bep,
+               long long* aq, long long* aep,
+               long long* io_state,
+               long long* o_bb, long long* o_bq,
+               long long* o_ba, long long* o_aq,
+               long long* o_nb, long long* o_na) {
+    long long epoch = io_state[0];
+    long long bb = io_state[1], ba = io_state[2];
+    long long nb = io_state[3], na = io_state[4];
+    for (long long i = 0; i < n; i++) {
+        long long l = lvl[i], q = qd[i], idx = l - lo;
+        if (is_snap[i]) {
+            epoch++;
+            nb = 0; na = 0; bb = BOOK_NONE; ba = BOOK_NONE;
+            if (q > 0) {
+                if (is_bid[i]) { bq[idx] = q; bep[idx] = epoch; bb = l; nb = 1; }
+                else           { aq[idx] = q; aep[idx] = epoch; ba = l; na = 1; }
+            }
+        } else if (is_bid[i]) {
+            long long cur = (bep[idx] == epoch) ? bq[idx] : 0;
+            long long nq = cur + q;
+            if (nq <= 0) {
+                if (bep[idx] == epoch) {
+                    bep[idx] = epoch - 1; nb--;
+                    if (l == bb) {
+                        bb = BOOK_NONE;
+                        for (long long j = idx - 1; j >= 0; j--)
+                            if (bep[j] == epoch) { bb = j + lo; break; }
+                    }
+                }
+            } else {
+                if (bep[idx] != epoch) nb++;
+                bq[idx] = nq; bep[idx] = epoch;
+                if (bb == BOOK_NONE || l > bb) bb = l;
+            }
+        } else {
+            long long cur = (aep[idx] == epoch) ? aq[idx] : 0;
+            long long nq = cur + q;
+            if (nq <= 0) {
+                if (aep[idx] == epoch) {
+                    aep[idx] = epoch - 1; na--;
+                    if (l == ba) {
+                        ba = BOOK_NONE;
+                        for (long long j = idx + 1; j < span; j++)
+                            if (aep[j] == epoch) { ba = j + lo; break; }
+                    }
+                }
+            } else {
+                if (aep[idx] != epoch) na++;
+                aq[idx] = nq; aep[idx] = epoch;
+                if (ba == BOOK_NONE || l < ba) ba = l;
+            }
+        }
+        o_bb[i] = bb;
+        o_bq[i] = (bb != BOOK_NONE) ? bq[bb - lo] : BOOK_NONE;
+        o_ba[i] = ba;
+        o_aq[i] = (ba != BOOK_NONE) ? aq[ba - lo] : BOOK_NONE;
+        o_nb[i] = nb;
+        o_na[i] = na;
+    }
+    io_state[0] = epoch; io_state[1] = bb; io_state[2] = ba;
+    io_state[3] = nb; io_state[4] = na;
+}
 """
 
 _lib: ctypes.CDLL | None = None
@@ -79,10 +158,84 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.ewma_hl.restype = None
+        pi = ctypes.POINTER(ctypes.c_longlong)
+        pc = ctypes.POINTER(ctypes.c_byte)
+        lib.book_fold.argtypes = (
+            [pc, pc, pi, pi, ctypes.c_longlong, ctypes.c_longlong,
+             ctypes.c_longlong] + [pi] * 11
+        )
+        lib.book_fold.restype = None
         _lib = lib
     except Exception:
         _lib = None  # no compiler / sandboxed exec: Python fallback
     return _lib
+
+
+BOOK_NONE = -(2**63)
+_BOOK_MAX_SPAN = 1 << 20  # 1M price levels; beyond this use the dict walk
+
+
+def book_fold(is_snap: np.ndarray, is_bid: np.ndarray, lvl: np.ndarray,
+              qd: np.ndarray, bids: dict, asks: dict):
+    """C fast path of the order-book fold. Returns
+    (o_bb, o_bq, o_ba, o_aq, o_nb, o_na, bids', asks') with BOOK_NONE
+    sentinels, or None when no compiler is available or the level span
+    exceeds the bounded-array budget (caller falls back to the dict walk).
+    Semantics are the Python walk's, integer-exact (differential test:
+    test_kernel_bench.py::test_book_fold_c_matches_python)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(lvl)
+    if n == 0:
+        return None
+    lvl = np.ascontiguousarray(lvl, dtype=np.int64)
+    qd = np.ascontiguousarray(qd, dtype=np.int64)
+    keys = list(bids) + list(asks)
+    lo = int(lvl.min())
+    hi = int(lvl.max())
+    if keys:
+        lo = min(lo, min(keys))
+        hi = max(hi, max(keys))
+    span = hi - lo + 1
+    if span > _BOOK_MAX_SPAN:
+        return None
+    bq = np.zeros(span, dtype=np.int64)
+    bep = np.zeros(span, dtype=np.int64)
+    aq = np.zeros(span, dtype=np.int64)
+    aep = np.zeros(span, dtype=np.int64)
+    for l, q in bids.items():
+        bq[l - lo] = q
+        bep[l - lo] = 1
+    for l, q in asks.items():
+        aq[l - lo] = q
+        aep[l - lo] = 1
+    st = np.array([
+        1,  # epoch (zeroed ep arrays are invalid at epoch 1)
+        max(bids) if bids else BOOK_NONE,
+        min(asks) if asks else BOOK_NONE,
+        len(bids), len(asks),
+    ], dtype=np.int64)
+    outs = [np.empty(n, dtype=np.int64) for _ in range(6)]
+    snap8 = np.ascontiguousarray(is_snap, dtype=np.int8)
+    bid8 = np.ascontiguousarray(is_bid, dtype=np.int8)
+    pi = ctypes.POINTER(ctypes.c_longlong)
+    pc = ctypes.POINTER(ctypes.c_byte)
+    lib.book_fold(
+        snap8.ctypes.data_as(pc), bid8.ctypes.data_as(pc),
+        lvl.ctypes.data_as(pi), qd.ctypes.data_as(pi),
+        ctypes.c_longlong(n), ctypes.c_longlong(lo), ctypes.c_longlong(span),
+        bq.ctypes.data_as(pi), bep.ctypes.data_as(pi),
+        aq.ctypes.data_as(pi), aep.ctypes.data_as(pi),
+        st.ctypes.data_as(pi),
+        *[o.ctypes.data_as(pi) for o in outs],
+    )
+    epoch = int(st[0])
+    bidx = np.flatnonzero(bep == epoch)
+    aidx = np.flatnonzero(aep == epoch)
+    bids2 = dict(zip((bidx + lo).tolist(), bq[bidx].tolist()))
+    asks2 = dict(zip((aidx + lo).tolist(), aq[aidx].tolist()))
+    return (*outs, bids2, asks2)
 
 
 def ewma_hl(ts: np.ndarray, x: np.ndarray, hl: float) -> np.ndarray:
