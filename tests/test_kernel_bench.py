@@ -125,6 +125,78 @@ def test_book_fold_c_throughput():
     assert rate > 2_000_000, f"expected >2M msg/s, got {rate:,.0f}"
 
 
+def _tw_median_naive(ts, v):
+    """The per-row argsort walk (the r2 kernel) — executable spec."""
+    n = len(v)
+    med = np.empty(n)
+    wdiff = np.diff(np.asarray(ts, dtype=np.int64)).astype(np.float64)
+    for i in range(n):
+        vv, ww = v[:i], wdiff[:i]
+        mask = ww > 0
+        vv, ww = vv[mask], ww[mask]
+        if len(vv) == 0:
+            med[i] = v[i]
+        else:
+            order = np.argsort(vv, kind="mergesort")
+            vv, ww = vv[order], ww[order]
+            c = np.cumsum(ww)
+            half = c[-1] / 2.0
+            k = int(np.searchsorted(c, half))
+            med[i] = vv[min(k, len(vv) - 1)]
+    return med
+
+
+def test_tw_median_fenwick_bitwise_vs_naive():
+    """The Fenwick C kernel must reproduce the argsort walk bitwise —
+    including zero-gap bursts (w=0 exclusions) and duplicate values."""
+    from wingfoil_spark.operators import _ckernels
+
+    if _ckernels._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(3)
+    n = 4_000
+    ts = np.cumsum(rng.integers(0, 3, n) * 1_000_000).astype(np.int64)  # ~1/3 zero gaps
+    v = np.round(rng.normal(100, 10, n), 2)
+    v[50:60] = v[50]  # duplicate-value run
+    fast = _ckernels.tw_median_cum(ts, v)
+    slow = _tw_median_naive(ts, v)
+    assert np.array_equal(fast, slow), "Fenwick median diverged from argsort walk"
+    # tiny edges
+    for k in (0, 1, 2):
+        f = _ckernels.tw_median_cum(ts[:k], v[:k])
+        s = _tw_median_naive(ts[:k], v[:k])
+        assert np.array_equal(f, s), f"edge n={k}"
+
+
+def test_tw_median_fenwick_speedup_deep_key():
+    """The scale motivation: a 50k-row key. The argsort walk is
+    O(n^2 log n); the Fenwick kernel must be >=20x faster there."""
+    from wingfoil_spark.operators import _ckernels
+
+    if _ckernels._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(5)
+    n = 50_000
+    ts = np.cumsum(rng.integers(1, 4_000_000, n)).astype(np.int64)
+    v = np.round(rng.normal(100, 10, n), 2)
+    t0 = time.perf_counter()
+    fast = _ckernels.tw_median_cum(ts, v)
+    t_fast = time.perf_counter() - t0
+    m = 3_000  # naive on a prefix, extrapolate quadratically
+    t0 = time.perf_counter()
+    slow_prefix = _tw_median_naive(ts[:m], v[:m])
+    t_slow_prefix = time.perf_counter() - t0
+    assert np.array_equal(fast[:m], slow_prefix)
+    est_slow = t_slow_prefix * (n / m) ** 2
+    print(f"\ntw-median 50k-row key: fenwick {t_fast:.3f}s, "
+          f"argsort-walk est {est_slow:.1f}s ({est_slow / t_fast:.0f}x)")
+    assert est_slow / t_fast >= 20
+
+
 def test_ewma_kernel_bench():
     """VERDICT r2 item 4: >=10x on a 1M-row key (median of 3 runs each)."""
     rng = np.random.default_rng(11)

@@ -44,6 +44,61 @@ void ewma_hl(const double* ts, const double* x, double hl,
     }
 }
 
+/* Cumulative time-weighted median (reference *_median_time_weighted,
+   stats.rs:177-185): med[i] = weighted median of v[0..i-1] with in-effect
+   weights w[j] = ts[j+1]-ts[j] (w>0 only), seeded to v[i] while
+   weightless. Fenwick tree over value-ranks: O(n log n) per key instead
+   of the per-row argsort's O(n^2 log n).
+
+   BITWISE-equal to the argsort walk: weights are integer microseconds, so
+   every Fenwick partial sum is an exact integer in float64 (< 2^53) and
+   half = total/2 is exact; the smallest rank with prefix >= half is
+   always a positive-weight element, so descending with strict < exactly
+   reproduces numpy searchsorted(side='left') on the masked cumsum.
+
+   rank[i]: position of element i in the stable value-sort of v[0..m-1];
+   v_at_rank: values in that sorted order; m = n-1 insertable elements. */
+#include <stdlib.h>
+
+void tw_median_cum(const long long* rank, const double* w,
+                   const double* v_at_rank, const double* v,
+                   long long n, long long m, double* out) {
+    double* tree = (double*)calloc((size_t)(m + 1), sizeof(double));
+    if (tree == NULL && m > 0) { /* alloc failure: leave outputs as v[i] */
+        for (long long i = 0; i < n; i++) out[i] = v[i];
+        return;
+    }
+    long long LOG = 1;
+    while ((LOG << 1) <= m) LOG <<= 1;
+    double total = 0.0;
+    long long cnt = 0;
+    for (long long i = 0; i < n; i++) {
+        if (cnt == 0) {
+            out[i] = v[i];
+        } else {
+            double half = total / 2.0;
+            long long pos = 0;
+            double rem = half;
+            for (long long bit = LOG; bit > 0; bit >>= 1) {
+                long long nxt = pos + bit;
+                if (nxt <= m && tree[nxt] < rem) {
+                    pos = nxt;
+                    rem -= tree[nxt];
+                }
+            }
+            long long p = (pos < m) ? pos : m - 1;
+            out[i] = v_at_rank[p];
+        }
+        if (i < n - 1 && w[i] > 0.0) {
+            total += w[i];
+            cnt++;
+            for (long long k = rank[i] + 1; k <= m; k += k & (-k))
+                tree[k] += w[i];
+        }
+    }
+    free(tree);
+}
+
 /* Order-book fold over one batch (semantics identical to the Python walk
    in operators/market.py:order_book_step — integer-exact, so the two
    paths are differentially testable bit-for-bit).
@@ -165,6 +220,12 @@ def _load() -> ctypes.CDLL | None:
              ctypes.c_longlong] + [pi] * 11
         )
         lib.book_fold.restype = None
+        pdbl = ctypes.POINTER(ctypes.c_double)
+        lib.tw_median_cum.argtypes = [
+            pi, pdbl, pdbl, pdbl,
+            ctypes.c_longlong, ctypes.c_longlong, pdbl,
+        ]
+        lib.tw_median_cum.restype = None
         _lib = lib
     except Exception:
         _lib = None  # no compiler / sandboxed exec: Python fallback
@@ -236,6 +297,37 @@ def book_fold(is_snap: np.ndarray, is_bid: np.ndarray, lvl: np.ndarray,
     bids2 = dict(zip((bidx + lo).tolist(), bq[bidx].tolist()))
     asks2 = dict(zip((aidx + lo).tolist(), aq[aidx].tolist()))
     return (*outs, bids2, asks2)
+
+
+def tw_median_cum(ts: np.ndarray, v: np.ndarray):
+    """Cumulative time-weighted median per row via the C Fenwick kernel.
+    Returns the med array, or None when no compiler is available (caller
+    falls back to the per-row argsort walk — same bits, O(n^2 log n))."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(v)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    m = n - 1
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    w = np.diff(np.asarray(ts, dtype=np.int64)).astype(np.float64)
+    order = np.argsort(v[:m], kind="mergesort")
+    rank = np.empty(m, dtype=np.int64)
+    rank[order] = np.arange(m, dtype=np.int64)
+    v_at_rank = np.ascontiguousarray(v[:m][order])
+    w = np.ascontiguousarray(w)
+    rank = np.ascontiguousarray(rank)
+    pi = ctypes.POINTER(ctypes.c_longlong)
+    pdbl = ctypes.POINTER(ctypes.c_double)
+    lib.tw_median_cum(
+        rank.ctypes.data_as(pi), w.ctypes.data_as(pdbl),
+        v_at_rank.ctypes.data_as(pdbl), v.ctypes.data_as(pdbl),
+        ctypes.c_longlong(n), ctypes.c_longlong(m),
+        out.ctypes.data_as(pdbl),
+    )
+    return out
 
 
 def ewma_hl(ts: np.ndarray, x: np.ndarray, hl: float) -> np.ndarray:

@@ -353,28 +353,38 @@ def _tw_profile_kernel(ts: np.ndarray, v: np.ndarray, window_ns: int):
     n = len(ts)
     mean = np.empty(n)
     var = np.empty(n)
-    med = np.empty(n)
-    if n:
-        tsl, vcl = ts.tolist(), vc.tolist()
-        P1 = [0] * (n + 1)
-        P2 = [0] * (n + 1)
-        for k in range(n - 1):
-            w = tsl[k + 1] - tsl[k]
-            P1[k + 1] = P1[k] + vcl[k] * w
-            P2[k + 1] = P2[k] + vcl[k] * vcl[k] * w
+    if n == 0:
+        return mean, var, np.empty(0)
+    tsl, vcl = ts.tolist(), vc.tolist()
+    P1 = [0] * (n + 1)
+    P2 = [0] * (n + 1)
+    for k in range(n - 1):
+        w = tsl[k + 1] - tsl[k]
+        P1[k + 1] = P1[k] + vcl[k] * w
+        P2[k + 1] = P2[k] + vcl[k] * vcl[k] * w
+    for i in range(n):
+        t0 = max(tsl[0], tsl[i] - window_ns)
+        j = int(np.searchsorted(ts, t0, side="right")) - 1
+        span = tsl[i] - t0
+        if span <= 0:
+            mean[i], var[i] = v[i], 0.0
+        else:
+            i1 = P1[i] - (P1[j] + vcl[j] * (t0 - tsl[j]))
+            m = float(i1) / float(span * 100)
+            i2 = P2[i] - (P2[j] + vcl[j] * vcl[j] * (t0 - tsl[j]))
+            mean[i] = m
+            var[i] = max(float(i2) / float(span * 10000) - m * m, 0.0)
+
+    # cumulative weighted median: C Fenwick kernel (O(n log n) per key,
+    # bitwise == the argsort walk — see _ckernels.tw_median_cum), falling
+    # back to the per-row argsort walk when no compiler is available
+    from wingfoil_spark.operators import _ckernels
+
+    med = _ckernels.tw_median_cum(ts, v)
+    if med is None:
+        med = np.empty(n)
         wdiff = np.diff(ts).astype(np.float64)
         for i in range(n):
-            t0 = max(tsl[0], tsl[i] - window_ns)
-            j = int(np.searchsorted(ts, t0, side="right")) - 1
-            span = tsl[i] - t0
-            if span <= 0:
-                mean[i], var[i] = v[i], 0.0
-            else:
-                i1 = P1[i] - (P1[j] + vcl[j] * (t0 - tsl[j]))
-                m = float(i1) / float(span * 100)
-                i2 = P2[i] - (P2[j] + vcl[j] * vcl[j] * (t0 - tsl[j]))
-                mean[i] = m
-                var[i] = max(float(i2) / float(span * 10000) - m * m, 0.0)
             vv, ww = v[:i], wdiff[:i]
             mask = ww > 0
             vv, ww = vv[mask], ww[mask]
