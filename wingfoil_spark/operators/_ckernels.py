@@ -99,6 +99,60 @@ void tw_median_cum(const long long* rank, const double* w,
     free(tree);
 }
 
+/* Trailing-duration time-weighted mean/var (stats.rs:154-162): exact
+   integer integrals (value-cents x in-effect microseconds) over the
+   clipped window [ts_i - W, ts_i], converted to double only at the final
+   division — identical bits to the Python big-int prefix walk because the
+   WINDOWED sums fit int64 (vc<=~1e6 cents, window span <=~4e9 us -> i1 <=
+   ~4e15, i2 <= ~4e17 < 2^63) and (double)(long long) rounds nearest-even
+   exactly like Python float(int). Two-pointer sliding sums, O(n) total. */
+void tw_mean_var(const long long* ts, const long long* vc, const double* v,
+                 long long n, long long window,
+                 double* o_mean, double* o_var) {
+    /* Sliding sums run in UNSIGNED 64-bit: a single boundary interval can
+       span the whole history (vc^2 * gap may exceed 2^63), but modular
+       arithmetic is exact as long as the FINAL windowed integrals fit
+       int64 — the Python wrapper guards vc_max^2 * window < 2^62 and
+       falls back to the big-int walk otherwise. */
+    long long j = 0;
+    unsigned long long S1 = 0, S2 = 0; /* sums over k in [j, i-1], mod 2^64 */
+    for (long long i = 0; i < n; i++) {
+        if (i > 0) {
+            unsigned long long w = (unsigned long long)(ts[i] - ts[i - 1]);
+            unsigned long long c = (unsigned long long)vc[i - 1];
+            S1 += c * w;
+            S2 += c * c * w;
+        }
+        long long t0 = ts[i] - window;
+        if (t0 < ts[0]) t0 = ts[0];
+        /* advance j to the last index with ts[j] <= t0 (searchsorted
+           'right' minus 1); evict whole intervals left of j */
+        while (j + 1 < n && ts[j + 1] <= t0) {
+            unsigned long long w = (unsigned long long)(ts[j + 1] - ts[j]);
+            unsigned long long c = (unsigned long long)vc[j];
+            S1 -= c * w;
+            S2 -= c * c * w;
+            j++;
+        }
+        long long span = ts[i] - t0;
+        if (span <= 0) {
+            o_mean[i] = v[i];
+            o_var[i] = 0.0;
+        } else {
+            unsigned long long clip = (unsigned long long)(t0 - ts[j]);
+            unsigned long long c = (unsigned long long)vc[j];
+            long long i1 = (long long)(S1 - c * clip);
+            long long i2 = (long long)(S2 - c * c * clip);
+            double m = (double)i1 / (double)(span * 100);
+            double var = (double)i2 / (double)(span * 10000) - m * m;
+            o_mean[i] = m;
+            /* (var >= 0.0) ? var : 0.0 == Python max(var, 0.0) including
+               the -0.0 case (max returns its FIRST arg on ties) */
+            o_var[i] = (var >= 0.0) ? var : 0.0;
+        }
+    }
+}
+
 /* Order-book fold over one batch (semantics identical to the Python walk
    in operators/market.py:order_book_step — integer-exact, so the two
    paths are differentially testable bit-for-bit).
@@ -226,6 +280,11 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_longlong, ctypes.c_longlong, pdbl,
         ]
         lib.tw_median_cum.restype = None
+        lib.tw_mean_var.argtypes = [
+            pi, pi, pdbl,
+            ctypes.c_longlong, ctypes.c_longlong, pdbl, pdbl,
+        ]
+        lib.tw_mean_var.restype = None
         _lib = lib
     except Exception:
         _lib = None  # no compiler / sandboxed exec: Python fallback
@@ -297,6 +356,36 @@ def book_fold(is_snap: np.ndarray, is_bid: np.ndarray, lvl: np.ndarray,
     bids2 = dict(zip((bidx + lo).tolist(), bq[bidx].tolist()))
     asks2 = dict(zip((aidx + lo).tolist(), aq[aidx].tolist()))
     return (*outs, bids2, asks2)
+
+
+def tw_mean_var(ts: np.ndarray, vc: np.ndarray, v: np.ndarray,
+                window: int):
+    """Clipped trailing-window time-weighted mean/var via the C two-pointer
+    kernel. Returns (mean, var) or None when no compiler is available OR
+    the exact windowed integral could exceed int64 (vc_max^2 * window >=
+    2^62) — caller falls back to the Python big-int walk, same bits."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(v)
+    if n == 0:
+        return np.empty(0), np.empty(0)
+    vc_max = int(np.abs(vc).max())
+    if vc_max * vc_max * int(window) >= (1 << 62):
+        return None
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    vc = np.ascontiguousarray(vc, dtype=np.int64)
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    o_mean = np.empty(n, dtype=np.float64)
+    o_var = np.empty(n, dtype=np.float64)
+    pi = ctypes.POINTER(ctypes.c_longlong)
+    pdbl = ctypes.POINTER(ctypes.c_double)
+    lib.tw_mean_var(
+        ts.ctypes.data_as(pi), vc.ctypes.data_as(pi), v.ctypes.data_as(pdbl),
+        ctypes.c_longlong(n), ctypes.c_longlong(int(window)),
+        o_mean.ctypes.data_as(pdbl), o_var.ctypes.data_as(pdbl),
+    )
+    return o_mean, o_var
 
 
 def tw_median_cum(ts: np.ndarray, v: np.ndarray):

@@ -270,12 +270,23 @@ def time_windowed_time_weighted(
     ts_col = s.ts
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from wingfoil_spark.operators import _ckernels
+
         ts = pdf[ts_col].to_numpy(dtype=np.int64)
         v = pdf[col].to_numpy(dtype=np.float64)
         vc = np.rint(v * 100).astype(np.int64)  # exact cents (2-decimal data)
         n = len(ts)
         res = np.empty(n)
-        if n:
+        mv = _ckernels.tw_mean_var(ts, vc, v, window_ns) if n else None
+        if mv is not None:
+            mean_a, var_a = mv
+            if stat == "mean":
+                res = mean_a
+            elif stat == "var":
+                res = var_a
+            else:
+                res = np.sqrt(var_a)
+        elif n:
             tsl, vcl = ts.tolist(), vc.tolist()  # python ints: exact, unbounded
             P1 = [0] * (n + 1)
             P2 = [0] * (n + 1)
@@ -355,25 +366,33 @@ def _tw_profile_kernel(ts: np.ndarray, v: np.ndarray, window_ns: int):
     var = np.empty(n)
     if n == 0:
         return mean, var, np.empty(0)
-    tsl, vcl = ts.tolist(), vc.tolist()
-    P1 = [0] * (n + 1)
-    P2 = [0] * (n + 1)
-    for k in range(n - 1):
-        w = tsl[k + 1] - tsl[k]
-        P1[k + 1] = P1[k] + vcl[k] * w
-        P2[k + 1] = P2[k] + vcl[k] * vcl[k] * w
-    for i in range(n):
-        t0 = max(tsl[0], tsl[i] - window_ns)
-        j = int(np.searchsorted(ts, t0, side="right")) - 1
-        span = tsl[i] - t0
-        if span <= 0:
-            mean[i], var[i] = v[i], 0.0
-        else:
-            i1 = P1[i] - (P1[j] + vcl[j] * (t0 - tsl[j]))
-            m = float(i1) / float(span * 100)
-            i2 = P2[i] - (P2[j] + vcl[j] * vcl[j] * (t0 - tsl[j]))
-            mean[i] = m
-            var[i] = max(float(i2) / float(span * 10000) - m * m, 0.0)
+    # mean/var: C two-pointer sliding-integral kernel (O(n), int64-exact
+    # within its guard), falling back to the Python big-int prefix walk
+    from wingfoil_spark.operators import _ckernels
+
+    mv = _ckernels.tw_mean_var(ts, vc, v, window_ns)
+    if mv is not None:
+        mean, var = mv
+    else:
+        tsl, vcl = ts.tolist(), vc.tolist()
+        P1 = [0] * (n + 1)
+        P2 = [0] * (n + 1)
+        for k in range(n - 1):
+            w = tsl[k + 1] - tsl[k]
+            P1[k + 1] = P1[k] + vcl[k] * w
+            P2[k + 1] = P2[k] + vcl[k] * vcl[k] * w
+        for i in range(n):
+            t0 = max(tsl[0], tsl[i] - window_ns)
+            j = int(np.searchsorted(ts, t0, side="right")) - 1
+            span = tsl[i] - t0
+            if span <= 0:
+                mean[i], var[i] = v[i], 0.0
+            else:
+                i1 = P1[i] - (P1[j] + vcl[j] * (t0 - tsl[j]))
+                m = float(i1) / float(span * 100)
+                i2 = P2[i] - (P2[j] + vcl[j] * vcl[j] * (t0 - tsl[j]))
+                mean[i] = m
+                var[i] = max(float(i2) / float(span * 10000) - m * m, 0.0)
 
     # cumulative weighted median: C Fenwick kernel (O(n log n) per key,
     # bitwise == the argsort walk — see _ckernels.tw_median_cum), falling
