@@ -112,6 +112,47 @@ def test_delay_fires_without_new_key_input(spark, events_pdf):
         assert n_got == n_exp > 0, f"user {uid}: {n_got}/{n_exp} deliveries"
 
 
+def test_delay_timer_random_splits(spark, events_pdf):
+    """Property: ANY time-ordered micro-batch partitioning yields the same
+    deliveries (the step only assumes per-key arrival order, which sorted
+    chunk boundaries preserve). Three random 6-way splits."""
+    import numpy as np
+
+    from wingfoil_spark.streaming.twins import delay_timer_op
+
+    base = events_pdf[["user_id", "ts_us", "value"]]
+    expected = (
+        base.assign(ts_us=base["ts_us"] + DELAY)
+        .drop_duplicates().sort_values(["user_id", "ts_us", "value"])
+        .reset_index(drop=True)
+    )
+    t_far = int(base["ts_us"].max()) + 2 * DELAY
+    sent1 = pd.DataFrame({"user_id": [0], "ts_us": [t_far], "value": [0.0]})
+    sent2 = pd.DataFrame({"user_id": [0], "ts_us": [t_far + 1000], "value": [0.0]})
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        cuts = sorted(rng.integers(1, len(base), 5).tolist())
+        bounds = [0] + cuts + [len(base)]
+        srt = base.sort_values(["ts_us"]).reset_index(drop=True)
+        chunks = [srt.iloc[bounds[i]:bounds[i + 1]] for i in range(6)]
+        chunks = [c for c in chunks if len(c)] + [sent1, sent2]
+        op = delay_timer_op(
+            DELAY, "ts_us", ["value"], ["user_id"],
+            out_schema="user_id long, ts_us long, value double",
+        )
+        streamed = _run_files(
+            spark, op, chunks, "user_id long, ts_us long, value double",
+            name=f"delay_rs_{seed}",
+        )
+        got = (
+            streamed[streamed["ts_us"] < t_far][["user_id", "ts_us", "value"]]
+            .drop_duplicates().sort_values(["user_id", "ts_us", "value"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(expected), f"seed {seed}: split-dependent delivery"
+
+
 def test_delay_with_reset_timer_duality(spark, events_pdf):
     """Timer-cancel op under watermark firing == the batch timer walk.
     Sources = click values, triggers = purchases; sentinels on key 0 only."""

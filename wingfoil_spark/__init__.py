@@ -12,8 +12,11 @@ wingfoil-io/wingfoil (a Rust graph-based stream processor, studied at
 - Historical replay = deterministic batch over event-time-ordered data;
   RealTime = the same transform bound to ``readStream``
   (``crates/wingfoil/src/runtime/run.rs:16-29`` run-mode duality).
-- Engine time is int64 nanoseconds (``NanoTime``,
-  ``crates/wingfoil/src/runtime/time.rs:38``) — kept as LongType.
+- Engine time is an int64 LongType in a caller-defined unit (the reference
+  is nanoseconds throughout — ``NanoTime``,
+  ``crates/wingfoil/src/runtime/time.rs:38``; ``events_stream`` uses
+  microseconds to match DuckDB's ``epoch_us`` exactly — see
+  ``stream.py``'s unit contract).
 
 Everything here derives from public knowledge only: the Apache Spark API and
 the reference repo's observable behavior.
@@ -29,6 +32,7 @@ from wingfoil_spark.sources.tables import (
     ticker,
 )
 from wingfoil_spark.streaming.stateful import KeyedStateOp, with_close
+from wingfoil_spark.streaming.twins import EventTimeTimerOp
 
 __all__ = [
     "Stream",
@@ -41,6 +45,7 @@ __all__ = [
     "ticker",
     "KeyedStateOp",
     "with_close",
+    "EventTimeTimerOp",
 ]
 
 __version__ = "0.1.0"
