@@ -53,3 +53,36 @@ def test_filter_none_drops_nulls(spark):
     s = Stream(df, ts="ts_us", seq="event_id", keys=("user_id",))
     out = [r.event_id for r in s.filter_none("value").df.collect()]
     assert sorted(out) == [1, 3]
+
+
+def test_fluent_delegations(spark, sf_dir):
+    """Every kernel/analysis operator is reachable as a fluent Stream
+    method (reference StreamOps/StatisticsOps/augurs trait parity) and
+    returns the same result as the module operator."""
+    import pyspark.sql.functions as F
+
+    from wingfoil_spark.operators.stateful import drop_small_change
+    from wingfoil_spark.sources.tables import load_table, ts_us_expr
+    from wingfoil_spark.stream import Stream
+
+    ev = load_table(spark, sf_dir, "events")
+    s = Stream(
+        ev.select("user_id", ts_us_expr(ev).alias("ts_us"), "event_id", "value")
+        .where(F.col("user_id") < 5),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    a = s.drop_small_change("value", 25.0).df.orderBy("user_id", "ts_us").collect()
+    b = drop_small_change(s, "value", 25.0).df.orderBy("user_id", "ts_us").collect()
+    assert a == b and len(a) > 0
+
+    assert s.throttle_exact(3600_000_000).df.count() > 0
+    assert "forecast" in s.forecast("value").df.columns
+    assert "shift_score" in s.changepoint("value").df.columns
+    assert "outlier_score" in s.outlier("value").df.columns
+    assert {"tw_mean", "tw_var", "tw_median"} <= set(
+        s.time_weighted_profile("value", 3600_000_000).df.columns
+    )
+    assert s.seasons("value").count() > 0
+    assert {"key_a", "key_b", "dtw"} <= set(s.dtw_distances("value").columns)
+    acc = s.fold_pandas(lambda acc, row: acc + row["value"], 0.0, out="tot")
+    assert "tot" in acc.df.columns

@@ -618,6 +618,89 @@ class Stream:
         from wingfoil_spark.operators.stateful import ewma
         return ewma(self, col, alpha=alpha, half_life_ns=half_life_ns, out=out)
 
+    # Fluent delegations to the kernel/analysis operators — the reference
+    # exposes these as stream methods (StreamOps / StatisticsOps /
+    # MarketBookOps / the augurs adapter traits), so a switching user finds
+    # the same call shapes here. Each delegates to the module operator that
+    # owns the semantics.
+
+    def drop_small_change(self, col: str, tol: float) -> "Stream":
+        """Reference ``drop_small_change`` (fluent.rs:1022)."""
+        from wingfoil_spark.operators.stateful import drop_small_change
+        return drop_small_change(self, col, tol)
+
+    def throttle_exact(self, interval_ns: int) -> "Stream":
+        """Timer-accurate throttle (reference ``throttle``, fluent.rs:982);
+        the bucketed batch analog is :meth:`throttle`."""
+        from wingfoil_spark.operators.stateful import throttle_exact
+        return throttle_exact(self, interval_ns)
+
+    def delay_with_reset(self, delay_ns: int, trigger: "Stream",
+                         value_cols: list[str] | None = None,
+                         strategy: str = "relational") -> "Stream":
+        """Reference ``delay_with_reset`` (fluent.rs:1060)."""
+        from wingfoil_spark.operators.stateful import delay_with_reset
+        return delay_with_reset(self, delay_ns, trigger,
+                                value_cols=value_cols, strategy=strategy)
+
+    def fold_pandas(self, fn: Callable, init, out: str = "acc",
+                    cols: list[str] | None = None, dtype=None) -> "Stream":
+        """Arbitrary-closure fold (reference ``fold``, fluent.rs:816)."""
+        from pyspark.sql import types as T
+
+        from wingfoil_spark.operators.stateful import fold_pandas
+        return fold_pandas(self, fn, init, out, cols=cols,
+                           dtype=dtype or T.DoubleType())
+
+    def time_weighted_profile(self, col: str, window_ns: int) -> "Stream":
+        """Fused time-weighted mean/var/median (stats.rs:154-185)."""
+        from wingfoil_spark.operators.stateful import time_weighted_profile
+        return time_weighted_profile(self, col, window_ns)
+
+    def outlier(self, col: str, window_n: int = 21, thresh: float = 3.5,
+                out: str = "outlier_score") -> "Stream":
+        """Reference ``augurs_outlier`` (augurs.rs:636)."""
+        from wingfoil_spark.operators.analysis import mad_outlier
+        return mad_outlier(self, col, window_n=window_n, thresh=thresh, out=out)
+
+    def changepoint(self, col: str, half_n: int = 10,
+                    out: str = "shift_score") -> "Stream":
+        """Reference ``augurs_changepoint`` (augurs.rs:768)."""
+        from wingfoil_spark.operators.analysis import mean_shift_changepoint
+        return mean_shift_changepoint(self, col, half_n=half_n, out=out)
+
+    def forecast(self, col: str, window_n: int = 20, horizon: int = 1,
+                 out: str = "forecast") -> "Stream":
+        """Reference ``augurs_forecast`` (augurs.rs:441)."""
+        from wingfoil_spark.operators.analysis import linear_forecast
+        return linear_forecast(self, col, window_n=window_n,
+                               horizon=horizon, out=out)
+
+    def seasons(self, col: str, max_period: int | None = None):
+        """Reference ``augurs_seasons`` (augurs.rs:893); returns a
+        DataFrame (one row per key)."""
+        from wingfoil_spark.operators.analysis import detect_seasons
+        return detect_seasons(self, col, max_period=max_period)
+
+    def dtw_distances(self, col: str, resample_to: int = 32):
+        """Reference ``augurs_dtw`` (augurs.rs:1038); returns the pairwise
+        distance DataFrame."""
+        from wingfoil_spark.operators.analysis import dtw_distances
+        return dtw_distances(self, col, resample_to=resample_to)
+
+    def order_book(self) -> "Stream":
+        """Fold a BookUpdate-shaped stream (kind/side/level/qty_delta) into
+        per-instrument top-of-book (reference ``order_book``,
+        market.rs:1227)."""
+        from wingfoil_spark.operators.market import order_book
+        return order_book(self)
+
+    def book_feed(self) -> "Stream":
+        """The full feed-handler book (market_adapter.rs:94-219) over a
+        feed-update stream; one row per ticked instant."""
+        from wingfoil_spark.operators.market import book_feed
+        return book_feed(self)
+
     # ------------------------------------------------------------------ sinks
 
     def collect_ordered(self):
