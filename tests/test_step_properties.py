@@ -159,3 +159,92 @@ def test_order_book_step_matches_naive_model(updates, cuts):
         assert r["n_ask_levels"] == len(asks)
         if bb is not None:
             assert r["bid_qty"] == bids[bb]
+
+
+@settings(max_examples=50, deadline=None)
+@given(events, st.lists(st.integers(1, 39), max_size=3))
+def test_range_stats_step_chunking_and_model(rows, cuts):
+    """range_stats_step: chunking-invariant (instant-boundary splits) and
+    equal to a naive per-row window model over ts in [t-W, t]."""
+    from wingfoil_spark.streaming.twins import range_stats_step
+
+    W = 10
+    rows = sorted(rows)
+    pdf = pd.DataFrame(
+        [(1, t, i, round(v, 2)) for i, (t, _, v) in enumerate(rows)],
+        columns=["k", "ts", "seq", "v"],
+    )
+    step = range_stats_step("v", W, "ts", "seq", ["k"])
+    _, whole = step(None, pdf)
+    ts_sorted = pdf["ts"].to_numpy()
+    cuts = [c for c in cuts if c < len(pdf) and ts_sorted[c - 1] != ts_sorted[c]]
+    chunked = _run_chunked(step, None, pdf, cuts)
+    assert len(whole) == len(chunked) == len(pdf)
+    for c in ("st_sum", "st_mean", "st_min", "st_max", "st_median"):
+        a = whole[c].to_numpy(dtype=float)
+        b = chunked[c].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    # naive model
+    for i in range(len(pdf)):
+        t = pdf["ts"].iloc[i]
+        frame = pdf[(pdf["ts"] >= t - W) & (pdf["ts"] <= t)]["v"]
+        assert abs(whole["st_sum"].iloc[i] - frame.sum()) < 1e-6
+        assert whole["st_min"].iloc[i] == frame.min()
+        assert whole["st_max"].iloc[i] == frame.max()
+
+
+@settings(max_examples=50, deadline=None)
+@given(events, st.lists(st.integers(1, 39), max_size=3))
+def test_buffer_step_chunking_and_model(rows, cuts):
+    """buffer_step: complete groups are chunking-invariant and match the
+    naive capacity-grouped model; the pending partial carries in state."""
+    from wingfoil_spark.streaming.twins import buffer_step
+
+    CAP = 4
+    rows = sorted(rows)
+    pdf = pd.DataFrame(
+        [(1, t, i, round(v, 2)) for i, (t, _, v) in enumerate(rows)],
+        columns=["k", "ts", "seq", "v"],
+    )
+    step = buffer_step(CAP, "v", "ts", "seq", ["k"])
+    st1, whole = step(None, pdf)
+    chunked = _run_chunked(step, None, pdf, cuts)
+    n_groups = len(pdf) // CAP
+    assert len(whole) == n_groups
+    assert len(chunked) == n_groups
+    if n_groups:
+        for c in ("b_sum", "b_mean", "b_min", "b_max", "b_count"):
+            assert (whole[c].to_numpy() == chunked[c].to_numpy()).all(), c
+        # naive model on the first group
+        g = pdf.sort_values(["ts", "seq"]).iloc[:CAP]["v"]
+        assert abs(whole["b_sum"].iloc[0] - g.sum()) < 1e-6
+        assert whole["b_count"].iloc[0] == CAP
+    assert len(st1) == len(pdf) % CAP  # pending partial
+
+
+@settings(max_examples=30, deadline=None)
+@given(events, st.lists(st.integers(1, 39), max_size=3))
+def test_tw_profile_step_chunking_invariant(rows, cuts):
+    """tw_profile_step re-runs the shared kernel on accumulated history —
+    output must be identical under any chunking (exact, not approximate)."""
+    from wingfoil_spark.streaming.twins import tw_profile_step
+
+    rows = sorted(rows)
+    # distinct ts per key (the kernel's documented precondition for the
+    # batch/stream tie: ties resolved by seq are not modeled ts-only)
+    seen, uniq = set(), []
+    for t, _, v in rows:
+        if t not in seen:
+            seen.add(t)
+            uniq.append((t, v))
+    pdf = pd.DataFrame(
+        [(1, t, round(v, 2)) for t, v in uniq], columns=["k", "ts", "v"]
+    )
+    step = tw_profile_step("v", 10, "ts", ["k"])
+    _, whole = step(None, pdf)
+    chunked = _run_chunked(step, None, pdf, cuts)
+    assert len(whole) == len(chunked) == len(pdf)
+    for c in ("tw_mean", "tw_var", "tw_median"):
+        a = whole[c].to_numpy(dtype=float)
+        b = chunked[c].to_numpy(dtype=float)
+        assert (a == b).all(), c
