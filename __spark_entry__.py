@@ -320,7 +320,9 @@ def _var_cols(s: Stream, w, prefix: str):
     s1 = F.sum(_vdec()).over(w).cast("double")
     s2 = F.sum((_vdec() * _vdec()).cast(DEC_V2)).over(w).cast("double")
     n = F.count(F.lit(1)).over(w).cast("double")
-    var = F.when(n > 1, F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0)))
+    # single-sample seed is 0.0, NOT SQL's NULL — the reference convention
+    # (statistics_rolling.rs:9-15, statistics_cumulative.rs:217-224)
+    var = F.when(n > 1, F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))).otherwise(F.lit(0.0))
     return {
         f"{prefix}_var": var,
         f"{prefix}_std": F.sqrt(var),
@@ -351,8 +353,8 @@ WITH ev AS ({EV_SQL}), base AS (
 )
 SELECT user_id, event_id, ts_us,
   s1 AS st_sum, s1 / n AS st_mean, mn AS st_min, mx AS st_max,
-  CASE WHEN n > 1 THEN greatest((s2 - s1*s1/n)/(n-1), 0.0) END AS st_var,
-  sqrt(CASE WHEN n > 1 THEN greatest((s2 - s1*s1/n)/(n-1), 0.0) END) AS st_std,
+  CASE WHEN n > 1 THEN greatest((s2 - s1*s1/n)/(n-1), 0.0) ELSE 0.0 END AS st_var,
+  sqrt(CASE WHEN n > 1 THEN greatest((s2 - s1*s1/n)/(n-1), 0.0) ELSE 0.0 END) AS st_std,
   (arr[CAST(floor((len(arr)+1)/2) AS INT)] + arr[CAST(floor(len(arr)/2)+1 AS INT)]) / 2 AS st_median
 FROM base"""
 

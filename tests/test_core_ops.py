@@ -20,7 +20,8 @@ def make(spark, data, schema="ts long, v double", **kw):
 
 def test_ticker_count(spark):
     s = ticker(spark, period_ns=10, n=5).count(out="n")
-    assert rows(s, "ts", "n") == [(10, 1), (20, 2), (30, 3), (40, 4), (50, 5)]
+    # first activation AT start (ops.rs:77-81; statistics_rolling.rs golden)
+    assert rows(s, "ts", "n") == [(0, 1), (10, 2), (20, 3), (30, 4), (40, 5)]
 
 
 def test_map_filter(spark):

@@ -1,0 +1,226 @@
+"""Golden replay of the reference's statistics test suites
+(statistics_rolling.rs / statistics_cumulative.rs /
+statistics_time_windowed.rs): the SAME input series through our stats
+matrix must emit the reference's hand-pinned series value-by-value, and
+the same tick times.
+
+Conventions these goldens pin (statistics_rolling.rs:8-15):
+- var/std are SAMPLE (ddof=1) and seed to 0.0 (not NULL/NaN) below two
+  samples; std of a constant window is 0.0, never NaN;
+- a rows-window of 0 clamps to 1; a zero-width time window keeps only the
+  current sample;
+- median averages the two middle values on even windows;
+- stats ops tick once per upstream tick with NO seeding delay, at the
+  upstream's tick times (ticker first activation AT start time,
+  ops.rs:77-81).
+"""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from wingfoil_spark.operators.stats import window_stat
+from wingfoil_spark.sources.tables import ticker
+from wingfoil_spark.stream import Stream
+
+
+def _counter(spark, n=5):
+    """ticker(100ns) → count → f64: values 1..n at ts 0,100,...  —
+    statistics_rolling.rs:27-31 counter_f64."""
+    s = ticker(spark, period_ns=100, n=n)
+    return s.count(out="n").map(value=F.col("n").cast("double"))
+
+
+def _non_monotonic(spark, n=8):
+    """(n*7)%13 → 7,1,8,2,9,3,10,4 (statistics_rolling.rs:34-39)."""
+    s = ticker(spark, period_ns=100, n=n)
+    return s.count(out="n").map(value=((F.col("n") * 7) % 13).cast("double"))
+
+
+def _series(stream, col):
+    return [r[col] for r in stream.df.orderBy("ts").collect()]
+
+
+def _approx(got, expected, tol=1e-10):
+    assert len(got) == len(expected), (got, expected)
+    for i, (g, e) in enumerate(zip(got, expected)):
+        assert abs(g - e) < tol, f"at {i}: got {g}, expected {e}"
+
+
+# ── statistics_rolling.rs ───────────────────────────────────────────────
+
+
+def test_rolling_min_max_counter(spark):
+    s = _counter(spark)
+    assert _series(window_stat(s, "value", "min", ("rows", 2), out="o"), "o") \
+        == [1.0, 1.0, 2.0, 3.0, 4.0]
+    assert _series(window_stat(s, "value", "max", ("rows", 2), out="o"), "o") \
+        == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_rolling_min_max_non_monotonic(spark):
+    s = _non_monotonic(spark)
+    assert _series(window_stat(s, "value", "min", ("rows", 3), out="o"), "o") \
+        == [7.0, 1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
+    assert _series(window_stat(s, "value", "max", ("rows", 3), out="o"), "o") \
+        == [7.0, 7.0, 8.0, 8.0, 9.0, 9.0, 10.0, 10.0]
+
+
+def test_rolling_var_std_counter(spark):
+    s = _counter(spark)
+    expected = [0.0, 0.5, 1.0, 1.0, 1.0]
+    _approx(_series(window_stat(s, "value", "var", ("rows", 3), out="o"), "o"), expected)
+    _approx(_series(window_stat(s, "value", "std", ("rows", 3), out="o"), "o"),
+            [math.sqrt(v) for v in expected])
+
+
+def test_rolling_std_of_constant_window_is_zero_not_nan(spark):
+    s = ticker(spark, period_ns=100, n=6).count(out="n").map(value=F.lit(7.0))
+    for v in _series(window_stat(s, "value", "std", ("rows", 3), out="o"), "o"):
+        assert v is not None and not math.isnan(v)
+        assert abs(v) < 1e-10
+
+
+def test_rolling_var_incremental_matches_direct_recompute(spark):
+    N, W = 200, 10
+    s = ticker(spark, period_ns=100, n=N).count(out="n").map(
+        value=((F.col("n") % 7).cast("double") * 1.5 - 3.0)
+    )
+    got = _series(window_stat(s, "value", "var", ("rows", W), out="o"), "o")[-1]
+    window = [((n % 7) * 1.5 - 3.0) for n in range(N - W + 1, N + 1)]
+    mean = sum(window) / W
+    expected = sum((v - mean) ** 2 for v in window) / (W - 1)
+    assert abs(got - expected) < 1e-9
+
+
+def test_rolling_median(spark):
+    s = _counter(spark)
+    assert _series(window_stat(s, "value", "median", ("rows", 3), out="o"), "o") \
+        == [1.0, 1.5, 2.0, 3.0, 4.0]
+    nm = _non_monotonic(spark, 5)
+    assert _series(window_stat(nm, "value", "median", ("rows", 3), out="o"), "o") \
+        == [7.0, 4.0, 7.0, 2.0, 8.0]
+
+
+def test_rolling_window_zero_clamps_to_one(spark):
+    s = _counter(spark)
+    identity = [1.0, 2.0, 3.0, 4.0, 5.0]
+    for stat, exp in (("min", identity), ("max", identity), ("median", identity),
+                      ("var", [0.0] * 5), ("std", [0.0] * 5)):
+        assert _series(window_stat(s, "value", stat, ("rows", 0), out="o"), "o") == exp, stat
+
+
+def test_rolling_min_tick_times_match_upstream(spark):
+    out = window_stat(_counter(spark), "value", "min", ("rows", 2), out="o").with_time()
+    rows = out.df.orderBy("ts").collect()
+    assert [r["time"] for r in rows] == [0, 100, 200, 300, 400]
+    assert [r["o"] for r in rows] == [1.0, 1.0, 2.0, 3.0, 4.0]
+
+
+# ── statistics_cumulative.rs ────────────────────────────────────────────
+
+
+def test_cumulative_sum_min_max(spark):
+    s = _counter(spark)
+    assert _series(window_stat(s, "value", "sum", ("cum",), out="o"), "o") \
+        == [1.0, 3.0, 6.0, 10.0, 15.0]
+    desc = ticker(spark, period_ns=100, n=5).count(out="n").map(
+        value=(6 - F.col("n")).cast("double"))
+    assert _series(window_stat(desc, "value", "min", ("cum",), out="o"), "o") \
+        == [5.0, 4.0, 3.0, 2.0, 1.0]
+    assert _series(window_stat(s, "value", "max", ("cum",), out="o"), "o") \
+        == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert _series(window_stat(s, "value", "min", ("cum",), out="o"), "o") \
+        == [1.0] * 5
+
+
+def test_cumulative_mean_var_std_median(spark):
+    s = _counter(spark)
+    _approx(_series(window_stat(s, "value", "mean", ("cum",), out="o"), "o"),
+            [1.0, 1.5, 2.0, 2.5, 3.0])
+    expected_var = [0.0, 0.5, 1.0, 5.0 / 3.0, 2.5]
+    _approx(_series(window_stat(s, "value", "var", ("cum",), out="o"), "o"), expected_var)
+    _approx(_series(window_stat(s, "value", "std", ("cum",), out="o"), "o"),
+            [math.sqrt(v) for v in expected_var])
+    _approx(_series(window_stat(s, "value", "median", ("cum",), out="o"), "o"),
+            [1.0, 1.5, 2.0, 2.5, 3.0])
+
+
+SEQUENCE = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+
+
+def _sequence(spark):
+    vals = F.array(*[F.lit(v) for v in SEQUENCE])
+    return ticker(spark, period_ns=100, n=len(SEQUENCE)).count(out="n").map(
+        value=F.element_at(vals, F.col("n").cast("int")))
+
+
+def test_cumulative_var_std_real_sequence_hand_computed(spark):
+    s = _sequence(spark)
+    got = _series(window_stat(s, "value", "var", ("cum",), out="o"), "o")[-1]
+    assert abs(got - 32.0 / 7.0) < 1e-10
+    got_std = _series(window_stat(s, "value", "std", ("cum",), out="o"), "o")[-1]
+    assert abs(got_std - math.sqrt(32.0 / 7.0)) < 1e-10
+
+
+def test_cumulative_median_real_sequence(spark):
+    s = _sequence(spark)
+    _approx(_series(window_stat(s, "value", "median", ("cum",), out="o"), "o"),
+            [2.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.5])
+
+
+def test_cumulative_var_is_zero_with_single_sample(spark):
+    s = _counter(spark, n=1)
+    assert _series(window_stat(s, "value", "var", ("cum",), out="o"), "o") == [0.0]
+
+
+def test_cumulative_sum_tick_times_match_upstream(spark):
+    out = window_stat(_counter(spark), "value", "sum", ("cum",), out="o").with_time()
+    rows = out.df.orderBy("ts").collect()
+    assert [r["time"] for r in rows] == [0, 100, 200, 300, 400]
+    assert [r["o"] for r in rows] == [1.0, 3.0, 6.0, 10.0, 15.0]
+
+
+# ── statistics_time_windowed.rs (WIN = 250ns over 100ns ticks) ──────────
+
+WIN = 250
+
+
+def test_time_windowed_counter_suite(spark):
+    s = _counter(spark)
+    assert _series(window_stat(s, "value", "sum", ("range", WIN), out="o"), "o") \
+        == [1.0, 3.0, 6.0, 9.0, 12.0]
+    _approx(_series(window_stat(s, "value", "mean", ("range", WIN), out="o"), "o"),
+            [1.0, 1.5, 2.0, 3.0, 4.0])
+    assert _series(window_stat(s, "value", "min", ("range", WIN), out="o"), "o") \
+        == [1.0, 1.0, 1.0, 2.0, 3.0]
+    assert _series(window_stat(s, "value", "max", ("range", WIN), out="o"), "o") \
+        == [1.0, 2.0, 3.0, 4.0, 5.0]
+    _approx(_series(window_stat(s, "value", "median", ("range", WIN), out="o"), "o"),
+            [1.0, 1.5, 2.0, 3.0, 4.0])
+
+
+def test_time_windowed_var_std_counter(spark):
+    s = _counter(spark)
+    # windows {1},{1,2},{1,2,3},{2,3,4},{3,4,5}: var 0,0.5,1,1,1
+    expected = [0.0, 0.5, 1.0, 1.0, 1.0]
+    _approx(_series(window_stat(s, "value", "var", ("range", WIN), out="o"), "o"), expected)
+    _approx(_series(window_stat(s, "value", "std", ("range", WIN), out="o"), "o"),
+            [math.sqrt(v) for v in expected])
+
+
+def test_time_windowed_zero_width_keeps_only_current(spark):
+    s = _counter(spark)
+    identity = [1.0, 2.0, 3.0, 4.0, 5.0]
+    for stat, exp in (("sum", identity), ("mean", identity), ("min", identity),
+                      ("max", identity), ("median", identity), ("var", [0.0] * 5)):
+        got = _series(window_stat(s, "value", stat, ("range", 0), out="o"), "o")
+        assert got == exp, stat
+
+
+def test_time_windowed_tick_times_match_upstream(spark):
+    out = window_stat(_counter(spark), "value", "min", ("range", WIN), out="o").with_time()
+    rows = out.df.orderBy("ts").collect()
+    assert [r["time"] for r in rows] == [0, 100, 200, 300, 400]
+    assert [r["o"] for r in rows] == [1.0, 1.0, 1.0, 2.0, 3.0]

@@ -13,8 +13,9 @@ from wingfoil_spark.sources.tables import constant, never, ticker
 def test_ticker_emits_n_ticks_with_period(spark):
     s = ticker(spark, period_ns=1000, n=5, start_ns=100)
     rows = sorted((r.ts, r.seq) for r in s.df.collect())
-    # first activation one period after start (reference ops.rs:40-83)
-    assert rows == [(1100, 1), (2100, 2), (3100, 3), (4100, 4), (5100, 5)]
+    # first activation AT start time (ops.rs:77-81 schedules start_time();
+    # tick-time golden statistics_rolling.rs:198-209: 0,100,...,400)
+    assert rows == [(100, 1), (1100, 2), (2100, 3), (3100, 4), (4100, 5)]
 
 
 def test_constant_ticks_once(spark):

@@ -204,7 +204,7 @@ def test_rolling_stats_duality(spark, typed_events):
     s1 = F.sum(dec).over(w).cast("double")
     s2 = F.sum(dec2).over(w).cast("double")
     cnt = F.count(F.lit(1)).over(w).cast("double")
-    var = F.when(cnt > 1, F.greatest((s2 - s1 * s1 / cnt) / (cnt - 1), F.lit(0.0)))
+    var = F.when(cnt > 1, F.greatest((s2 - s1 * s1 / cnt) / (cnt - 1), F.lit(0.0))).otherwise(F.lit(0.0))
     arr = F.sort_array(F.collect_list("value").over(w))
     n_ = F.size(arr)
     med = (F.element_at(arr, ((n_ + 1) / 2).cast("int")) + F.element_at(arr, (n_ / 2 + 1).cast("int"))) / 2
@@ -254,7 +254,7 @@ def test_range_stats_duality(spark, typed_events):
     s1 = F.sum(dec).over(w).cast("double")
     s2 = F.sum(dec2).over(w).cast("double")
     cnt = F.count(F.lit(1)).over(w).cast("double")
-    var = F.when(cnt > 1, F.greatest((s2 - s1 * s1 / cnt) / (cnt - 1), F.lit(0.0)))
+    var = F.when(cnt > 1, F.greatest((s2 - s1 * s1 / cnt) / (cnt - 1), F.lit(0.0))).otherwise(F.lit(0.0))
     arr = F.sort_array(F.collect_list("value").over(w))
     n_ = F.size(arr)
     med = (F.element_at(arr, ((n_ + 1) / 2).cast("int"))

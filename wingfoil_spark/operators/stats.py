@@ -13,8 +13,11 @@ Frame spec:
     ("cum",)       — since start         (reference cumulative_*, stats.rs:59)
 
 Weighting:
-    "tick" — every tick weighs 1. Var/std are sample-style (ddof=1), matching
-             the reference's rolling/cumulative tests.
+    "tick" — every tick weighs 1. Var/std are sample-style (ddof=1) and seed
+             to 0.0 (not SQL NULL) with a single sample, and a rows-window
+             of 0 clamps to 1 — both pinned by the reference's goldens
+             (statistics_rolling.rs:9-15,175-196; replayed in
+             tests/test_reference_stats_goldens.py).
     "time" — each sample weighted by the time it was *in effect* (left-
              continuous step signal: a sample contributes nothing until the
              next tick; the newest sample has weight 0). Var/std are
@@ -50,7 +53,10 @@ _TICK_AGGS = {
 def _frame_window(s: Stream, frame) -> tuple:
     kind = frame[0]
     if kind == "rows":
-        return s.w_rows(-(frame[1] - 1), 0), s.w_rows(-(frame[1] - 1), -1)
+        # a zero window clamps to one (the reference's window.max(1) —
+        # statistics_rolling.rs:175-196)
+        n = max(frame[1], 1)
+        return s.w_rows(-(n - 1), 0), s.w_rows(-(n - 1), -1)
     if kind == "range":
         return s.w_range(-frame[1], 0), None  # excl-current variant unused
     if kind == "cum":
@@ -90,7 +96,13 @@ def window_stat(
     if weighting == "tick":
         if stat == "median":
             return s.map(**{out: _exact_median(col, w)})
-        return s.map(**{out: _TICK_AGGS[stat](F.col(col)).over(w)})
+        expr = _TICK_AGGS[stat](F.col(col)).over(w)
+        if stat in ("var", "std"):
+            # single-sample seed is 0.0, NOT SQL's NULL — the reference
+            # convention (statistics_rolling.rs:9-15: "0.0 until at least
+            # two samples are present")
+            expr = F.coalesce(expr, F.lit(0.0))
+        return s.map(**{out: expr})
 
     if weighting != "time":
         raise ValueError(f"unknown weighting {weighting!r}")

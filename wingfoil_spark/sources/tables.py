@@ -117,9 +117,12 @@ def ticker(
     unlike :func:`events_stream`, whose ts_us is µs; see its unit note).
 
     Reference: ``ticker`` (fluent.rs:282, op at ops.rs:40-83). Historical
-    mode = ``spark.range`` with derived event time (first tick at
-    start+period, matching the reference's first-activation-after-one-period
-    behavior); RealTime mode = the rate source.
+    mode = ``spark.range`` with derived event time. The FIRST tick fires AT
+    the start time — the reference's ``start`` hook schedules
+    ``ctx.start_time()`` itself (ops.rs:77-81), so a 5-cycle run of
+    ``ticker(100ns)`` ticks at 0,100,...,400 (pinned by
+    statistics_rolling.rs:198-209's tick-time golden; the r2 ticker was off
+    by one period). RealTime mode = the rate source.
     """
     if streaming:
         per_sec = max(1, int(1e9 / period_ns))
@@ -134,7 +137,7 @@ def ticker(
         )
         return Stream(df, ts="ts", seq="seq")
     df = spark.range(1, n + 1).select(
-        (F.lit(start_ns) + F.col("id") * F.lit(period_ns)).alias("ts"),
+        (F.lit(start_ns) + (F.col("id") - 1) * F.lit(period_ns)).alias("ts"),
         F.col("id").alias("seq"),
     )
     return Stream(df, ts="ts", seq="seq")

@@ -164,11 +164,12 @@ def rolling_stats_step(
             cnt = len(hist)
             s1 = float(sum(cs)) / 100.0
             s2 = float(sum(c * c for c in cs)) / 10000.0
-            var = max((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0) if cnt > 1 else None
+            # single-sample var/std seed 0.0 (statistics_rolling.rs:9-15)
+            var = max((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0) if cnt > 1 else 0.0
             med = (vs[(cnt + 1) // 2 - 1] + vs[cnt // 2]) / 2
             out_rows.append(
                 (*[int(m) for m in meta[i]], v, s1, s1 / cnt, min(vs), max(vs),
-                 var, np.sqrt(var) if var is not None else None, med)
+                 var, np.sqrt(var), med)
             )
         out = pd.DataFrame(
             [(*keyvals, *r) for r in out_rows],
@@ -216,10 +217,10 @@ def range_stats_step(
             cnt = len(hist)
             s1 = float(sum(cs)) / 100.0
             s2 = float(sum(c * c for c in cs)) / 10000.0
-            var = max((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0) if cnt > 1 else None
+            # single-sample var/std seed 0.0 (statistics_rolling.rs:9-15)
+            var = max((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0) if cnt > 1 else 0.0
             med = (vs[(cnt + 1) // 2 - 1] + vs[cnt // 2]) / 2
-            row_stats = (s1, s1 / cnt, vs[0], vs[-1], var,
-                         np.sqrt(var) if var is not None else None, med)
+            row_stats = (s1, s1 / cnt, vs[0], vs[-1], var, np.sqrt(var), med)
             for r in range(i, j):
                 out_rows.append(
                     (*[int(m) for m in meta[r]], float(vals[r]), *row_stats)
