@@ -420,18 +420,38 @@ def q_stats_matrix(spark, sf_dir):
     )
 
 
-def _tw_cols(s: Stream, rows_frame: tuple | None):
+def _tw_cols(s: Stream, frame: tuple | None):
     """Time-weighted mean/var/std columns (stats.rs:130-150, semantics per
     tests/statistics_time_weighted.rs): weight = in-effect µs, current row
-    excluded, mean seeds to current value, population var."""
+    excluded, mean seeds to current value, population var. ``frame``:
+    None = cumulative, ("rows", n) = count window, ("range", µs) =
+    trailing-duration sample retention (the reference's time_windowed_*
+    eviction — whole intervals, no clipping; graded r3)."""
     wlead = s._w_plain()
     wdec = (F.lead("ts_us").over(wlead) - F.col("ts_us")).cast(DEC_W)
-    if rows_frame:
-        wa = s.w_rows(-(rows_frame[1] - 1), -1)
-    else:
-        wa = s.w_rows(Window.unboundedPreceding, -1)
     base = s.map(__w=wdec)
     wt = F.col("__w")
+    if frame and frame[0] == "range":
+        wa = base.w_range(-frame[1], 0)
+        w0 = F.coalesce(wt, F.lit(0).cast(DEC_W))
+        sw = (F.sum(wt).over(wa) - w0).cast("double")
+        swv = (F.sum(wt * _vdec()).over(wa) - w0 * _vdec()).cast("double")
+        swv2 = (
+            F.sum(wt * (_vdec() * _vdec()).cast(DEC_V2)).over(wa)
+            - w0 * (_vdec() * _vdec()).cast(DEC_V2)
+        ).cast("double")
+        v0 = F.col("value").cast("double")
+        mean = F.when(sw.isNull() | (sw == 0), v0).otherwise(swv / sw)
+        var = F.when(sw.isNull() | (sw == 0), F.lit(0.0)).otherwise(
+            F.greatest(swv2 / sw - (swv / sw) * (swv / sw), F.lit(0.0))
+        )
+        var_r = F.round(var, 6)
+        return base, {"tw_mean": F.round(mean, 6), "tw_var": var_r,
+                      "tw_std": F.sqrt(var_r)}
+    if frame:
+        wa = s.w_rows(-(frame[1] - 1), -1)
+    else:
+        wa = s.w_rows(Window.unboundedPreceding, -1)
     sw = F.sum(wt).over(wa).cast("double")
     swv = F.sum((wt * _vdec())).over(wa).cast("double")
     swv2 = F.sum((wt * (_vdec() * _vdec()).cast(DEC_V2))).over(wa).cast("double")
@@ -468,23 +488,28 @@ FROM agg"""
 
 
 def q_stats_tw(spark, sf_dir):
-    """Window-expressible time-weighted family (cumulative + rolling
-    frames). Both frames share one scan and one key shuffle: the two
-    window-frame aggregate sets evaluate side by side (same partition/
-    order → no extra sort), then stack() unpivots to the tagged rows — a
-    union formulation would re-scan and re-shuffle per branch."""
+    """Window-expressible time-weighted family (cumulative + rolling +
+    time-windowed frames — the last with the reference's sample-retention
+    eviction, statistics_time_weighted.rs / statistics_time_windowed.rs).
+    All frames share one scan and one key shuffle: the window-frame
+    aggregate sets evaluate side by side (same partition/order → no extra
+    sort), then stack() unpivots to the tagged rows — a union formulation
+    would re-scan and re-shuffle per branch."""
     s = _ev(spark, sf_dir)
     base_c, cum = _tw_cols(s, None)
     _, roll = _tw_cols(s, ("rows", 5))
+    _, rng = _tw_cols(s, ("range", 3600 * US))
     both = base_c.map(
         **{f"c_{k}": v for k, v in cum.items()},
         **{f"r_{k}": v for k, v in roll.items()},
+        **{f"t_{k}": v for k, v in rng.items()},
     )
     return both.df.select(
         "user_id", "event_id", "ts_us",
         F.expr(
-            "stack(2, 'cumulative', c_tw_mean, c_tw_var, c_tw_std, "
-            "'rolling', r_tw_mean, r_tw_var, r_tw_std) "
+            "stack(3, 'cumulative', c_tw_mean, c_tw_var, c_tw_std, "
+            "'rolling', r_tw_mean, r_tw_var, r_tw_std, "
+            "'time_windowed', t_tw_mean, t_tw_var, t_tw_std) "
             "AS (frame, tw_mean, tw_var, tw_std)"
         ),
     )
@@ -1129,11 +1154,33 @@ FROM member_data"""
             ).replace("ORDER BY ts_us, event_id RANGE", "ORDER BY ts_us RANGE")),
         )
     )
+    _v12 = "CAST(value AS DECIMAL(12,2))"
+    _v24 = f"CAST({_v12} * {_v12} AS DECIMAL(24,4))"
+    _tw_range_sql = f"""
+WITH ev AS ({EV_SQL}), wts AS (
+  SELECT user_id, event_id, ts_us, value,
+    CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS DECIMAL(13,0)) AS w
+  FROM ev
+), agg AS (
+  SELECT user_id, event_id, ts_us, value,
+    ((sum(w) OVER wa) - coalesce(w, 0))::DOUBLE AS sw,
+    ((sum(w * {_v12}) OVER wa) - coalesce(w * {_v12}, 0))::DOUBLE AS swv,
+    ((sum(w * {_v24}) OVER wa) - coalesce(w * {_v24}, 0))::DOUBLE AS swv2
+  FROM wts
+  WINDOW wa AS (PARTITION BY user_id ORDER BY ts_us
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts_us,
+  round(CASE WHEN sw IS NULL OR sw = 0 THEN CAST(value AS DOUBLE) ELSE swv / sw END, 6) AS tw_mean,
+  round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - (swv / sw) * (swv / sw), 0.0) END, 6) AS tw_var,
+  sqrt(round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - (swv / sw) * (swv / sw), 0.0) END, 6)) AS tw_std
+FROM agg"""
     o["stats_tw"] = " UNION ALL ".join(
         f"SELECT '{tag}' AS frame, * FROM ({sql})"
         for tag, sql in (
             ("cumulative", _tw_sql("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")),
             ("rolling", _tw_sql("ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING")),
+            ("time_windowed", _tw_range_sql),
         )
     )
     # Fused pandas-kernel time-weighted ops: the prefix of every row is
@@ -1194,8 +1241,15 @@ mk AS (
   FROM msub GROUP BY user_id, aid
 ),
 med AS (
-  SELECT m.user_id, m.aid, s.v AS tw_median
-  FROM mk m JOIN msub s ON s.user_id = m.user_id AND s.aid = m.aid AND s.rnk = m.k1
+  -- crossing rule (statistics_time_weighted_median.rs:60-96): value where
+  -- cumulative weight first reaches half; an EXACT half crossing averages
+  -- with the next value (weights are integer µs → the == test is exact)
+  SELECT m.user_id, m.aid,
+    CASE WHEN s.cum = s.total/2.0 AND s2.v IS NOT NULL
+         THEN (s.v + s2.v)/2.0 ELSE s.v END AS tw_median
+  FROM mk m
+  JOIN msub s ON s.user_id = m.user_id AND s.aid = m.aid AND s.rnk = m.k1
+  LEFT JOIN msub s2 ON s2.user_id = m.user_id AND s2.aid = m.aid AND s2.rnk = m.k1 + 1
 )
 SELECT w.user_id, w.aid AS event_id, w.ats AS ts_us,
   round(w.m_raw, 6) AS tw_mean, round(w.v_raw, 6) AS tw_var,

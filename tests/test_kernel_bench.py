@@ -126,7 +126,9 @@ def test_book_fold_c_throughput():
 
 
 def _tw_median_naive(ts, v):
-    """The per-row argsort walk (the r2 kernel) — executable spec."""
+    """The per-row argsort walk — executable spec with the reference
+    crossing rule (statistics_time_weighted_median.rs:60-96: exact-half
+    crossings average the straddling values)."""
     n = len(v)
     med = np.empty(n)
     wdiff = np.diff(np.asarray(ts, dtype=np.int64)).astype(np.float64)
@@ -141,8 +143,11 @@ def _tw_median_naive(ts, v):
             vv, ww = vv[order], ww[order]
             c = np.cumsum(ww)
             half = c[-1] / 2.0
-            k = int(np.searchsorted(c, half))
-            med[i] = vv[min(k, len(vv) - 1)]
+            k = min(int(np.searchsorted(c, half)), len(vv) - 1)
+            if c[k] == half and k + 1 < len(vv):
+                med[i] = (vv[k] + vv[k + 1]) / 2.0
+            else:
+                med[i] = vv[k]
     return med
 
 
@@ -168,6 +173,18 @@ def test_tw_median_fenwick_bitwise_vs_naive():
         f = _ckernels.tw_median_cum(ts[:k], v[:k])
         s = _tw_median_naive(ts[:k], v[:k])
         assert np.array_equal(f, s), f"edge n={k}"
+    # evenly-spaced ticks: every even prefix hits EXACTLY half — the
+    # averaging branch (statistics_time_weighted_median.rs:86-92) fires
+    ts_even = np.arange(200, dtype=np.int64) * 100
+    v_even = rng.normal(0, 1, 200).round(2)
+    f = _ckernels.tw_median_cum(ts_even, v_even)
+    s = _tw_median_naive(ts_even, v_even)
+    assert np.array_equal(f, s), "averaging branch diverged"
+    # golden: cumulative tw median of 1..5 at 100ns ticks = 1,1,1.5,2,2.5
+    # (statistics_time_weighted_median.rs:106-113)
+    cnt = np.arange(1, 6, dtype=np.float64)
+    got = _ckernels.tw_median_cum(np.arange(5, dtype=np.int64) * 100, cnt)
+    assert got.tolist() == [1.0, 1.0, 1.5, 2.0, 2.5]
 
 
 def test_tw_median_fenwick_speedup_deep_key():

@@ -224,3 +224,92 @@ def test_time_windowed_tick_times_match_upstream(spark):
     rows = out.df.orderBy("ts").collect()
     assert [r["time"] for r in rows] == [0, 100, 200, 300, 400]
     assert [r["o"] for r in rows] == [1.0, 1.0, 1.0, 2.0, 3.0]
+
+
+# ── statistics_time_weighted.rs / statistics_time_weighted_median.rs ────
+# Weighting::Time semantics: each sample weighted by its in-effect
+# interval; newest uncredited; mean seeds to current; var is population;
+# time window evicts whole samples by age (no interval clipping); median
+# crossing averages straddling values on an exact half.
+
+
+def _tw(spark_stream, stat, frame):
+    return _series(
+        window_stat(spark_stream, "value", stat, frame, weighting="time", out="o"), "o"
+    )
+
+
+def test_cumulative_time_weighted_mean_lags_by_one_interval(spark):
+    _approx(_tw(_counter(spark), "mean", ("cum",)), [1.0, 1.0, 1.5, 2.0, 2.5], 1e-9)
+
+
+def test_cumulative_time_weighted_var_std(spark):
+    expected = [0.0, 0.0, 0.25, 2.0 / 3.0, 1.25]
+    _approx(_tw(_counter(spark), "var", ("cum",)), expected, 1e-9)
+    _approx(_tw(_counter(spark), "std", ("cum",)), [math.sqrt(v) for v in expected], 1e-9)
+
+
+def test_cumulative_time_weighted_std_constant_zero_not_nan(spark):
+    s = ticker(spark, period_ns=100, n=6).count(out="n").map(value=F.lit(7.0))
+    for v in _tw(s, "std", ("cum",)):
+        assert v is not None and not math.isnan(v) and abs(v) < 1e-10
+
+
+def test_rolling_time_weighted_mean_var_hand_computed(spark):
+    s = _counter(spark)
+    _approx(_tw(s, "mean", ("rows", 4)), [1.0, 1.0, 1.5, 2.0, 3.0], 1e-9)
+    _approx(_tw(s, "var", ("rows", 4)), [0.0, 0.0, 0.25, 2.0 / 3.0, 2.0 / 3.0], 1e-9)
+
+
+def test_rolling_time_weighted_matches_direct_recompute(spark):
+    N, W = 200, 10
+    s = ticker(spark, period_ns=100, n=N).count(out="n").map(
+        value=((F.col("n") % 7).cast("double") * 1.5 - 3.0))
+    got_mean = _tw(s, "mean", ("rows", W))[-1]
+    got_var = _tw(s, "var", ("rows", W))[-1]
+    retained = [(((n % 7) * 1.5 - 3.0), (n - 1) * 100) for n in range(N - W + 1, N + 1)]
+    w_sum = mean = m2 = 0.0
+    for (v, t), (_, nt) in zip(retained, retained[1:]):
+        w = float(nt - t)
+        w_sum += w
+        old = mean
+        mean += (w / w_sum) * (v - old)
+        m2 += w * (v - old) * (v - mean)
+    assert abs(got_mean - mean) < 1e-9
+    assert abs(got_var - (m2 / w_sum)) < 1e-9
+
+
+def test_wide_count_window_time_weighted_matches_cumulative(spark):
+    s = _counter(spark)
+    assert _tw(s, "mean", ("rows", 1000)) == _tw(s, "mean", ("cum",))
+    assert _tw(s, "var", ("rows", 1000)) == _tw(s, "var", ("cum",))
+
+
+def test_time_windowed_time_weighted_counter(spark):
+    s = _counter(spark)
+    _approx(_tw(s, "mean", ("range", WIN)), [1.0, 1.0, 1.5, 2.5, 3.5], 1e-9)
+    _approx(_tw(s, "var", ("range", WIN)), [0.0, 0.0, 0.25, 0.25, 0.25], 1e-9)
+    _approx(_tw(s, "std", ("range", WIN)), [0.0, 0.0, 0.5, 0.5, 0.5], 1e-9)
+
+
+def test_time_weighted_median_series(spark):
+    s = _counter(spark)
+    _approx(_tw(s, "median", ("cum",)), [1.0, 1.0, 1.5, 2.0, 2.5], 1e-9)
+    _approx(_tw(s, "median", ("rows", 4)), [1.0, 1.0, 1.5, 2.0, 3.0], 1e-9)
+    _approx(_tw(s, "median", ("range", WIN)), [1.0, 1.0, 1.5, 2.5, 3.5], 1e-9)
+    # wide count window == cumulative, tick for tick
+    assert _tw(s, "median", ("rows", 1000)) == _tw(s, "median", ("cum",))
+
+
+def test_time_weighted_median_constant_is_constant(spark):
+    s = ticker(spark, period_ns=100, n=6).count(out="n").map(value=F.lit(7.0))
+    for v in _tw(s, "median", ("cum",)):
+        assert v is not None and not math.isnan(v) and abs(v - 7.0) < 1e-10
+
+
+def test_time_weighted_tick_times_match_upstream(spark):
+    out = window_stat(_counter(spark), "value", "mean", ("cum",),
+                      weighting="time", out="o").with_time()
+    rows = out.df.orderBy("ts").collect()
+    assert [r["time"] for r in rows] == [0, 100, 200, 300, 400]
+    _approx([r["o"] for r in rows], [1.0, 1.0, 1.5, 2.0, 2.5], 1e-9)

@@ -45,16 +45,20 @@ void ewma_hl(const double* ts, const double* x, double hl,
 }
 
 /* Cumulative time-weighted median (reference *_median_time_weighted,
-   stats.rs:177-185): med[i] = weighted median of v[0..i-1] with in-effect
-   weights w[j] = ts[j+1]-ts[j] (w>0 only), seeded to v[i] while
-   weightless. Fenwick tree over value-ranks: O(n log n) per key instead
-   of the per-row argsort's O(n^2 log n).
+   stats.rs:177-185; crossing rule pinned by
+   statistics_time_weighted_median.rs:60-96): med[i] = weighted median of
+   v[0..i-1] with in-effect weights w[j] = ts[j+1]-ts[j] (w>0 only),
+   seeded to v[i] while weightless. The crossing element is the first
+   value-rank whose cumulative weight reaches half the total; an EXACT
+   half crossing averages with the next positive-weight value (so
+   unit-weight intervals reproduce the even-count average). Fenwick tree
+   over value-ranks: O(n log n) per key instead of the per-row argsort's
+   O(n^2 log n).
 
-   BITWISE-equal to the argsort walk: weights are integer microseconds, so
-   every Fenwick partial sum is an exact integer in float64 (< 2^53) and
-   half = total/2 is exact; the smallest rank with prefix >= half is
-   always a positive-weight element, so descending with strict < exactly
-   reproduces numpy searchsorted(side='left') on the masked cumsum.
+   BITWISE-faithful: weights are integer microseconds, so every Fenwick
+   partial sum is an exact integer in float64 (< 2^53) and half = total/2
+   is exact; the first rank with prefix >= half is always a
+   positive-weight element, and the ==half test is an exact comparison.
 
    rank[i]: position of element i in the stable value-sort of v[0..m-1];
    v_at_rank: values in that sorted order; m = n-1 insertable elements. */
@@ -64,8 +68,10 @@ void tw_median_cum(const long long* rank, const double* w,
                    const double* v_at_rank, const double* v,
                    long long n, long long m, double* out) {
     double* tree = (double*)calloc((size_t)(m + 1), sizeof(double));
-    if (tree == NULL && m > 0) { /* alloc failure: leave outputs as v[i] */
+    double* w_at_rank = (double*)calloc((size_t)(m > 0 ? m : 1), sizeof(double));
+    if ((tree == NULL || w_at_rank == NULL) && m > 0) {
         for (long long i = 0; i < n; i++) out[i] = v[i];
+        free(tree); free(w_at_rank);
         return;
     }
     long long LOG = 1;
@@ -79,24 +85,38 @@ void tw_median_cum(const long long* rank, const double* w,
             double half = total / 2.0;
             long long pos = 0;
             double rem = half;
+            double below = 0.0; /* prefix over ranks < pos+1 path */
             for (long long bit = LOG; bit > 0; bit >>= 1) {
                 long long nxt = pos + bit;
                 if (nxt <= m && tree[nxt] < rem) {
                     pos = nxt;
                     rem -= tree[nxt];
+                    below += tree[nxt];
                 }
             }
             long long p = (pos < m) ? pos : m - 1;
-            out[i] = v_at_rank[p];
+            double cum_p = below + w_at_rank[p]; /* inclusive prefix at p */
+            if (cum_p == half) {
+                /* exact boundary: average with the NEXT positive-weight
+                   value (statistics_time_weighted_median.rs:86-92) */
+                long long q = p + 1;
+                while (q < m && w_at_rank[q] <= 0.0) q++;
+                out[i] = (q < m) ? (v_at_rank[p] + v_at_rank[q]) / 2.0
+                                 : v_at_rank[p];
+            } else {
+                out[i] = v_at_rank[p];
+            }
         }
         if (i < n - 1 && w[i] > 0.0) {
             total += w[i];
             cnt++;
+            w_at_rank[rank[i]] += w[i];
             for (long long k = rank[i] + 1; k <= m; k += k & (-k))
                 tree[k] += w[i];
         }
     }
     free(tree);
+    free(w_at_rank);
 }
 
 /* Trailing-duration time-weighted mean/var (stats.rs:154-162): exact

@@ -319,30 +319,35 @@ def time_windowed_time_weighted(
 
 def weighted_median(s: Stream, col: str, wname: str, frame, out: str) -> Stream:
     """Time-weighted median (weight = in-effect time), excluding the current
-    sample, seeded to the current value while weightless. Reference:
-    ``*_median_time_weighted`` (stats.rs:177-185, ops.rs:2502-2669)."""
+    sample, seeded to the current value while weightless; exact-half
+    crossings average the straddling values. Reference:
+    ``*_median_time_weighted`` (stats.rs:177-185, ops.rs:2502-2669;
+    crossing rule statistics_time_weighted_median.rs:60-96). Frames:
+    ("rows", n) count window, ("cum",) unbounded, ("range", ns) trailing
+    duration (sample-retention: a sample is in the window iff its tick time
+    is within the trailing span)."""
 
     rows_n = frame[1] if frame[0] == "rows" else None
+    range_ns = frame[1] if frame[0] == "range" else None
+    ts_col = s.ts
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[col].to_numpy(dtype=np.float64)
         w = pdf[wname].to_numpy(dtype=np.float64)
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
         n = len(v)
         res = np.empty(n)
         for i in range(n):
-            lo = 0 if rows_n is None else max(0, i - (rows_n - 1))
+            if rows_n is not None:
+                lo = max(0, i - (rows_n - 1))
+            elif range_ns is not None:
+                lo = int(np.searchsorted(ts, ts[i] - range_ns, side="left"))
+            else:
+                lo = 0
             vv, ww = v[lo:i], w[lo:i]
             mask = ww > 0
             vv, ww = vv[mask], ww[mask]
-            if len(vv) == 0:
-                res[i] = v[i]
-                continue
-            order = np.argsort(vv, kind="mergesort")
-            vv, ww = vv[order], ww[order]
-            c = np.cumsum(ww)
-            half = c[-1] / 2.0
-            k = int(np.searchsorted(c, half))
-            res[i] = vv[min(k, len(vv) - 1)]
+            res[i] = _weighted_median_select(vv, ww, v[i])
         pdf[out] = res
         return pdf
 
@@ -407,16 +412,27 @@ def _tw_profile_kernel(ts: np.ndarray, v: np.ndarray, window_ns: int):
             vv, ww = v[:i], wdiff[:i]
             mask = ww > 0
             vv, ww = vv[mask], ww[mask]
-            if len(vv) == 0:
-                med[i] = v[i]
-            else:
-                order = np.argsort(vv, kind="mergesort")
-                vv, ww = vv[order], ww[order]
-                c = np.cumsum(ww)
-                half = c[-1] / 2.0
-                k = int(np.searchsorted(c, half))
-                med[i] = vv[min(k, len(vv) - 1)]
+            med[i] = _weighted_median_select(vv, ww, v[i])
     return mean, var, med
+
+
+def _weighted_median_select(vv: np.ndarray, ww: np.ndarray, seed: float) -> float:
+    """The reference's weighted-median crossing rule
+    (statistics_time_weighted_median.rs:60-96): sort by value, take the
+    value where cumulative weight first reaches half the total; an EXACT
+    half crossing averages with the next value; empty (all-zero-weight)
+    seeds to the current sample."""
+    if len(vv) == 0:
+        return float(seed)
+    order = np.argsort(vv, kind="mergesort")
+    vv, ww = vv[order], ww[order]
+    c = np.cumsum(ww)
+    half = c[-1] / 2.0
+    k = int(np.searchsorted(c, half))
+    k = min(k, len(vv) - 1)
+    if c[k] == half and k + 1 < len(vv):
+        return float((vv[k] + vv[k + 1]) / 2.0)
+    return float(vv[k])
 
 
 def time_weighted_profile(

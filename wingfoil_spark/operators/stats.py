@@ -112,37 +112,49 @@ def window_stat(
 def _time_weighted(s: Stream, col: str, stat: str, frame, out: str) -> Stream:
     """Time-weighted stats via a precomputed in-effect weight column.
 
-    ``w_i = ts_{i+1} - ts_i`` (per key). At row n the weighted aggregate runs
-    over rows [frame start, n-1] — the left-continuous step integral from the
-    frame's first tick to ``ts_n``. Seeds to the current sample (mean) / 0
-    (var) while no weight has accumulated, per the reference's pinned
-    time-weighted semantics (tests/statistics_time_weighted.rs).
+    ``w_i = ts_{i+1} - ts_i`` (per key). At row n the weighted aggregate
+    runs over the RETAINED samples minus the newest (which has no weight
+    yet) — the reference's committed-interval semantics
+    (statistics_time_weighted.rs:8-23). Seeds to the current sample (mean)
+    / 0 (var) while no weight has accumulated. Frames:
 
-    Only ("rows", n) and ("cum",) frames are window-expressible this way; the
-    trailing-duration frame needs partial-interval clipping at the window
-    edge and goes through the exact pandas path
-    (:func:`wingfoil_spark.operators.stateful.time_windowed_time_weighted`).
+    - ("rows", n): the last n samples → rows window ending at -1;
+    - ("cum",): unbounded → rows window ending at -1;
+    - ("range", ns): samples whose tick time is within the trailing span
+      (a sample aged strictly past the span is evicted with its WHOLE
+      interval — statistics_time_windowed.rs retention, NOT a clipped
+      integral; the exact clipped-integral form remains available as
+      :func:`wingfoil_spark.operators.stateful.time_windowed_time_weighted`)
+      → range window including the current row, minus the current row's
+      own terms. All three are pure JVM window expressions.
     """
-    if frame[0] == "range":
-        from wingfoil_spark.operators.stateful import time_windowed_time_weighted
-        return time_windowed_time_weighted(s, col, stat, frame[1], out)
-
     wname = f"__w_{col}"
     base = s.map(**{wname: F.lead(s.ts).over(s._w_plain()) - F.col(s.ts)})
-    if frame[0] == "rows":
-        wa = base.w_rows(-(frame[1] - 1), -1)
-    else:
-        wa = base.w_rows(Window.unboundedPreceding, -1)
-
     v, wt = F.col(col).cast("double"), F.col(wname).cast("double")
-    sw = F.sum(wt).over(wa)
-    swv = F.sum(wt * v).over(wa)
+
+    if frame[0] == "range":
+        if stat == "median":
+            from wingfoil_spark.operators.stateful import weighted_median
+            return weighted_median(base, col, wname, frame, out)
+        wa = base.w_range(-frame[1], 0)
+        w0 = F.coalesce(wt, F.lit(0.0))
+        sw = F.sum(wt).over(wa) - w0
+        swv = F.sum(wt * v).over(wa) - w0 * v
+        swv2 = F.sum(wt * v * v).over(wa) - w0 * v * v
+    else:
+        if frame[0] == "rows":
+            wa = base.w_rows(-(frame[1] - 1), -1)
+        else:
+            wa = base.w_rows(Window.unboundedPreceding, -1)
+        sw = F.sum(wt).over(wa)
+        swv = F.sum(wt * v).over(wa)
+        swv2 = F.sum(wt * v * v).over(wa)
+
     mean = F.when(sw.isNull() | (sw == 0), v).otherwise(swv / sw)
     if stat == "mean":
         res = base.map(**{out: mean})
         return Stream(res.df.drop(wname), res.ts, res.seq, res.keys)
     if stat in ("var", "std"):
-        swv2 = F.sum(wt * v * v).over(wa)
         var = F.when(sw.isNull() | (sw == 0), F.lit(0.0)).otherwise(
             swv2 / sw - (swv / sw) * (swv / sw)
         )
