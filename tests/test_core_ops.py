@@ -177,8 +177,10 @@ def test_map_n_and_fan(spark):
     s = make(spark, [(1, 1.0)])
     out = s.map_n(3, lambda x: x.map(v=F.col("v") * 2))
     assert rows(out, "ts", "v") == [(1, 8.0)]
+    # fan MERGES its branches (repetition.rs:31-49: fan == hand-written
+    # merges): one emission per instant, earliest branch wins
     fanned = s.fan(2, lambda x, i: x.map(v=F.col("v") + i))
-    assert sorted(rows(fanned, "ts", "v")) == [(1, 1.0), (1, 2.0)]
+    assert sorted(rows(fanned, "ts", "v")) == [(1, 1.0)]
 
 
 def test_split_struct(spark):

@@ -83,10 +83,12 @@ def test_fan_map_n_sugar_equals_manual_wiring(spark):
     def branch(s):
         return s.map(v=F.col("v") + 1).map(v=F.col("v") + 1)
 
-    manual = branch(src).union_all(branch(src), branch(src))
+    # fan == hand-written MERGES (repetition.rs:31-49): same-instant branch
+    # ticks collapse to one emission per instant
+    manual = branch(src).merge(branch(src), branch(src))
     a = sorted((r.ts, r.v) for r in sugared.df.collect())
     b = sorted((r.ts, r.v) for r in manual.df.collect())
-    assert a == b and len(a) == 15
+    assert a == b and len(a) == 5
 
 
 def test_throttle_timing_goldens(spark):

@@ -475,12 +475,15 @@ class Stream:
         return s
 
     def fan(self, n: int, branch: Callable[["Stream", int], "Stream"]) -> "Stream":
-        """``n`` parallel branches + single n-ary fan-in. Reference: ``fan``
-        (fluent.rs:971); the single-union fan-in mirrors the reference's
-        deliberate n-ary MergeN rewrite (ops.rs:3200) — Catalyst's
-        CombineUnions flattens the chain the same way."""
+        """``n`` parallel branches + single n-ary MERGE fan-in. Reference:
+        ``fan`` (fluent.rs:971) — pinned equal to hand-written
+        ``a.merge(b).merge(c)`` by tests/repetition.rs:31-49, so
+        same-instant ticks collapse to ONE emission (earliest branch wins),
+        not a union of all branches. Catalyst's CombineUnions flattens the
+        chain like the reference's n-ary MergeN rewrite (ops.rs:3200). Use
+        :meth:`union_all` over the branches for a keep-everything fan-in."""
         branches = [branch(self, i) for i in range(n)]
-        return branches[0].union_all(*branches[1:])
+        return branches[0].merge(*branches[1:])
 
     def split(self, struct_col: str) -> tuple["Stream", "Stream"]:
         """A 2-field struct stream → two streams. Reference: ``split``
