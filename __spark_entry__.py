@@ -429,16 +429,22 @@ def _tw_cols(s: Stream, frame: tuple | None):
     eviction — whole intervals, no clipping; graded r3)."""
     wlead = s._w_plain()
     wdec = (F.lead("ts_us").over(wlead) - F.col("ts_us")).cast(DEC_W)
+    # stage the decimal products ONCE as real columns: three frame branches
+    # (cum/rolling/range) sum the same __wv/__wv2 — recomputing the decimal
+    # multiplies per branch tripled the query's cost
     base = s.map(__w=wdec)
+    base = base.map(
+        __wv=(F.col("__w") * _vdec()),
+        __wv2=(F.col("__w") * (_vdec() * _vdec()).cast(DEC_V2)),
+    )
     wt = F.col("__w")
     if frame and frame[0] == "range":
         wa = base.w_range(-frame[1], 0)
         w0 = F.coalesce(wt, F.lit(0).cast(DEC_W))
         sw = (F.sum(wt).over(wa) - w0).cast("double")
-        swv = (F.sum(wt * _vdec()).over(wa) - w0 * _vdec()).cast("double")
+        swv = (F.sum("__wv").over(wa) - w0 * _vdec()).cast("double")
         swv2 = (
-            F.sum(wt * (_vdec() * _vdec()).cast(DEC_V2)).over(wa)
-            - w0 * (_vdec() * _vdec()).cast(DEC_V2)
+            F.sum("__wv2").over(wa) - w0 * (_vdec() * _vdec()).cast(DEC_V2)
         ).cast("double")
         v0 = F.col("value").cast("double")
         mean = F.when(sw.isNull() | (sw == 0), v0).otherwise(swv / sw)
@@ -453,8 +459,8 @@ def _tw_cols(s: Stream, frame: tuple | None):
     else:
         wa = s.w_rows(Window.unboundedPreceding, -1)
     sw = F.sum(wt).over(wa).cast("double")
-    swv = F.sum((wt * _vdec())).over(wa).cast("double")
-    swv2 = F.sum((wt * (_vdec() * _vdec()).cast(DEC_V2))).over(wa).cast("double")
+    swv = F.sum("__wv").over(wa).cast("double")
+    swv2 = F.sum("__wv2").over(wa).cast("double")
     mean = F.when(sw.isNull() | (sw == 0), F.col("value").cast("double")).otherwise(swv / sw)
     var = F.when(sw.isNull() | (sw == 0), F.lit(0.0)).otherwise(
         F.greatest(swv2 / sw - (swv / sw) * (swv / sw), F.lit(0.0))
