@@ -220,3 +220,20 @@ def test_for_each_observes_every_tick_like_reference(spark):
         Stream(count.df.orderBy("ts").coalesce(1), ts="ts", seq="seq").for_each(sink)
         with open(marker) as f:
             assert [int(x) for x in f.read().split()] == [1, 2, 3]
+
+
+def test_rerun_reseeds_state_identically(spark):
+    """tests/rerun.rs: state_init re-seeds on a re-run — running the same
+    stateful graph twice yields identical results (HistoricalFrom replay
+    is a pure function of the input rowset). Exercised on the order book
+    (engine-owned dict state) and the ewma kernel (C path)."""
+    import __spark_entry__ as entry
+
+    for name in ("order_book_top", "ewma"):
+        q = entry.queries()[name]
+        a = q(spark, "/root/testdata/sf0.001").toPandas()
+        b = q(spark, "/root/testdata/sf0.001").toPandas()
+        key = sorted(a.columns)
+        a = a[key].sort_values(key).reset_index(drop=True)
+        b = b[key].sort_values(key).reset_index(drop=True)
+        assert a.equals(b), f"{name}: re-run diverged"
