@@ -327,6 +327,58 @@ def test_tw_profile_duality(spark, typed_events):
         assert (av == bv).all() and (bv == sv).all(), f"tw diverged on {c}"
 
 
+def test_tw_range_sample_retention_duality(spark, typed_events):
+    """The sample-retention time-weighted range stats (the reference
+    default, statistics_time_weighted.rs eviction): decimal window batch ==
+    step batch == step stream, bitwise."""
+    from wingfoil_spark.stream import Stream
+    from wingfoil_spark.streaming.twins import tw_range_step
+
+    W = 6 * 3600_000_000
+    base = typed_events.select("user_id", "ts_us", "value")
+    s = Stream(base, ts="ts_us", seq=None, keys=("user_id",))
+    wname = "__w"
+    b = s.map(**{wname: F.lead("ts_us").over(s._w_plain()) - F.col("ts_us")})
+    wdec = F.col(wname).cast("decimal(13,0)")
+    vdec = F.col("value").cast("decimal(12,2)")
+    v2dec = (vdec * vdec).cast("decimal(24,4)")
+    wa = b.w_range(-W, 0)
+    w0 = F.coalesce(wdec, F.lit(0).cast("decimal(13,0)"))
+    sw = (F.sum(wdec).over(wa) - w0).cast("double")
+    swv = (F.sum(wdec * vdec).over(wa) - w0 * vdec).cast("double")
+    swv2 = (F.sum(wdec * v2dec).over(wa) - w0 * v2dec).cast("double")
+    v0 = F.col("value").cast("double")
+    mean = F.when(sw.isNull() | (sw == 0), v0).otherwise(swv / sw)
+    var = F.when(sw.isNull() | (sw == 0), F.lit(0.0)).otherwise(
+        F.greatest(swv2 / sw - (swv / sw) * (swv / sw), F.lit(0.0))
+    )
+    window_batch = b.df.select(
+        "user_id", "ts_us", "value", mean.alias("tw_mean"),
+        var.alias("tw_var"), F.sqrt(var).alias("tw_std"),
+    ).toPandas()
+
+    op = KeyedStateOp(
+        tw_range_step("value", W, "ts_us", ["user_id"]),
+        out_schema="user_id long, ts_us long, value double, "
+                   "tw_mean double, tw_var double, tw_std double",
+        init_state=None, ts="ts_us", seq=None, keys=("user_id",),
+    )
+    step_batch = op.run_batch(base).toPandas()
+    streamed = _run_stream_chunks(
+        spark, op, base.toPandas(),
+        "user_id long, ts_us long, value double",
+        ["ts_us"], name="twr_twin",
+    )
+    key = ["user_id", "ts_us"]
+    w_ = window_batch.sort_values(key).reset_index(drop=True)
+    bb = step_batch[w_.columns].sort_values(key).reset_index(drop=True)
+    st = streamed[list(w_.columns)].sort_values(key).reset_index(drop=True)
+    assert len(w_) == len(bb) == len(st) > 0
+    for c in ("tw_mean", "tw_var", "tw_std"):
+        wv, bv, sv = (x[c].to_numpy(dtype=float) for x in (w_, bb, st))
+        assert ((wv == bv) & (bv == sv)).all(), f"tw-range diverged on {c}"
+
+
 def test_buffer_step_duality(spark, typed_events):
     """Count-window buffer twin: streaming output == batch buffer on every
     COMPLETE group (a trailing partial group stays pending in state —

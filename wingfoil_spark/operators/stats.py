@@ -220,23 +220,23 @@ def _streaming_stat(s: Stream, col: str, stat: str, frame, weighting: str,
             f"streaming time-weighted stats support the ('range', ns) frame; "
             f"got frame={frame!r} weighting={weighting!r}"
         )
-    names = {"mean": "tw_mean", "var": "tw_var", "std": "tw_var",
-             "median": "tw_median"}
-    if stat not in names:
-        raise ValueError(f"unsupported streaming time-weighted stat {stat!r}")
-    step = twins.tw_profile_step(col, frame[1], s.ts, keys)
+    if stat not in ("mean", "var", "std"):
+        raise NotImplementedError(
+            "streaming time-weighted range median: use the fused cumulative "
+            "profile twin (twins.tw_profile_step) or the batch path"
+        )
+    # sample-retention semantics, matching the batch ("range", ns) time
+    # default (statistics_time_weighted.rs eviction)
+    step = twins.tw_range_step(col, frame[1], s.ts, keys)
     schema = T.StructType(
         base_fields + [T.StructField(col, T.DoubleType())]
         + [T.StructField(n, T.DoubleType()) for n in
-           ("tw_mean", "tw_var", "tw_median")]
+           ("tw_mean", "tw_var", "tw_std")]
     )
     op = KeyedStateOp(step, out_schema=schema, init_state=None,
                       ts=s.ts, seq=None, keys=tuple(keys))
     res = op.run_stream(s.df)
-    expr = F.col(names[stat])
-    if stat == "std":
-        expr = F.sqrt(expr)
-    res = res.select(*keys, s.ts, col, expr.alias(out))
+    res = res.select(*keys, s.ts, col, F.col(f"tw_{stat}").alias(out))
     return Stream(res, ts=s.ts, seq=None, keys=s.keys)
 
 

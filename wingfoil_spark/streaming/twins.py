@@ -278,6 +278,57 @@ def tw_profile_step(
     return step
 
 
+def tw_range_step(
+    col: str, window_ns: int, ts: str, keys: list[str]
+) -> StepFn:
+    """Trailing-duration TIME-WEIGHTED mean/var/std with the reference's
+    sample-retention eviction (statistics_time_weighted.rs:8-23 +
+    statistics_time_windowed.rs aging: a sample aged past the window leaves
+    with its WHOLE interval; the newest retained sample is uncredited) as a
+    resumable step — the streaming twin of window_stat's ("range", ns)
+    time-weighted default. State = retained (ts, cents, value) samples.
+    Integer-exact sums (cents × in-effect units) convert once to double,
+    matching the batch decimal formulation bitwise."""
+
+    def step(state, pdf: pd.DataFrame):
+        hist: list[tuple[int, int, float]] = list(state) if state else []
+        pdf = pdf.sort_values([ts], kind="mergesort")
+        keyvals = tuple(pdf.iloc[0][k] for k in keys) if len(pdf) else ()
+        t_arr = pdf[ts].to_numpy()
+        vals = pdf[col].to_numpy(dtype=np.float64)
+        out_rows = []
+        for i in range(len(pdf)):
+            t = int(t_arr[i])
+            v = float(vals[i])
+            hist.append((t, int(round(v * 100)), v))
+            hist = [h for h in hist if h[0] >= t - window_ns]
+            sw = 0
+            swv = 0
+            swv2 = 0
+            for (t0, c0, _), (t1, _, _) in zip(hist, hist[1:]):
+                w = t1 - t0
+                sw += w
+                swv += c0 * w
+                swv2 += c0 * c0 * w
+            if sw == 0:
+                mean, var = v, 0.0
+            else:
+                # int/int division is correctly rounded even past 2^53 —
+                # ONE rounding, exactly like the batch decimal→double cast
+                # (float(big_int)/100.0 would round twice and diverge)
+                mean = (swv / 100) / sw
+                m = mean
+                var = max((swv2 / 10000) / sw - m * m, 0.0)
+            out_rows.append((t, v, mean, var, np.sqrt(var)))
+        out = pd.DataFrame(
+            [(*keyvals, *r) for r in out_rows],
+            columns=[*keys, ts, col, "tw_mean", "tw_var", "tw_std"],
+        )
+        return hist, out
+
+    return step
+
+
 def buffer_step(
     capacity: int, col: str, ts: str, seq: str | None, keys: list[str]
 ) -> StepFn:
