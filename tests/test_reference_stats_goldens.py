@@ -313,3 +313,43 @@ def test_time_weighted_tick_times_match_upstream(spark):
     rows = out.df.orderBy("ts").collect()
     assert [r["time"] for r in rows] == [0, 100, 200, 300, 400]
     _approx([r["o"] for r in rows], [1.0, 1.0, 1.5, 2.0, 2.5], 1e-9)
+
+
+def test_time_windowed_min_max_non_monotonic_matches_brute_force(spark):
+    """statistics_time_windowed.rs:100-138: min/max over (n*7)%13 in a
+    250ns window vs a brute-force scan of the retained samples, every tick."""
+    N = 40
+    s = ticker(spark, period_ns=100, n=N).count(out="n").map(
+        value=((F.col("n") * 7) % 13).cast("double"))
+    got_min = _series(window_stat(s, "value", "min", ("range", WIN), out="o"), "o")
+    got_max = _series(window_stat(s, "value", "max", ("range", WIN), out="o"), "o")
+    for k in range(N):
+        n = k + 1
+        start = n - 2 if n > 3 else 1
+        window = [float((m * 7) % 13) for m in range(start, n + 1)]
+        assert got_min[k] == min(window), f"min mismatch at tick {k}"
+        assert got_max[k] == max(window), f"max mismatch at tick {k}"
+
+
+def test_time_windowed_moments_match_direct_recompute(spark):
+    """statistics_time_windowed.rs:160-205: a 350ns window's final
+    mean/var vs a from-scratch computation over the retained samples."""
+    N, WIN_NS = 60, 350
+    s = ticker(spark, period_ns=100, n=N).count(out="n").map(
+        value=((F.col("n") % 7).cast("double") * 1.5 - 3.0))
+    got_mean = _series(window_stat(s, "value", "mean", ("range", WIN_NS), out="o"), "o")[-1]
+    got_var = _series(window_stat(s, "value", "var", ("range", WIN_NS), out="o"), "o")[-1]
+    now = (N - 1) * 100
+    retained = [((n % 7) * 1.5 - 3.0) for n in range(1, N + 1)
+                if now - (n - 1) * 100 <= WIN_NS]
+    em = sum(retained) / len(retained)
+    ev = sum((v - em) ** 2 for v in retained) / (len(retained) - 1)
+    assert abs(got_mean - em) < 1e-9
+    assert abs(got_var - ev) < 1e-9
+
+
+def test_time_windowed_std_of_constant_is_zero_not_nan(spark):
+    """statistics_time_windowed.rs:210-230."""
+    s = ticker(spark, period_ns=100, n=6).count(out="n").map(value=F.lit(7.0))
+    for v in _series(window_stat(s, "value", "std", ("range", WIN), out="o"), "o"):
+        assert v is not None and not math.isnan(v) and abs(v) < 1e-10
