@@ -101,3 +101,31 @@ def test_jdbc_read_builds_partitioned_plan(spark):
         )
     assert "jdbc" in str(ei.value).lower() or "connect" in str(ei.value).lower() \
         or "driver" in str(ei.value).lower()
+
+
+def test_csv_read_emits_all_rows_each_a_single_burst(spark, tmp_path):
+    """csv_adapter.rs:48-77: six distinct-timestamp rows replay as six
+    single-row instants, every row (including the last) delivered at its
+    timestamp 1001..1006 with values 1..6."""
+    p = tmp_path / "six.csv"
+    p.write_text("time,value\n" + "".join(
+        f"{1000 + i},{i}\n" for i in range(1, 7)))
+    s = wio.csv_read(spark, str(p), "time long, value long", ts="time")
+    rows = sorted((r.time, r.value) for r in s.df.collect())
+    assert rows == [(1000 + i, i) for i in range(1, 7)]
+
+
+def test_csv_read_groups_same_timestamp_into_one_burst(spark, tmp_path):
+    """csv_adapter.rs:80-100: timestamps 1001,1002,1003,1003,1004 → four
+    instants; the two 1003 rows form one atomic burst (gather delivers
+    them together, in file order)."""
+    p = tmp_path / "burst.csv"
+    p.write_text(
+        "time,seq,value\n"
+        "1001,1,10\n1002,2,20\n1003,3,30\n1003,4,31\n1004,5,40\n")
+    s = wio.csv_read(spark, str(p), "time long, seq long, value long",
+                     ts="time", seq="seq")
+    bursts = s.gather(value_col="value", out="burst")
+    got = [(r.time, tuple(r.burst)) for r in bursts.df.orderBy("time").collect()]
+    assert got == [(1001, (10,)), (1002, (20,)), (1003, (30, 31)),
+                   (1004, (40,))]
