@@ -107,6 +107,23 @@ def test_delay_zero_exchange(spark):
     assert re.search(r"Exchange hashpartitioning\(user_id", plan2), plan2
 
 
+def test_book_feed_single_key_shuffle(spark):
+    # the feed derivation's row_number window and the book fold's
+    # repartition both hash on user_id — Catalyst reuses ONE exchange, and
+    # the fold is the only Python stage
+    plan = plan_of(spark, "book_feed")
+    assert count_shuffles(plan) == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_vwap_suite_two_shuffles_no_python(spark):
+    # tumbling agg + rolling window = exactly two key exchanges; the whole
+    # suite stays in JVM codegen (decimal Px/Qty arithmetic)
+    plan = plan_of(spark, "vwap_suite")
+    assert count_shuffles(plan) == 2, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_text_stats_no_shuffle(spark):
     # the text-analysis battery itself is pure row-local — no exchange
     from wingfoil_spark.functions import text as tx
