@@ -32,16 +32,29 @@ def test_q6_scan_pushdown_and_pruning(spark):
     assert cols == 4, f"q6 should read exactly 4 columns, read {cols}"
 
 
-def test_q3_broadcasts_dims_no_sort_merge(spark):
+def hints_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q3_broadcasts_dims_only(spark):
+    # Scale contract (VERDICT r3 #1): orders is a FACT table — it must
+    # carry NO broadcast hint; only the customer dim is hinted. The fact
+    # join is free to SMJ/shuffle at scale (AQE may still broadcast at
+    # tiny sf on measured size — that's the correct mechanism, so we do
+    # NOT forbid either strategy on the physical plan).
+    opt = hints_of(spark, "q3_shipping_priority")
+    assert opt.count("strategy=broadcast") == 1, opt
     plan = plan_of(spark, "q3_shipping_priority")
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the dim join at minimum
 
 
-def test_q5_all_dims_broadcast(spark):
+def test_q5_dims_broadcast_fact_free(spark):
+    # 4 hinted dims (customer, supplier, nation, region); orders unhinted.
+    opt = hints_of(spark, "q5_revenue_by_nation")
+    assert opt.count("strategy=broadcast") == 4, opt
     plan = plan_of(spark, "q5_revenue_by_nation")
-    assert plan.count("BroadcastHashJoin") >= 5
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
 
 
 def test_combine_latest_single_shuffle(spark):

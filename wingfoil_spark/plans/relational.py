@@ -64,8 +64,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(D4) - _dec("l_discount", D4))
+    # orders is a FACT table (grows with sf): never force-broadcast it.
+    # The fact⋈fact join shuffles on orderkey; AQE may still pick a
+    # broadcast at small sf on measured size, which is the right mechanism.
+    # Only the true dim (customer, segment-filtered) is broadcast by hint.
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -93,8 +97,10 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(D4) - _dec("l_discount", D4))
+    # orders is a FACT table: the fact⋈fact join shuffles on orderkey
+    # (AQE may broadcast at small sf on measured size). Dims only below.
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(s),
