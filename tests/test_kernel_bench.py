@@ -214,6 +214,99 @@ def test_tw_median_fenwick_speedup_deep_key():
     assert est_slow / t_fast >= 20
 
 
+def _tw_median_win_naive(ts, v, w, rows_n=None, range_ns=None):
+    """The per-row argsort walk over a sliding frame — the executable spec
+    from operators/stateful.py:weighted_median (pre-r4 implementation)."""
+    from wingfoil_spark.operators.stateful import _weighted_median_select
+
+    n = len(v)
+    res = np.empty(n)
+    for i in range(n):
+        if rows_n is not None:
+            lo = max(0, i - (rows_n - 1))
+        elif range_ns is not None:
+            lo = int(np.searchsorted(ts, ts[i] - range_ns, side="left"))
+        else:
+            lo = 0
+        vv, ww = v[lo:i], w[lo:i]
+        mask = ww > 0
+        vv, ww = vv[mask], ww[mask]
+        res[i] = _weighted_median_select(vv, ww, v[i])
+    return res
+
+
+def test_tw_median_win_bitwise_vs_naive():
+    """The windowed Fenwick kernel (VERDICT r3 #2) must reproduce the
+    argsort walk bitwise across all three frames — zero-gap bursts,
+    duplicate values, NaN trailing weight, exact-half crossings."""
+    from wingfoil_spark.operators import _ckernels
+
+    if _ckernels._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(17)
+    n = 3_000
+    ts = np.cumsum(rng.integers(0, 3, n) * 1_000_000).astype(np.int64)
+    v = np.round(rng.normal(100, 10, n), 2)
+    v[70:85] = v[70]  # duplicate-value run
+    w = np.diff(ts).astype(np.float64)
+    w = np.append(w, np.nan)  # trailing NULL lead, as weighted_median sees it
+    for frame in [
+        {"rows_n": 25}, {"rows_n": 1}, {"rows_n": 0},
+        {"range_ns": 10_000_000}, {"range_ns": 0}, {},
+    ]:
+        fast = _ckernels.tw_median_win(ts, v, w, **frame)
+        slow = _tw_median_win_naive(ts, v, w, **frame)
+        assert np.array_equal(fast, slow), f"frame {frame} diverged"
+    # evenly-spaced ticks: every even window hits EXACTLY half — the
+    # averaging branch fires constantly, across eviction epochs
+    ts_even = np.arange(400, dtype=np.int64) * 100
+    v_even = rng.normal(0, 1, 400).round(2)
+    w_even = np.append(np.diff(ts_even).astype(np.float64), np.nan)
+    for frame in [{"rows_n": 10}, {"range_ns": 1_000}]:
+        fast = _ckernels.tw_median_win(ts_even, v_even, w_even, **frame)
+        slow = _tw_median_win_naive(ts_even, v_even, w_even, **frame)
+        assert np.array_equal(fast, slow), f"even-ticks frame {frame}"
+    # guard: float / negative weights must refuse the C path
+    assert _ckernels.tw_median_win(ts, v, w + 0.5, rows_n=5) is None
+    assert _ckernels.tw_median_win(ts, v, -w, rows_n=5) is None
+    # tiny edges
+    for k in (0, 1, 2):
+        f = _ckernels.tw_median_win(ts[:k], v[:k], w[:k], rows_n=3)
+        s = _tw_median_win_naive(ts[:k], v[:k], w[:k], rows_n=3)
+        assert np.array_equal(f, s), f"edge n={k}"
+
+
+def test_tw_median_win_speedup_deep_key():
+    """VERDICT r3 #2 done-bar: >=10x on a 100k-row key with a wide window
+    (the argsort walk is O(n·w log w); Fenwick is O(n log n))."""
+    from wingfoil_spark.operators import _ckernels
+
+    if _ckernels._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(23)
+    n = 100_000
+    win = 2_000
+    ts = np.cumsum(rng.integers(1, 4_000_000, n)).astype(np.int64)
+    v = np.round(rng.normal(100, 10, n), 2)
+    w = np.append(np.diff(ts).astype(np.float64), np.nan)
+    t0 = time.perf_counter()
+    fast = _ckernels.tw_median_win(ts, v, w, rows_n=win)
+    t_fast = time.perf_counter() - t0
+    m = 10_000  # naive on a prefix (already windowed-steady-state), scale linearly
+    t0 = time.perf_counter()
+    slow_prefix = _tw_median_win_naive(ts[:m], v[:m], w[:m], rows_n=win)
+    t_slow_prefix = time.perf_counter() - t0
+    assert np.array_equal(fast[:m], slow_prefix)
+    est_slow = t_slow_prefix * (n / m)
+    print(f"\ntw-median-win 100k-row key (w={win}): fenwick {t_fast:.3f}s, "
+          f"argsort-walk est {est_slow:.1f}s ({est_slow / t_fast:.0f}x)")
+    assert est_slow / t_fast >= 10
+
+
 def _tw_mean_var_naive(ts, v, window_ns):
     """The Python big-int prefix walk (executable spec)."""
     vc = np.rint(v * 100).astype(np.int64)

