@@ -85,9 +85,16 @@ def window_stat(
     On a STREAMING DataFrame the window-function form is rejected by
     Structured Streaming; the call transparently rebinds to the equivalent
     KeyedStateOp twin (:mod:`wingfoil_spark.streaming.twins`) — same
-    semantics, pinned bitwise by test_streaming_duality. Supported there:
-    ("rows", n) and ("range", ns) frames for tick weighting, ("range", ns)
-    for time weighting (mean/var/std/median)."""
+    semantics, pinned by test_streaming_duality. EVERY (frame × weighting
+    × stat) cell binds on streams as of r4. Duality contract: the twins
+    accumulate in exact integer cents, bitwise-equal to the decimal-staged
+    batch windows for 2-DECIMAL inputs; >2-decimal values switch the
+    affected key to float accumulation (approximate duality — documented,
+    guarded per batch). Range-frame time-weighted mean/var additionally
+    diverge from the batch rangeBetween window on same-timestamp bursts
+    only: the batch frame sees the whole instant's committed weight
+    (look-ahead), a causal stream cannot — pinned by the burst duality
+    test."""
     out = out or f"{stat}_{frame[0]}"
     if s.df.isStreaming:
         return _streaming_stat(s, col, stat, frame, weighting, out)
@@ -194,14 +201,14 @@ def _streaming_stat(s: Stream, col: str, stat: str, frame, weighting: str,
         if stat not in names:
             raise ValueError(f"unsupported streaming stat {stat!r}")
         if frame[0] == "rows":
-            step = twins.rolling_stats_step(col, frame[1], s.ts, s.seq, keys)
+            # rows-0 clamps to 1, mirroring batch _frame_window (the
+            # reference window.max(1) — statistics_rolling.rs:175-196)
+            step = twins.rolling_stats_step(col, max(frame[1], 1), s.ts,
+                                            s.seq, keys)
         elif frame[0] == "range":
             step = twins.range_stats_step(col, frame[1], s.ts, s.seq, keys)
-        else:
-            raise NotImplementedError(
-                f"streaming frame {frame!r}: use fold()/running aggregates "
-                f"for cumulative stats on streams"
-            )
+        else:  # ("cum",) — running matrix with exact median (r3 gap closed)
+            step = twins.cum_stats_step(col, s.ts, s.seq, keys)
         schema = T.StructType(
             base_fields + seq_fields + [T.StructField(col, T.DoubleType())]
             + [T.StructField(n, T.DoubleType()) for n in
@@ -215,23 +222,32 @@ def _streaming_stat(s: Stream, col: str, stat: str, frame, weighting: str,
         res = res.select(*keep, F.col(names[stat]).alias(out))
         return Stream(res, ts=s.ts, seq=s.seq, keys=s.keys)
 
-    if weighting != "time" or frame[0] != "range":
-        raise NotImplementedError(
-            f"streaming time-weighted stats support the ('range', ns) frame; "
-            f"got frame={frame!r} weighting={weighting!r}"
-        )
-    if stat not in ("mean", "var", "std"):
-        raise NotImplementedError(
-            "streaming time-weighted range median: use the fused cumulative "
-            "profile twin (twins.tw_profile_step) or the batch path"
-        )
-    # sample-retention semantics, matching the batch ("range", ns) time
-    # default (statistics_time_weighted.rs eviction)
-    step = twins.tw_range_step(col, frame[1], s.ts, keys)
+    if weighting != "time":
+        raise ValueError(f"unknown weighting {weighting!r}")
+    if stat not in ("mean", "var", "std", "median"):
+        raise ValueError(f"time weighting undefined for stat {stat!r}")
+    # every (frame × stat) cell of the time-weighted matrix now binds on
+    # streams (r3 gap closed); pick the cheapest-state step that covers it
+    if frame[0] == "range" and stat != "median":
+        # sample-retention semantics, matching the batch ("range", ns)
+        # time default (statistics_time_weighted.rs eviction)
+        step = twins.tw_range_step(col, frame[1], s.ts, keys)
+        stat_cols = ("tw_mean", "tw_var", "tw_std")
+    elif frame[0] == "cum":
+        if stat == "median":
+            # cumulative weighted median needs full history: the fused
+            # profile twin (its tw_median IS the cumulative frame)
+            step = twins.tw_profile_step(col, 1, s.ts, keys)
+            stat_cols = ("tw_mean", "tw_var", "tw_median")
+        else:
+            step = twins.tw_cum_step(col, s.ts, keys)
+            stat_cols = ("tw_mean", "tw_var", "tw_std")
+    else:  # rows frame (all stats) or range median: the causal walk
+        step = twins.tw_window_step(col, frame, s.ts, keys)
+        stat_cols = ("tw_mean", "tw_var", "tw_std", "tw_median")
     schema = T.StructType(
         base_fields + [T.StructField(col, T.DoubleType())]
-        + [T.StructField(n, T.DoubleType()) for n in
-           ("tw_mean", "tw_var", "tw_std")]
+        + [T.StructField(n, T.DoubleType()) for n in stat_cols]
     )
     op = KeyedStateOp(step, out_schema=schema, init_state=None,
                       ts=s.ts, seq=None, keys=tuple(keys))

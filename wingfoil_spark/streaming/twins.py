@@ -136,6 +136,24 @@ def combine_latest_op(
     return op, tagged_union(left, right, lvals, rvals)
 
 
+def _cents(v: float) -> int | None:
+    """Exact integer cents, or None when the value is not 2-decimal data.
+    The integer-exact accumulation (bitwise equal to the decimal-staged
+    batch windows) is only sound for 2-decimal inputs; steps fall back to
+    float accumulation otherwise (ADVICE r3: int(round(v*100)) silently
+    corrupted >2-decimal sums while claiming 'same semantics')."""
+    c = round(v * 100)
+    return c if abs(v * 100 - c) < 1e-9 else None
+
+
+def _sums_from_cents(cs: list, xs: list) -> tuple[float, float]:
+    """(Σx, Σx²) — exact integer cents when every value is 2-decimal,
+    float accumulation (documented approximate duality) otherwise."""
+    if any(c is None for c in cs):
+        return float(sum(xs)), float(sum(x * x for x in xs))
+    return float(sum(cs)) / 100.0, float(sum(c * c for c in cs)) / 10000.0
+
+
 def rolling_stats_step(
     col: str, n: int, ts: str, seq: str | None, keys: list[str]
 ) -> StepFn:
@@ -155,15 +173,13 @@ def rolling_stats_step(
         vals = pdf[col].to_numpy(dtype=np.float64)
         for i in range(len(pdf)):
             v = float(vals[i])
-            vc = int(round(v * 100))
-            hist.append((vc, v))
+            hist.append((_cents(v), v))
             if len(hist) > n:
                 hist.pop(0)
             cs = [c for c, _ in hist]
             vs = sorted(x for _, x in hist)
             cnt = len(hist)
-            s1 = float(sum(cs)) / 100.0
-            s2 = float(sum(c * c for c in cs)) / 10000.0
+            s1, s2 = _sums_from_cents(cs, [x for _, x in hist])
             # single-sample var/std seed 0.0 (statistics_rolling.rs:9-15)
             var = max((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0) if cnt > 1 else 0.0
             med = (vs[(cnt + 1) // 2 - 1] + vs[cnt // 2]) / 2
@@ -208,15 +224,14 @@ def range_stats_step(
             t = int(t_arr[i])
             j = i
             while j < n and int(t_arr[j]) == t:  # the whole instant
-                hist.append((int(t_arr[j]), int(round(float(vals[j]) * 100)),
+                hist.append((int(t_arr[j]), _cents(float(vals[j])),
                              float(vals[j])))
                 j += 1
             hist = [h for h in hist if h[0] >= t - window_ns]
             cs = [c for _, c, _ in hist]
             vs = sorted(x for _, _, x in hist)
             cnt = len(hist)
-            s1 = float(sum(cs)) / 100.0
-            s2 = float(sum(c * c for c in cs)) / 10000.0
+            s1, s2 = _sums_from_cents(cs, [x for _, _, x in hist])
             # single-sample var/std seed 0.0 (statistics_rolling.rs:9-15)
             var = max((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0) if cnt > 1 else 0.0
             med = (vs[(cnt + 1) // 2 - 1] + vs[cnt // 2]) / 2
@@ -300,31 +315,227 @@ def tw_range_step(
         for i in range(len(pdf)):
             t = int(t_arr[i])
             v = float(vals[i])
-            hist.append((t, int(round(v * 100)), v))
+            hist.append((t, _cents(v), v))
             hist = [h for h in hist if h[0] >= t - window_ns]
+            exact = all(c is not None for _, c, _ in hist)
             sw = 0
             swv = 0
             swv2 = 0
-            for (t0, c0, _), (t1, _, _) in zip(hist, hist[1:]):
+            for (t0, c0, x0), (t1, _, _) in zip(hist, hist[1:]):
                 w = t1 - t0
                 sw += w
-                swv += c0 * w
-                swv2 += c0 * c0 * w
+                if exact:
+                    swv += c0 * w
+                    swv2 += c0 * c0 * w
+                else:  # >2-decimal data: float accumulation (documented)
+                    swv += x0 * w
+                    swv2 += x0 * x0 * w
             if sw == 0:
                 mean, var = v, 0.0
-            else:
+            elif exact:
                 # int/int division is correctly rounded even past 2^53 —
                 # ONE rounding, exactly like the batch decimal→double cast
                 # (float(big_int)/100.0 would round twice and diverge)
                 mean = (swv / 100) / sw
                 m = mean
                 var = max((swv2 / 10000) / sw - m * m, 0.0)
+            else:
+                mean = swv / sw
+                var = max(swv2 / sw - mean * mean, 0.0)
             out_rows.append((t, v, mean, var, np.sqrt(var)))
         out = pd.DataFrame(
             [(*keyvals, *r) for r in out_rows],
             columns=[*keys, ts, col, "tw_mean", "tw_var", "tw_std"],
         )
         return hist, out
+
+    return step
+
+
+def cum_stats_step(
+    col: str, ts: str, seq: str | None, keys: list[str]
+) -> StepFn:
+    """Cumulative (since-start) tick-weighted stats matrix as a resumable
+    step (reference cumulative_*, stats.rs:59-85) — closes the r3 gap where
+    ``stat(col, s, ("cum",))`` on a readStream raised NotImplementedError.
+    State = (count, Σcents, Σcents², Σx, Σx², min, max, sorted-values).
+    The sorted value list backs the EXACT median (the batch op is
+    sort_array(collect_list) over the unbounded frame — same O(n) per-key
+    memory by necessity); sums accumulate in exact integer cents with the
+    decimal-staged batch op-order, float fallback for >2-decimal data."""
+
+    def step(state, pdf: pd.DataFrame):
+        import bisect
+
+        if state:
+            cnt, sc1, sc2, f1, f2, mn, mx, vs = state
+            vs = list(vs)
+        else:
+            cnt, sc1, sc2, f1, f2, mn, mx, vs = 0, 0, 0, 0.0, 0.0, None, None, []
+        order = [ts] + ([seq] if seq else [])
+        pdf = pdf.sort_values(order, kind="mergesort")
+        keyvals = tuple(pdf.iloc[0][k] for k in keys) if len(pdf) else ()
+        meta = pdf[order].to_numpy()
+        vals = pdf[col].to_numpy(dtype=np.float64)
+        out_rows = []
+        for i in range(len(pdf)):
+            v = float(vals[i])
+            c = _cents(v)
+            cnt += 1
+            if sc1 is not None and c is not None:
+                sc1 += c
+                sc2 += c * c
+            else:
+                sc1 = sc2 = None  # permanently tainted: float path
+            f1 += v
+            f2 += v * v
+            mn = v if mn is None else min(mn, v)
+            mx = v if mx is None else max(mx, v)
+            bisect.insort(vs, v)
+            if sc1 is not None:
+                s1 = float(sc1) / 100.0
+                s2 = float(sc2) / 10000.0
+            else:
+                s1, s2 = f1, f2
+            # single-sample var/std seed 0.0 (statistics_rolling.rs:9-15)
+            var = max((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0) if cnt > 1 else 0.0
+            med = (vs[(cnt + 1) // 2 - 1] + vs[cnt // 2]) / 2
+            out_rows.append(
+                (*[int(m) for m in meta[i]], v, s1, s1 / cnt, mn, mx,
+                 var, np.sqrt(var), med)
+            )
+        out = pd.DataFrame(
+            [(*keyvals, *r) for r in out_rows],
+            columns=[*keys, *order, col, "st_sum", "st_mean", "st_min",
+                     "st_max", "st_var", "st_std", "st_median"],
+        )
+        return (cnt, sc1, sc2, f1, f2, mn, mx, vs), out
+
+    return step
+
+
+def tw_window_step(col: str, frame, ts: str, keys: list[str]) -> StepFn:
+    """Windowed TIME-WEIGHTED stats {mean, var, std, median} as one causal
+    resumable step — frames ("rows", n) (last n-1 committed samples,
+    stats.rs:177-185 rolling) and ("range", ns) (sample retention,
+    statistics_time_windowed.rs aging). State = the retained
+    (ts, cents, value) samples, newest last (its weight uncommitted).
+
+    The weighted MEDIAN follows the reference crossing rule via
+    ``_weighted_median_select`` over strictly-prior samples — exactly the
+    batch ``weighted_median`` candidate set, so median duality is bitwise
+    with no burst caveat (the batch op never looks at the current row or
+    its instant-mates: their weights are 0 or uncommitted). For mean/var
+    on the RANGE frame the batch rangeBetween window gives burst rows
+    visibility of the whole instant's committed weight — look-ahead a
+    causal stream cannot have; that divergence is pinned by the same-ts
+    burst duality test. Integer-cent sums, float fallback for >2-decimal
+    data."""
+    rows_n = max(frame[1], 1) if frame[0] == "rows" else None
+    range_ns = frame[1] if frame[0] == "range" else None
+
+    def step(state, pdf: pd.DataFrame):
+        from wingfoil_spark.operators.stateful import _weighted_median_select
+
+        hist: list[tuple] = list(state) if state else []
+        pdf = pdf.sort_values([ts], kind="mergesort")
+        keyvals = tuple(pdf.iloc[0][k] for k in keys) if len(pdf) else ()
+        t_arr = pdf[ts].to_numpy()
+        vals = pdf[col].to_numpy(dtype=np.float64)
+        out_rows = []
+        for i in range(len(pdf)):
+            t = int(t_arr[i])
+            v = float(vals[i])
+            hist.append((t, _cents(v), v))
+            if rows_n is not None:
+                hist = hist[-rows_n:]
+            else:
+                hist = [h for h in hist if h[0] >= t - range_ns]
+            exact = all(c is not None for _, c, _ in hist)
+            sw = 0
+            swv = 0
+            swv2 = 0
+            ws = []
+            for (t0, c0, x0), (t1, _, _) in zip(hist, hist[1:]):
+                w = t1 - t0
+                ws.append(w)
+                sw += w
+                if exact:
+                    swv += c0 * w
+                    swv2 += c0 * c0 * w
+                else:
+                    swv += x0 * w
+                    swv2 += x0 * x0 * w
+            if sw == 0:
+                mean, var = v, 0.0
+            elif exact:
+                mean = (swv / 100) / sw
+                var = max((swv2 / 10000) / sw - mean * mean, 0.0)
+            else:
+                mean = swv / sw
+                var = max(swv2 / sw - mean * mean, 0.0)
+            vv = np.array([x for _, _, x in hist[:-1]], dtype=np.float64)
+            ww = np.array(ws, dtype=np.float64)
+            mask = ww > 0
+            med = _weighted_median_select(vv[mask], ww[mask], v)
+            out_rows.append((t, v, mean, var, np.sqrt(var), med))
+        out = pd.DataFrame(
+            [(*keyvals, *r) for r in out_rows],
+            columns=[*keys, ts, col, "tw_mean", "tw_var", "tw_std",
+                     "tw_median"],
+        )
+        return hist, out
+
+    return step
+
+
+def tw_cum_step(col: str, ts: str, keys: list[str]) -> StepFn:
+    """Cumulative TIME-WEIGHTED mean/var/std as a resumable step with O(1)
+    state (reference cumulative_*_time_weighted, stats.rs:59-85): running
+    integer integrals (cents × µs), each sample's weight committed when its
+    successor arrives; int/int division keeps the single-rounding
+    decimal→double op-order of the batch window formulation. (Cumulative
+    tw MEDIAN needs the full history — bind :func:`tw_profile_step`.)"""
+
+    def step(state, pdf: pd.DataFrame):
+        if state:
+            last_t, last_c, last_x, sw, swv, swv2, fwv, fwv2 = state
+        else:
+            last_t, last_c, last_x, sw, swv, swv2, fwv, fwv2 = (
+                None, None, None, 0, 0, 0, 0.0, 0.0)
+        pdf = pdf.sort_values([ts], kind="mergesort")
+        keyvals = tuple(pdf.iloc[0][k] for k in keys) if len(pdf) else ()
+        t_arr = pdf[ts].to_numpy()
+        vals = pdf[col].to_numpy(dtype=np.float64)
+        out_rows = []
+        for i in range(len(pdf)):
+            t = int(t_arr[i])
+            v = float(vals[i])
+            if last_t is not None:
+                w = t - last_t
+                sw += w
+                if swv is not None and last_c is not None:
+                    swv += last_c * w
+                    swv2 += last_c * last_c * w
+                else:
+                    swv = swv2 = None  # >2-decimal data: float path
+                fwv += last_x * w
+                fwv2 += last_x * last_x * w
+            if sw == 0:
+                mean, var = v, 0.0
+            elif swv is not None:
+                mean = (swv / 100) / sw
+                var = max((swv2 / 10000) / sw - mean * mean, 0.0)
+            else:
+                mean = fwv / sw
+                var = max(fwv2 / sw - mean * mean, 0.0)
+            out_rows.append((t, v, mean, var, np.sqrt(var)))
+            last_t, last_c, last_x = t, _cents(v), v
+        out = pd.DataFrame(
+            [(*keyvals, *r) for r in out_rows],
+            columns=[*keys, ts, col, "tw_mean", "tw_var", "tw_std"],
+        )
+        return (last_t, last_c, last_x, sw, swv, swv2, fwv, fwv2), out
 
     return step
 
@@ -349,12 +560,12 @@ def buffer_step(
         vals = pdf[col].to_numpy(dtype=np.float64)
         out_rows = []
         for i in range(len(pdf)):
-            partial.append((int(t_arr[i]), int(round(float(vals[i]) * 100)),
+            partial.append((int(t_arr[i]), _cents(float(vals[i])),
                             float(vals[i])))
             if len(partial) == capacity:
                 cs = [c for _, c, _ in partial]
                 xs = [x for _, _, x in partial]
-                s1 = float(sum(cs)) / 100.0
+                s1, _ = _sums_from_cents(cs, xs)
                 out_rows.append((
                     max(t for t, _, _ in partial),
                     s1, s1 / capacity, min(xs), max(xs), capacity,
