@@ -426,46 +426,51 @@ def _tw_cols(s: Stream, frame: tuple | None):
     excluded, mean seeds to current value, population var. ``frame``:
     None = cumulative, ("rows", n) = count window, ("range", µs) =
     trailing-duration sample retention (the reference's time_windowed_*
-    eviction — whole intervals, no clipping; graded r3)."""
+    eviction — whole intervals, no clipping; graded r3).
+
+    Numeric formulation (r4 perf): Σw and Σ(w·cents) accumulate as LONGS —
+    sliding/range frame re-aggregation over BigDecimal accumulators was
+    2.7× slower than long adds at sf0.1. Exactness envelope: per-key
+    Σ|w·cents| < 2^63, i.e. |value| ≤ ~$9e4 over a ~3-year key span (ANSI
+    mode fails LOUDLY on overflow — never silently wrong; re-stage through
+    DEC_W decimals if a deployment needs a wider envelope). Only Σ(w·v²)
+    stays decimal (cents² × span exceeds int64 by construction). The
+    DuckDB oracle mirrors the exact op order (HUGEINT sums ≡ long sums,
+    cast→double→/100.0), so parity stays bitwise."""
     wlead = s._w_plain()
-    wdec = (F.lead("ts_us").over(wlead) - F.col("ts_us")).cast(DEC_W)
-    # stage the decimal products ONCE as real columns: three frame branches
-    # (cum/rolling/range) sum the same __wv/__wv2 — recomputing the decimal
+    w_l = F.lead("ts_us").over(wlead) - F.col("ts_us")  # in-effect µs, long
+    # stage the products ONCE as real columns: three frame branches
+    # (cum/rolling/range) sum the same __wv/__wv2 — recomputing the
     # multiplies per branch tripled the query's cost
-    base = s.map(__w=wdec)
+    base = s.map(__w=w_l, __c=F.round(F.col("value") * 100).cast("long"))
     base = base.map(
-        __wv=(F.col("__w") * _vdec()),
-        __wv2=(F.col("__w") * (_vdec() * _vdec()).cast(DEC_V2)),
+        __wv=(F.col("__w") * F.col("__c")),
+        __wv2=(F.col("__w").cast(DEC_W) * (_vdec() * _vdec()).cast(DEC_V2)),
     )
     wt = F.col("__w")
     if frame and frame[0] == "range":
         wa = base.w_range(-frame[1], 0)
-        w0 = F.coalesce(wt, F.lit(0).cast(DEC_W))
+        w0 = F.coalesce(wt, F.lit(0))
         sw = (F.sum(wt).over(wa) - w0).cast("double")
-        swv = (F.sum("__wv").over(wa) - w0 * _vdec()).cast("double")
+        swv = (F.sum("__wv").over(wa) - w0 * F.col("__c")).cast("double")
         swv2 = (
-            F.sum("__wv2").over(wa) - w0 * (_vdec() * _vdec()).cast(DEC_V2)
+            F.sum("__wv2").over(wa)
+            - w0.cast(DEC_W) * (_vdec() * _vdec()).cast(DEC_V2)
         ).cast("double")
-        v0 = F.col("value").cast("double")
-        mean = F.when(sw.isNull() | (sw == 0), v0).otherwise(swv / sw)
-        var = F.when(sw.isNull() | (sw == 0), F.lit(0.0)).otherwise(
-            F.greatest(swv2 / sw - (swv / sw) * (swv / sw), F.lit(0.0))
-        )
-        var_r = F.round(var, 6)
-        return base, {"tw_mean": F.round(mean, 6), "tw_var": var_r,
-                      "tw_std": F.sqrt(var_r)}
-    if frame:
-        wa = s.w_rows(-(frame[1] - 1), -1)
     else:
-        wa = s.w_rows(Window.unboundedPreceding, -1)
-    sw = F.sum(wt).over(wa).cast("double")
-    swv = F.sum("__wv").over(wa).cast("double")
-    swv2 = F.sum("__wv2").over(wa).cast("double")
-    mean = F.when(sw.isNull() | (sw == 0), F.col("value").cast("double")).otherwise(swv / sw)
+        if frame:
+            wa = s.w_rows(-(frame[1] - 1), -1)
+        else:
+            wa = s.w_rows(Window.unboundedPreceding, -1)
+        sw = F.sum(wt).over(wa).cast("double")
+        swv = F.sum("__wv").over(wa).cast("double")
+        swv2 = F.sum("__wv2").over(wa).cast("double")
+    m = (swv / 100.0) / sw
+    mean = F.when(sw.isNull() | (sw == 0), F.col("value").cast("double")).otherwise(m)
     var = F.when(sw.isNull() | (sw == 0), F.lit(0.0)).otherwise(
-        F.greatest(swv2 / sw - (swv / sw) * (swv / sw), F.lit(0.0))
+        F.greatest(swv2 / sw - m * m, F.lit(0.0))
     )
-    # round to 6dp in BOTH engines: kills last-ulp decimal→double conversion
+    # round to 6dp in BOTH engines: kills last-ulp int→double conversion
     # noise; std derives from the ROUNDED var so sqrt can't amplify sub-
     # rounding cancellation noise near var≈0
     var_r = F.round(var, 6)
@@ -473,23 +478,27 @@ def _tw_cols(s: Stream, frame: tuple | None):
 
 
 def _tw_sql(frame_sql: str):
+    # mirrors _tw_cols' r4 long formulation op-for-op: HUGEINT sums of the
+    # integer w / w·cents products ≡ Spark's long sums; one cast→double,
+    # then (swv/100.0)/sw with identical IEEE order
     return f"""
 WITH ev AS ({EV_SQL}), wts AS (
   SELECT user_id, event_id, ts_us, value,
-    CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS DECIMAL(13,0)) AS w
+    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS w,
+    CAST(round(value * 100) AS BIGINT) AS c
   FROM ev
 ), agg AS (
   SELECT user_id, event_id, ts_us, value,
     (sum(w) OVER wa)::DOUBLE AS sw,
-    (sum(w * CAST(value AS DECIMAL(12,2))) OVER wa)::DOUBLE AS swv,
-    (sum(w * CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4))) OVER wa)::DOUBLE AS swv2
+    (sum(w * c) OVER wa)::DOUBLE AS swv,
+    (sum(CAST(w AS DECIMAL(13,0)) * CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4))) OVER wa)::DOUBLE AS swv2
   FROM wts
   WINDOW wa AS (PARTITION BY user_id ORDER BY ts_us, event_id {frame_sql})
 )
 SELECT user_id, event_id, ts_us,
-  round(CASE WHEN sw IS NULL OR sw = 0 THEN CAST(value AS DOUBLE) ELSE swv / sw END, 6) AS tw_mean,
-  round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - (swv / sw) * (swv / sw), 0.0) END, 6) AS tw_var,
-  sqrt(round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - (swv / sw) * (swv / sw), 0.0) END, 6)) AS tw_std
+  round(CASE WHEN sw IS NULL OR sw = 0 THEN CAST(value AS DOUBLE) ELSE (swv / 100.0) / sw END, 6) AS tw_mean,
+  round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - ((swv / 100.0) / sw) * ((swv / 100.0) / sw), 0.0) END, 6) AS tw_var,
+  sqrt(round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - ((swv / 100.0) / sw) * ((swv / 100.0) / sw), 0.0) END, 6)) AS tw_std
 FROM agg"""
 
 
@@ -1165,21 +1174,22 @@ FROM member_data"""
     _tw_range_sql = f"""
 WITH ev AS ({EV_SQL}), wts AS (
   SELECT user_id, event_id, ts_us, value,
-    CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS DECIMAL(13,0)) AS w
+    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS w,
+    CAST(round(value * 100) AS BIGINT) AS c
   FROM ev
 ), agg AS (
   SELECT user_id, event_id, ts_us, value,
     ((sum(w) OVER wa) - coalesce(w, 0))::DOUBLE AS sw,
-    ((sum(w * {_v12}) OVER wa) - coalesce(w * {_v12}, 0))::DOUBLE AS swv,
-    ((sum(w * {_v24}) OVER wa) - coalesce(w * {_v24}, 0))::DOUBLE AS swv2
+    ((sum(w * c) OVER wa) - coalesce(w * c, 0))::DOUBLE AS swv,
+    ((sum(CAST(w AS DECIMAL(13,0)) * {_v24}) OVER wa) - coalesce(CAST(w AS DECIMAL(13,0)) * {_v24}, 0))::DOUBLE AS swv2
   FROM wts
   WINDOW wa AS (PARTITION BY user_id ORDER BY ts_us
                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, event_id, ts_us,
-  round(CASE WHEN sw IS NULL OR sw = 0 THEN CAST(value AS DOUBLE) ELSE swv / sw END, 6) AS tw_mean,
-  round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - (swv / sw) * (swv / sw), 0.0) END, 6) AS tw_var,
-  sqrt(round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - (swv / sw) * (swv / sw), 0.0) END, 6)) AS tw_std
+  round(CASE WHEN sw IS NULL OR sw = 0 THEN CAST(value AS DOUBLE) ELSE (swv / 100.0) / sw END, 6) AS tw_mean,
+  round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - ((swv / 100.0) / sw) * ((swv / 100.0) / sw), 0.0) END, 6) AS tw_var,
+  sqrt(round(CASE WHEN sw IS NULL OR sw = 0 THEN 0.0 ELSE greatest(swv2 / sw - ((swv / 100.0) / sw) * ((swv / 100.0) / sw), 0.0) END, 6)) AS tw_std
 FROM agg"""
     o["stats_tw"] = " UNION ALL ".join(
         f"SELECT '{tag}' AS frame, * FROM ({sql})"
