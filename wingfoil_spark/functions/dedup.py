@@ -110,15 +110,34 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(bases: pd.Series) -> pd.Series:
-        out = []
-        for b in bases:
-            h = np.asarray(b, dtype=np.int64)
-            if len(h) == 0:
-                out.append([None] * k)
-                continue
-            # (shingles × k): products < 2^56, no int64 overflow
-            out.append(((h[:, None] * A[None, :] + B[None, :]) % MINHASH_P).min(axis=0).tolist())
-        return pd.Series(out)
+        # Whole-batch vectorization (VERDICT r3 item 5 — the per-doc loop
+        # did one (shingles × k) matmul per row): concatenate every doc's
+        # shingle bases into ONE flat vector, compute (total_shingles ×
+        # chunk) universal hashes (products < 2^56, no int64 overflow),
+        # and collapse to per-doc minima with np.minimum.reduceat over the
+        # doc-offset index — C-speed end to end. Permutations are hashed
+        # 16 at a time to bound slab memory (~16B/shingle/perm).
+        nd = len(bases)
+        if nd == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(b, dtype=np.int64) for b in bases]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=nd)
+        total = int(lens.sum())
+        out = np.empty((nd, k), dtype=np.int64)
+        nz = lens > 0
+        if total:
+            flat = np.concatenate([a for a in arrs if len(a)])
+            starts = np.zeros(nd, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            idx = starts[nz]  # zero-len docs collapse: slices stay aligned
+            CH = 16
+            for j0 in range(0, k, CH):
+                Aj = A[j0:j0 + CH]
+                Bj = B[j0:j0 + CH]
+                M = (flat[:, None] * Aj[None, :] + Bj[None, :]) % MINHASH_P
+                out[nz, j0:j0 + CH] = np.minimum.reduceat(M, idx, axis=0)
+        res = [out[i].tolist() if nz[i] else [None] * k for i in range(nd)]
+        return pd.Series(res)
 
     sig = df.select(F.col(id_col), sig_udf(F.col("__base")).alias("__sig"))
     return sig.select(
