@@ -177,7 +177,8 @@ def test_delay_with_reset_timer_duality(spark, events_pdf):
         src.rename(columns={"ts_us": "__t", "event_id": "__seq"})
            .assign(__trig=0),
         trg.rename(columns={"ts_us": "__t", "event_id": "__seq"})
-           .assign(__trig=1, value=None),
+           .assign(__trig=1, value=float("nan")),  # typed NaN, not an
+           # all-NA object column (concat dtype deprecation)
     ], ignore_index=True).astype({"value": "float64"})
     union = union[["user_id", "__t", "__trig", "__seq", "value"]] \
         .sort_values(["__t", "__trig", "__seq"]).reset_index(drop=True)

@@ -135,15 +135,21 @@ def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType):
             body = pdf.loc[~mask_last]
             if len(body):
                 outs = [
-                    fn(g) for _, g in
-                    body.groupby(keys, sort=False, dropna=False)
+                    o for o in (
+                        fn(g) for _, g in
+                        body.groupby(keys, sort=False, dropna=False)
+                    ) if len(o)  # empty frames poison concat dtypes
                 ]
-                yield pd.concat(outs, ignore_index=True)[out_cols]
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)[out_cols]
         if held is not None and len(held):
             outs = [
-                fn(g) for _, g in held.groupby(keys, sort=False, dropna=False)
+                o for o in (
+                    fn(g) for _, g in held.groupby(keys, sort=False, dropna=False)
+                ) if len(o)
             ]
-            yield pd.concat(outs, ignore_index=True)[out_cols]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)[out_cols]
 
     return (
         s.df.repartition(*keys)

@@ -179,6 +179,10 @@ def with_close(step: StepFn, close_col: str, init_state) -> StepFn:
         if len(seg):
             st, out = step(st if st is not None else init_state, seg)
             outs.append(out)
+        # drop empty frames before concat: concatenating empty/all-NA
+        # entries is deprecated pandas behavior that would silently change
+        # empty-group dtypes in a future release
+        outs = [o for o in outs if len(o)]
         merged = (
             pd.concat(outs, ignore_index=True) if outs
             else pd.DataFrame()
