@@ -584,25 +584,39 @@ def q_throttle_exact(spark, sf_dir):
 # ------------------------------------------------------------------ analysis
 
 
-def q_mad_outlier(spark, sf_dir):
-    """Rolling MAD outlier score (augurs.rs:636-655) — array-function
-    pipeline, no Python."""
+def q_analysis_scores(spark, sf_dir):
+    """Rolling MAD outlier score (augurs.rs:636-655) + two-sample
+    mean-shift changepoint score (augurs.rs:768-790) fused per row — both
+    are window expressions over the same (key, ts) sort, so the fusion
+    shares ONE scan and ONE key shuffle (r4: folded the two former slots
+    into one to free a driver slot for cosine_near_dups)."""
     from wingfoil_spark.operators import analysis
 
     s = _ev(spark, sf_dir)
-    out = analysis.mad_outlier(s, "value", window_n=21, thresh=3.5)
+    out = analysis.mean_shift_changepoint(
+        analysis.mad_outlier(s, "value", window_n=21, thresh=3.5),
+        "value", half_n=10,
+    )
     return out.df.select(
-        "user_id", "ts_us", "event_id", "outlier_score", "is_outlier"
+        "user_id", "ts_us", "event_id", "outlier_score", "is_outlier",
+        "shift_score",
     )
 
 
-def q_changepoint(spark, sf_dir):
-    """Two-sample mean-shift changepoint score (augurs.rs:768-790)."""
-    from wingfoil_spark.operators import analysis
+def q_cosine_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the semantic tier of the
+    dedup family (dedup.py:cosine_near_dups): md5-derived hyperplane
+    buckets + Hamming-1 probing bound the candidate set (never O(n²));
+    deterministic planes make the whole pipeline oracle-reproducible.
+    Threshold 0.4 fits the synthetic corpus (near-random embeddings, max
+    pairwise cosine ~0.51); recall on planted near-dups is pinned
+    separately by test_dedup_recall."""
+    from wingfoil_spark.functions.dedup import cosine_near_dups
 
-    s = _ev(spark, sf_dir)
-    out = analysis.mean_shift_changepoint(s, "value", half_n=10)
-    return out.df.select("user_id", "ts_us", "event_id", "shift_score")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dups(emb, threshold=0.4).select(
+        "a", "b", "cosine"
+    )
 
 
 def q_forecast_linear(spark, sf_dir):
@@ -917,8 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "drop_small_change": q_drop_small_change,
         "throttle_exact": q_throttle_exact,
-        "mad_outlier": q_mad_outlier,
-        "changepoint": q_changepoint,
+        "analysis_scores": q_analysis_scores,
         "forecast_linear": q_forecast_linear,
         "seasons": q_seasons,
         "dtw": q_dtw,
@@ -938,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "jaccard_pairs": q_jaccard_pairs,
         "ann": q_ann,
+        "cosine_near_dups": q_cosine_near_dups,
         "media_doc": q_media_doc,
         "media_frames": q_media_frames,
     }
@@ -1522,7 +1536,7 @@ SELECT w.user_id, w.ts_us, w.status,
 FROM inst i JOIN walk w ON w.user_id = i.user_id AND w.rn2 = i.mrn
 WHERE i.any_tick"""
 
-    o["mad_outlier"] = f"""
+    o["analysis_scores"] = f"""
 WITH ev AS ({EV_SQL}), base AS (
   SELECT user_id, ts_us, event_id, value,
     list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
@@ -1539,13 +1553,12 @@ WITH ev AS ({EV_SQL}), base AS (
     (dev[CAST(floor((len(dev)+1)/2) AS INT)]
    + dev[CAST(floor(len(dev)/2)+1 AS INT)]) / 2 AS mad
   FROM d
-)
-SELECT user_id, ts_us, event_id,
-  round(CASE WHEN mad > 0 THEN abs(value - med) / (1.4826 * mad) END, 6) AS outlier_score,
-  CASE WHEN mad > 0 THEN abs(value - med) / (1.4826 * mad) > 3.5 END AS is_outlier
-FROM s"""
-    o["changepoint"] = f"""
-WITH ev AS ({EV_SQL}), w AS (
+), mado AS (
+  SELECT user_id, ts_us, event_id,
+    round(CASE WHEN mad > 0 THEN abs(value - med) / (1.4826 * mad) END, 6) AS outlier_score,
+    CASE WHEN mad > 0 THEN abs(value - med) / (1.4826 * mad) > 3.5 END AS is_outlier
+  FROM s
+), w AS (
   SELECT user_id, ts_us, event_id,
     avg(value) OVER wo AS m_old, avg(value) OVER wn AS m_new,
     var_samp(value) OVER wo AS v_old, var_samp(value) OVER wn AS v_new,
@@ -1555,11 +1568,15 @@ WITH ev AS ({EV_SQL}), w AS (
                 ROWS BETWEEN 19 PRECEDING AND 10 PRECEDING),
          wn AS (PARTITION BY user_id ORDER BY ts_us, event_id
                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+), cp AS (
+  SELECT user_id, ts_us, event_id,
+    round(CASE WHEN n_old >= 10 AND sqrt((v_old + v_new) / 2) > 0
+          THEN abs(m_new - m_old) / sqrt((v_old + v_new) / 2) END, 6) AS shift_score
+  FROM w
 )
-SELECT user_id, ts_us, event_id,
-  round(CASE WHEN n_old >= 10 AND sqrt((v_old + v_new) / 2) > 0
-        THEN abs(m_new - m_old) / sqrt((v_old + v_new) / 2) END, 6) AS shift_score
-FROM w"""
+SELECT mado.user_id, mado.ts_us, mado.event_id,
+  mado.outlier_score, mado.is_outlier, cp.shift_score
+FROM mado JOIN cp USING (user_id, ts_us, event_id)"""
     o["forecast_linear"] = f"""
 WITH ev AS ({EV_SQL}), x AS (
   SELECT user_id, ts_us, event_id, value,
@@ -1964,4 +1981,43 @@ UNION ALL
 SELECT 'lsh', probe_id, neighbor_id, cosine, rank FROM lsh_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'ivf', probe_id, neighbor_id, cosine, rank FROM ivf_ranked WHERE rank <= 5"""
+    # Hyperplane buckets + Hamming-1 probing, exactly dedup.cosine_near_dups:
+    # the probe side expands each vector's bucket with its 8 one-bit flips;
+    # a pair (a<b) matches iff hamming(bucket_a, bucket_b) <= 1 (symmetric,
+    # so the a<b orientation loses nothing and each pair appears once).
+    o["cosine_near_dups"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+planes AS (
+  SELECT pp AS plane, list(coef ORDER BY dd) AS coefs FROM (
+    SELECT pl.pl AS pp, dm.dm AS dd,
+      ((('0x' || substr(md5('hp' || pl.pl || ':' || dm.dm), 1, 15))::BIGINT % 2001 - 1000) / 1000.0) AS coef
+    FROM (SELECT unnest(range(0, 8)) AS pl) pl, (SELECT unnest(range(0, 64)) AS dm) dm
+  ) GROUP BY pp
+),
+projs AS (
+  SELECT n.vec_id, pl.plane,
+    list_reduce(list_transform(range(1, 65), i -> n.emb[i] * pl.coefs[i]), (a, x) -> a + x) AS proj
+  FROM n, planes pl
+),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(plane AS INT)) ELSE 0 END)::BIGINT AS bucket
+  FROM projs GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id, unnest(list_prepend(bucket,
+    list_transform(range(0, 8), p -> xor(bucket, 1::BIGINT << CAST(p AS INT))))) AS bucket
+  FROM buckets
+),
+pairs AS (
+  SELECT pa.vec_id AS a, pb.vec_id AS b
+  FROM probes pa JOIN buckets pb ON pb.bucket = pa.bucket
+  WHERE pa.vec_id < pb.vec_id
+),
+scored AS (
+  SELECT a, b,
+    round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) AS cosine
+  FROM pairs JOIN n na ON na.vec_id = pairs.a JOIN n nb ON nb.vec_id = pairs.b
+)
+SELECT a, b, cosine FROM scored WHERE cosine >= 0.4"""
     return o

@@ -46,7 +46,7 @@ HEADLINE = [
     "vwap_suite",
     "order_book_top",
     "book_feed",
-    "mad_outlier",
+    "analysis_scores",
     "forecast_linear",
     "dynamic_membership",
     "media_frames",

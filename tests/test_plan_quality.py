@@ -81,9 +81,9 @@ def test_merge_unions_flattened(spark):
     assert plan.count("Union") <= 1
 
 
-def test_mad_outlier_no_python_stage(spark):
+def test_analysis_scores_no_python_stage(spark):
     # the analysis window ops promise JVM-only evaluation
-    plan = plan_of(spark, "mad_outlier")
+    plan = plan_of(spark, "analysis_scores")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     plan2 = plan_of(spark, "forecast_linear")
     assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
@@ -171,9 +171,8 @@ _NO_GLOBAL_EXCHANGE = [
     "combine_latest",
     "tumbling_1h",
     "sessionize",
-    "mad_outlier",
+    "analysis_scores",
     "forecast_linear",
-    "changepoint",
     "vwap_suite",
     "book_feed",
     "q1_pricing_summary",
