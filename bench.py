@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash",
     "jaccard_pairs",
     "ann",
+    "cosine_near_dups",
     "vwap_suite",
     "order_book_top",
     "book_feed",

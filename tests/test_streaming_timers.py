@@ -209,3 +209,41 @@ def test_delay_with_reset_timer_duality(spark, events_pdf):
     assert b.equals(st), "watermark-driven delay_with_reset diverged from batch"
     # non-sentinel keys drained without any further input
     assert set(st["user_id"].unique()) >= set(range(1, 10))
+
+
+def test_delay_timer_late_data_contract(spark):
+    """Pinned late-data contract (the reference FORBIDS out-of-order
+    sources — adapters/csv.rs:110-115 panics on a backwards timestamp —
+    so this is engine-defined behavior, pinned here): a row arriving
+    BEHIND the watermark (its key's timers may already have fired) is
+    NOT silently dropped. applyInPandasWithState delivers it to the
+    step, which schedules t+delay; that fire time is already ≤ the
+    watermark, so the delivery emits in the same micro-batch, stamped
+    at its LOGICAL fire time (behind the watermark). Deliveries are
+    never lost; downstream watermark-sensitive consumers see the late
+    output row — the documented append semantics."""
+    from wingfoil_spark.streaming.twins import delay_timer_op
+
+    S = 1_000_000
+    chunks = [
+        # batch 1 advances the watermark to 30s (0s delay watermark)
+        pd.DataFrame({"user_id": [1, 1, 0], "ts_us": [1 * S, 2 * S, 30 * S],
+                      "value": [10.0, 20.0, 0.0]}),
+        # batch 2: key 1's row at 5s is LATE (wm = 30s)
+        pd.DataFrame({"user_id": [1, 0], "ts_us": [5 * S, 31 * S],
+                      "value": [99.0, 0.0]}),
+        pd.DataFrame({"user_id": [0], "ts_us": [60 * S], "value": [0.0]}),
+    ]
+    op = delay_timer_op(
+        DELAY, "ts_us", ["value"], ["user_id"],
+        out_schema="user_id long, ts_us long, value double",
+    )
+    out = _run_files(
+        spark, op, chunks, "user_id long, ts_us long, value double",
+        name="delay_late",
+    )
+    k1 = out[out["user_id"] == 1].sort_values("ts_us").reset_index(drop=True)
+    # on-time deliveries at 2s and 3s, AND the late row's delivery at 6s —
+    # emitted behind the watermark rather than dropped
+    assert k1["ts_us"].tolist() == [2 * S, 3 * S, 6 * S]
+    assert k1["value"].tolist() == [10.0, 20.0, 99.0]

@@ -714,7 +714,15 @@ def delay_timer_op(
     ops.rs:3090-3155): every tick schedules (t+delay, values); a pending
     delivery fires when the WATERMARK passes its fire time — zero further
     input needed on the key. TimeQueue dedup collapses identical
-    (fire_at, values) schedules (runtime/time_queue.rs:136)."""
+    (fire_at, values) schedules (runtime/time_queue.rs:136).
+
+    Late-data contract (pinned by test_delay_timer_late_data_contract;
+    the reference FORBIDS out-of-order sources — adapters/csv.rs:110-115
+    panics — so this is engine-defined): a row arriving behind the
+    watermark is NOT dropped; its delivery fires in the same micro-batch,
+    stamped at its logical fire time (which may be behind the watermark).
+    Deliveries are never lost — downstream watermark-sensitive consumers
+    will see the late output row."""
 
     def fire(pending, upto_us):
         fired = [p for p in pending if p[0] <= upto_us]
