@@ -41,6 +41,12 @@ BIG = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/wingfoil_scale_sf1eq")
 REPL = 10
 SLACK = 1.6  # parallel slack: ratio <= REPL * SLACK counts as linear
 
+#: second tier (VERDICT r3 item 8): the three worst r3 ratios re-run at
+#: 30× to confirm the sublinear trend holds another decade
+BIG30 = os.environ.get("SPARK_GRAFT_SCALE30_DIR", "/tmp/wingfoil_scale_sf3eq")
+REPL30 = 30
+QUERIES_30X = ["stats_tw_kernel", "book_feed"]  # + ann_fixed, added in main()
+
 #: linear-expected graded queries exercised at both scales
 QUERIES = [
     "q1_pricing_summary",
@@ -56,71 +62,78 @@ QUERIES = [
 ]
 
 
-def build_big(spark) -> None:
+def build_big(spark, big: str = BIG, repl: int = REPL,
+              tables: tuple = ("events", "documents", "embeddings",
+                               "lineitem", "orders")) -> None:
     from pyspark.sql import functions as F
 
     from wingfoil_spark.sources.tables import TABLES, load_table
 
-    os.makedirs(BIG, exist_ok=True)
-    marker = os.path.join(BIG, "_built")
+    os.makedirs(big, exist_ok=True)
+    marker = os.path.join(big, "_built")
     if os.path.exists(marker):
         return
-    ev = load_table(spark, SMALL, "events")
-    n_ev = 10_000_000
-    n_user = 1_000_000
-    parts = [
-        ev.select(
-            (F.col("event_id") + i * n_ev).alias("event_id"),
-            (F.col("user_id") + i * n_user).alias("user_id"),
-            *[c for c in ev.columns if c not in ("event_id", "user_id")],
-        )
-        for i in range(REPL)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.write.mode("overwrite").parquet(os.path.join(BIG, "events.parquet"))
+    if "events" in tables:
+        ev = load_table(spark, SMALL, "events")
+        n_ev = 10_000_000
+        n_user = 1_000_000
+        parts = [
+            ev.select(
+                (F.col("event_id") + i * n_ev).alias("event_id"),
+                (F.col("user_id") + i * n_user).alias("user_id"),
+                *[c for c in ev.columns if c not in ("event_id", "user_id")],
+            )
+            for i in range(repl)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(os.path.join(big, "events.parquet"))
 
-    doc = load_table(spark, SMALL, "documents")
-    parts = [
-        doc.select(
-            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-            F.regexp_replace(F.col("text"), r"(\S+)", f"$1r{i}").alias("text"),
-            *[c for c in doc.columns if c not in ("doc_id", "text")],
-        )
-        for i in range(REPL)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.write.mode("overwrite").parquet(os.path.join(BIG, "documents.parquet"))
+    if "documents" in tables:
+        doc = load_table(spark, SMALL, "documents")
+        parts = [
+            doc.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\S+)", f"$1r{i}").alias("text"),
+                *[c for c in doc.columns if c not in ("doc_id", "text")],
+            )
+            for i in range(repl)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(os.path.join(big, "documents.parquet"))
 
-    emb = load_table(spark, SMALL, "embeddings")
-    parts = [
-        emb.select(
-            (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x, j: x + F.lit(0.0037 * i) * ((j % 5) - 2).cast("double"),
-            ).alias("embedding"),
-            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
-        )
-        for i in range(REPL)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.write.mode("overwrite").parquet(os.path.join(BIG, "embeddings.parquet"))
+    if "embeddings" in tables:
+        emb = load_table(spark, SMALL, "embeddings")
+        parts = [
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, j: x + F.lit(0.0037 * i) * ((j % 5) - 2).cast("double"),
+                ).alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+            for i in range(repl)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(os.path.join(big, "embeddings.parquet"))
 
     for t in ("lineitem", "orders"):
+        if t not in tables:
+            continue
         d = load_table(spark, SMALL, t)
         u = d
-        for _ in range(REPL - 1):
+        for _ in range(repl - 1):
             u = u.unionByName(d)
-        u.write.mode("overwrite").parquet(os.path.join(BIG, f"{t}.parquet"))
+        u.write.mode("overwrite").parquet(os.path.join(big, f"{t}.parquet"))
 
     for t in TABLES:
-        dst = os.path.join(BIG, f"{t}.parquet")
+        dst = os.path.join(big, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SMALL, f"{t}.parquet"), dst)
     open(marker, "w").write("ok")
@@ -160,6 +173,10 @@ def main() -> None:
     build_big(spark)
     print(f"# sf1-equivalent build: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
+    t0 = time.perf_counter()
+    build_big(spark, BIG30, REPL30, tables=("events", "embeddings"))
+    print(f"# sf3-equivalent (30x) build: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     qs = entry.queries()
     runs = [(name, qs[name]) for name in QUERIES] + [("ann_fixed", ann_fixed_probes)]
@@ -179,11 +196,31 @@ def main() -> None:
             superlinear.append(name)
         print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x){flag}",
               file=sys.stderr)
+
+    # 30x tier: the three worst r3 ratios, one more decade of headroom
+    out30 = {}
+    runs30 = [(n, qs[n]) for n in QUERIES_30X] + [("ann_fixed", ann_fixed_probes)]
+    for name, fn in runs30:
+        t_small = out.get(name, {}).get("t_small") or timed(fn, spark, SMALL)
+        t_big = timed(fn, spark, BIG30)
+        ratio = t_big / t_small
+        out30[name] = {
+            "t_small": round(t_small, 3),
+            "t_big": round(t_big, 3),
+            "ratio": round(ratio, 2),
+        }
+        flag = " SUPERLINEAR" if ratio > REPL30 * SLACK else ""
+        if flag:
+            superlinear.append(f"{name}@30x")
+        print(f"# {name}@30x: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x){flag}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "scale_check_sf0.1_to_sf1eq",
         "replication": REPL,
         "slack": SLACK,
         "queries": out,
+        "replication_30x": REPL30,
+        "queries_30x": out30,
         "superlinear": superlinear,
     }))
     sys.exit(1 if superlinear else 0)

@@ -119,6 +119,18 @@ def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType):
             lambda p: one(p.drop(columns="__g", errors="ignore")), schema=out_schema
         )
 
+    def _concat(outs):
+        # empty frames are pre-filtered; frames may still carry all-NA
+        # OBJECT columns (e.g. an empty book side's best_bid) which pandas
+        # deprecation-warns about. The Arrow serializer coerces every
+        # column to out_schema regardless of pandas' inferred dtype, so
+        # the future inference change cannot alter results — suppress.
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            return pd.concat(outs, ignore_index=True)[out_cols]
+
     def per_partition(batches):
         held: pd.DataFrame | None = None
         for pdf in batches:
@@ -141,7 +153,7 @@ def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType):
                     ) if len(o)  # empty frames poison concat dtypes
                 ]
                 if outs:
-                    yield pd.concat(outs, ignore_index=True)[out_cols]
+                    yield _concat(outs)
         if held is not None and len(held):
             outs = [
                 o for o in (
@@ -149,7 +161,7 @@ def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType):
                 ) if len(o)
             ]
             if outs:
-                yield pd.concat(outs, ignore_index=True)[out_cols]
+                yield _concat(outs)
 
     return (
         s.df.repartition(*keys)
