@@ -221,3 +221,82 @@ def test_decode_is_row_local_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_fix_to_book_feed_end_to_end(spark):
+    """The reference's real BookUpdate pipeline (market.rs:603-651) from
+    wire bytes to top-of-book: W snapshots carry Vec<Level> per side; X
+    change batches apply ABSOLUTE level sizes in wire order under one
+    MsgSeqNum (LevelChange, market.rs:501-519); the REST+WS race buffers
+    pre-snapshot deltas; a seq gap makes the book unquotable."""
+    from wingfoil_spark.operators.market import book_feed
+    from wingfoil_spark.stream import Stream
+
+    t = "20240627-11:17:2{s}"  # distinct second per message
+    frames = [
+        # X before the snapshot: buffered (seq 2 > snapshot seq 1: replays)
+        enc("X", 2, [(55, "AAPL"), (268, "1"),
+                     (279, "0"), (269, "0"), (270, "101"), (271, "9")],
+            st=t.format(s=0)),
+        # the snapshot: 2 bids + 1 ask
+        enc("W", 1, [(55, "AAPL"), (268, "3"),
+                     (269, "0"), (270, "100"), (271, "5"),
+                     (269, "0"), (270, "99"), (271, "4"),
+                     (269, "1"), (270, "103"), (271, "7")],
+            st=t.format(s=1)),
+        # one X message, one seq, THREE changes in wire order: set a better
+        # bid, change it (absolute overwrite), delete the ask
+        enc("X", 3, [(55, "AAPL"), (268, "3"),
+                     (279, "0"), (269, "0"), (270, "102"), (271, "1"),
+                     (279, "1"), (269, "0"), (270, "102"), (271, "6"),
+                     (279, "2"), (269, "1"), (270, "103"), (271, "0")],
+            st=t.format(s=2)),
+        # seq gap (5 skips 4): unquotable
+        enc("X", 5, [(55, "AAPL"), (268, "1"),
+                     (279, "0"), (269, "0"), (270, "90"), (271, "1")],
+            st=t.format(s=3)),
+    ]
+    df = spark.createDataFrame([(bytearray(f),) for f in frames],
+                               "value binary")
+    upd = fx.book_updates_from_fix(fx.decode_fix(df))
+    s = Stream(upd, ts="ts", seq="seq", keys=("symbol",))
+    out = (
+        book_feed(s, order_col="__ord")
+        .df.orderBy("ts")
+        .collect()
+    )
+    # tick 1 (the snapshot instant): snapshot + replayed buffered delta
+    # (seq 2 > 1) → best bid 101@9, levels {99,100,101}, ask 103@7
+    r = out[0]
+    assert (r["status"], r["best_bid"], r["bid_qty"]) == ("live", 101.0, 9.0)
+    assert (r["best_ask"], r["ask_qty"]) == (103.0, 7.0)
+    assert (r["n_bid_levels"], r["n_ask_levels"]) == (3, 1)
+    # tick 2: the 3-change batch under one seq — ABSOLUTE overwrite to 6,
+    # ask deleted; same-seq continuation is NOT a gap
+    r = out[1]
+    assert (r["status"], r["best_bid"], r["bid_qty"]) == ("live", 102.0, 6.0)
+    assert r["best_ask"] is None and r["n_ask_levels"] == 0
+    assert r["n_bid_levels"] == 4
+    # tick 3: the gap → unquotable
+    r = out[2]
+    assert r["status"] == "gapped" and r["best_bid"] is None
+    assert len(out) == 3
+
+
+def test_book_feed_multilevel_snapshot_step():
+    """Multi-level snapshot arrays (BookSnapshot Vec<Level>, market.rs:603)
+    through the raw step — no Spark."""
+    import pandas as pd
+
+    from wingfoil_spark.operators.market import book_feed_step
+
+    rows = [dict(ts=100, seq=1, kind="snapshot", side=None, price=None,
+                 qty=None, bid_price=None, bid_qty=None, ask_price=None,
+                 ask_qty=None,
+                 bid_prices=[100.0, 99.0], bid_qtys=[5.0, 4.0],
+                 ask_prices=[103.0], ask_qtys=[7.0])]
+    _, out = book_feed_step(None, pd.DataFrame(rows))
+    r = out.iloc[0]
+    assert (r["best_bid"], r["bid_qty"], r["best_ask"], r["ask_qty"]) == \
+        (100.0, 5.0, 103.0, 7.0)
+    assert (r["n_bid_levels"], r["n_ask_levels"]) == (2, 1)

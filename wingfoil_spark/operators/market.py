@@ -300,16 +300,26 @@ def book_feed_step(state, pdf: pd.DataFrame):
       ticking once (market_adapter.rs:184-219 — the universal REST+WS race).
 
     Rows: (ts, seq, kind, side, price, qty [, bid_price, bid_qty,
-    ask_price, ask_qty for snapshots]). state = (status, last_seq, bids,
-    asks, buffer). The simpler synthetic fold (:func:`order_book_step`)
-    stays as the graded-query op; this is the faithful feed handler.
+    ask_price, ask_qty for singleton snapshots; bid_prices, bid_qtys,
+    ask_prices, ask_qtys ARRAY columns for multi-level snapshots — the
+    reference BookSnapshot carries Vec<Level> per side, market.rs:603]).
+    Level semantics are the reference's LevelChange (market.rs:501-519):
+    qty is the new ABSOLUTE resting quantity, zero removes the level.
+    Several delta rows sharing ONE seq are a single message's change batch
+    (reference BookDelta.changes applies in order under one sequencing) —
+    accepted as a continuation, not a gap. state = (status, last_seq,
+    bids, asks, buffer). The simpler synthetic fold
+    (:func:`order_book_step`) stays as the graded-query op; this is the
+    faithful feed handler — it is what a decoded FIX W/X stream feeds
+    (sources/fix.py:book_updates_from_fix).
     """
     status, last_seq, bids, asks, buffer = state if state is not None else (
         "await", None, {}, {}, []
     )
     out_rows = []
     cols = ["ts", "seq", "kind", "side", "price", "qty",
-            "bid_price", "bid_qty", "ask_price", "ask_qty"]
+            "bid_price", "bid_qty", "ask_price", "ask_qty",
+            "bid_prices", "bid_qtys", "ask_prices", "ask_qtys"]
     arr = {c: (pdf[c].to_numpy() if c in pdf.columns else [None] * len(pdf)) for c in cols}
 
     def apply_delta(side, price, qty):
@@ -341,13 +351,31 @@ def book_feed_step(state, pdf: pd.DataFrame):
             if kind == "snapshot":
                 bids.clear()
                 asks.clear()
-                if arr["bid_qty"][i] and arr["bid_qty"][i] > 0:
-                    bids[float(arr["bid_price"][i])] = float(arr["bid_qty"][i])
-                if arr["ask_qty"][i] and arr["ask_qty"][i] > 0:
-                    asks[float(arr["ask_price"][i])] = float(arr["ask_qty"][i])
+                bps, aps = arr["bid_prices"][i], arr["ask_prices"][i]
+                if bps is not None or aps is not None:
+                    # multi-level image (BookSnapshot Vec<Level> per side);
+                    # list() rather than `or []`: numpy arrays have no
+                    # scalar truth value
+                    def _lv(a):
+                        return [] if a is None else list(a)
+
+                    for p, q in zip(_lv(bps), _lv(arr["bid_qtys"][i])):
+                        if q and q > 0:
+                            bids[float(p)] = float(q)
+                    for p, q in zip(_lv(aps), _lv(arr["ask_qtys"][i])):
+                        if q and q > 0:
+                            asks[float(p)] = float(q)
+                else:
+                    if arr["bid_qty"][i] and arr["bid_qty"][i] > 0:
+                        bids[float(arr["bid_price"][i])] = float(arr["bid_qty"][i])
+                    if arr["ask_qty"][i] and arr["ask_qty"][i] > 0:
+                        asks[float(arr["ask_price"][i])] = float(arr["ask_qty"][i])
                 status, last_seq = "live", seq
-                # replay buffered deltas newer than the snapshot
-                for bseq, bside, bprice, bqty in sorted(buffer):
+                # replay buffered deltas newer than the snapshot — in
+                # ARRIVAL order (rows come (ts, seq)-sorted, so this is seq
+                # order; a tuple sort would scramble same-seq change
+                # batches by side/price)
+                for bseq, bside, bprice, bqty in buffer:
                     if bseq > seq:
                         apply_delta(bside, bprice, bqty)
                         last_seq = bseq
@@ -359,7 +387,9 @@ def book_feed_step(state, pdf: pd.DataFrame):
             elif status == "gapped":
                 pass  # refused until a snapshot recovers the book
             else:  # live delta
-                if seq == last_seq + 1:
+                if seq == last_seq + 1 or seq == last_seq:
+                    # seq == last_seq: further changes of the SAME message
+                    # batch (BookDelta.changes under one sequencing)
                     apply_delta(arr["side"][i], float(arr["price"][i]),
                                 float(arr["qty"][i]))
                     last_seq = seq
@@ -397,9 +427,14 @@ def order_book_op(key_fields: list[T.StructField]) -> KeyedStateOp:
     )
 
 
-def book_feed_op(key_fields: list[T.StructField]) -> KeyedStateOp:
+def book_feed_op(key_fields: list[T.StructField],
+                 order_col: str = "seq") -> KeyedStateOp:
     """The FULL feed-handler book (:func:`book_feed_step` — status machine,
-    gap refusal, pre-snapshot buffering) as a two-run-mode KeyedStateOp."""
+    gap refusal, pre-snapshot buffering) as a two-run-mode KeyedStateOp.
+    ``order_col`` is the intra-instant SORT tiebreaker (the step always
+    reads the ``seq`` column for gap logic); pass a composite like the FIX
+    bridge's ``__ord`` when several rows share one (ts, seq) — a message's
+    change batch — and wire order must survive the partition sort."""
     keys = tuple(f.name for f in key_fields)
 
     def step_with_keys(state, pdf):
@@ -413,18 +448,21 @@ def book_feed_op(key_fields: list[T.StructField]) -> KeyedStateOp:
         out_schema=T.StructType(list(key_fields) + BOOK_FEED_FIELDS),
         init_state=None,
         ts="ts",
-        seq="seq",
+        seq=order_col,
         keys=keys,
     )
 
 
-def book_feed(updates: Stream) -> Stream:
+def book_feed(updates: Stream, order_col: str | None = None) -> Stream:
     """Maintain per-instrument feed-handler books (market_adapter.rs:94-219
     semantics) from a feed-update stream with columns (keys..., ts, seq,
-    kind, side, price, qty, bid_price, bid_qty, ask_price, ask_qty);
-    emits one row per ticked instant."""
+    kind, side, price, qty, bid_price, bid_qty, ask_price, ask_qty
+    [, bid_prices/bid_qtys/ask_prices/ask_qtys arrays for multi-level
+    snapshots]); emits one row per ticked instant. ``order_col``: see
+    :func:`book_feed_op`."""
     keys = updates.keys
-    op = book_feed_op([updates.df.schema[k] for k in keys])
+    op = book_feed_op([updates.df.schema[k] for k in keys],
+                      order_col=order_col or "seq")
     renamed = (
         updates.df.withColumnRenamed(updates.ts, "ts")
         if updates.ts != "ts" else updates.df

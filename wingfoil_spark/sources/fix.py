@@ -354,3 +354,72 @@ def md_entries(decoded: DataFrame, fix_col: str = "fix") -> DataFrame:
         fix_field(F.col("entry"), 271).cast("decimal(18,2)").alias("qty"),
     ]
     return w.select(*out_cols).unionByName(x.select(*out_cols))
+
+
+def book_updates_from_fix(decoded: DataFrame, fix_col: str = "fix") -> DataFrame:
+    """Decoded FIX W/X messages → the feed-handler book-update stream
+    consumed by ``operators.market.book_feed`` — the reference's real
+    BookUpdate pipeline (market.rs:603-651) end to end:
+
+    - one MarketDataSnapshot (W) → ONE ``kind='snapshot'`` row carrying
+      the full per-side level arrays (BookSnapshot's Vec<Level>);
+    - one IncrementalRefresh (X) → one ``kind='delta'`` row per MDEntry,
+      all sharing the message's MsgSeqNum (BookDelta.changes under one
+      sequencing — book_feed_step accepts same-seq rows as one batch);
+      qty is the ABSOLUTE new size (LevelChange, market.rs:501-519), and
+      a delete (279=2) maps to qty 0 = level removal.
+
+    Level extraction is pure Catalyst over the grouped entries. Output:
+    (symbol, ts, seq, __ord, kind, side, price, qty, bid_prices,
+    bid_qtys, ask_prices, ask_qtys) — ``__ord`` (seq·2²⁰ + entry index)
+    keeps a change batch's wire order through Spark's unstable partition
+    sort; feed ``Stream(..., ts='ts', seq='seq', keys=('symbol',))`` into
+    ``market.book_feed(s, order_col='__ord')``."""
+    fx_ = F.col(fix_col)
+    base = decoded.where(fx_.valid & fx_.msg_type.isin("W", "X")).select(
+        fx_.sending_time_us.alias("ts"),
+        fx_.seq_num.alias("seq"),
+        fx_.msg_type.alias("msg_type"),
+        fix_field(fx_.fields, 55).alias("symbol"),
+        fx_.fields.alias("__fields"),
+    )
+
+    def _levels(entries, et: str, what: int):
+        side_of = lambda e: fix_field(e, 269)  # noqa: E731
+        return F.transform(
+            F.filter(entries, lambda e: side_of(e) == et),
+            lambda e: fix_field(e, what).cast("double"),
+        )
+
+    w_ent = groups_col("__fields", 268, 269)
+    w = base.where(F.col("msg_type") == "W").select(
+        "symbol", "ts", "seq",
+        (F.col("seq") * (1 << 20)).alias("__ord"),
+        F.lit("snapshot").alias("kind"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("double").alias("qty"),
+        _levels(w_ent, "0", 270).alias("bid_prices"),
+        _levels(w_ent, "0", 271).alias("bid_qtys"),
+        _levels(w_ent, "1", 270).alias("ask_prices"),
+        _levels(w_ent, "1", 271).alias("ask_qtys"),
+    )
+    xe = base.where(F.col("msg_type") == "X").select(
+        "symbol", "ts", "seq",
+        F.posexplode(groups_col("__fields", 268, 279)).alias("pos", "entry"),
+    )
+    e = F.col("entry")
+    is_del = fix_field(e, 279) == "2"
+    none_arr = F.lit(None).cast("array<double>")
+    x = xe.select(
+        "symbol", "ts", "seq",
+        (F.col("seq") * (1 << 20) + F.col("pos")).alias("__ord"),
+        F.lit("delta").alias("kind"),
+        F.when(fix_field(e, 269) == "0", "bid").otherwise("ask").alias("side"),
+        fix_field(e, 270).cast("double").alias("price"),
+        F.when(is_del, F.lit(0.0))
+        .otherwise(fix_field(e, 271).cast("double")).alias("qty"),
+        none_arr.alias("bid_prices"), none_arr.alias("bid_qtys"),
+        none_arr.alias("ask_prices"), none_arr.alias("ask_qtys"),
+    )
+    return w.unionByName(x)
