@@ -314,11 +314,34 @@ def q_dynamic_membership(spark, sf_dir):
 # ---------------------------------------------------------------- statistics
 
 
-def _var_cols(s: Stream, w, prefix: str):
-    """Engine-independent exact var/std: decimal sums + identical double
-    math: var_samp = (Σv² − (Σv)²/n)/(n−1)."""
-    s1 = F.sum(_vdec()).over(w).cast("double")
-    s2 = F.sum((_vdec() * _vdec()).cast(DEC_V2)).over(w).cast("double")
+def _cents_cols(s: Stream):
+    """Stage the integer-cents products once: c (= value·100, exact for
+    2-decimal data), and c² split hi/lo at 10⁶ so BOTH window sums stay
+    long-exact to ~10¹² rows per key (Σ(c²) alone would cap at ~9×10⁶
+    max-value rows — r4 perf: BigDecimal window accumulators were 2×
+    slower than long adds; the DuckDB oracle mirrors the split exactly)."""
+    c = F.round(F.col("value") * 100).cast("long")
+    base = s.map(__c=c)
+    base = base.map(__c2=F.col("__c") * F.col("__c"))
+    # `div` = exact integer division (a double `/` + cast could round a
+    # near-integer quotient the wrong way)
+    return base.map(__c2h=F.expr("__c2 div 1000000"),
+                    __c2l=F.col("__c2") % 1_000_000)
+
+
+def _sums(w):
+    """(Σv, Σv²) as doubles from the staged cents columns — one cast per
+    sum, op order mirrored verbatim in the SQL oracle."""
+    s1 = F.sum("__c").over(w).cast("double") / 100.0
+    s2 = (F.sum("__c2h").over(w).cast("double") * 100.0
+          + F.sum("__c2l").over(w).cast("double") / 10000.0)
+    return s1, s2
+
+
+def _var_cols(w, prefix: str):
+    """Engine-independent exact var/std over the staged cents columns:
+    var_samp = (Σv² − (Σv)²/n)/(n−1) with identical double math."""
+    s1, s2 = _sums(w)
     n = F.count(F.lit(1)).over(w).cast("double")
     # single-sample seed is 0.0, NOT SQL's NULL — the reference convention
     # (statistics_rolling.rs:9-15, statistics_cumulative.rs:217-224)
@@ -338,17 +361,24 @@ def _median_col(w):
 
 
 def _stats_query(frame_sql: str):
-    """Shared SQL body for the tick-weighted stat families."""
+    """Shared SQL body for the tick-weighted stat families — mirrors the
+    staged-cents long formulation (_cents_cols/_sums) op-for-op."""
     return f"""
-WITH ev AS ({EV_SQL}), base AS (
+WITH ev AS ({EV_SQL}), cts AS (
   SELECT user_id, event_id, ts_us, value,
-    (sum(CAST(value AS DECIMAL(12,2))) OVER w)::DOUBLE AS s1,
-    (sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4))) OVER w)::DOUBLE AS s2,
+    CAST(round(value * 100) AS BIGINT) AS c,
+    CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) // 1000000 AS c2h,
+    CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) % 1000000 AS c2l
+  FROM ev
+), base AS (
+  SELECT user_id, event_id, ts_us, value,
+    (sum(c) OVER w)::DOUBLE / 100.0 AS s1,
+    (sum(c2h) OVER w)::DOUBLE * 100.0 + (sum(c2l) OVER w)::DOUBLE / 10000.0 AS s2,
     (count(*) OVER w)::DOUBLE AS n,
     (min(value) OVER w) AS mn,
     (max(value) OVER w) AS mx,
     list_sort(list(value) OVER w) AS arr
-  FROM ev
+  FROM cts
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id {frame_sql})
 )
 SELECT user_id, event_id, ts_us,
@@ -362,19 +392,20 @@ FROM base"""
 def _stats_frame(spark, sf_dir, frame):
     """rolling/cumulative/time-windowed stat family over events.value —
     the §2.3 matrix, tick-weighted (stats.rs:32-114, ops.rs:952-2114)."""
-    s = _ev(spark, sf_dir)
+    s = _cents_cols(_ev(spark, sf_dir))
     if frame[0] == "rows":
         w = s.w_rows(-(frame[1] - 1), 0)
     elif frame[0] == "range":
         w = s.w_range(-frame[1], 0)
     else:
         w = s.w_cum()
+    s1, _ = _sums(w)
     cols = {
-        "st_sum": F.sum(_vdec()).over(w).cast("double"),
-        "st_mean": F.sum(_vdec()).over(w).cast("double") / F.count(F.lit(1)).over(w).cast("double"),
+        "st_sum": s1,
+        "st_mean": s1 / F.count(F.lit(1)).over(w).cast("double"),
         "st_min": F.min("value").over(w),
         "st_max": F.max("value").over(w),
-        **_var_cols(s, w, "st"),
+        **_var_cols(w, "st"),
         "st_median": _median_col(w),
     }
     return s.map(**cols).df.select(
@@ -389,7 +420,7 @@ def q_stats_matrix(spark, sf_dir):
     and ONE key shuffle (the frames share the partition/order sort), then
     stack() unpivots to the tagged rows — a union would re-scan and
     re-shuffle per frame."""
-    s = _ev(spark, sf_dir)
+    s = _cents_cols(_ev(spark, sf_dir))
     frames = {
         "rolling": s.w_rows(-4, 0),
         "cumulative": s.w_cum(),
@@ -398,11 +429,12 @@ def q_stats_matrix(spark, sf_dir):
     cols = {}
     for tag, w in frames.items():
         p = tag[0]
-        cols[f"{p}_sum"] = F.sum(_vdec()).over(w).cast("double")
+        s1, _ = _sums(w)
+        cols[f"{p}_sum"] = s1
         cols[f"{p}_mean"] = cols[f"{p}_sum"] / F.count(F.lit(1)).over(w).cast("double")
         cols[f"{p}_min"] = F.min("value").over(w)
         cols[f"{p}_max"] = F.max("value").over(w)
-        vc = _var_cols(s, w, f"{p}v")
+        vc = _var_cols(w, f"{p}v")
         cols[f"{p}_var"] = vc[f"{p}v_var"]
         cols[f"{p}_std"] = vc[f"{p}v_std"]
         cols[f"{p}_median"] = _median_col(w)
