@@ -300,3 +300,70 @@ def test_book_feed_multilevel_snapshot_step():
     assert (r["best_bid"], r["bid_qty"], r["best_ask"], r["ask_qty"]) == \
         (100.0, 5.0, 103.0, 7.0)
     assert (r["n_bid_levels"], r["n_ask_levels"]) == (2, 1)
+
+
+def test_fix_book_stream_duality(spark, tmp_path):
+    """Run-mode duality for the FIX pipeline: readStream of framed
+    messages → decode_fix → book_updates_from_fix → book_feed_op
+    .run_stream equals the batch binding row-for-row (the codec stages
+    are stateless projections; the book is a KeyedStateOp)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from wingfoil_spark.operators.market import book_feed_op
+    from wingfoil_spark.stream import Stream
+
+    t = "20240627-11:17:2{s}"
+    frames = [
+        enc("W", 1, [(55, "AAPL"), (268, "2"),
+                     (269, "0"), (270, "100"), (271, "5"),
+                     (269, "1"), (270, "103"), (271, "7")],
+            st=t.format(s=0)),
+        enc("X", 2, [(55, "AAPL"), (268, "2"),
+                     (279, "0"), (269, "0"), (270, "101"), (271, "2"),
+                     (279, "1"), (269, "1"), (270, "103"), (271, "9")],
+            st=t.format(s=1)),
+        enc("X", 3, [(55, "AAPL"), (268, "1"),
+                     (279, "2"), (269, "0"), (270, "101"), (271, "0")],
+            st=t.format(s=2)),
+        enc("X", 4, [(55, "AAPL"), (268, "1"),
+                     (279, "0"), (269, "1"), (270, "102"), (271, "4")],
+            st=t.format(s=3)),
+    ]
+
+    def pipeline(df):
+        upd = fx.book_updates_from_fix(fx.decode_fix(df))
+        op = book_feed_op([T.StructField("symbol", T.StringType())],
+                          order_col="__ord")
+        return op, upd
+
+    bdf = spark.createDataFrame([(bytearray(f),) for f in frames],
+                                "value binary")
+    op, upd = pipeline(bdf)
+    batch = op.run_batch(upd).toPandas()
+
+    src = str(tmp_path / "fix_stream")
+    os.makedirs(src, exist_ok=True)
+    import pandas as pd
+    for i, half in enumerate((frames[:2], frames[2:])):
+        pd.DataFrame({"value": [bytes(f) for f in half]}).to_parquet(
+            os.path.join(src, f"c{i:02d}.parquet"), index=False)
+    sdf = spark.readStream.schema("value binary").option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    op2, upd2 = pipeline(sdf)
+    q = (
+        op2.run_stream(upd2)
+        .writeStream.format("memory").queryName("fix_book_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM fix_book_twin").toPandas()
+
+    key = ["symbol", "ts"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = streamed[list(batch.columns)].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == 4
+    for c in batch.columns:
+        x, y = a[c], b[c]
+        assert ((x == y) | (x.isna() & y.isna())).all(), c
