@@ -248,3 +248,111 @@ def test_tw_profile_step_chunking_invariant(rows, cuts):
         a = whole[c].to_numpy(dtype=float)
         b = chunked[c].to_numpy(dtype=float)
         assert (a == b).all(), c
+
+
+@settings(max_examples=50, deadline=None)
+@given(events, st.lists(st.integers(1, 39), max_size=3))
+def test_cum_stats_step_chunking_and_model(rows, cuts):
+    """cum_stats_step (r4): chunking-invariant and equal to a naive
+    expanding-window model, exact median included."""
+    from wingfoil_spark.streaming.twins import cum_stats_step
+
+    rows = sorted(rows)
+    pdf = pd.DataFrame(
+        [(1, t, i, round(v, 2)) for i, (t, _, v) in enumerate(rows)],
+        columns=["k", "ts", "seq", "v"],
+    )
+    step = cum_stats_step("v", "ts", "seq", ["k"])
+    _, whole = step(None, pdf)
+    chunked = _run_chunked(step, None, pdf, [c for c in cuts if c < len(pdf)])
+    assert len(whole) == len(chunked) == len(pdf)
+    for c in ("st_sum", "st_mean", "st_min", "st_max", "st_var", "st_std",
+              "st_median"):
+        a = whole[c].to_numpy(dtype=float)
+        b = chunked[c].to_numpy(dtype=float)
+        assert (a == b).all(), c
+    vals = pdf["v"].to_numpy()
+    for i in range(len(pdf)):
+        w = vals[: i + 1]
+        assert whole["st_min"].iloc[i] == w.min()
+        assert whole["st_max"].iloc[i] == w.max()
+        assert abs(whole["st_sum"].iloc[i] - round(w.sum(), 2)) < 1e-9
+        sw = np.sort(w)
+        n = len(sw)
+        assert whole["st_median"].iloc[i] == (sw[(n + 1) // 2 - 1] + sw[n // 2]) / 2
+
+
+@settings(max_examples=50, deadline=None)
+@given(events, st.lists(st.integers(1, 39), max_size=3))
+def test_tw_cum_step_chunking_and_model(rows, cuts):
+    """tw_cum_step (r4): chunking-invariant; mean equals the naive
+    committed-weight model (newest sample uncredited)."""
+    from wingfoil_spark.streaming.twins import tw_cum_step
+
+    rows = sorted(rows)
+    seen, uniq = set(), []
+    for t, _, v in rows:
+        if t not in seen:
+            seen.add(t)
+            uniq.append((t, v))
+    pdf = pd.DataFrame(
+        [(1, t, round(v, 2)) for t, v in uniq], columns=["k", "ts", "v"]
+    )
+    step = tw_cum_step("v", "ts", ["k"])
+    _, whole = step(None, pdf)
+    chunked = _run_chunked(step, None, pdf, [c for c in cuts if c < len(pdf)])
+    assert len(whole) == len(chunked) == len(pdf)
+    for c in ("tw_mean", "tw_var", "tw_std"):
+        a = whole[c].to_numpy(dtype=float)
+        b = chunked[c].to_numpy(dtype=float)
+        assert (a == b).all(), c
+    ts = pdf["ts"].to_numpy()
+    vals = pdf["v"].to_numpy()
+    for i in range(len(pdf)):
+        ws = np.diff(ts[: i + 1]).astype(float)
+        if ws.sum() == 0:
+            assert whole["tw_mean"].iloc[i] == vals[i]
+        else:
+            m = (vals[:i] * ws).sum() / ws.sum()
+            assert abs(whole["tw_mean"].iloc[i] - m) < 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(events, st.lists(st.integers(1, 39), max_size=3),
+       st.sampled_from([("rows", 4), ("range", 10)]))
+def test_tw_window_step_chunking_and_model(rows, cuts, frame):
+    """tw_window_step (r4): chunking-invariant across rows AND range
+    frames; median matches the reference crossing-rule select over the
+    strictly-prior candidate set."""
+    from wingfoil_spark.operators.stateful import _weighted_median_select
+    from wingfoil_spark.streaming.twins import tw_window_step
+
+    rows = sorted(rows)
+    seen, uniq = set(), []
+    for t, _, v in rows:
+        if t not in seen:
+            seen.add(t)
+            uniq.append((t, v))
+    pdf = pd.DataFrame(
+        [(1, t, round(v, 2)) for t, v in uniq], columns=["k", "ts", "v"]
+    )
+    step = tw_window_step("v", frame, "ts", ["k"])
+    _, whole = step(None, pdf)
+    chunked = _run_chunked(step, None, pdf, [c for c in cuts if c < len(pdf)])
+    assert len(whole) == len(chunked) == len(pdf)
+    for c in ("tw_mean", "tw_var", "tw_std", "tw_median"):
+        a = whole[c].to_numpy(dtype=float)
+        b = chunked[c].to_numpy(dtype=float)
+        assert (a == b).all(), c
+    ts = pdf["ts"].to_numpy()
+    vals = pdf["v"].to_numpy()
+    wdiff = np.append(np.diff(ts).astype(float), np.nan)
+    for i in range(len(pdf)):
+        if frame[0] == "rows":
+            lo = max(0, i - (frame[1] - 1))
+        else:
+            lo = int(np.searchsorted(ts, ts[i] - frame[1], side="left"))
+        vv, ww = vals[lo:i], wdiff[lo:i]
+        mask = ww > 0
+        exp = _weighted_median_select(vv[mask], ww[mask], vals[i])
+        assert whole["tw_median"].iloc[i] == exp, i
