@@ -81,6 +81,15 @@ def test_merge_unions_flattened(spark):
     assert plan.count("Union") <= 1
 
 
+def test_cosine_near_dups_no_cartesian(spark):
+    # the semantic-dedup tier's whole point: hyperplane buckets bound the
+    # candidate set — the join must be an equi-join on the bucket key,
+    # never an all-pairs product
+    plan = plan_of(spark, "cosine_near_dups")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_analysis_scores_no_python_stage(spark):
     # the analysis window ops promise JVM-only evaluation
     plan = plan_of(spark, "analysis_scores")
@@ -186,6 +195,7 @@ _NO_GLOBAL_EXCHANGE = [
     "media_doc",
     "media_frames",
     "jaccard_pairs",
+    "cosine_near_dups",
     "dedup_exact",
     "ewma",
     "drop_small_change",
