@@ -293,3 +293,63 @@ def test_stream_stat_api_cum_and_median(spark, base_events, tmp_path):
     b = r0[["user_id", "ts_us", "event_id", "m"]].sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) > 0
     assert np.allclose(a["m"], b["m"], rtol=1e-12, atol=1e-9)
+
+
+def test_combine_latest_api_on_readstream(spark, base_events, tmp_path):
+    """r4 API gap closed: Stream.combine_latest / join_passive on a
+    readStream frame transparently rebind to the KeyedStateOp twin
+    (previously the window fill raised AnalysisException)."""
+    src = str(tmp_path / "cl_src")
+    os.makedirs(src, exist_ok=True)
+    ev_full = load_table(spark, "/root/testdata/sf0.001", "events")
+    pdf = (
+        ev_full.select("user_id", ts_us_expr(ev_full).alias("ts_us"),
+                       "event_id", "event_type", "value")
+        .where(F.col("user_id") < 10).toPandas()
+        .sort_values(["ts_us", "event_id"])
+    )
+    pdf.to_parquet(os.path.join(src, "all.parquet"), index=False)
+
+    def split(df):
+        left = Stream(
+            df.where(F.col("event_type") == "click")
+            .select("ts_us", "event_id", "user_id",
+                    F.col("value").alias("cv")),
+            ts="ts_us", seq="event_id", keys=("user_id",),
+        )
+        right = Stream(
+            df.where(F.col("event_type") == "purchase")
+            .select("ts_us", "event_id", "user_id",
+                    F.col("value").alias("pv")),
+            ts="ts_us", seq="event_id", keys=("user_id",),
+        )
+        return left, right
+
+    bdf = spark.createDataFrame(
+        pdf, "user_id long, ts_us long, event_id long, event_type string, "
+             "value double")
+    bl, br = split(bdf)
+    batch = bl.combine_latest(br).df.select(
+        "user_id", "ts_us", "cv", "pv").toPandas()
+
+    sdf = spark.readStream.schema(
+        "user_id long, ts_us long, event_id long, event_type string, "
+        "value double").parquet(src)
+    sl, sr = split(sdf)
+    out = sl.combine_latest(sr).df
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("cl_api_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM cl_api_twin").toPandas()
+
+    key = ["user_id", "ts_us"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = streamed[["user_id", "ts_us", "cv", "pv"]].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in ("cv", "pv"):
+        x, y = a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float)
+        nan2 = (x != x) & (y != y)
+        assert ((x == y) | nan2).all(), c

@@ -738,6 +738,17 @@ def _combine(left: Stream, right: Stream, emit: str = "either") -> Stream:
     if overlap:
         raise ValueError(f"combine value columns collide: {sorted(overlap)}")
 
+    if left.df.isStreaming or right.df.isStreaming:
+        # Structured Streaming rejects the window-function fill; rebind to
+        # the KeyedStateOp twin — same semantics, pinned by
+        # test_combine_latest_three_way_duality (r4: combine_latest /
+        # join_passive / sample / filter_latch now work on readStream
+        # frames the way Stream.stat already did)
+        from wingfoil_spark.streaming.twins import combine_latest_op
+
+        op, union = combine_latest_op(left, right, lvals, rvals, emit=emit)
+        return Stream(op.run_stream(union), ts=ts, seq=None, keys=keys)
+
     ldf = left.df.withColumn("__side", F.lit(1))
     if right.ts != ts:
         rdf = right.df.withColumnRenamed(right.ts, ts)
