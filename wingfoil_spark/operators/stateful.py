@@ -52,6 +52,16 @@ def _apply_per_key(s: Stream, fn, added: list[T.StructField]) -> Stream:
     complete groups per call. Key groups spanning batch boundaries are
     carried over inside the partition iterator, so ``fn`` always sees a
     whole key's rows (sorted), exactly like applyInPandas."""
+    if s.df.isStreaming:
+        # the packed binding carries NO state across micro-batches — on a
+        # stream it would silently restart every recursion per batch. The
+        # stateful ops auto-rebind to their KeyedStateOp twins before
+        # reaching here; anything else must go through KeyedStateOp.
+        raise NotImplementedError(
+            "per-key pandas binding on a streaming frame: use the "
+            "operator's KeyedStateOp twin (streaming/twins.py) — state "
+            "must live in the state store, not the batch"
+        )
     schema = T.StructType(list(s.df.schema.fields) + added)
     order = [s.ts] + ([s.seq] if s.seq else [])
     keys = list(s.keys)
@@ -107,6 +117,11 @@ def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType):
     (its own columns/row count, key columns included) instead of
     input+added. One Python round-trip per batch, not per key — built
     because per-group applyInPandas was ~4× slower with many small keys."""
+    if s.df.isStreaming:
+        raise NotImplementedError(
+            "per-key pandas binding on a streaming frame: bind the step "
+            "through KeyedStateOp.run_stream instead"
+        )
     order = [s.ts] + ([s.seq] if s.seq else [])
     keys = list(s.keys)
     out_cols = [f.name for f in out_schema.fields]
@@ -170,6 +185,47 @@ def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType):
     )
 
 
+def _keyed_stream(s: Stream, step, out_schema, init_state=None,
+                  seq: str | None = "__default__") -> Stream:
+    """Bind a step to a STREAMING frame via KeyedStateOp.run_stream (the
+    auto-rebind target for the stateful operators below — r4: calling them
+    on a readStream frame previously reached the packed batch binding,
+    which carries no state across micro-batches)."""
+    from wingfoil_spark.streaming.stateful import KeyedStateOp
+
+    use_seq = s.seq if seq == "__default__" else seq
+    op = KeyedStateOp(step, out_schema=out_schema, init_state=init_state,
+                      ts=s.ts, seq=use_seq, keys=tuple(s.keys))
+    return Stream(op.run_stream(s.df), ts=s.ts, seq=use_seq, keys=s.keys)
+
+
+def _ewma_hl_step(col: str, hl: float, out: str, passthrough: list[str],
+                  ts_col: str):
+    """Half-life EWMA as a resumable step — the math.pow walk, bitwise
+    equal to the batch kernel's scalar-pow op order (see _ckernels.ewma_hl;
+    per-micro-batch row counts are small, so the C kernel is unnecessary).
+    State = (initialised, acc, prev_ts)."""
+    import math
+
+    def step(state, pdf: pd.DataFrame):
+        init, acc, prev_t = state if state else (False, 0.0, 0.0)
+        res = []
+        for t, x in zip(pdf[ts_col].to_numpy(dtype=np.float64).tolist(),
+                        pdf[col].to_numpy(dtype=np.float64).tolist()):
+            if not init:
+                acc, prev_t, init = x, t, True
+            else:
+                d = math.pow(0.5, (t - prev_t) / hl)
+                acc = d * acc + (1.0 - d) * x
+                prev_t = t
+            res.append(acc)
+        out_pdf = pdf[passthrough].copy()
+        out_pdf[out] = res
+        return (init, acc, prev_t), out_pdf
+
+    return step
+
+
 def ewma(
     s: Stream,
     col: str,
@@ -188,6 +244,21 @@ def ewma(
     """
     if (alpha is None) == (half_life_ns is None):
         raise ValueError("exactly one of alpha / half_life_ns")
+
+    if s.df.isStreaming:
+        from wingfoil_spark.streaming.stateful import ewma_step
+
+        keep = [*s.keys, s.ts, *([s.seq] if s.seq else []), col]
+        schema = T.StructType(
+            [s.df.schema[c] for c in keep] + [T.StructField(out, T.DoubleType())]
+        )
+        if alpha is not None:
+            return _keyed_stream(s, ewma_step(col, alpha, out, keep), schema,
+                                 init_state=(False, 0.0))
+        return _keyed_stream(
+            s, _ewma_hl_step(col, float(half_life_ns), out, keep, s.ts),
+            schema, init_state=(False, 0.0, 0.0),
+        )
 
     if alpha is not None:
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -232,6 +303,12 @@ def drop_small_change(s: Stream, col: str, tol: float) -> Stream:
     ≤ tol — slow drift still eventually fires (which ``lag`` can't express:
     the reference point is the last emission, not the previous tick).
     Reference: ``drop_small_change`` (fluent.rs:1022, ops.rs:227-262)."""
+    if s.df.isStreaming:
+        from wingfoil_spark.streaming.twins import drop_small_change_step
+
+        return _keyed_stream(
+            s, drop_small_change_step(col, tol, list(s.keys)), s.df.schema
+        )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[col].to_numpy(dtype=np.float64)
@@ -251,6 +328,12 @@ def drop_small_change(s: Stream, col: str, tol: float) -> Stream:
 def throttle_exact(s: Stream, interval_ns: int) -> Stream:
     """Timer-accurate throttle: emit iff ts ≥ last emission + interval.
     Reference ``throttle`` semantics (ops.rs:381-414)."""
+    if s.df.isStreaming:
+        from wingfoil_spark.streaming.twins import throttle_step
+
+        return _keyed_stream(
+            s, throttle_step(interval_ns, s.ts, list(s.keys)), s.df.schema
+        )
 
     ts_col = s.ts
 
@@ -478,6 +561,29 @@ def time_weighted_profile(
     (numpy-oracle-pinned by tests; integer-exact integrals as in
     :func:`time_windowed_time_weighted`). Kernel shared with the streaming
     twin: :func:`_tw_profile_kernel`."""
+    if s.df.isStreaming:
+        from wingfoil_spark.streaming.twins import tw_profile_step
+
+        keep = [*s.keys, s.ts, col]
+        schema = T.StructType(
+            [s.df.schema[c] for c in keep]
+            + [T.StructField(c, T.DoubleType())
+               for c in (out_mean, out_var, out_median)]
+        )
+        step = tw_profile_step(col, window_ns, s.ts, list(s.keys),
+                               passthrough=keep)
+        # twin emits fixed tw_* names; realias to the requested ones
+        res = _keyed_stream(s, step, T.StructType(
+            [s.df.schema[c] for c in keep]
+            + [T.StructField(c, T.DoubleType())
+               for c in ("tw_mean", "tw_var", "tw_median")]
+        ), seq=None)
+        df = res.df
+        for src_c, dst in (("tw_mean", out_mean), ("tw_var", out_var),
+                           ("tw_median", out_median)):
+            if src_c != dst:
+                df = df.withColumnRenamed(src_c, dst)
+        return Stream(df, ts=s.ts, seq=None, keys=s.keys)
     ts_col = s.ts
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -504,8 +610,25 @@ def fold_pandas(s: Stream, fn, init, out: str, cols: list[str] | None = None,
     this is the escape hatch, Arrow-batched per key.
 
     ``fn(acc, row: dict) -> acc`` — row carries ``cols`` (default: all
-    payload columns)."""
+    payload columns). On a streaming frame the fold rebinds as a
+    KeyedStateOp whose state is the accumulator (wrapped in a 1-tuple so a
+    legitimately-None accumulator doesn't release the state slot)."""
     use = cols or [c for c in s.df.columns if c not in (s.ts, s.seq, *s.keys)]
+
+    if s.df.isStreaming:
+        def sstep(state, pdf: pd.DataFrame):
+            acc = state[0] if state is not None else init
+            res = []
+            for r in pdf[use].to_dict("records"):
+                acc = fn(acc, r)
+                res.append(acc)
+            out_pdf = pdf.copy()
+            out_pdf[out] = res
+            return (acc,), out_pdf
+
+        schema = T.StructType(list(s.df.schema.fields)
+                              + [T.StructField(out, dtype)])
+        return _keyed_stream(s, sstep, schema)
 
     def step(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = init
@@ -541,7 +664,40 @@ def delay_with_reset(s: Stream, delay_ns: int, trigger: Stream,
       executable spec of the timer semantics.
 
     Both streams must share keys. Output rows: (keys, ts, value_cols...).
+
+    On STREAMING frames both strategies rebind to the watermark-timer twin
+    (:func:`wingfoil_spark.streaming.twins.delay_with_reset_timer_op`) —
+    true event-time firing with zero further key input.
     """
+    if s.df.isStreaming or trigger.df.isStreaming:
+        from wingfoil_spark.streaming import twins
+
+        if s.keys != trigger.keys:
+            raise ValueError("delay_with_reset requires equal keys")
+        vals = value_cols or [
+            c for c in s.df.columns if c not in (s.ts, s.seq, *s.keys)
+        ]
+        src = s.df.select(
+            *s.keys, F.col(s.ts).alias("__t"), F.lit(0).alias("__trig"),
+            (F.col(s.seq) if s.seq else F.lit(0)).cast("long").alias("__seq"),
+            *vals,
+        )
+        trg = trigger.df.select(
+            *trigger.keys, F.col(trigger.ts).alias("__t"),
+            F.lit(1).alias("__trig"),
+            (F.col(trigger.seq) if trigger.seq else F.lit(0)).cast("long").alias("__seq"),
+            *[F.lit(None).cast(s.df.schema[c].dataType).alias(c) for c in vals],
+        )
+        u = src.unionByName(trg)
+        out_fields = [T.StructField(k, s.df.schema[k].dataType) for k in s.keys]
+        out_fields.append(T.StructField(s.ts, T.LongType()))
+        out_fields += [T.StructField(c, s.df.schema[c].dataType) for c in vals]
+        op = twins.delay_with_reset_timer_op(
+            int(delay_ns), s.ts, list(vals), list(s.keys),
+            T.StructType(out_fields),
+        )
+        return Stream(op.run_stream(u), ts=s.ts, seq=None, keys=s.keys)
+
     if strategy == "relational":
         return _delay_with_reset_relational(s, delay_ns, trigger, value_cols)
     if strategy != "timer":
