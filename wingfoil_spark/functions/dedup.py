@@ -40,6 +40,20 @@ def _md5_int(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Row-local Arrow kernels inherit the SCAN's partitioning: a small
+    corpus in one parquet file serializes the whole Python stage on one
+    core (measured 2× on the minhash batch at sf0.1). At data scale the
+    scan yields plenty of partitions and this is a no-op; below half the
+    session's parallelism, round-robin repartition — the corpus is small
+    exactly when that shuffle is cheap."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per normalized-text fingerprint. One shuffle."""
     return (
@@ -94,7 +108,7 @@ def minhash_signatures(
     Arrow-batched kernel: (base ⊗ A + B) mod P, min over shingles,
     vectorized. Integer math is exact, so the DuckDB oracle (the
     transform formulation) matches regardless of evaluation strategy."""
-    df = docs.withColumn("__toks", tokens(F.col(text_col)))
+    df = ensure_parallelism(docs).withColumn("__toks", tokens(F.col(text_col)))
     df = df.withColumn(
         "__shingles",
         F.when(F.size("__toks") >= 2, word_bigrams(text_col)).otherwise(F.col("__toks")),
@@ -274,7 +288,9 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     base = F.transform(tokens(F.col(text_col)), lambda t: _md5_int(t))
     # token-less docs have no votes — dropped, matching the explode/groupBy
     # formulation (and the SQL oracle's unnest)
-    df = docs.select(F.col(id_col), base.alias("__h")).where(F.size("__h") > 0)
+    df = ensure_parallelism(docs).select(
+        F.col(id_col), base.alias("__h")
+    ).where(F.size("__h") > 0)
 
     @F.pandas_udf(T.LongType())
     def sh_udf(hs: pd.Series) -> pd.Series:

@@ -105,6 +105,9 @@ def hyperplane_signature(
     same math in milliseconds. Exactness: projections accumulate
     dim-SEQUENTIALLY (row-vectorized), the same order as a left fold, so
     buckets are bitwise-reproducible by the SQL oracle's list_reduce."""
+    from wingfoil_spark.functions.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     coefs = hyperplane_coefs(bits, dim)
 
     @F.pandas_udf(T.LongType())
