@@ -185,7 +185,9 @@ def extract_features(
             out_pdf[out] = feats
             yield out_pdf
 
-    return df.mapInPandas(kernel, schema=schema)
+    from wingfoil_spark.functions.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(kernel, schema=schema)
 
 
 def _fake_resize(buf: bytes, src_w: int, src_h: int, width: int, height: int) -> bytes:
@@ -249,4 +251,6 @@ def resize(
             out[mcol] = medias
             yield out
 
-    return df.mapInPandas(kernel, schema=schema)
+    from wingfoil_spark.functions.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(kernel, schema=schema)
