@@ -850,7 +850,8 @@ def q_jaccard_pairs(spark, sf_dir):
     full dedup candidate pipeline: signatures → banding → pair join →
     verify). The pair set itself is the lsh_candidate_pairs output."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(d))
+    # array-form signatures: identical band keys, far cheaper to plan
+    pairs = dd.lsh_candidate_pairs(dd.minhash_sig_array(d))
     return dd.ngram_jaccard(d, pairs)
 
 
