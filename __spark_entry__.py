@@ -389,31 +389,6 @@ SELECT user_id, event_id, ts_us,
 FROM base"""
 
 
-def _stats_frame(spark, sf_dir, frame):
-    """rolling/cumulative/time-windowed stat family over events.value —
-    the §2.3 matrix, tick-weighted (stats.rs:32-114, ops.rs:952-2114)."""
-    s = _cents_cols(_ev(spark, sf_dir))
-    if frame[0] == "rows":
-        w = s.w_rows(-(frame[1] - 1), 0)
-    elif frame[0] == "range":
-        w = s.w_range(-frame[1], 0)
-    else:
-        w = s.w_cum()
-    s1, _ = _sums(w)
-    cols = {
-        "st_sum": s1,
-        "st_mean": s1 / F.count(F.lit(1)).over(w).cast("double"),
-        "st_min": F.min("value").over(w),
-        "st_max": F.max("value").over(w),
-        **_var_cols(w, "st"),
-        "st_median": _median_col(w),
-    }
-    return s.map(**cols).df.select(
-        "user_id", "event_id", "ts_us",
-        "st_sum", "st_mean", "st_min", "st_max", "st_var", "st_std", "st_median",
-    )
-
-
 def q_stats_matrix(spark, sf_dir):
     """The §2.3 tick-weighted matrix in one graded query: rolling /
     cumulative / time-windowed frames evaluate side by side over ONE scan
