@@ -237,3 +237,25 @@ def test_rerun_reseeds_state_identically(spark):
         a = a[key].sort_values(key).reset_index(drop=True)
         b = b[key].sort_values(key).reset_index(drop=True)
         assert a.equals(b), f"{name}: re-run diverged"
+
+
+def test_combine_gathers_only_the_inputs_that_ticked(spark):
+    """tests/combine_n.rs:127-146 golden: fast (10ns) and slow (30ns)
+    tickers — each instant's burst carries ONLY the inputs that ticked,
+    in supplied order: [1,101], [2], [3], [4,102], [5], [6]. (The
+    empty-gather instant is unreachable by construction — combine_n.rs:
+    148-160 — which in DataFrame terms means no row is produced where
+    no input has one.)"""
+    from wingfoil_spark.sources.tables import ticker
+
+    fast = ticker(spark, period_ns=10, n=6).count(out="v")
+    slow = (
+        ticker(spark, period_ns=30, n=2).count(out="v")
+        .map(v=(F.col("v") + 100))
+    )
+    g = fast.gather(slow, value_col="v")
+    got = [(r["ts"], list(r["burst"])) for r in g.df.orderBy("ts").collect()]
+    assert got == [
+        (0, [1, 101]), (10, [2]), (20, [3]),
+        (30, [4, 102]), (40, [5]), (50, [6]),
+    ]

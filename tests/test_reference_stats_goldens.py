@@ -353,3 +353,60 @@ def test_time_windowed_std_of_constant_is_zero_not_nan(spark):
     s = ticker(spark, period_ns=100, n=6).count(out="n").map(value=F.lit(7.0))
     for v in _series(window_stat(s, "value", "std", ("range", WIN), out="o"), "o"):
         assert v is not None and not math.isnan(v) and abs(v) < 1e-10
+
+
+# ── statistics.rs (the EWMA op suite) ───────────────────────────────────
+
+
+def test_ewma_of_sequence(spark):
+    """statistics.rs:22-29: count 1,2,3,4 with alpha 0.5, seeded on the
+    first sample → 1, 1.5, 2.25, 3.125."""
+    from wingfoil_spark.operators.stateful import ewma
+
+    s = _counter(spark, n=4)
+    got = _series(ewma(s, "value", alpha=0.5, out="e"), "e")
+    _approx(got, [1.0, 1.5, 2.25, 3.125])
+
+
+def test_ewma_seeds_on_first_sample(spark):
+    """statistics.rs:32-43: a constant stream of 5 stays 5.0."""
+    from wingfoil_spark.operators.stateful import ewma
+
+    s = _counter(spark, n=4).map(value=F.lit(5.0))
+    got = _series(ewma(s, "value", alpha=0.3, out="e"), "e")
+    _approx(got, [5.0] * 4)
+
+
+def test_ewma_does_not_reset_at_zero(spark):
+    """statistics.rs:46-58: inputs 0,0,5 with alpha 0.5 seed to 0 and
+    DECAY (0 → 0 → 2.5) rather than re-seeding on the 5 — zero is a
+    value, not an uninitialised slot."""
+    from wingfoil_spark.operators.stateful import ewma
+
+    s = _counter(spark, n=3).map(
+        value=F.when(F.col("n") <= 2, 0.0).otherwise(5.0)
+    )
+    got = _series(ewma(s, "value", alpha=0.5, out="e"), "e")
+    _approx(got, [0.0, 0.0, 2.5])
+
+
+def test_ewma_half_life_of_constant_is_constant(spark):
+    """statistics.rs:84-97: clock-driven decay of a constant stays at the
+    seed for ANY half-life."""
+    from wingfoil_spark.operators.stateful import ewma
+
+    s = _counter(spark, n=5).map(value=F.lit(7.0))
+    got = _series(ewma(s, "value", half_life_ns=50, out="e"), "e")
+    _approx(got, [7.0] * 5)
+
+
+def test_ewma_half_life_matches_per_tick_when_dt_equals_half_life(spark):
+    """statistics.rs:99-113: with Δt equal to the half-life, the decay is
+    0.5 every tick, so the half-life EWMA over 1,2,3,4 equals
+    ewma_per_tick(0.5): 1, 1.5, 2.25, 3.125 — pins the actual decay math
+    (a constant stream stays at its seed for any alpha)."""
+    from wingfoil_spark.operators.stateful import ewma
+
+    s = _counter(spark, n=4)
+    got = _series(ewma(s, "value", half_life_ns=100, out="e"), "e")
+    _approx(got, [1.0, 1.5, 2.25, 3.125])
