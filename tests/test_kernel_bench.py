@@ -388,3 +388,27 @@ def test_ewma_kernel_bench():
           f"vectorized {t_fast:.3f}s, speedup {ratio:.1f}x")
     # loose floor (CI noise); typical observed ~30x
     assert ratio >= 10.0, f"expected >=10x, got {ratio:.1f}x"
+
+
+def test_kernel_cache_dir_is_private(monkeypatch, tmp_path):
+    """ADVICE r3: the compiled .so must never load from a predictable
+    world-writable path. The cache dir is per-user 0700; a pre-existing
+    dir with loose perms owned by us is tightened; a dir we don't own
+    falls back to a fresh private mkdtemp."""
+    import os
+    import stat
+
+    from wingfoil_spark.operators import _ckernels
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    d = _ckernels._cache_dir()
+    st_ = os.stat(d)
+    assert st_.st_uid == os.getuid()
+    assert not (st_.st_mode & 0o077), oct(st_.st_mode)
+    assert d.startswith(str(tmp_path))
+
+    # loose perms on our own dir are tightened on next resolve
+    os.chmod(d, 0o755)
+    d2 = _ckernels._cache_dir()
+    assert d2 == d
+    assert not (os.stat(d2).st_mode & 0o077)
