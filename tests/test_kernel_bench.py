@@ -412,3 +412,45 @@ def test_kernel_cache_dir_is_private(monkeypatch, tmp_path):
     d2 = _ckernels._cache_dir()
     assert d2 == d
     assert not (os.stat(d2).st_mode & 0o077)
+
+
+def test_order_book_multi_matches_per_key():
+    """The whole-body multi-key C path equals the per-key step fold on a
+    key-clustered random batch — and is the big win for many small keys
+    (the per-group pandas construction cost)."""
+    import pandas as pd
+
+    from wingfoil_spark.operators import _ckernels
+    from wingfoil_spark.operators.market import order_book_multi, order_book_step
+
+    if _ckernels._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(29)
+    frames = []
+    for key in range(40):
+        n = int(rng.integers(1, 120))
+        frames.append(pd.DataFrame({
+            "user_id": key,
+            "ts": np.arange(n, dtype=np.int64),
+            "upd_seq": np.arange(n, dtype=np.int64),
+            "kind": np.where(rng.integers(0, 20, n) == 0, "snapshot", "delta"),
+            "side": np.where(rng.integers(0, 2, n) == 0, "bid", "ask"),
+            "level": rng.integers(0, 60, n),
+            "qty_delta": rng.integers(-3, 8, n).astype(np.int64),
+        }))
+    body = pd.concat(frames, ignore_index=True)
+    multi = order_book_multi(body, ("user_id",))
+    assert multi is not None
+    per_key = []
+    for key, g in body.groupby("user_id", sort=False):
+        _, out = order_book_step(None, g.reset_index(drop=True))
+        out.insert(0, "user_id", key)
+        per_key.append(out)
+    ref = pd.concat(per_key, ignore_index=True)
+    assert len(multi) == len(ref)
+    for c in ref.columns:
+        a = pd.Series(multi[c]).astype("Float64")
+        b = pd.Series(ref[c]).astype("Float64")
+        assert ((a == b) | (a.isna() & b.isna())).all(), c

@@ -281,7 +281,13 @@ void tw_mean_var(const long long* ts, const long long* vc, const double* v,
    incrementally, scanning only when the current best level empties.
 
    io_state: [epoch, bb, ba, nb, na]  (NONE = LLONG_MIN for bb/ba).
-   Outputs use NONE where the side is empty. */
+   Outputs use NONE where the side is empty.
+
+   new_grp (nullable): per-row flag for MULTI-KEY batches — a set flag
+   resets the book (epoch bump, O(1)) before the row applies, so one call
+   folds a whole key-clustered sorted partition instead of paying Python
+   per-key overhead (~0.7 ms/key measured: pandas frame construction per
+   group dominated small-key workloads 60x over the fold itself). */
 #define BOOK_NONE (-9223372036854775807LL - 1)
 
 void book_fold(const signed char* is_snap, const signed char* is_bid,
@@ -292,12 +298,17 @@ void book_fold(const signed char* is_snap, const signed char* is_bid,
                long long* io_state,
                long long* o_bb, long long* o_bq,
                long long* o_ba, long long* o_aq,
-               long long* o_nb, long long* o_na) {
+               long long* o_nb, long long* o_na,
+               const signed char* new_grp) {
     long long epoch = io_state[0];
     long long bb = io_state[1], ba = io_state[2];
     long long nb = io_state[3], na = io_state[4];
     for (long long i = 0; i < n; i++) {
         long long l = lvl[i], q = qd[i], idx = l - lo;
+        if (new_grp != 0 && new_grp[i]) {
+            epoch++;
+            nb = 0; na = 0; bb = BOOK_NONE; ba = BOOK_NONE;
+        }
         if (is_snap[i]) {
             epoch++;
             nb = 0; na = 0; bb = BOOK_NONE; ba = BOOK_NONE;
@@ -416,7 +427,7 @@ def _load() -> ctypes.CDLL | None:
         pc = ctypes.POINTER(ctypes.c_byte)
         lib.book_fold.argtypes = (
             [pc, pc, pi, pi, ctypes.c_longlong, ctypes.c_longlong,
-             ctypes.c_longlong] + [pi] * 11
+             ctypes.c_longlong] + [pi] * 11 + [pc]
         )
         lib.book_fold.restype = None
         pdbl = ctypes.POINTER(ctypes.c_double)
@@ -447,13 +458,18 @@ _BOOK_MAX_SPAN = 1 << 20  # 1M price levels; beyond this use the dict walk
 
 
 def book_fold(is_snap: np.ndarray, is_bid: np.ndarray, lvl: np.ndarray,
-              qd: np.ndarray, bids: dict, asks: dict):
+              qd: np.ndarray, bids: dict, asks: dict,
+              new_grp: np.ndarray | None = None):
     """C fast path of the order-book fold. Returns
     (o_bb, o_bq, o_ba, o_aq, o_nb, o_na, bids', asks') with BOOK_NONE
     sentinels, or None when no compiler is available or the level span
     exceeds the bounded-array budget (caller falls back to the dict walk).
     Semantics are the Python walk's, integer-exact (differential test:
-    test_kernel_bench.py::test_book_fold_c_matches_python)."""
+    test_kernel_bench.py::test_book_fold_c_matches_python).
+
+    ``new_grp``: optional per-row reset flags for folding a key-clustered
+    MULTI-key batch in one call (each flagged row starts a fresh book);
+    the returned bids'/asks' belong to the last group."""
     lib = _load()
     if lib is None:
         return None
@@ -492,6 +508,8 @@ def book_fold(is_snap: np.ndarray, is_bid: np.ndarray, lvl: np.ndarray,
     bid8 = np.ascontiguousarray(is_bid, dtype=np.int8)
     pi = ctypes.POINTER(ctypes.c_longlong)
     pc = ctypes.POINTER(ctypes.c_byte)
+    grp8 = (np.ascontiguousarray(new_grp, dtype=np.int8)
+            if new_grp is not None else None)
     lib.book_fold(
         snap8.ctypes.data_as(pc), bid8.ctypes.data_as(pc),
         lvl.ctypes.data_as(pi), qd.ctypes.data_as(pi),
@@ -500,6 +518,7 @@ def book_fold(is_snap: np.ndarray, is_bid: np.ndarray, lvl: np.ndarray,
         aq.ctypes.data_as(pi), aep.ctypes.data_as(pi),
         st.ctypes.data_as(pi),
         *[o.ctypes.data_as(pi) for o in outs],
+        grp8.ctypes.data_as(pc) if grp8 is not None else None,
     )
     epoch = int(st[0])
     bidx = np.flatnonzero(bep == epoch)

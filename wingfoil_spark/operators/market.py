@@ -27,6 +27,7 @@ reference's examples use to replay synthetic books.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -406,9 +407,60 @@ def book_feed_step(state, pdf: pd.DataFrame):
     return (status, last_seq, bids, asks, buffer), out
 
 
+def order_book_multi(pdf: pd.DataFrame, keys: tuple[str, ...]):
+    """Whole-body fold across ALL key groups of a sorted, key-clustered
+    batch in ONE C call (the multi-key ``new_grp`` reset flags of
+    _ckernels.book_fold). Per-group pandas frame construction cost
+    ~0.7 ms/key — 60× the fold itself for small keys — so this builds the
+    output frame ONCE per Arrow batch. Returns None (→ per-key fallback)
+    without a compiler or past the level-span budget. Every group in the
+    body is complete (the binding holds the trailing key back), so all
+    groups start from fresh state."""
+    from wingfoil_spark.operators import _ckernels
+
+    n = len(pdf)
+    if n == 0:
+        return None
+    is_snap = pdf["kind"].to_numpy() == "snapshot"
+    is_bid = pdf["side"].to_numpy() == "bid"
+    lvl = pdf["level"].to_numpy()
+    qd = pdf["qty_delta"].to_numpy()
+    new_grp = np.zeros(n, dtype=np.int8)
+    for k in keys:
+        a = pdf[k].to_numpy()
+        new_grp[1:] |= (a[1:] != a[:-1]).astype(np.int8)
+    res = _ckernels.book_fold(is_snap, is_bid, lvl, qd, {}, {},
+                              new_grp=new_grp)
+    if res is None:
+        return None
+    o_bb, o_bq, o_ba, o_aq, o_nb, o_na = res[:6]
+    NONE = _ckernels.BOOK_NONE
+
+    def nullable(a):
+        col = pd.array(a, dtype="Int64")
+        col[a == NONE] = pd.NA
+        return col
+
+    out = pd.DataFrame({
+        **{k: pdf[k].to_numpy() for k in keys},
+        "ts": pdf["ts"].to_numpy(),
+        "upd_seq": pdf["upd_seq"].to_numpy(),
+        "best_bid": nullable(o_bb),
+        "bid_qty": nullable(o_bq),
+        "best_ask": nullable(o_ba),
+        "ask_qty": nullable(o_aq),
+        "n_bid_levels": o_nb,
+        "n_ask_levels": o_na,
+    })
+    return out
+
+
 def order_book_op(key_fields: list[T.StructField]) -> KeyedStateOp:
     """The order-book operator, bindable to batch (``run_batch``) or
-    streaming (``run_stream``) — ONE step function, two run modes."""
+    streaming (``run_stream``) — ONE step function, two run modes; batch
+    additionally uses the whole-body multi-key C path
+    (:func:`order_book_multi`, differentially tested against the per-key
+    step)."""
     keys = tuple(f.name for f in key_fields)
 
     def step_with_keys(state, pdf):
@@ -424,6 +476,7 @@ def order_book_op(key_fields: list[T.StructField]) -> KeyedStateOp:
         ts="ts",
         seq="upd_seq",
         keys=keys,
+        multi_step=lambda pdf: order_book_multi(pdf, keys),
     )
 
 

@@ -110,13 +110,22 @@ def _apply_per_key(s: Stream, fn, added: list[T.StructField]) -> Stream:
     return Stream(out_df, ts=s.ts, seq=s.seq, keys=s.keys)
 
 
-def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType):
+def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType,
+                           fn_multi=None):
     """Packed per-key binding for RESHAPING ops: like :func:`_apply_per_key`
     (repartition → sortWithinPartitions → mapInPandas, whole key groups per
     Arrow batch) but ``fn(pdf) -> pdf`` returns frames in ``out_schema``
     (its own columns/row count, key columns included) instead of
     input+added. One Python round-trip per batch, not per key — built
-    because per-group applyInPandas was ~4× slower with many small keys."""
+    because per-group applyInPandas was ~4× slower with many small keys.
+
+    ``fn_multi(body) -> pdf | None`` (optional): a whole-body fast path
+    that processes ALL complete key groups of a sorted, key-clustered
+    batch in one call (the op handles group boundaries itself — r4: the
+    per-group pandas frame construction cost ~0.7 ms/key, 60× the fold
+    for small keys). Returning None falls back to the per-group ``fn``.
+    The held (possibly incomplete) trailing key always uses ``fn`` so its
+    state carry stays exact."""
     if s.df.isStreaming:
         raise NotImplementedError(
             "per-key pandas binding on a streaming frame: bind the step "
@@ -161,6 +170,12 @@ def _apply_per_key_reshape(s: Stream, fn, out_schema: T.StructType):
             held = pdf.loc[mask_last]
             body = pdf.loc[~mask_last]
             if len(body):
+                if fn_multi is not None:
+                    whole = fn_multi(body.reset_index(drop=True))
+                    if whole is not None:
+                        if len(whole):
+                            yield whole[out_cols]
+                        continue
                 outs = [
                     o for o in (
                         fn(g) for _, g in

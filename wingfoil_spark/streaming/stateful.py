@@ -54,6 +54,7 @@ class KeyedStateOp:
         ts: str = "ts",
         seq: str | None = None,
         keys: tuple[str, ...] = (),
+        multi_step=None,
     ):
         self.step = step
         self.out_schema = out_schema
@@ -61,6 +62,10 @@ class KeyedStateOp:
         self.ts = ts
         self.seq = seq
         self.keys = keys
+        #: optional whole-body fast path for run_batch: processes all
+        #: complete key groups of a sorted batch in one call (None return
+        #: falls back to per-group ``step``); see _apply_per_key_reshape
+        self.multi_step = multi_step
 
     def _order(self) -> list[str]:
         return [self.ts] + ([self.seq] if self.seq else [])
@@ -100,7 +105,8 @@ class KeyedStateOp:
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         s = Stream(df, ts=self.ts, seq=self.seq, keys=self.keys)
-        return _apply_per_key_reshape(s, fn, schema)
+        return _apply_per_key_reshape(s, fn, schema,
+                                      fn_multi=self.multi_step)
 
     # -------------------------------------------------------------- realtime
 
