@@ -31,16 +31,42 @@ import numpy as np
 _SRC = r"""
 #include <math.h>
 
+/* new_grp (nullable): per-row reset flags for multi-key batches — a set
+   flag restarts the recursion at that row (bitwise identical to a fresh
+   per-key run: the reset row sees d = pow(0.5, 0) = 1). */
 void ewma_hl(const double* ts, const double* x, double hl,
-             long long n, double* out) {
+             long long n, double* out, const signed char* new_grp) {
     if (n <= 0) return;
     double acc = x[0];
     double prev = ts[0];
     for (long long i = 0; i < n; i++) {
+        if (new_grp != 0 && new_grp[i]) {
+            acc = x[i];
+            prev = ts[i];
+        }
         double d = pow(0.5, (ts[i] - prev) / hl);
         acc = d * acc + (1.0 - d) * x[i];
         out[i] = acc;
         prev = ts[i];
+    }
+}
+
+/* Per-tick EWMA: the oracle's plain recursion (1-a)*acc + a*x, seeded on
+   the first sample of each group. Same op order as the streaming
+   ewma_step twin and the recursive-CTE oracle. */
+void ewma_alpha(const double* x, double alpha, long long n, double* out,
+                const signed char* new_grp) {
+    double one_m = 1.0 - alpha;
+    double acc = 0.0;
+    int init = 0;
+    for (long long i = 0; i < n; i++) {
+        if ((new_grp != 0 && new_grp[i]) || !init) {
+            acc = x[i];
+            init = 1;
+        } else {
+            acc = one_m * acc + alpha * x[i];
+        }
+        out[i] = acc;
     }
 }
 
@@ -417,14 +443,19 @@ def _load() -> ctypes.CDLL | None:
             os.replace(tmp_so, so_path)  # atomic vs concurrent compiles
             os.unlink(c_path)
         lib = ctypes.CDLL(so_path)
+        pi = ctypes.POINTER(ctypes.c_longlong)
+        pc = ctypes.POINTER(ctypes.c_byte)
         lib.ewma_hl.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_double, ctypes.c_longlong,
-            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), pc,
         ]
         lib.ewma_hl.restype = None
-        pi = ctypes.POINTER(ctypes.c_longlong)
-        pc = ctypes.POINTER(ctypes.c_byte)
+        lib.ewma_alpha.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+            ctypes.c_longlong, ctypes.POINTER(ctypes.c_double), pc,
+        ]
+        lib.ewma_alpha.restype = None
         lib.book_fold.argtypes = (
             [pc, pc, pi, pi, ctypes.c_longlong, ctypes.c_longlong,
              ctypes.c_longlong] + [pi] * 11 + [pc]
@@ -639,8 +670,10 @@ def tw_median_win(ts: np.ndarray, v: np.ndarray, w: np.ndarray,
     return out
 
 
-def ewma_hl(ts: np.ndarray, x: np.ndarray, hl: float) -> np.ndarray:
-    """Half-life EWMA over float64 arrays, bitwise == the scalar walk."""
+def ewma_hl(ts: np.ndarray, x: np.ndarray, hl: float,
+            new_grp: np.ndarray | None = None) -> np.ndarray:
+    """Half-life EWMA over float64 arrays, bitwise == the scalar walk.
+    ``new_grp``: per-row reset flags for multi-key batches."""
     n = len(x)
     out = np.empty(n, dtype=np.float64)
     if n == 0:
@@ -649,22 +682,69 @@ def ewma_hl(ts: np.ndarray, x: np.ndarray, hl: float) -> np.ndarray:
     if lib is not None:
         ts = np.ascontiguousarray(ts, dtype=np.float64)
         x = np.ascontiguousarray(x, dtype=np.float64)
+        grp8 = (np.ascontiguousarray(new_grp, dtype=np.int8)
+                if new_grp is not None else None)
         pd_ = ctypes.POINTER(ctypes.c_double)
+        pc = ctypes.POINTER(ctypes.c_byte)
         lib.ewma_hl(
             ts.ctypes.data_as(pd_), x.ctypes.data_as(pd_),
             ctypes.c_double(hl), ctypes.c_longlong(n),
             out.ctypes.data_as(pd_),
+            grp8.ctypes.data_as(pc) if grp8 is not None else None,
         )
         return out
     # Python fallback: same bits (math.pow == scalar libm pow), one fused loop
     res = out.tolist()
     ts_l = ts.tolist()
     x_l = x.tolist()
+    grp = new_grp.tolist() if new_grp is not None else None
     acc = x_l[0]
     prev = ts_l[0]
     for i in range(n):
+        if grp is not None and grp[i]:
+            acc = x_l[i]
+            prev = ts_l[i]
         d = math.pow(0.5, (ts_l[i] - prev) / hl)
         acc = d * acc + (1.0 - d) * x_l[i]
         res[i] = acc
         prev = ts_l[i]
+    return np.asarray(res, dtype=np.float64)
+
+
+def ewma_alpha(x: np.ndarray, alpha: float,
+               new_grp: np.ndarray | None = None) -> np.ndarray:
+    """Per-tick EWMA — the plain (1-α)·acc + α·x recursion, seeded on the
+    first sample of each group (identical op order to the streaming
+    ewma_step twin and the recursive-CTE oracle). Python fallback walks
+    the same loop, same bits."""
+    n = len(x)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    lib = _load()
+    if lib is not None:
+        x = np.ascontiguousarray(x, dtype=np.float64)
+        grp8 = (np.ascontiguousarray(new_grp, dtype=np.int8)
+                if new_grp is not None else None)
+        pd_ = ctypes.POINTER(ctypes.c_double)
+        pc = ctypes.POINTER(ctypes.c_byte)
+        lib.ewma_alpha(
+            x.ctypes.data_as(pd_), ctypes.c_double(alpha),
+            ctypes.c_longlong(n), out.ctypes.data_as(pd_),
+            grp8.ctypes.data_as(pc) if grp8 is not None else None,
+        )
+        return out
+    res = out.tolist()
+    x_l = x.tolist()
+    grp = new_grp.tolist() if new_grp is not None else None
+    one_m = 1.0 - alpha
+    acc = 0.0
+    init = False
+    for i in range(n):
+        if (grp is not None and grp[i]) or not init:
+            acc = x_l[i]
+            init = True
+        else:
+            acc = one_m * acc + alpha * x_l[i]
+        res[i] = acc
     return np.asarray(res, dtype=np.float64)

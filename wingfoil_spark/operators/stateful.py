@@ -41,8 +41,15 @@ def _ewma_hl_kernel(ts: np.ndarray, x: np.ndarray, hl: float) -> np.ndarray:
     )
 
 
-def _apply_per_key(s: Stream, fn, added: list[T.StructField]) -> Stream:
+def _apply_per_key(s: Stream, fn, added: list[T.StructField],
+                   fn_multi=None) -> Stream:
     """Run ``fn(pdf) -> pdf`` once per key, rows pre-sorted by (ts, seq).
+
+    ``fn_multi(body) -> pdf | None`` (optional): whole-body fast path over
+    ALL complete key groups of a sorted, key-clustered batch in one call
+    (the op detects group boundaries itself — per-group pandas overhead
+    dominates small-key workloads). None return → per-group ``fn``; the
+    held trailing key always uses ``fn``.
 
     Binding: ``repartition(keys) → sortWithinPartitions(keys, ts, seq) →
     mapInPandas`` rather than ``groupBy().applyInPandas`` — one Python
@@ -93,6 +100,11 @@ def _apply_per_key(s: Stream, fn, added: list[T.StructField]) -> Stream:
             held = pdf.loc[mask_last]
             body = pdf.loc[~mask_last]
             if len(body):
+                if fn_multi is not None:
+                    whole = fn_multi(body.reset_index(drop=True))
+                    if whole is not None:
+                        yield whole
+                        continue
                 out = body.groupby(keys, sort=False, group_keys=False, dropna=False)[
                     body.columns.tolist()
                 ].apply(fn)
@@ -275,42 +287,96 @@ def ewma(
             schema, init_state=(False, 0.0, 0.0),
         )
 
-    if alpha is not None:
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf[out] = pdf[col].ewm(alpha=alpha, adjust=False).mean()
-            return pdf
-    else:
-        hl = float(half_life_ns)
-        ts_col = s.ts
+    return ewma_multi(s, col, {out: {"alpha": alpha}} if alpha is not None
+                      else {out: {"half_life_ns": half_life_ns}})
 
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            ts = pdf[ts_col].to_numpy(dtype=np.float64)
-            x = pdf[col].to_numpy(dtype=np.float64)
-            pdf[out] = _ewma_hl_kernel(ts, x, hl)
-            return pdf
 
-    return _apply_per_key(s, fn, [T.StructField(out, T.DoubleType())])
+def _grp_flags(pdf: pd.DataFrame, keys) -> np.ndarray:
+    """Per-row new-group flags over a key-clustered sorted batch."""
+    n = len(pdf)
+    g = np.zeros(n, dtype=np.int8)
+    for k in keys:
+        a = pdf[k].to_numpy()
+        g[1:] |= (a[1:] != a[:-1]).astype(np.int8)
+    return g
 
 
 def ewma_multi(s: Stream, col: str, specs: dict[str, dict]) -> Stream:
     """Several EWMA columns in ONE Arrow pass (one sort, one Python stage) —
     the fused form of chained :func:`ewma` calls. ``specs`` maps output
-    column → {"alpha": a} or {"half_life_ns": h}."""
+    column → {"alpha": a} or {"half_life_ns": h}.
+
+    Both recursions run the C kernels (plain (1-α)·acc + α·x — the same
+    op order as the recursive-CTE oracle and the streaming ewma_step twin
+    — and the scalar-pow half-life walk), and the batch binding uses the
+    whole-body multi-key path: one kernel call over all complete key
+    groups with group-reset flags, bitwise identical to per-key runs."""
     ts_col, vcol = s.ts, col
     items = [(out, p.get("alpha"), p.get("half_life_ns")) for out, p in specs.items()]
+    added = [T.StructField(out, T.DoubleType()) for out, _, _ in items]
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    if s.df.isStreaming:
+        import math
+
+        keep = [*s.keys, s.ts, *([s.seq] if s.seq else []), col]
+        schema = T.StructType([s.df.schema[c] for c in keep] + added)
+
+        def step(state, pdf: pd.DataFrame):
+            st = dict(state) if state else {}
+            out_pdf = pdf[keep].copy()
+            ts_l = pdf[ts_col].to_numpy(dtype=np.float64).tolist()
+            x_l = pdf[vcol].to_numpy(dtype=np.float64).tolist()
+            for out, alpha, hl in items:
+                if alpha is not None:
+                    init, acc = st.get(out, (False, 0.0))
+                    one_m = 1.0 - alpha
+                    res = []
+                    for x in x_l:
+                        if not init:
+                            acc, init = x, True
+                        else:
+                            acc = one_m * acc + alpha * x
+                        res.append(acc)
+                    st[out] = (init, acc)
+                else:
+                    init, acc, prev = st.get(out, (False, 0.0, 0.0))
+                    hlf = float(hl)
+                    res = []
+                    for t, x in zip(ts_l, x_l):
+                        if not init:
+                            acc, prev, init = x, t, True
+                        else:
+                            d = math.pow(0.5, (t - prev) / hlf)
+                            acc = d * acc + (1.0 - d) * x
+                            prev = t
+                        res.append(acc)
+                    st[out] = (init, acc, prev)
+                out_pdf[out] = res
+            return st, out_pdf
+
+        return _keyed_stream(s, step, schema)
+
+    def _compute(pdf: pd.DataFrame, grp) -> pd.DataFrame:
+        from wingfoil_spark.operators import _ckernels
+
         x = pdf[vcol].to_numpy(dtype=np.float64)
         ts = pdf[ts_col].to_numpy(dtype=np.float64)
         for out, alpha, hl in items:
             if alpha is not None:
-                pdf[out] = pdf[vcol].ewm(alpha=alpha, adjust=False).mean()
+                pdf[out] = _ckernels.ewma_alpha(x, float(alpha), grp)
             else:
-                pdf[out] = _ewma_hl_kernel(ts, x, float(hl))
+                pdf[out] = _ckernels.ewma_hl(ts, x, float(hl), grp)
         return pdf
 
-    added = [T.StructField(out, T.DoubleType()) for out, _, _ in items]
-    return _apply_per_key(s, fn, added)
+    keys = list(s.keys)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _compute(pdf, None)
+
+    def fn_multi(body: pd.DataFrame):
+        return _compute(body, _grp_flags(body, keys)) if keys else None
+
+    return _apply_per_key(s, fn, added, fn_multi=fn_multi)
 
 
 def drop_small_change(s: Stream, col: str, tol: float) -> Stream:
