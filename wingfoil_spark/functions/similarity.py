@@ -105,9 +105,11 @@ def hyperplane_signature(
     same math in milliseconds. Exactness: projections accumulate
     dim-SEQUENTIALLY (row-vectorized), the same order as a left fold, so
     buckets are bitwise-reproducible by the SQL oracle's list_reduce."""
-    from wingfoil_spark.functions.dedup import ensure_parallelism
-
-    df = ensure_parallelism(df)
+    # NOT repartitioned here (unlike the dedup text kernels): the signature
+    # kernel is light (bits × dim flops/row), and the ANN queries feed the
+    # bucketed frames straight into broadcast joins — an extra round-robin
+    # shuffle ahead of a broadcast build measured 1.5-4× slower and highly
+    # variable at sf0.1
     coefs = hyperplane_coefs(bits, dim)
 
     @F.pandas_udf(T.LongType())
