@@ -327,14 +327,28 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     @F.pandas_udf(T.LongType())
     def sh_udf(hs: pd.Series) -> pd.Series:
-        out = np.zeros(len(hs), dtype=np.int64)
-        for i, h in enumerate(hs):
-            a = np.asarray(h, dtype=np.int64)
-            if len(a) == 0:
-                continue
-            bits = (a[:, None] >> np.arange(32)[None, :]) & 1   # tokens × 32
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = int(((votes > 0).astype(np.int64) << np.arange(32)).sum())
+        # whole-batch vectorization (same shape as the minhash kernel):
+        # flatten every doc's token hashes, expand to a (total_tokens × 32)
+        # ±1 vote matrix once, and collapse to per-doc vote sums with
+        # np.add.reduceat over the doc offsets
+        nd = len(hs)
+        out = np.zeros(nd, dtype=np.int64)
+        if nd == 0:
+            return pd.Series(out)
+        arrs = [np.asarray(h, dtype=np.int64) for h in hs]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=nd)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate([a for a in arrs if len(a)])
+            starts = np.zeros(nd, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nz = lens > 0
+            votes_pm = (
+                2 * ((flat[:, None] >> np.arange(32)[None, :]) & 1) - 1
+            )
+            votes = np.add.reduceat(votes_pm, starts[nz], axis=0)
+            bits = (votes > 0).astype(np.int64) << np.arange(32)[None, :]
+            out[nz] = bits.sum(axis=1)
         return pd.Series(out)
 
     return df.select(id_col, sh_udf(F.col("__h")).alias("simhash"))
