@@ -100,3 +100,41 @@ def test_resumable_across_chunks():
     for c in whole.columns:
         a, b = whole[c], chunked[c]
         assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+def test_book_feed_multi_matches_per_key():
+    """The whole-body multi-key walk equals the per-key step on random
+    key-clustered batches (covering snapshots, gaps, buffering races)."""
+    import numpy as np
+
+    from wingfoil_spark.operators.market import book_feed_multi, book_feed_step
+
+    rng = np.random.default_rng(31)
+    frames = []
+    for key in range(25):
+        n = int(rng.integers(1, 60))
+        seqs = np.cumsum(rng.integers(1, 3, n))  # occasional gaps
+        frames.append(pd.DataFrame({
+            "user_id": key,
+            "ts": np.sort(rng.integers(0, 500, n)) * 100,
+            "seq": seqs,
+            "kind": np.where(rng.integers(0, 6, n) == 0, "snapshot", "delta"),
+            "side": np.where(rng.integers(0, 2, n) == 0, "bid", "ask"),
+            "price": rng.integers(90, 110, n).astype(float),
+            "qty": rng.integers(0, 9, n).astype(float),
+            "bid_price": 100.0, "bid_qty": 1.0,
+            "ask_price": 101.0, "ask_qty": 1.0,
+        }))
+    body = pd.concat(frames, ignore_index=True)
+    multi = book_feed_multi(body, ("user_id",))
+    per_key = []
+    for key, g in body.groupby("user_id", sort=False):
+        _, out = book_feed_step(None, g.reset_index(drop=True))
+        out.insert(0, "user_id", key)
+        per_key.append(out)
+    per_key = [o for o in per_key if len(o)]
+    ref = pd.concat(per_key, ignore_index=True)
+    assert len(multi) == len(ref) > 0
+    for c in ref.columns:
+        a, b = multi[c], ref[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), c

@@ -314,14 +314,32 @@ def book_feed_step(state, pdf: pd.DataFrame):
     faithful feed handler — it is what a decoded FIX W/X stream feeds
     (sources/fix.py:book_updates_from_fix).
     """
+    arr, n = _feed_arrays(pdf)
+    state, out_rows = _feed_walk(arr, 0, n, state, None)
+    out = pd.DataFrame(out_rows, columns=[f.name for f in BOOK_FEED_FIELDS])
+    return state, out
+
+
+def _feed_arrays(pdf: pd.DataFrame):
+    cols = ["ts", "seq", "kind", "side", "price", "qty",
+            "bid_price", "bid_qty", "ask_price", "ask_qty",
+            "bid_prices", "bid_qtys", "ask_prices", "ask_qtys"]
+    n = len(pdf)
+    arr = {c: (pdf[c].to_numpy() if c in pdf.columns else [None] * n)
+           for c in cols}
+    return arr, n
+
+
+def _feed_walk(arr, i0: int, i1: int, state, keyvals):
+    """The feed-handler walk over rows [i0, i1) of pre-extracted column
+    arrays — ONE implementation shared by the per-key step and the
+    whole-body multi-key path (output rows are tuples; ``keyvals``
+    prefixes them when set). Returns (state', rows)."""
     status, last_seq, bids, asks, buffer = state if state is not None else (
         "await", None, {}, {}, []
     )
     out_rows = []
-    cols = ["ts", "seq", "kind", "side", "price", "qty",
-            "bid_price", "bid_qty", "ask_price", "ask_qty",
-            "bid_prices", "bid_qtys", "ask_prices", "ask_qtys"]
-    arr = {c: (pdf[c].to_numpy() if c in pdf.columns else [None] * len(pdf)) for c in cols}
+    prefix = keyvals if keyvals is not None else ()
 
     def apply_delta(side, price, qty):
         book = bids if side == "bid" else asks
@@ -334,7 +352,7 @@ def book_feed_step(state, pdf: pd.DataFrame):
         bb = max(bids) if (status == "live" and bids) else None
         ba = min(asks) if (status == "live" and asks) else None
         out_rows.append((
-            int(ts), status,
+            *prefix, int(ts), status,
             bb, bids.get(bb) if bb is not None else None,
             ba, asks.get(ba) if ba is not None else None,
             len(bids) if status == "live" else 0,
@@ -342,12 +360,11 @@ def book_feed_step(state, pdf: pd.DataFrame):
             last_seq,
         ))
 
-    n = len(pdf)
-    i = 0
-    while i < n:
+    i = i0
+    while i < i1:
         ts = arr["ts"][i]
         ticked = False
-        while i < n and arr["ts"][i] == ts:
+        while i < i1 and arr["ts"][i] == ts:
             kind, seq = arr["kind"][i], int(arr["seq"][i])
             if kind == "snapshot":
                 bids.clear()
@@ -403,8 +420,7 @@ def book_feed_step(state, pdf: pd.DataFrame):
             i += 1
         if ticked:
             emit(ts)
-    out = pd.DataFrame(out_rows, columns=[f.name for f in BOOK_FEED_FIELDS])
-    return (status, last_seq, bids, asks, buffer), out
+    return (status, last_seq, bids, asks, buffer), out_rows
 
 
 def order_book_multi(pdf: pd.DataFrame, keys: tuple[str, ...]):
@@ -480,6 +496,31 @@ def order_book_op(key_fields: list[T.StructField]) -> KeyedStateOp:
     )
 
 
+def book_feed_multi(pdf: pd.DataFrame, keys: tuple[str, ...]):
+    """Whole-body feed-handler fold: ONE pass over all key groups of a
+    sorted key-clustered batch, one output frame (the per-group pandas
+    construction cost dominated small-key workloads — same lever as
+    :func:`order_book_multi`). Each group starts fresh (the binding holds
+    the trailing key back for exact state carry)."""
+    n = len(pdf)
+    if n == 0:
+        return None
+    arr, _ = _feed_arrays(pdf)
+    karrs = [pdf[k].to_numpy() for k in keys]
+    new_grp = np.zeros(n, dtype=bool)
+    for a in karrs:
+        new_grp[1:] |= (a[1:] != a[:-1])
+    bounds = [0] + [int(x) for x in np.flatnonzero(new_grp)] + [n]
+    rows = []
+    for a, b in zip(bounds, bounds[1:]):
+        keyvals = tuple(ka[a] for ka in karrs)
+        _, r = _feed_walk(arr, a, b, None, keyvals)
+        rows.extend(r)
+    return pd.DataFrame(
+        rows, columns=[*keys, *[f.name for f in BOOK_FEED_FIELDS]]
+    )
+
+
 def book_feed_op(key_fields: list[T.StructField],
                  order_col: str = "seq") -> KeyedStateOp:
     """The FULL feed-handler book (:func:`book_feed_step` — status machine,
@@ -503,6 +544,7 @@ def book_feed_op(key_fields: list[T.StructField],
         ts="ts",
         seq=order_col,
         keys=keys,
+        multi_step=lambda pdf: book_feed_multi(pdf, keys),
     )
 
 
