@@ -1,0 +1,209 @@
+"""Web wire-format codec: behaviors replayed from the reference's own
+tests (adapters/web/codec.rs:15-95, wire-types lib.rs) plus the
+DataFrame tier (decode/encode/burst-explode/control routing)."""
+
+import json
+import struct
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from wingfoil_spark.sources import wire
+from wingfoil_spark.stream import Stream
+
+
+# ---------------------------------------------------------------------------
+# row-level codec: reference test replays
+# ---------------------------------------------------------------------------
+
+def test_bincode_envelope_roundtrip():
+    # codec.rs:15-25 — same values as the reference test
+    env = ("order_book", 123_456_789, bytes([1, 2, 3, 4]))
+    b = wire.encode_envelope(*env, codec="bincode")
+    assert wire.decode_envelope(b, "bincode") == env
+    # pin the exact bincode 1.x legacy layout the reference emits:
+    # u64-LE length-prefixed topic, fixint u64 time, length-prefixed bytes
+    expect = (
+        struct.pack("<Q", 10) + b"order_book"
+        + struct.pack("<Q", 123_456_789)
+        + struct.pack("<Q", 4) + bytes([1, 2, 3, 4])
+    )
+    assert b == expect
+
+
+def test_json_envelope_roundtrip():
+    # codec.rs:27-37
+    env = ("ui_events", 42, b"{}")
+    b = wire.encode_envelope(*env, codec="json")
+    assert wire.decode_envelope(b, "json") == env
+    # serde_json shape: Vec<u8> serializes as an array of numbers
+    assert json.loads(b) == {"topic": "ui_events", "time_ns": 42, "payload": [123, 125]}
+
+
+def test_control_hello_roundtrip_bincode():
+    # codec.rs:39-48
+    ctrl = {"kind": "Hello", "codec": "Bincode", "version": wire.WIRE_PROTOCOL_VERSION}
+    b = wire.encode_control(ctrl, "bincode")
+    assert wire.decode_control(b, "bincode") == ctrl
+
+
+def test_control_subscribe_roundtrip_json():
+    # codec.rs:50-58
+    ctrl = {"kind": "Subscribe", "topics": ["a", "b"]}
+    b = wire.encode_control(ctrl, "json")
+    assert wire.decode_control(b, "json") == ctrl
+    # serde externally-tagged enum layout
+    assert json.loads(b) == {"Subscribe": {"topics": ["a", "b"]}}
+
+
+def test_control_complete_roundtrip_both_codecs():
+    # codec.rs:60-70
+    ctrl = {"kind": "Complete", "topic": "price"}
+    for codec in ("bincode", "json"):
+        b = wire.encode_control(ctrl, codec)
+        assert wire.decode_control(b, codec) == ctrl
+
+
+def test_existing_variants_keep_wire_layout():
+    # codec.rs:72-88 — Complete was APPENDED after Unsubscribe; the older
+    # variants must keep their u32 variant index or v1 peers break
+    hello = wire.encode_control(
+        {"kind": "Hello", "codec": "Bincode", "version": 2}, "bincode")
+    assert hello[0:4] == bytes([0, 0, 0, 0]), "Hello must stay variant 0"
+    # full Hello body: variant u32 + CodecKind u32 + version u16
+    assert hello == bytes([0, 0, 0, 0]) + bytes([0, 0, 0, 0]) + struct.pack("<H", 2)
+    sub = wire.encode_control({"kind": "Subscribe", "topics": []}, "bincode")
+    assert sub[0:4] == bytes([1, 0, 0, 0]), "Subscribe must stay variant 1"
+    unsub = wire.encode_control({"kind": "Unsubscribe", "topics": []}, "bincode")
+    assert unsub[0:4] == bytes([2, 0, 0, 0])
+    comp = wire.encode_control({"kind": "Complete", "topic": "x"}, "bincode")
+    assert comp[0:4] == bytes([3, 0, 0, 0])
+
+
+def test_bincode_rejects_corrupt_envelope():
+    # codec.rs:89-95 — err context contains "wire codec"
+    with pytest.raises(wire.WireCodecError, match="wire codec"):
+        wire.decode_envelope(bytes([0xFF] * 4), "bincode")
+
+
+def test_corrupt_control_variants_rejected():
+    with pytest.raises(wire.WireCodecError, match="variant"):
+        wire.decode_control(struct.pack("<I", 99) + b"x", "bincode")
+    # a corrupt topics length must not allocate/loop — lib.rs decode errors
+    bad = struct.pack("<I", 1) + struct.pack("<Q", 1 << 40)
+    with pytest.raises(wire.WireCodecError):
+        wire.decode_control(bad, "bincode")
+
+
+def test_hello_version_gate():
+    # wire-types lib.rs:15-18 — reject mismatched peers early
+    ok = {"kind": "Hello", "codec": "Bincode", "version": wire.WIRE_PROTOCOL_VERSION}
+    assert wire.check_hello(ok) is ok
+    with pytest.raises(wire.WireCodecError, match="version mismatch"):
+        wire.check_hello({"kind": "Hello", "codec": "Bincode", "version": 1})
+    with pytest.raises(wire.WireCodecError, match="expected Hello"):
+        wire.check_hello({"kind": "Complete", "topic": "t"})
+
+
+def test_client_frames_carry_zero_time():
+    # lib.rs:36-37,44-45: clients cannot set graph time
+    for frame in (wire.hello_frame(), wire.subscribe_frame(["a"]),
+                  wire.unsubscribe_frame(["a"]), wire.complete_frame("t")):
+        topic, tns, _ = wire.decode_envelope(frame)
+        assert topic == wire.CONTROL_TOPIC and tns == 0
+
+
+def test_trailing_bytes_ignored():
+    # bincode::deserialize is lenient about trailing bytes
+    b = wire.encode_envelope("t", 7, b"xy") + b"JUNK"
+    assert wire.decode_envelope(b) == ("t", 7, b"xy")
+
+
+def test_non_utf8_topic_rejected():
+    bad = struct.pack("<Q", 2) + b"\xff\xfe" + struct.pack("<Q", 0) + struct.pack("<Q", 0)
+    with pytest.raises(wire.WireCodecError, match="topic"):
+        wire.decode_envelope(bad, "bincode")
+
+
+# ---------------------------------------------------------------------------
+# DataFrame tier
+# ---------------------------------------------------------------------------
+
+def _frames(spark, codec):
+    """A captured-session mix: hello, subscribe, two topics interleaved
+    (one with a same-time burst payload on the json tier), complete."""
+    px = lambda p: json.dumps(p).encode()
+    rows = [
+        (wire.hello_frame(codec),),
+        (wire.subscribe_frame(["px", "qty"], codec),),
+        (wire.encode_envelope("px", 1_000, px({"v": 1.5}), codec),),
+        (wire.encode_envelope("qty", 1_000, px([{"v": 10.0}, {"v": 11.0}]), codec),),
+        (wire.encode_envelope("px", 2_000, px({"v": 1.75}), codec),),
+        (wire.complete_frame("px", codec),),
+        (b"\xff\xff\xff",),  # corrupt capture row must not kill the job
+    ]
+    return spark.createDataFrame(rows, T.StructType([T.StructField("value", T.BinaryType())]))
+
+
+@pytest.mark.parametrize("codec", ["bincode", "json"])
+def test_dataframe_decode_and_route(spark, codec):
+    df = wire.decode_envelopes(_frames(spark, codec), codec=codec)
+    rows = df.collect()
+    assert [r.env.valid for r in rows] == [True] * 6 + [False]
+    assert "wire codec" in rows[6].env.error
+    data, ctrl = wire.split_control(df, codec=codec)
+    got = sorted((r.env.topic, r.env.time_ns) for r in data.collect())
+    assert got == [("px", 1_000), ("px", 2_000), ("qty", 1_000)]
+    kinds = [r.ctrl.kind for r in ctrl.collect()]
+    assert kinds == ["Hello", "Subscribe", "Complete"]
+    hello = next(r.ctrl for r in ctrl.collect() if r.ctrl.kind == "Hello")
+    assert hello.version == wire.WIRE_PROTOCOL_VERSION
+    sub = next(r.ctrl for r in ctrl.collect() if r.ctrl.kind == "Subscribe")
+    assert sub.topics == ["px", "qty"]
+    comp = next(r.ctrl for r in ctrl.collect() if r.ctrl.kind == "Complete")
+    assert comp.topic == "px"
+
+
+def test_json_payload_burst_explode(spark):
+    """Array payload = one same-time_ns burst, wire order preserved
+    (lib.rs:33-36) — explodes pure-Catalyst into Stream-ready rows."""
+    df = wire.decode_envelopes(_frames(spark, "json"), codec="json")
+    data, _ = wire.split_control(df, codec="json")
+    schema = T.StructType([T.StructField("v", T.DoubleType())])
+    rows = wire.json_payload_rows(data, schema)
+    out = rows.select(F.col("env.topic").alias("topic"),
+                      F.col("env.time_ns").alias("time_ns"),
+                      "__seq", F.col("item.v").alias("v"))
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        ("px", 1_000, 0, 1.5),
+        ("px", 2_000, 0, 1.75),
+        ("qty", 1_000, 0, 10.0),
+        ("qty", 1_000, 1, 11.0),  # burst-mate: same instant, later seq
+    ]
+    # the burst explode itself is pure Catalyst: it adds zero Python
+    # stages over the decoded-frame plan it starts from
+    def _py_stages(frame):
+        p = frame._jdf.queryExecution().executedPlan().toString()
+        return p.count("ArrowEvalPython") + p.count("BatchEvalPython")
+
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" in plan and _py_stages(rows) == _py_stages(data)
+    # feeds Stream with burst ordering intact
+    s = Stream(out.where(F.col("topic") == "qty"), ts="time_ns", seq="__seq")
+    acc = s.fold("v", "sum", out="acc").df.orderBy("__seq").collect()
+    assert [r.acc for r in acc] == [10.0, 21.0]
+
+
+def test_encode_envelopes_roundtrip_dataframe(spark):
+    """Columnar encode (the web_pub data path, write.rs:131-181) produces
+    frames the row-level reference-layout decoder accepts."""
+    rows = [Row(t="book", ts=10, p=b"a"), Row(t="book", ts=20, p=b"bc")]
+    df = spark.createDataFrame(rows)
+    enc = wire.encode_envelopes(df, topic="t", time_ns="ts", payload="p")
+    out = [wire.decode_envelope(bytes(r.frame)) for r in enc.collect()]
+    assert out == [("book", 10, b"a"), ("book", 20, b"bc")]
+    # literal-topic form
+    enc2 = wire.encode_envelopes(df, topic="fixed!", time_ns="ts", payload="p")
+    assert {wire.decode_envelope(bytes(r.frame))[0] for r in enc2.collect()} == {"fixed!"}
