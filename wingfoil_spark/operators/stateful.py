@@ -721,7 +721,15 @@ def fold_pandas(s: Stream, fn, init, out: str, cols: list[str] | None = None,
         pdf[out] = res
         return pdf
 
-    return _apply_per_key(s, step, [T.StructField(out, dtype)])
+    res_s = _apply_per_key(s, step, [T.StructField(out, dtype)])
+    # Seed the fold's output slot with init at wiring time so passive
+    # readers observe it before the first tick — the interpreted engine
+    # seeds the value slot with init.clone(), a cross-path parity contract
+    # (parity_bugs.rs BUG 1 :17-63).
+    from wingfoil_spark.stream import _wiring_seed
+    if isinstance(init, (int, float, str, bool)):
+        res_s._passive_seed = _wiring_seed(s, {out: F.lit(init).cast(dtype)})
+    return res_s
 
 
 def delay_with_reset(s: Stream, delay_ns: int, trigger: Stream,

@@ -37,16 +37,67 @@ def csv_read(
     keys: Sequence[str] = (),
     header: bool = True,
     streaming: bool = False,
+    validate: bool = False,
+    start_ts: int | None = None,
     **options,
 ) -> Stream:
     """Typed, timestamped CSV source. Reference: ``csv_read``
     (adapters/csv.rs:116-175) — serde-typed rows with a leading ``time``
     column. ``streaming=True`` binds the same schema to ``readStream`` (the
     run-mode duality); historical mode is a plain scan that Catalyst prunes
-    and pushes filters into."""
+    and pushes filters into. ``validate=True`` applies
+    :func:`validate_replay` (the reference's non-decreasing-ts /
+    post-start policy) — opt-in because it executes an eager check."""
     reader = spark.readStream if streaming else spark.read
     df = reader.schema(schema).options(header=str(header).lower(), **options).csv(path)
-    return Stream(df, ts=ts, seq=seq, keys=keys)
+    s = Stream(df, ts=ts, seq=seq, keys=keys)
+    if validate and not streaming:
+        validate_replay(s, start_ts=start_ts)
+    return s
+
+
+def validate_replay(s: Stream, start_ts: int | None = None) -> Stream:
+    """Enforce the historical-source timestamp policy on a replay stream.
+
+    Reference: a historical channel/csv source rejects (1) a timestamp
+    before the run start — it would rewind the run clock — and (2)
+    timestamps out of order relative to the input sequence, where legacy
+    errors rather than silently sorting (adapters/csv.rs:110-115;
+    parity_bugs.rs BUG 4 :89-140, both rejections now at the channel's
+    ``start`` hook). Batch analog: when the stream carries a ``seq``
+    (input order), ts must be non-decreasing along seq per key; any ts
+    must be >= ``start_ts``.
+
+    Distributed check — one aggregate over a lag window, no collect of
+    data rows; raises ``ValueError`` with the reference's error wording.
+    Returns the stream for chaining."""
+    from pyspark.sql import Window as W
+
+    df = s.df
+    if start_ts is not None:
+        n_bad = df.where(F.col(s.ts) < F.lit(start_ts)).limit(1).count()
+        if n_bad:
+            first_bad = df.where(F.col(s.ts) < F.lit(start_ts)).agg(
+                F.min(s.ts)).collect()[0][0]
+            raise ValueError(
+                f"replay timestamp {first_bad} is before the run start {start_ts}"
+            )
+    if s.seq is not None:
+        w = (W.partitionBy(*s.keys) if s.keys else W.partitionBy()).orderBy(
+            F.col(s.seq).asc())
+        regress = (
+            df.withColumn("__prev", F.lag(s.ts).over(w))
+            .where(F.col("__prev") > F.col(s.ts))
+            .limit(1)
+        )
+        bad = regress.select(s.seq, s.ts, "__prev").collect()
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                f"replay timestamps out of order at {s.seq}={r[0]}: "
+                f"{r[2]} -> {r[1]} (historical sources must be non-decreasing)"
+            )
+    return s
 
 
 def csv_write(s: Stream, path: str, header: bool = True, mode: str = "overwrite") -> None:

@@ -59,6 +59,15 @@ class Stream:
         self.ts = ts
         self.seq = seq
         self.keys = tuple(keys)
+        #: optional seed frame for PASSIVE reads: rows visible to
+        #: _combine's latch fill without ever counting as ticks. The
+        #: reference seeds specific node slots at wiring/first-arrival so
+        #: passive readers observe a value before the node's first tick
+        #: (delay seeds its first upstream value, fold seeds its init —
+        #: tests/parity_bugs.rs:17-63,396-489). Derived streams drop it:
+        #: the seed is a property of THIS node's output slot, not of
+        #: downstream transformations.
+        self._passive_seed: DataFrame | None = None
 
     # ------------------------------------------------------------------ infra
 
@@ -260,13 +269,28 @@ class Stream:
         w = Window.partitionBy(*self.keys) if self.keys else Window.partitionBy()
         return self.map(**{out: F.row_number().over(w.orderBy(*self._order_cols()))})
 
-    def fold(self, col: Column | str, fn: str = "sum", out: str = "acc") -> "Stream":
+    def fold(self, col: Column | str, fn: str = "sum", out: str = "acc",
+             init=None) -> "Stream":
         """Running accumulator, emitting after each fold — Rx ``scan``.
         Reference: ``fold``/``scan`` (fluent.rs:816-841, ops.rs:2748-2818).
         Arbitrary closures go through :meth:`scan_pandas`; named builtins
-        stay JVM-side."""
+        stay JVM-side.
+
+        ``init``: non-default accumulator seed (additive — ``sum`` only;
+        arbitrary (init, closure) folds use ``fold_pandas``). The seed is
+        also visible to PASSIVE readers before the fold's first tick —
+        the interpreted engine seeds the fold's value slot with
+        ``init.clone()``, pinned by parity_bugs.rs BUG 1 (:17-63)."""
         c = F.col(col) if isinstance(col, str) else col
-        return self.map(**{out: _FOLD_FNS[fn](c).over(self.w_cum())})
+        expr = _FOLD_FNS[fn](c).over(self.w_cum())
+        if init is None:
+            return self.map(**{out: expr})
+        if fn != "sum":
+            raise ValueError("fold(init=...) supports fn='sum'; use fold_pandas "
+                             "for arbitrary (init, closure) folds")
+        res = self.map(**{out: expr + F.lit(init)})
+        res._passive_seed = _wiring_seed(self, {out: init})
+        return res
 
     scan = fold
 
@@ -341,7 +365,23 @@ class Stream:
         if self.seq is None:
             value_cols = [c for c in df.columns if c not in (self.ts, *self.keys)]
             df = df.dropDuplicates([*self.keys, self.ts, *value_cols])
-        return self._derive(df)
+        out = self._derive(df)
+        # Seed the output slot with the FIRST upstream value at its
+        # original time, without ticking: passive readers (join_passive /
+        # sample latches) observe it while the delay is still pending —
+        # legacy-pinned behavior (parity_bugs.rs BUG 3 :396-489,
+        # delay_initializes_to_first_value). Lazy DataFrame: costs one tiny
+        # per-key window pass only when a passive combine consumes it.
+        vcols = [c for c in self.df.columns if c not in (self.ts, self.seq, *self.keys)]
+        wf_ = Window.partitionBy(*self.keys).orderBy(*self._order_cols()) if self.keys \
+            else Window.partitionBy().orderBy(*self._order_cols())
+        first = (
+            self.df.withColumn("__rn", F.row_number().over(wf_))
+            .where(F.col("__rn") == 1)
+            .select(*self.keys, self.ts, *vcols)
+        )
+        out._passive_seed = first
+        return out
 
     def throttle(self, interval_ns: int, origin_ns: int = 0) -> "Stream":
         """≤1 emission per interval: first tick in each tumbling bucket wins.
@@ -442,7 +482,9 @@ class Stream:
         value_cols = cols or [
             c for c in self.df.columns if c not in (self.ts, self.seq, *self.keys)
         ]
-        s = _combine(trigger, Stream(self.df, self.ts, self.seq, self.keys), emit="left")
+        src = Stream(self.df, self.ts, self.seq, self.keys)
+        src._passive_seed = self._passive_seed  # seeded slots stay readable
+        s = _combine(trigger, src, emit="left")
         df = s.df
         for c in value_cols:
             df = df.where(F.col(c).isNotNull())
@@ -711,6 +753,25 @@ class Stream:
         return self.df.orderBy(*self.keys, *self._order_cols()).collect()
 
 
+#: wiring-time seed instant: orders before any real tick (reference slots
+#: are seeded at graph wiring, i.e. before the run clock starts)
+WIRING_TS = -(1 << 62)
+
+
+def _wiring_seed(s: Stream, values: dict) -> DataFrame:
+    """One passive-seed row per key at :data:`WIRING_TS` carrying literal
+    ``values`` — the batch analog of seeding a node's output slot at graph
+    wiring time (parity_bugs.rs BUG 1)."""
+    if s.keys:
+        base = s.df.select(*s.keys).distinct()
+    else:
+        base = s.df.sparkSession.range(1).select()
+    out = base.withColumn(s.ts, F.lit(WIRING_TS).cast("long"))
+    for c, v in values.items():
+        out = out.withColumn(c, v if isinstance(v, Column) else F.lit(v))
+    return out
+
+
 def _combine(left: Stream, right: Stream, emit: str = "either") -> Stream:
     """Shared combine-latest / as-of machinery (SURVEY §7 step 2).
 
@@ -763,6 +824,18 @@ def _combine(left: Stream, right: Stream, emit: str = "either") -> Stream:
     keep_r = [*keys, ts, "__side", "__seq", *rvals]
     u = ldf.select(*keep_l).unionByName(rdf.select(*keep_r), allowMissingColumns=True)
 
+    # Passive-seed rows (delay's first-value seed, fold's init seed —
+    # parity_bugs.rs BUG 1/3): join the latch fill as side -1, ordered
+    # before both real sides at their instant so a same-instant active row
+    # observes them, but NEVER emitted as ticks (filtered below).
+    seed = getattr(right, "_passive_seed", None)
+    if seed is not None:
+        sdf = seed
+        if right.ts != ts and right.ts in sdf.columns:
+            sdf = sdf.withColumnRenamed(right.ts, ts)
+        sdf = sdf.withColumn("__side", F.lit(-1)).withColumn("__seq", F.lit(-1).cast("long"))
+        u = u.unionByName(sdf, allowMissingColumns=True)
+
     base = Window.partitionBy(*keys) if keys else Window.partitionBy()
     w = base.orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__seq").asc()) \
             .rowsBetween(Window.unboundedPreceding, 0)
@@ -773,10 +846,12 @@ def _combine(left: Stream, right: Stream, emit: str = "either") -> Stream:
     if emit == "left":
         out = filled.where(F.col("__side") == 1).drop("__side", "__seq")
         return Stream(out, ts=ts, seq=None, keys=keys)
-    # one emission per (keys, ts): the instant's final row carries both latches
+    # one emission per (keys, ts): the instant's final row carries both
+    # latches. Seed rows (side -1) latch but never emit.
     w2 = Window.partitionBy(*keys, ts).orderBy(F.col("__side").desc(), F.col("__seq").desc())
     out = (
-        filled.withColumn("__rn", F.row_number().over(w2))
+        filled.where(F.col("__side") >= 0)
+        .withColumn("__rn", F.row_number().over(w2))
         .where("__rn = 1")
         .drop("__rn", "__side", "__seq")
     )
