@@ -250,8 +250,13 @@ class Stream:
         return self._derive(self.df.where(F.col(col).isNotNull()))
 
     def not_(self, col: str, out: str | None = None) -> "Stream":
-        """Boolean negation. Reference: ``not`` (fluent.rs:1033)."""
-        return self.map(**{out or col: ~F.col(col)})
+        """Negation, generic like the reference's ``std::ops::Not`` bound
+        (fluent.rs:1033; catalog_not_collapse.rs:54-61): logical NOT on
+        booleans, bitwise NOT on integer columns."""
+        dt = self.df.schema[col].dataType.typeName()
+        expr = F.bitwise_not(F.col(col)) if dt in (
+            "byte", "short", "integer", "long") else ~F.col(col)
+        return self.map(**{out or col: expr})
 
     def with_time(self, out: str = "time") -> "Stream":
         """Pair value with engine time. Reference: ``with_time``
@@ -333,9 +338,25 @@ class Stream:
         )
         return self._derive(df)
 
-    def collapse(self, arr_col: str, out: str = "last") -> "Stream":
+    def collapse(self, arr_col: str | None = None, out: str = "last") -> "Stream":
         """Last item of an iterable value; quiet when empty. Reference:
-        ``collapse`` (fluent.rs:1068, ops.rs:328-356)."""
+        ``collapse`` (fluent.rs:1068, ops.rs:328-356).
+
+        ``arr_col=None`` collapses a BURST instead (requires ``seq``): the
+        reference op is generic over ``IntoIterator``, and a ``Burst``
+        payload — same-instant rows in our row encoding — collapses to the
+        instant's last value (catalog_not_collapse.rs:136-150)."""
+        if arr_col is None:
+            if self.seq is None:
+                raise ValueError("burst collapse requires a seq column "
+                                 "(same-instant rows carry tick order)")
+            w = Window.partitionBy(*self.keys, self.ts).orderBy(F.col(self.seq).desc())
+            df = (
+                self.df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            return self._derive(df, seq=None)
         df = (
             self.df.withColumn(out, F.try_element_at(F.col(arr_col), F.lit(-1)))
             .where(F.size(arr_col) > 0)
