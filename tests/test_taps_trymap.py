@@ -10,6 +10,8 @@
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from wingfoil_spark.sources.tables import load_table, ts_us_expr
@@ -100,3 +102,64 @@ def test_try_map_routes_errors_to_side_stream(spark):
     assert all(r.doubled == r.value * 2.0 for r in ok_rows)
     assert all(r.error.startswith("ValueError: too big") for r in err_rows)
     assert all(r.value > 200 for r in err_rows)
+
+
+def test_try_map_abort_mode_names_node_and_chains_cause(spark):
+    """fallibility.rs:19-57 — the reference's abort contract: a failing
+    cycle stops the run, the error names the node (TryMap) and chains the
+    op's own message. on_error='abort' reproduces both."""
+    from py4j.protocol import Py4JJavaError
+
+    from wingfoil_spark.sources.tables import replay_rows
+    from wingfoil_spark.stream import Stream
+
+    # one partition: with several, whichever partition hits its first
+    # failing row wins the abort race (the reference engine is
+    # single-threaded, so its failing cycle is deterministic)
+    s = Stream(replay_rows(
+        spark, [(i * 10, i + 1) for i in range(5)], "ts long, n long").df.coalesce(1),
+        ts="ts")
+
+    def risky(row):
+        if row["n"] >= 3:
+            raise ValueError(f"boom at count {row['n']}")
+        return row["n"] * 10
+
+    ok, _ = s.try_map(risky, out="v", on_error="abort")
+    with pytest.raises(Exception) as ei:
+        ok.df.collect()
+    msg = str(ei.value)
+    assert "TryMap" in msg, "error should name the node"
+    assert "boom at count 3" in msg, "error should chain the cause"
+    with pytest.raises(ValueError, match="route"):
+        s.try_map(risky, on_error="nope")
+
+
+def test_sink_error_aborts_with_context(spark):
+    """fallibility.rs:84-104 — a fallible sink's error aborts the run with
+    its own message chained. for_each propagates the raise through the
+    task failure."""
+    from wingfoil_spark.sources.tables import replay_rows
+    from wingfoil_spark.stream import Stream
+
+    s = Stream(replay_rows(
+        spark, [(i * 10, i + 1) for i in range(4)], "ts long, n long").df, ts="ts")
+
+    def sink(row):
+        if row.n == 2:
+            raise RuntimeError(f"sink write failed at {row.n}")
+
+    with pytest.raises(Exception) as ei:
+        s.for_each(sink)
+    assert "sink write failed at 2" in str(ei.value)
+
+
+def test_finally_sees_last_value_on_clean_completion(spark):
+    """fallibility.rs:62-78 — teardown observes the final value after a
+    clean run: last_values (the finally hook's input) reads 3."""
+    from wingfoil_spark.sources.tables import replay_rows
+    from wingfoil_spark.stream import Stream
+
+    s = Stream(replay_rows(
+        spark, [(i * 10, i + 1) for i in range(3)], "ts long, n long").df, ts="ts")
+    assert [r.n for r in s.last_values().collect()] == [3]

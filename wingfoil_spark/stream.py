@@ -131,6 +131,7 @@ class Stream:
         out: str = "mapped",
         dtype=None,
         cols: list[str] | None = None,
+        on_error: str = "route",
     ) -> tuple["Stream", "Stream"]:
         """Fallible map with an error side-channel: ``fn(row: dict) -> value``
         per tick; rows where ``fn`` raises are routed to the returned error
@@ -140,10 +141,12 @@ class Stream:
         Reference: the ``try_map`` / try-twin family (fluent.rs:787,
         873-896). The reference's contract is ABORT-on-error — a failing
         cycle stops the run with node context (tests/fallibility.rs:19-57);
-        that behavior is Spark's default for a raising UDF/kernel (the task,
-        then the job, fails with the python traceback). This op is the
-        deliberate scale-friendly extension: at 100 TB you quarantine bad
-        rows and keep the job alive, so Err feeds a side stream instead.
+        ``on_error="abort"`` reproduces it: the first failing row raises at
+        materialization, the error naming the node (``TryMap``) and
+        chaining the op's own message, exactly the two things
+        fallibility.rs asserts. The default ``"route"`` is the deliberate
+        scale-friendly extension: at 100 TB you quarantine bad rows and
+        keep the job alive, so Err feeds a side stream instead.
 
         One Arrow-batched stage computes value+error; the two returned
         streams are filters over it (cache the input upstream if both sides
@@ -157,6 +160,10 @@ class Stream:
             + [T.StructField(out, dt), T.StructField("error", T.StringType())]
         )
 
+        abort = on_error == "abort"
+        if not abort and on_error != "route":
+            raise ValueError(f"on_error must be 'route' or 'abort', got {on_error!r}")
+
         def run(batches):
             for pdf in batches:
                 vals, errs = [], []
@@ -164,8 +171,12 @@ class Stream:
                     try:
                         vals.append(fn(row))
                         errs.append(None)
-                    except Exception as e:  # routed, not raised
-                        vals.append(None)
+                    except Exception as e:
+                        if abort:  # fallibility.rs:19-57 — node context + cause
+                            raise RuntimeError(
+                                f"TryMap node aborted the run: {type(e).__name__}: {e}"
+                            ) from e
+                        vals.append(None)  # routed, not raised
                         errs.append(f"{type(e).__name__}: {e}")
                 pdf[out] = vals
                 pdf["error"] = errs
