@@ -1,0 +1,114 @@
+"""Op-completeness guard (tests/op_completeness.rs): protection against
+one-sided op registration. The reference realizes it as a compile-time
+gate — every dual-mode combinator must have both a fluent method and a
+macro forwarder, or the suite fails to build. The Python analog: every
+operator family COVERAGE.md claims implemented must resolve to a LIVE
+callable on its documented surface, so dropping/renaming a binding (or
+documenting a phantom one) fails here instead of at a user's call site."""
+
+import importlib
+
+import pytest
+
+from wingfoil_spark.stream import Stream
+
+
+#: Stream methods — the fluent combinator surface (COVERAGE.md §2.2/§2.3)
+STREAM_METHODS = [
+    # map / filter family
+    "map", "select_cols", "map_filter", "filter_value", "filter_none",
+    "filter_latch", "not_", "try_map", "try_filter", "try_fold",
+    # time / tick
+    "with_time", "ticked_at_elapsed", "delay", "throttle", "tumbling",
+    "buffer", "limit_ticks", "sample",
+    # accumulation
+    "count", "fold", "scan", "accumulate", "difference",
+    "distinct_until_changed", "collapse", "collapse_accumulate",
+    "explode_each",
+    # joins / fan
+    "merge", "union_all", "combine_latest", "join_passive", "join3",
+    "map_n", "fan", "split", "demux", "demux_it",
+    # taps / sinks
+    "inspect", "print_ticks", "for_each", "for_each_batch", "last_values",
+    # stats facade
+    "stat", "ewma",
+]
+
+#: module-level operator surfaces: module path → required callables
+MODULE_SURFACES = {
+    "wingfoil_spark.operators.stateful": [
+        "fold_pandas", "ewma", "throttle_exact", "drop_small_change",
+        "delay_with_reset", "weighted_median", "time_weighted_profile",
+    ],
+    "wingfoil_spark.operators.stats": ["window_stat", "approx_median"],
+    "wingfoil_spark.operators.market": [
+        "tumbling_vwap", "rolling_vwap", "detect_seq_gaps", "order_book_op",
+        "book_feed", "order_book",
+    ],
+    "wingfoil_spark.operators.analysis": [
+        "mad_outlier", "mean_shift_changepoint", "linear_forecast",
+        "detect_seasons", "dtw_distances", "dbscan_clusters",
+    ],
+    "wingfoil_spark.operators.dynamic": ["dynamic_group"],
+    "wingfoil_spark.operators.latency": ["timed", "stamp", "latency_report"],
+    "wingfoil_spark.operators.scale": ["salted_agg", "salted_grouped_apply"],
+    "wingfoil_spark.operators.registry": ["register_op"],
+    "wingfoil_spark.functions.dedup": [
+        "exact_dedup", "minhash_signatures", "minhash_sig_array",
+        "lsh_candidate_pairs", "ngram_jaccard", "simhash32",
+        "cosine_near_dups",
+    ],
+    "wingfoil_spark.functions.similarity": [
+        "cosine_topk", "lsh_bucketed_topk", "ivf_topk",
+    ],
+    "wingfoil_spark.functions.text": [
+        "tokens", "quality_score", "lang_id", "fingerprint",
+    ],
+    "wingfoil_spark.functions.multimodal": [
+        "as_media", "media_meta", "frame_sample", "extract_features",
+        "resize",
+    ],
+    "wingfoil_spark.sources.tables": [
+        "load_table", "events_stream", "replay_rows", "ticker", "constant",
+        "never",
+    ],
+    "wingfoil_spark.sources.io": [
+        "csv_read", "csv_write", "replay_lines", "parquet_write",
+        "kafka_source", "kafka_sink", "jdbc_read_partitioned",
+        "foreach_batch_sink", "memory_sink", "write_bucketed",
+        "validate_replay",
+    ],
+    "wingfoil_spark.sources.fix": [
+        "decode_fix", "fix_field", "fix_fields_all", "explode_groups",
+        "encode_fix", "md_entries", "book_updates_from_fix",
+    ],
+    "wingfoil_spark.sources.wire": [
+        "encode_envelope", "decode_envelope", "encode_control",
+        "decode_control", "decode_envelopes", "encode_envelopes",
+        "json_payload_rows", "split_control", "complete_frame",
+    ],
+    "wingfoil_spark.sources.zmq_wire": [
+        "encode_message", "decode_message", "decode_zmq", "zmq_values",
+    ],
+    "wingfoil_spark.streaming.stateful": ["KeyedStateOp", "with_close"],
+    "wingfoil_spark.streaming.twins": ["EventTimeTimerOp"],
+    "wingfoil_spark.streaming.windows": ["tumbling_stream", "session_stream"],
+    "wingfoil_spark.plans.iterate": ["feedback_iterate", "iterate_until_stable"],
+    "wingfoil_spark.plans.relational": [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+        "q6_forecast_revenue", "topk_customers", "sessionize",
+    ],
+}
+
+
+@pytest.mark.parametrize("name", STREAM_METHODS)
+def test_stream_method_exists(name):
+    assert callable(getattr(Stream, name, None)), \
+        f"Stream.{name} is documented in COVERAGE.md but not bound"
+
+
+@pytest.mark.parametrize("mod,names", sorted(MODULE_SURFACES.items()))
+def test_module_surface_complete(mod, names):
+    m = importlib.import_module(mod)
+    missing = [n for n in names if not callable(getattr(m, n, None))]
+    assert not missing, f"{mod} missing documented ops: {missing}"

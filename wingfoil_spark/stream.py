@@ -404,6 +404,9 @@ class Stream:
         # legacy-pinned behavior (parity_bugs.rs BUG 3 :396-489,
         # delay_initializes_to_first_value). Lazy DataFrame: costs one tiny
         # per-key window pass only when a passive combine consumes it.
+        # BATCH surface only: the streaming timer twin latches from first
+        # ARRIVAL (the seed would require cross-stream state injection at
+        # query start, which Structured Streaming has no hook for).
         vcols = [c for c in self.df.columns if c not in (self.ts, self.seq, *self.keys)]
         wf_ = Window.partitionBy(*self.keys).orderBy(*self._order_cols()) if self.keys \
             else Window.partitionBy().orderBy(*self._order_cols())
