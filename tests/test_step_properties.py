@@ -9,6 +9,8 @@ reference model. Pure python/pandas — no SparkSession needed.
 """
 
 import numpy as np
+import warnings
+
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 
@@ -27,7 +29,15 @@ def _run_chunked(step, init, pdf, cuts):
         st_, out = step(st_, chunk)
         if len(out):
             outs.append(out)
-    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+    if not outs:
+        return pd.DataFrame()
+    with warnings.catch_warnings():
+        # all-NA columns in SOME chunks are legitimate here (a key can be
+        # silent in a chunk); the tests compare values after an explicit
+        # sort + reset, so the future dtype-determination change cannot
+        # alter the comparison — suppress like operators.stateful._concat
+        warnings.simplefilter("ignore", FutureWarning)
+        return pd.concat(outs, ignore_index=True)
 
 
 events = st.lists(
