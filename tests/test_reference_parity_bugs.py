@@ -125,3 +125,20 @@ def test_bug4_out_of_order_timestamps_rejected(spark):
     ok = replay_rows(spark, [(100, 1, 0), (100, 2, 1), (200, 3, 2)],
                      "ts long, v long, seq long", seq="seq")
     assert validate_replay(ok, start_ts=100) is ok
+
+
+def test_bug3_seed_latches_in_combine_latest_without_ticking(spark):
+    """The seed also serves combine_latest ('either' emission): it fills
+    the right latch from the first source instant but contributes no
+    emission of its own — tick count equals the two sides' tick count."""
+    src = Stream(_ticker_counts(spark, 3, 10).df, ts="ts")           # v @ 0,10,20
+    other = Stream(
+        _ticker_counts(spark, 3, 10, lambda c: c * 100).df
+        .withColumnRenamed("v", "w"), ts="ts")
+    delayed = other.delay(25)                                        # w @ 25,35,45
+    j = src.combine_latest(delayed)
+    rows = j.df.orderBy("ts").collect()
+    # instants: 0,10,20 (left) + 25,35,45 (right) — the seed adds none
+    assert [r.ts for r in rows] == [0, 10, 20, 25, 35, 45]
+    # left ticks before the delay elapses see the seeded first value 100
+    assert [r.w for r in rows] == [100, 100, 100, 100, 200, 300]
