@@ -158,12 +158,16 @@ def ann_fixed_probes(spark, sf_dir):
 
 def timed(fn, spark, sf_dir) -> float:
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        best = dt  # steady-state (2nd) run, matching bench.py
+        # best-of-3 minimum, matching bench.py: the sandbox host's
+        # intermittent CPU steal can inflate any single run 2-5x, which
+        # on a ratio check reads as a phantom superlinear query (observed:
+        # the same jaccard big tier measured 32.9s then 7.3s back-to-back)
+        best = dt if best is None or dt < best else best
     return best
 
 
