@@ -1,0 +1,199 @@
+"""Streaming-ingest tier (streaming/ingest.py): the continuous-crawl shape
+of the LLM-pipeline operators, differentially tested against their batch
+twins (the run-mode duality discipline of runtime/run.rs:16-29 applied to
+the north-star extension surface).
+
+Harness pattern matches test_streaming_duality: file source with
+maxFilesPerTrigger=1 (deterministic micro-batch boundaries) → memory sink
+→ availableNow trigger."""
+
+import os
+import shutil
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from wingfoil_spark.functions import dedup as dd
+from wingfoil_spark.functions import text as tx
+from wingfoil_spark.sources.tables import load_table
+from wingfoil_spark.streaming import ingest
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _stream_chunks(spark, pdf, n_chunks=3, schema=DOC_SCHEMA):
+    """Write pdf as n time-ordered parquet chunks, return (stream_df, dir)."""
+    src_dir = tempfile.mkdtemp(prefix="wf_ingest_src_")
+    n = len(pdf)
+    bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+    for i in range(n_chunks):
+        chunk = pdf.iloc[bounds[i]:bounds[i + 1]]
+        path = os.path.join(src_dir, f"chunk-{i:03d}.parquet")
+        chunk.to_parquet(path, index=False)
+        os.utime(path, (time.time() + i, time.time() + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return stream, src_dir
+
+
+def _run_to_memory(out, name):
+    session = out.sparkSession
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return session.sql(f"SELECT * FROM {name}")
+
+
+def test_exact_dedup_stream_first_seen_wins(spark, docs):
+    """Replaying the corpus in doc_id order through the stream keeps
+    exactly the batch keep-set (batch keeps min doc_id per fingerprint;
+    first-seen == min id on an id-ordered replay)."""
+    pdf = docs.toPandas().sort_values("doc_id")
+    stream, src_dir = _stream_chunks(spark, pdf)
+    try:
+        kept = _run_to_memory(
+            ingest.exact_dedup_stream(stream), "ingest_dedup"
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    batch = dd.exact_dedup(docs).toPandas()
+    assert sorted(kept["doc_id"]) == sorted(batch["keep_id"])
+    # every emitted row carries its fingerprint; set matches batch's
+    assert set(kept["fp"]) == set(batch["fp"])
+
+
+def test_exact_dedup_stream_dedups_across_microbatches(spark):
+    """A dup arriving in a LATER micro-batch is dropped — the state
+    actually persists across triggers (not per-batch dropDuplicates)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["alpha beta", "gamma", "alpha  beta", "delta", "GAMMA", "epsilon"],
+            "lang": ["en"] * 6,
+            "source": ["web"] * 6,
+            "n_chars": [10, 5, 11, 5, 5, 7],
+        }
+    )
+    # chunks: [1,2] [3,4] [5,6] — 3 dups (whitespace-normalized, casefolded)
+    stream, src_dir = _stream_chunks(spark, pdf, n_chunks=3)
+    try:
+        kept = _run_to_memory(
+            ingest.exact_dedup_stream(stream), "ingest_dedup_x"
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert sorted(kept["doc_id"]) == [1, 2, 4, 6]
+
+
+def test_rowlocal_battery_stream_equals_batch(spark, docs):
+    """Text battery + SimHash + MinHash signatures are stateless row-local
+    projections: streaming output == batch output, value-exact."""
+    def battery(df):
+        t = F.col("text")
+        feats = df.select(
+            "doc_id",
+            tx.token_count(t).alias("n_tokens"),
+            tx.quality_score(t).alias("quality"),
+            tx.lang_id(t).alias("lang_guess"),
+            tx.fingerprint(t).alias("fp"),
+        )
+        return feats.join(dd.simhash32(df), "doc_id").join(
+            dd.minhash_sig_array(df).select(
+                "doc_id", F.col("__sig")[0].alias("mh0"), F.col("__sig")[127].alias("mh127")
+            ),
+            "doc_id",
+        )
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    stream, src_dir = _stream_chunks(spark, pdf)
+    try:
+        streamed = _run_to_memory(battery(stream), "ingest_battery").toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    batch = battery(docs).toPandas()
+
+    key = "doc_id"
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    for c in b.columns:
+        assert s[c].tolist() == b[c].tolist(), c
+
+
+def test_lsh_pairs_stream_matches_batch_restriction(spark, docs):
+    """Arriving docs joined against the corpus index yield exactly the
+    batch LSH pairs restricted to (corpus x arrivals), minus self-pairs.
+
+    Split the corpus: first 80% = indexed snapshot, last 20% = arrivals.
+    Batch truth: lsh_candidate_pairs over the FULL corpus, restricted to
+    pairs with one side in each half (pairs within the arrival set are the
+    next snapshot's job — the documented contract)."""
+    pdf = docs.toPandas().sort_values("doc_id")
+    cut = int(len(pdf) * 0.8)
+    corpus_ids = set(pdf.iloc[:cut]["doc_id"])
+    arrival_pdf = pdf.iloc[cut:]
+
+    corpus_df = docs.where(F.col("doc_id").isin([int(x) for x in corpus_ids]))
+    index = ingest.build_lsh_index(corpus_df)
+
+    stream, src_dir = _stream_chunks(spark, arrival_pdf, n_chunks=2)
+    try:
+        got = _run_to_memory(
+            ingest.lsh_pairs_stream(stream, index, corpus_df, verify=False),
+            "ingest_pairs",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    full = dd.lsh_candidate_pairs(dd.minhash_sig_array(docs)).toPandas()
+    want = set()
+    for a, b in zip(full["a"], full["b"]):
+        if (a in corpus_ids) != (b in corpus_ids):
+            corp = a if a in corpus_ids else b
+            arr = b if a in corpus_ids else a
+            want.add((corp, arr))
+    assert set(zip(got["a"], got["b"])) == want
+
+
+def test_lsh_pairs_stream_verify_matches_batch_jaccard(spark, docs):
+    """verify=True attaches the exact n-gram Jaccard — same values as the
+    batch verify stage for the same pairs."""
+    pdf = docs.toPandas().sort_values("doc_id")
+    cut = int(len(pdf) * 0.8)
+    corpus_df = docs.where(F.col("doc_id") < int(pdf.iloc[cut]["doc_id"]))
+    arrival_pdf = pdf.iloc[cut:]
+    index = ingest.build_lsh_index(corpus_df)
+
+    stream, src_dir = _stream_chunks(spark, arrival_pdf, n_chunks=2)
+    try:
+        got = _run_to_memory(
+            ingest.lsh_pairs_stream(stream, index, docs, verify=True),
+            "ingest_pairs_v",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    if len(got):
+        pairs = spark.createDataFrame(got[["a", "b"]])
+        batch = dd.ngram_jaccard(docs, pairs).toPandas()
+        g = got.sort_values(["a", "b"]).reset_index(drop=True)
+        b = batch.sort_values(["a", "b"]).reset_index(drop=True)
+        assert g["jaccard"].tolist() == b["jaccard"].tolist()

@@ -181,15 +181,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_explode(
     sigs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = LSH_BANDS
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band of the signature become a candidate
-    pair. Equi-join on (band_idx, band_key) — the scalable alternative to a
-    cross join; dedup'd on (a, b) with a < b. Accepts either the wide
-    mh0..mh{k-1} frame or the ``__sig`` array frame (same band keys — the
-    array form slices instead of re-concatenating 128 scalar columns, a
-    big Catalyst-analysis saving)."""
+    """(id, band, bk) rows — one per LSH band per doc. Row-local (the only
+    shuffle in any consumer is on the band key downstream). Shared by the
+    batch pair expansion (:func:`lsh_candidate_pairs`) and the streaming
+    ingest tier (`streaming.ingest`), which equi-joins arriving docs'
+    band keys against a persisted corpus index built from this frame.
+    Accepts either the wide mh0..mh{k-1} frame or the ``__sig`` array."""
     rows_per_band = k // bands
     band_keys = []
     has_array = "__sig" in sigs.columns
@@ -203,9 +203,21 @@ def lsh_candidate_pairs(
             parts = [F.col(f"mh{b * rows_per_band + r}").cast("string")
                      for r in range(rows_per_band)]
         band_keys.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bk")))
-    exploded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_keys)).alias("bandkey")
     ).select(id_col, "bandkey.band", "bandkey.bk")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature become a candidate
+    pair. Equi-join on (band_idx, band_key) — the scalable alternative to a
+    cross join; dedup'd on (a, b) with a < b. Accepts either the wide
+    mh0..mh{k-1} frame or the ``__sig`` array frame (same band keys — the
+    array form slices instead of re-concatenating 128 scalar columns, a
+    big Catalyst-analysis saving)."""
+    exploded = band_explode(sigs, id_col, k, bands)
     # Pairs by grouping each bucket and expanding in-bucket combinations —
     # signatures are computed ONCE (a self-join would evaluate the minhash
     # expression tree for both sides) and the only shuffle is the groupBy on

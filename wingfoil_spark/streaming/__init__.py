@@ -1,3 +1,15 @@
 from wingfoil_spark.streaming.stateful import KeyedStateOp, ewma_step, running_sum_step
+from wingfoil_spark.streaming.ingest import (
+    build_lsh_index,
+    exact_dedup_stream,
+    lsh_pairs_stream,
+)
 
-__all__ = ["KeyedStateOp", "ewma_step", "running_sum_step"]
+__all__ = [
+    "KeyedStateOp",
+    "ewma_step",
+    "running_sum_step",
+    "build_lsh_index",
+    "exact_dedup_stream",
+    "lsh_pairs_stream",
+]
