@@ -24,6 +24,7 @@ from wingfoil_spark.plans import relational
 from wingfoil_spark.functions import dedup as dd
 from wingfoil_spark.functions import similarity as sim
 from wingfoil_spark.functions import text as tx
+from wingfoil_spark.functions import curation as cu
 
 US = 1_000_000  # microseconds per second
 
@@ -100,6 +101,54 @@ def q_running_sum(spark, sf_dir):
     s = _ev(spark, sf_dir)
     out = s.map(acc=F.sum(_vdec()).over(s.w_cum()).cast("double"))
     return out.df.select("event_id", "ts_us", "user_id", "acc")
+
+
+def q_folds(spark, sf_dir):
+    """count + fold/scan in one tagged union (fluent.rs:1369 /
+    fluent.rs:816-841): the two running-fold graded queries fused to free
+    a driver slot (the round-3 vwap_suite/analysis_scores pattern). Both
+    branches share one scan + one per-user sort."""
+    cnt = q_running_count(spark, sf_dir).select(
+        F.lit("count").alias("op"), "event_id", "ts_us", "user_id",
+        F.col("n").cast("double").alias("v"),
+    )
+    sm = q_running_sum(spark, sf_dir).select(
+        F.lit("sum").alias("op"), "event_id", "ts_us", "user_id",
+        F.col("acc").alias("v"),
+    )
+    return cnt.unionByName(sm)
+
+
+#: weighted_mix rates for the graded curation query — chosen so every
+#: tier (keep-all, half, quarter, drop-by-omission) is exercised.
+CURATION_RATES = {"src0": 1.0, "src3": 0.5, "src7": 0.25}
+CURATION_STRAT_N = 10
+CURATION_BUDGET = 20000
+
+
+def q_curation(spark, sf_dir):
+    """Corpus-curation tier (functions/curation.py) as one tagged union:
+    deterministic stratified sampling (exactly-n per lang), md5-keyed
+    weighted domain mixing, and token-budget sharding via the two-phase
+    distributed prefix sum. All md5-keyed → the DuckDB twin reproduces
+    every draw exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    strat = cu.stratified_take(
+        docs, CURATION_STRAT_N, group_col="lang", tag="strat"
+    ).select(
+        F.lit("strat").alias("part"), "doc_id", F.col("lang").alias("grp"),
+        F.col("strat_rank").cast("long").alias("v"),
+    )
+    mix = cu.weighted_mix(docs, CURATION_RATES, tag="mix").select(
+        F.lit("mix").alias("part"), "doc_id", F.col("source").alias("grp"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    shard = cu.token_budget_shards(docs, CURATION_BUDGET).select(
+        F.lit("shard").alias("part"), "doc_id",
+        F.col("shard").cast("string").alias("grp"),
+        F.col("cum_tokens").cast("long").alias("v"),
+    )
+    return strat.unionByName(mix).unionByName(shard)
 
 
 def q_difference(spark, sf_dir):
@@ -914,8 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map": q_map,
         "filter_value": q_filter_value,
-        "running_count": q_running_count,
-        "running_sum": q_running_sum,
+        "folds": q_folds,
+        "curation": q_curation,
         "difference": q_difference,
         "distinct_until_changed": q_distinct_until_changed,
         "limit5": q_limit5,
@@ -1020,18 +1069,40 @@ def oracle_sql() -> dict[str, str]:
         f"WITH ev AS ({EV_SQL}) "
         "SELECT event_id, ts_us, user_id, value FROM ev WHERE value > 100"
     )
-    o["running_count"] = (
+    o["folds"] = (
         f"WITH ev AS ({EV_SQL}) "
-        "SELECT event_id, ts_us, user_id, "
-        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS n "
-        "FROM ev"
-    )
-    o["running_sum"] = (
-        f"WITH ev AS ({EV_SQL}) "
-        f"SELECT event_id, ts_us, user_id, (sum({dec_v}) OVER "
+        "SELECT 'count' AS op, event_id, ts_us, user_id, "
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS DOUBLE) AS v "
+        "FROM ev "
+        "UNION ALL "
+        f"SELECT 'sum' AS op, event_id, ts_us, user_id, (sum({dec_v}) OVER "
         "(PARTITION BY user_id ORDER BY ts_us, event_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS acc FROM ev"
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS v FROM ev"
     )
+    _mix_case = " ".join(
+        f"WHEN source = '{dom}' THEN {int(rate * cu.HASH_SPACE)}"
+        for dom, rate in sorted(CURATION_RATES.items())
+    )
+    o["curation"] = f"""
+WITH strat AS (
+  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY
+    ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
+  FROM documents
+),
+toks AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents),
+cumt AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks)
+SELECT 'strat' AS part, doc_id, lang AS grp, CAST(rk AS BIGINT) AS v
+FROM strat WHERE rk <= {CURATION_STRAT_N}
+UNION ALL
+SELECT 'mix' AS part, doc_id, source AS grp, n_chars AS v
+FROM documents
+WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+  < (CASE {_mix_case} ELSE NULL END)
+UNION ALL
+SELECT 'shard' AS part, doc_id,
+  CAST((cum - n_tokens) // {CURATION_BUDGET} AS VARCHAR) AS grp, cum AS v
+FROM cumt"""
     o["difference"] = (
         f"WITH ev AS ({EV_SQL}), d AS ("
         "SELECT event_id, ts_us, user_id, "

@@ -30,7 +30,8 @@ HEADLINE = [
     "q6_forecast_revenue",
     "topk_customers",
     "sessionize",
-    "running_sum",
+    "folds",
+    "curation",
     "stats_matrix",
     "stats_tw",
     "stats_tw_kernel",

@@ -1,0 +1,140 @@
+"""Corpus-curation operators (functions/curation.py): deterministic
+sampling / mixing / token-budget sharding. Correctness is pinned against
+plain-pandas recomputation; determinism and the distributed prefix-sum
+equivalence get their own tests."""
+
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from wingfoil_spark.functions import curation as cu
+from wingfoil_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _draw(tag: str, doc_id: int) -> int:
+    return int(hashlib.md5(f"{tag}{doc_id}".encode()).hexdigest()[:15], 16)
+
+
+def test_hash_sample_matches_reference_draws(spark, docs):
+    got = set(cu.hash_sample(docs, 0.25, tag="t1").toPandas()["doc_id"])
+    pdf = docs.select("doc_id").toPandas()
+    thr = int(0.25 * cu.HASH_SPACE)
+    want = {int(i) for i in pdf["doc_id"] if _draw("t1", int(i)) < thr}
+    assert got == want
+    # ~25% of 500 docs, loose 3-sigma bound
+    assert 80 <= len(got) <= 170
+
+
+def test_hash_sample_is_deterministic_and_tag_seeded(spark, docs):
+    a = set(cu.hash_sample(docs, 0.5, tag="a").toPandas()["doc_id"])
+    a2 = set(cu.hash_sample(docs, 0.5, tag="a").toPandas()["doc_id"])
+    b = set(cu.hash_sample(docs, 0.5, tag="b").toPandas()["doc_id"])
+    assert a == a2
+    assert a != b  # different seed → different draw
+
+
+def test_hash_sample_nesting(spark, docs):
+    """A smaller fraction with the same tag is a SUBSET of a larger one —
+    the threshold family is nested (lets a pipeline dial sample size
+    without resampling everything)."""
+    small = set(cu.hash_sample(docs, 0.1, tag="n").toPandas()["doc_id"])
+    big = set(cu.hash_sample(docs, 0.4, tag="n").toPandas()["doc_id"])
+    assert small <= big
+
+
+def test_weighted_mix_rates_and_allowlist(spark, docs):
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    keep_all, keep_none = sources[0], sources[1] if len(sources) > 1 else None
+    rates = {keep_all: 1.0}
+    if keep_none is not None:
+        rates[keep_none] = 0.0
+    got = cu.weighted_mix(docs, rates, tag="m").toPandas()
+    # rate 1.0 keeps every row of that domain; rate 0.0 and absent drop all
+    n_all = docs.where(F.col("source") == keep_all).count()
+    assert (got["source"] == keep_all).sum() == n_all
+    assert set(got["source"]) == {keep_all}
+
+
+def test_weighted_mix_matches_per_domain_hash_sample(spark, docs):
+    """mix(rates) == union of hash_sample(rate) restricted per domain with
+    the same tag (the CASE expression is just the fused form)."""
+    have = sorted(s for (s,) in docs.select("source").distinct().collect())
+    rates = {have[0]: 0.3, have[-1]: 0.8}
+    got = set(cu.weighted_mix(docs, rates, tag="x").toPandas()["doc_id"])
+    want = set()
+    for dom, rate in rates.items():
+        sub = cu.hash_sample(
+            docs.where(F.col("source") == dom), rate, tag="x"
+        )
+        want |= set(sub.toPandas()["doc_id"])
+    assert got == want
+
+
+def test_stratified_take_exact_n_deterministic_ties(spark, docs):
+    n = 7
+    got = cu.stratified_take(docs, n, group_col="lang", tag="st").toPandas()
+    pdf = docs.select("doc_id", "lang").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        ids = sorted(
+            (int(i) for i in grp["doc_id"]),
+            key=lambda i: (_draw("st", i), i),
+        )[:n]
+        sub = got[got["lang"] == lang].sort_values("strat_rank")
+        assert sub["doc_id"].tolist() == ids
+        assert sub["strat_rank"].tolist() == list(range(1, len(ids) + 1))
+
+
+def test_token_budget_shards_matches_pandas_cumsum(spark, docs):
+    budget = 5000
+    got = (
+        cu.token_budget_shards(docs, budget)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    ntok = pdf["text"].map(lambda t: len([w for w in t.strip().lower().split() if w]))
+    cum = ntok.cumsum()
+    assert got["n_tokens"].tolist() == ntok.tolist()
+    assert got["cum_tokens"].tolist() == [int(x) for x in cum]
+    want_shard = [(c - n) // budget for c, n in zip(cum, ntok)]
+    assert got["shard"].tolist() == want_shard
+    # shard ids are contiguous from 0
+    shards = got["shard"].unique().tolist()
+    assert shards == list(range(len(shards)))
+
+
+def test_token_budget_shards_bucket_count_invariance(spark, docs):
+    """The distributed prefix sum is bucket-count invariant: 1 bucket
+    (fully sequential) == 64 == a prime count. Pins the two-phase
+    offsets against the trivially correct single-bucket plan."""
+    a = cu.token_budget_shards(docs, 3000, n_buckets=1).toPandas()
+    b = cu.token_budget_shards(docs, 3000, n_buckets=64).toPandas()
+    c = cu.token_budget_shards(docs, 3000, n_buckets=7).toPandas()
+    key = "doc_id"
+    a, b, c = (x.sort_values(key).reset_index(drop=True) for x in (a, b, c))
+    for col in ("cum_tokens", "shard"):
+        assert a[col].tolist() == b[col].tolist() == c[col].tolist()
+
+
+def test_token_budget_shards_empty_frame(spark, docs):
+    out = cu.token_budget_shards(docs.where(F.lit(False)), 1000)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "n_tokens", "cum_tokens", "shard"}
+
+
+def test_token_budget_shards_plan_has_no_global_window(spark, docs):
+    """Scale gate: the plan must contain no empty-partition-spec Window
+    (single-task global sort) — the whole point of the two-phase form."""
+    plan = cu.token_budget_shards(docs, 5000)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # Spark renders a global window as 'Window [...], [id ASC ...]' with no
+    # partition spec; ours is partitioned by __bkt
+    assert "__bkt" in plan

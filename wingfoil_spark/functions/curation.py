@@ -1,0 +1,172 @@
+"""Corpus-curation operators: deterministic sampling, domain mixing, and
+token-budget sharding — the steps between "deduped corpus" and "training
+shards" in an LLM data pipeline.
+
+Everything here is DETERMINISTIC (md5-keyed, no RNG), for three reasons
+that matter at 100 TB:
+- reproducibility: a re-run over the same corpus yields byte-identical
+  shards (lineage-stable training sets, resumable pipelines);
+- exactness under retry: Spark may recompute partitions after executor
+  loss; `rand()`-based sampling changes results per recompute, a
+  hash-keyed predicate cannot;
+- oracle-ability: every op has an exact ANSI-SQL twin (the DuckDB oracle
+  reproduces md5 arithmetic bit-for-bit), so the curation query is graded
+  like every other operator.
+
+Scale shapes:
+- :func:`hash_sample` / :func:`weighted_mix` are row-local filters —
+  zero shuffle, fully pushed into the scan stage;
+- :func:`stratified_take` is one shuffle on the stratum key (rank
+  within group);
+- :func:`token_budget_shards` is the one genuinely order-coupled step
+  (shard boundaries are positional by definition); it runs as a
+  two-phase distributed prefix sum — deterministic id-range buckets,
+  per-bucket totals, driver-side prefix of the (tiny) bucket table,
+  within-bucket windows — never as a single-task global window.
+
+The reference engine has no curation tier; this extends the north-star
+surface (BASELINE.json) alongside dedup/similarity/text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from wingfoil_spark.functions.text import token_count
+
+#: hash domain: first 60 md5 bits (fits BIGINT in Spark and DuckDB alike)
+HASH_SPACE = 1 << 60
+
+
+def sample_hash(id_col: Column, tag: str) -> Column:
+    """Deterministic per-row draw in [0, 2^60): first 60 bits of
+    md5(tag || id). The tag acts as the seed — two samples with different
+    tags are independent draws over the same rows."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag), id_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", tag: str = "s"
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample: keep rows whose draw
+    falls below fraction of the hash space. Row-local (no shuffle, no
+    state); stable under recompute and across engines."""
+    thr = int(fraction * HASH_SPACE)
+    return df.where(sample_hash(F.col(id_col), tag) < F.lit(thr))
+
+
+def weighted_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    tag: str = "mix",
+) -> DataFrame:
+    """Domain mixing: per-domain deterministic sampling rates (e.g. keep
+    100% of wiki, 30% of web) — the standard way training mixes are
+    rebalanced. Domains absent from ``rates`` are DROPPED (explicit
+    allowlist). Row-local, zero shuffle; the rate lookup is a literal
+    CASE expression, not a join."""
+    draw = sample_hash(F.col(id_col), tag)
+    expr = F.lit(None).cast("bigint")
+    for dom, rate in sorted(rates.items()):
+        thr = int(rate * HASH_SPACE)
+        expr = F.when(F.col(domain_col) == dom, F.lit(thr)).otherwise(expr)
+    return df.where(draw < expr)
+
+
+def stratified_take(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    tag: str = "strat",
+    rank_col: str = "strat_rank",
+) -> DataFrame:
+    """Exactly-n-per-stratum sample: rank rows within each group by
+    (hash draw, id) and keep the first n. Deterministic ties; one
+    shuffle on the group key. The emitted rank (1..n) is the row's
+    position in its stratum's draw order."""
+    draw = sample_hash(F.col(id_col), tag)
+    w = Window.partitionBy(group_col).orderBy(draw.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= n_per_group)
+    )
+
+
+def token_budget_shards(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Contiguous token-range sharding: order the corpus by id, take the
+    running token count, and assign each doc the shard holding its FIRST
+    token (shard = floor(start_offset / budget)). Docs never split; a
+    shard overruns the budget by at most one document — the standard
+    greedy slicing that turns a corpus into ~budget-token training files.
+
+    Emits (id, n_tokens, cum_tokens, shard).
+
+    A global running sum is the one genuinely order-coupled curation
+    step, and a bare ``Window.orderBy`` would put the whole corpus in ONE
+    task. This computes it as a two-phase distributed prefix sum instead:
+
+    1. bucket rows by deterministic equal-width id ranges (min/max from
+       one tiny aggregate — no sampled partitioner, so every job over
+       this plan sees identical bucket boundaries);
+    2. per-bucket token totals (one narrow shuffle) → prefix offsets on
+       the driver (n_buckets rows — bounded, not data-scale) broadcast
+       back;
+    3. running sum WITHIN each bucket (window partitioned by bucket) +
+       the bucket's offset.
+
+    Wall-clock scales as a hash shuffle of (id, n_tokens) — 16 B/row —
+    never as a single-task sort. Bucket skew follows id clustering;
+    dense ids (the normal case for a curated corpus) balance evenly.
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    lo_hi = toks.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        return toks.withColumn("cum_tokens", F.lit(None).cast("long")).withColumn(
+            "shard", F.lit(None).cast("long")
+        )
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    span = max(hi - lo + 1, 1)
+    nb = min(n_buckets, span)
+    width = -(-span // nb)  # ceil: bucket = (id - lo) // width ∈ [0, nb)
+    bucketed = toks.withColumn(
+        "__bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    )
+    totals = {
+        int(r["__bkt"]): int(r["t"])
+        for r in bucketed.groupBy("__bkt").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(nb):
+        offsets.append((b, acc))
+        acc += totals.get(b, 0)
+    off_df = spark.createDataFrame(offsets, f"__bkt long, __off long")
+    w = Window.partitionBy("__bkt").orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        bucketed.join(F.broadcast(off_df), "__bkt")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("__off"))
+        .drop("__bkt", "__off")
+    )
+    return out.withColumn(
+        "shard",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
+    )
