@@ -103,6 +103,44 @@ def test_exact_dedup_stream_dedups_across_microbatches(spark):
     assert sorted(kept["doc_id"]) == [1, 2, 4, 6]
 
 
+def test_exact_dedup_stream_watermark_bounds_state(spark):
+    """The watermark-bounded variant: dups within the watermark horizon
+    are dropped; requires a ts column (ValueError otherwise — pinned)."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.datetime(2026, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha", "beta", "alpha", "gamma"],
+            "lang": ["en"] * 4,
+            "source": ["web"] * 4,
+            "n_chars": [5, 4, 5, 5],
+            "ts": pd.Series(
+                [base + datetime.timedelta(minutes=m) for m in (0, 1, 2, 3)],
+                dtype="datetime64[us]",  # micros — nanos parquet needs the
+                # legacy nanosAsLong conf and a LONG schema
+            ),
+        }
+    )
+    with pytest.raises(ValueError):
+        ingest.exact_dedup_stream(None, watermark="1 hour")
+
+    stream, src_dir = _stream_chunks(
+        spark, pdf, n_chunks=2, schema=DOC_SCHEMA + ", ts timestamp"
+    )
+    try:
+        kept = _run_to_memory(
+            ingest.exact_dedup_stream(stream, ts_col="ts", watermark="1 hour"),
+            "ingest_dedup_wm",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert sorted(kept["doc_id"]) == [1, 2, 4]
+
+
 def test_rowlocal_battery_stream_equals_batch(spark, docs):
     """Text battery + SimHash + MinHash signatures are stateless row-local
     projections: streaming output == batch output, value-exact."""

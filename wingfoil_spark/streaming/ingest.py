@@ -70,10 +70,10 @@ def exact_dedup_stream(
     Works identically on a batch frame (dropDuplicates is mode-agnostic),
     so the duality test replays one input through both paths.
     """
+    if watermark is not None and ts_col is None:
+        raise ValueError("watermark requires ts_col")
     out = docs.withColumn("fp", fingerprint(F.col(text_col)))
     if watermark is not None:
-        if ts_col is None:
-            raise ValueError("watermark requires ts_col")
         return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
     return out.dropDuplicates(["fp"])
 
