@@ -161,7 +161,10 @@ def test_join3_combine_latest(spark):
 
 
 def test_gather_burst_atomicity(spark):
-    # same-instant values delivered together, never coalesced (burst.rs:16)
+    # same-instant values delivered together, never coalesced (burst.rs:16;
+    # the channel's historical contract pins the same shape —
+    # channel.rs:80-110 same-time values ride ONE atomic burst, and
+    # fluent_primitives.rs:25-52 replay_results groups same-instant rows)
     a = make(spark, [(1, 1.0), (2, 2.0)], "ts long, value double")
     b = make(spark, [(2, 20.0)], "ts long, value double")
     g = a.gather(b)

@@ -64,7 +64,10 @@ def validate_replay(s: Stream, start_ts: int | None = None) -> Stream:
     timestamps out of order relative to the input sequence, where legacy
     errors rather than silently sorting (adapters/csv.rs:110-115;
     parity_bugs.rs BUG 4 :89-140, both rejections now at the channel's
-    ``start`` hook). Batch analog: when the stream carries a ``seq``
+    ``start`` hook; channel.rs:41-78 pins the deterministic historical
+    replay those rejections protect, and channel.rs:114-142 the
+    error-aborts-the-run contract our ValueError mirrors). Batch analog:
+    when the stream carries a ``seq``
     (input order), ts must be non-decreasing along seq per key; any ts
     must be >= ``start_ts``.
 
