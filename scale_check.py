@@ -59,6 +59,7 @@ QUERIES = [
     "text_stats",
     "minhash",
     "jaccard_pairs",
+    "curation",
 ]
 
 
