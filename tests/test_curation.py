@@ -124,6 +124,44 @@ def test_token_budget_shards_bucket_count_invariance(spark, docs):
         assert a[col].tolist() == b[col].tolist() == c[col].tolist()
 
 
+def test_token_budget_shards_sparse_gappy_ids(spark):
+    """Property: the prefix sum is exact for ARBITRARY id spacing — huge
+    gaps leave most equal-width buckets empty (totals.get default) and
+    cluster rows into few buckets; the cumsum must not care."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 2**40), st.integers(0, 50)),
+            min_size=1, max_size=60, unique_by=lambda t: t[0],
+        )
+    )
+    def check(rows):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [" ".join(["w"] * r[1]) for r in rows],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = (
+            cu.token_budget_shards(df, 97, n_buckets=13)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ordered = pdf.sort_values("doc_id")
+        ntok = [len([w for w in t.split() if w]) for t in ordered["text"]]
+        cum = pd.Series(ntok).cumsum()
+        assert got["cum_tokens"].tolist() == [int(x) for x in cum]
+        assert got["shard"].tolist() == [
+            (c - n) // 97 for c, n in zip(cum, ntok)
+        ]
+
+    check()
+
+
 def test_token_budget_shards_empty_frame(spark, docs):
     out = cu.token_budget_shards(docs.where(F.lit(False)), 1000)
     assert out.count() == 0
