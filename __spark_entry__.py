@@ -841,11 +841,15 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    """Per-doc text-analysis battery + 32-bit SimHash (same per-doc grain;
-    one broadcast-able join on doc_id)."""
-    d = load_table(spark, sf_dir, "documents")
+    """Per-doc text-analysis battery + 32-bit SimHash, ONE pass: every
+    feature (JVM expressions + the Arrow vote kernel) computes in a single
+    row-local projection — the previous doc_id self-join of two
+    projections of the same corpus was a full-corpus shuffle for nothing
+    at data scale (plan-gated to zero data shuffles now). Token-less docs
+    are filtered in the same pass (the oracle's inner-join semantics)."""
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
-    stats = d.select(
+    return d.where(F.size(tx.tokens(t)) > 0).select(
         "doc_id",
         tx.token_count(t).cast("long").alias("n_tokens"),
         tx.char_count(t).cast("long").alias("n_chars2"),
@@ -855,8 +859,8 @@ def q_text_stats(spark, sf_dir):
         tx.quality_score(t).alias("quality"),
         tx.lang_id(t).alias("lang_guess"),
         tx.fingerprint(t).alias("fp"),
+        dd.simhash32_expr("text").alias("simhash"),
     )
-    return stats.join(dd.simhash32(d), "doc_id")
 
 
 def q_dedup_exact(spark, sf_dir):

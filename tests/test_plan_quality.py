@@ -162,11 +162,11 @@ def test_text_stats_no_shuffle(spark):
     )
     plan = battery._jdf.queryExecution().executedPlan().toString()
     assert count_shuffles(plan) == 0, plan
-    # the graded query adds the SimHash vote pipeline: its two doc_id
-    # aggregations (partial+final votes, bit fold) + the join are the only
-    # exchanges allowed
+    # the graded query fuses the SimHash vote kernel into the SAME
+    # row-local projection (r4: the former simhash-side doc_id self-join
+    # was a full-corpus shuffle for nothing): ZERO data exchanges
     plan = plan_of(spark, "text_stats")
-    assert count_shuffles(plan) <= 4, plan
+    assert count_shuffles(plan) == 0, plan
 
 
 # Queries whose plans must never single-partition the *data*: an

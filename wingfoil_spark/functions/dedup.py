@@ -323,6 +323,17 @@ def cosine_near_dups(
     )
 
 
+def simhash32_expr(text_col: str = "text") -> "F.Column":
+    """The SimHash vote kernel as a COLUMN expression, for fusing into a
+    wider one-pass per-doc projection (e.g. the text-stats battery —
+    joining two row-local projections of the same corpus on doc_id is a
+    full-corpus shuffle for nothing at data scale). Token-less docs yield
+    a simhash of 0 with no votes; callers wanting the classic "dropped"
+    semantics filter ``size(tokens(col)) > 0`` in the same pass."""
+    base = F.transform(tokens(F.col(text_col)), lambda t: _md5_int(t))
+    return _simhash_vote_udf()(base)
+
+
 def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per doc: per-token 60-bit md5 hash votes on each bit;
     bit set iff positive vote. The md5 stays JVM-side (one per token,
@@ -336,7 +347,10 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     df = ensure_parallelism(docs).select(
         F.col(id_col), base.alias("__h")
     ).where(F.size("__h") > 0)
+    return df.select(id_col, _simhash_vote_udf()(F.col("__h")).alias("simhash"))
 
+
+def _simhash_vote_udf():
     @F.pandas_udf(T.LongType())
     def sh_udf(hs: pd.Series) -> pd.Series:
         # whole-batch vectorization (same shape as the minhash kernel):
@@ -363,4 +377,4 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             out[nz] = bits.sum(axis=1)
         return pd.Series(out)
 
-    return df.select(id_col, sh_udf(F.col("__h")).alias("simhash"))
+    return sh_udf
