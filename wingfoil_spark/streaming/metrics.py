@@ -6,7 +6,13 @@ adapters/otlp.rs:165). Spark's native channel for the same facts is the
 StreamingQueryListener's QueryProgressEvent: rows/sec, batch durations,
 state-store sizes. :class:`ProgressListener` collects them; export to
 Prometheus/OTLP by draining :attr:`progress` from a driver-side exporter
-(the pull-endpoint pattern)."""
+(the pull-endpoint pattern).
+
+The reference's tracing-span instrumentation (tests/instrumentation.rs:
+run → cycle → node span nesting per Dispatch mode) is engine-internal
+scheduling observability; the Spark analogs are this listener's
+micro-batch durations plus the Spark UI/event-log's stage→task spans —
+documented mapping, nothing separately replayable."""
 
 from __future__ import annotations
 
