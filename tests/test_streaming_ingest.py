@@ -176,6 +176,72 @@ def test_rowlocal_battery_stream_equals_batch(spark, docs):
         assert s[c].tolist() == b[c].tolist(), c
 
 
+def test_exact_dedup_stream_state_survives_restart(spark):
+    """Checkpoint recovery: stop the dedup query after batch 1, start a
+    NEW query from the same checkpoint over newly arrived files — a dup
+    of a pre-restart doc is still dropped (the fingerprint state store
+    rehydrates), and no pre-restart row is re-emitted (exactly-once)."""
+    import pandas as pd
+
+    src_dir = tempfile.mkdtemp(prefix="wf_ingest_ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="wf_ingest_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="wf_ingest_ckpt_out_")
+    try:
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["alpha beta", "gamma"],
+                "lang": ["en"] * 2,
+                "source": ["web"] * 2,
+                "n_chars": [10, 5],
+            }
+        ).to_parquet(os.path.join(src_dir, "chunk-000.parquet"), index=False)
+
+        def start():
+            stream = (
+                spark.readStream.schema(DOC_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            return (
+                ingest.exact_dedup_stream(stream)
+                .drop("fp")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        q.awaitTermination(120)
+        first = spark.read.parquet(out_dir).toPandas()
+        assert sorted(first["doc_id"]) == [1, 2]
+
+        # arrival after the stop: one dup of doc 1, one genuinely new doc
+        pd.DataFrame(
+            {
+                "doc_id": [3, 4],
+                "text": ["ALPHA  beta", "delta"],  # 3 == fingerprint of 1
+                "lang": ["en"] * 2,
+                "source": ["web"] * 2,
+                "n_chars": [11, 5],
+            }
+        ).to_parquet(os.path.join(src_dir, "chunk-001.parquet"), index=False)
+
+        q2 = start()  # fresh query object, same checkpoint
+        q2.awaitTermination(120)
+        second = spark.read.parquet(out_dir).toPandas()
+        # 3 deduped against PRE-restart state (fp of doc 1 rehydrated);
+        # 1/2 not re-emitted (exactly-once file sink); 4 appended
+        assert sorted(second["doc_id"]) == [1, 2, 4]
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_lsh_pairs_stream_matches_batch_restriction(spark, docs):
     """Arriving docs joined against the corpus index yield exactly the
     batch LSH pairs restricted to (corpus x arrivals), minus self-pairs.
