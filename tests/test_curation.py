@@ -168,6 +168,52 @@ def test_token_budget_shards_empty_frame(spark, docs):
     assert set(out.columns) == {"doc_id", "n_tokens", "cum_tokens", "shard"}
 
 
+def test_rowlocal_curation_ops_bind_on_streams(spark, docs):
+    """hash_sample / weighted_mix are stateless Catalyst filters — legal
+    on a streaming frame as-is (the crawl-ingest mixing path). Stream
+    output == batch output. Sharding is order-coupled by definition and
+    stays batch (run it on each corpus snapshot)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    src_dir = tempfile.mkdtemp(prefix="wf_cur_stream_")
+    try:
+        half = len(pdf) // 2
+        for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+            p = os.path.join(src_dir, f"c{i}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        srcs = sorted(s for (s,) in docs.select("source").distinct().collect())
+        rates = {srcs[0]: 1.0, srcs[1]: 0.4}
+        out = cu.weighted_mix(cu.hash_sample(stream, 0.7, tag="sc"), rates, tag="sm")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cur_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = set(spark.sql("SELECT doc_id FROM cur_stream").toPandas()["doc_id"])
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    want = set(
+        cu.weighted_mix(cu.hash_sample(docs, 0.7, tag="sc"), rates, tag="sm")
+        .toPandas()["doc_id"]
+    )
+    assert got == want
+
+
 def test_token_budget_shards_plan_has_no_global_window(spark, docs):
     """Scale gate: the plan must contain no empty-partition-spec Window
     (single-task global sort) — the whole point of the two-phase form."""
