@@ -81,3 +81,45 @@ def test_resize_rewrites_payload_and_metadata(media_df):
         .select("media.payload").first()[0]
     )
     assert again == payload
+
+
+def test_media_pipeline_binds_on_streams(spark, tmp_path):
+    """as_media → media_meta → extract_features is row-local (projection +
+    Arrow kernel, no state): legal on a readStream as-is — the multimodal
+    ingest path. Stream output == batch output, f32-exact."""
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["a b c" * 8, "dd", "", "xyz " * 5]})
+    for i in (0, 1):
+        p = os.path.join(src, f"c{i}.parquet")
+        pdf.iloc[i * 2 : i * 2 + 2].to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    def pipeline(df):
+        m = mm.as_media(df, F.encode(F.col("text"), "utf-8"), kind="image")
+        out = mm.extract_features(mm.media_meta(m.drop("text"), keep_media=True))
+        return out.select("doc_id", "n_bytes", "content_hash", "features")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("mm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM mm_stream").toPandas().sort_values("doc_id")
+    batch = pipeline(spark.createDataFrame(pdf)).toPandas().sort_values("doc_id")
+    assert got["content_hash"].tolist() == batch["content_hash"].tolist()
+    assert [list(f) for f in got["features"]] == [list(f) for f in batch["features"]]

@@ -157,7 +157,7 @@ def token_budget_shards(
     for b in range(nb):
         offsets.append((b, acc))
         acc += totals.get(b, 0)
-    off_df = spark.createDataFrame(offsets, f"__bkt long, __off long")
+    off_df = spark.createDataFrame(offsets, "__bkt long, __off long")
     w = Window.partitionBy("__bkt").orderBy(F.col(id_col).asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
