@@ -277,6 +277,46 @@ def test_lsh_pairs_stream_matches_batch_restriction(spark, docs):
     assert set(zip(got["a"], got["b"])) == want
 
 
+def test_ann_topk_stream_matches_batch_tier(spark, sf_dir):
+    """Streaming probes against the static ANN index reproduce the batch
+    lsh_bucketed_topk EXACTLY for the same probe set (same signature
+    math, same 6dp-rounded ranking) — the online-retrieval duality."""
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 40 == 0)
+    batch = sim.lsh_bucketed_topk(emb, probes, k=5).toPandas()
+
+    index = ingest.build_ann_index(emb)
+    pdf = probes.select("vec_id", "embedding").toPandas()
+    src_dir = tempfile.mkdtemp(prefix="wf_ann_stream_")
+    try:
+        n = len(pdf)
+        for i in range(2):
+            chunk = pdf.iloc[i * n // 2 : (i + 1) * n // 2]
+            p = os.path.join(src_dir, f"c{i}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        got = _run_to_memory(
+            ingest.ann_topk_stream(stream, index, k=5), "ann_stream"
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b)
+    for c in ("probe_id", "neighbor_id", "rank"):
+        assert g[c].tolist() == b[c].tolist(), c
+    assert g["cosine"].tolist() == b["cosine"].tolist()
+
+
 def test_lsh_pairs_stream_verify_matches_batch_jaccard(spark, docs):
     """verify=True attaches the exact n-gram Jaccard — same values as the
     batch verify stage for the same pairs."""

@@ -48,6 +48,7 @@ from wingfoil_spark.functions.dedup import (
     ngram_jaccard,
 )
 from wingfoil_spark.functions.text import fingerprint
+from wingfoil_spark.functions.similarity import hyperplane_signature, with_norm
 
 
 def exact_dedup_stream(
@@ -131,3 +132,84 @@ def lsh_pairs_stream(
     if not verify:
         return pairs
     return ngram_jaccard(corpus, pairs, text_col, id_col)
+
+
+def build_ann_index(
+    corpus,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+):
+    """The corpus-side ANN index: (neighbor_id, e_c, n_c, bucket) — the
+    hyperplane-LSH bucketed, norm-annotated corpus. Batch; persist it
+    (parquet bucketed by ``bucket`` at scale) and hand it to
+    :func:`ann_topk_stream`. Same signature math as the batch
+    ``lsh_bucketed_topk``, so stream results == batch results."""
+    c = hyperplane_signature(corpus, emb_col, bits).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "bucket"
+    )
+    return with_norm(c, "e_c", "n_c")
+
+
+def ann_topk_stream(
+    probes,
+    index,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+):
+    """Online retrieval: top-k cosine neighbors of ARRIVING probe vectors
+    against the indexed corpus — the serving shape of the batch
+    ``lsh_bucketed_topk``.
+
+    ``probes`` may be a streaming frame; ``index`` is the static
+    :func:`build_ann_index` output. Plan per micro-batch, fully stateless:
+    row-local probe signatures → stream-static equi-join on the bucket →
+    repartition by probe (all of one probe's candidates colocate — a probe
+    lives in exactly one micro-batch) → per-partition pandas top-k.
+
+    Window functions are illegal on streams, and a groupBy would drag in
+    watermark/output-mode state for what is per-batch-local work — the
+    repartition + mapInPandas pair gets exact per-probe top-k with one
+    intra-batch shuffle and zero standing state. Ranking matches the
+    batch tier: cosine rounded to 6dp desc, neighbor id asc.
+    """
+    import pandas as pd
+
+    p = hyperplane_signature(probes, emb_col, bits).select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "bucket"
+    )
+    p = with_norm(p, "e_p", "n_p")
+    dot = F.aggregate(
+        F.zip_with(F.col("e_p"), F.col("e_c"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        p.join(index, "bucket")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(dot / (F.col("n_p") * F.col("n_c")), 6).alias("cosine"),
+        )
+    )
+    kk = int(k)
+
+    def topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(
+                ["probe_id", "cosine", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            head = pdf.groupby("probe_id", sort=False).head(kk).copy()
+            head["rank"] = head.groupby("probe_id", sort=False).cumcount() + 1
+            yield head
+
+    return scored.repartition("probe_id").mapInPandas(
+        topk, "probe_id long, neighbor_id long, cosine double, rank long"
+    )
