@@ -77,6 +77,19 @@ def _other_spark_jvms() -> list[int]:
     return pids
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal time from /proc/stat (field 8) — the sandbox host
+    takes the CPUs away in multi-second bursts that inflate a whole
+    best-of-3 window (observed: the C book kernel measuring 1.2M msg/s
+    in a stolen window vs 8M clean). 0 if unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -106,20 +119,36 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        best = None
-        for run in range(3):
+        best = fallback = None
+        runs = stolen_retries = 0
+        # best-of-3 (criterion-style minimum): run 1 pays one-time JIT/
+        # codegen for the query shape, and the sandbox host shows
+        # intermittent CPU steal that can inflate any single run 2-5x —
+        # the minimum is the only steal-robust estimator of the code's
+        # actual cost on this hardware. A steal BURST can cover the whole
+        # 3-run window, so a run during which the hypervisor steal counter
+        # advanced does not count toward the 3 (bounded: ≤4 extra runs).
+        while runs < 3 and stolen_retries <= 4:
+            s0 = _steal_jiffies()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink forces FULL column evaluation (count() lets Catalyst
             # prune unevaluated projections — that would under-measure)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            # best-of-3 (criterion-style minimum): run 1 pays one-time JIT/
-            # codegen for the query shape, and the sandbox host shows
-            # intermittent CPU steal that can inflate any single run 2-5x —
-            # the minimum is the only steal-robust estimator of the code's
-            # actual cost on this hardware
+            stolen = _steal_jiffies() - s0
+            # discard only a materially stolen window: >5% of the run's
+            # whole-machine capacity (jiffies = 10 ms x 32 cpus -> dt*3200)
+            if stolen > max(3, 160 * dt) and (best is None or dt > best):
+                stolen_retries += 1
+                fallback = dt if fallback is None or dt < fallback else fallback
+                print(f"# {name}: discarding stolen run ({dt:.2f}s, "
+                      f"{stolen} steal jiffies)", file=sys.stderr)
+                continue
+            runs += 1
             best = dt if best is None or dt < best else best
+        if best is None:  # every window was stolen: keep the fastest anyway
+            best = fallback
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
@@ -157,13 +186,20 @@ def _order_book_single_core(n: int = 600_000) -> int:
         "level": rng.integers(0, 250, n),
         "qty_delta": (np.arange(n) % 10 - 2).astype(np.int64),
     })
-    best = None
-    for _ in range(3):
+    best = fallback = None
+    runs = stolen_retries = 0
+    while runs < 3 and stolen_retries <= 4:
+        s0 = _steal_jiffies()
         t0 = time.perf_counter()
         order_book_step(None, pdf)
         dt = time.perf_counter() - t0
+        if _steal_jiffies() - s0 > max(3, 160 * dt) and (best is None or dt > best):
+            stolen_retries += 1  # same steal-burst policy as the queries
+            fallback = dt if fallback is None else min(fallback, dt)
+            continue
+        runs += 1
         best = dt if best is None else min(best, dt)
-    return int(n / best)
+    return int(n / (best if best is not None else fallback))
 
 
 if __name__ == "__main__":
