@@ -158,18 +158,28 @@ def ann_fixed_probes(spark, sf_dir):
 
 
 def timed(fn, spark, sf_dir) -> float:
-    best = None
-    for _ in range(3):
+    from bench import _steal_jiffies
+
+    best = fallback = None
+    runs = stolen_retries = 0
+    # best-of-3 minimum with bench.py's steal policy: the host's steal
+    # bursts can inflate any run 2-5x — on a ratio check that reads as a
+    # phantom superlinear query (observed: the same jaccard big tier
+    # measured 32.9s then 7.3s back-to-back). A run whose steal delta
+    # exceeds 5% of window capacity doesn't count toward the 3.
+    while runs < 3 and stolen_retries <= 4:
+        s0 = _steal_jiffies()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        # best-of-3 minimum, matching bench.py: the sandbox host's
-        # intermittent CPU steal can inflate any single run 2-5x, which
-        # on a ratio check reads as a phantom superlinear query (observed:
-        # the same jaccard big tier measured 32.9s then 7.3s back-to-back)
+        if _steal_jiffies() - s0 > max(3, 160 * dt) and (best is None or dt > best):
+            stolen_retries += 1
+            fallback = dt if fallback is None or dt < fallback else fallback
+            continue
+        runs += 1
         best = dt if best is None or dt < best else best
-    return best
+    return best if best is not None else fallback
 
 
 def main() -> None:
