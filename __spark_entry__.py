@@ -1912,8 +1912,9 @@ SELECT d.doc_id,
     + 0.3 * least(1.0, (len(toks))::DOUBLE / 100.0)
     + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
       / (length(text))::DOUBLE) AS quality,
-  CASE WHEN {sw('en')} >= {sw('de')} AND {sw('en')} >= {sw('fr')} THEN 'en'
-       WHEN {sw('de')} >= {sw('fr')} THEN 'de' ELSE 'fr' END AS lang_guess,
+  CASE WHEN {sw('en')} >= {sw('de')} AND {sw('en')} >= {sw('fr')} AND {sw('en')} >= {sw('es')} THEN 'en'
+       WHEN {sw('de')} >= {sw('fr')} AND {sw('de')} >= {sw('es')} THEN 'de'
+       WHEN {sw('fr')} >= {sw('es')} THEN 'fr' ELSE 'es' END AS lang_guess,
   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
   simhash.simhash AS simhash
 FROM d JOIN simhash ON simhash.doc_id = d.doc_id"""

@@ -21,6 +21,7 @@ STOPWORDS = {
     "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
     "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
     "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"),
+    "es": ("el", "los", "las", "que", "y", "es", "por", "una", "para", "con"),
 }
 
 
@@ -76,15 +77,20 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """N-gram-free language ID heuristic: stopword vote among {en, de, fr};
-    ties resolve en > de > fr."""
+    """N-gram-free language ID heuristic: stopword vote among
+    {en, de, fr, es}; ties resolve en > de > fr > es (es appended last so
+    the r4 extension changes no pre-existing tie outcome). The es list
+    avoids forms shared with fr ('la', 'un', 'de', 'en') so the vote
+    stays discriminative."""
     en = stopword_count(col, "en")
     de = stopword_count(col, "de")
     fr = stopword_count(col, "fr")
+    es = stopword_count(col, "es")
     return (
-        F.when((en >= de) & (en >= fr), F.lit("en"))
-        .when(de >= fr, F.lit("de"))
-        .otherwise(F.lit("fr"))
+        F.when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
     )
 
 
