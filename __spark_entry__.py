@@ -124,6 +124,7 @@ def q_folds(spark, sf_dir):
 CURATION_RATES = {"src0": 1.0, "src3": 0.5, "src7": 0.25}
 CURATION_STRAT_N = 10
 CURATION_BUDGET = 20000
+CURATION_CHUNK = (64, 8)  # (size, overlap): stride 56
 
 
 def q_curation(spark, sf_dir):
@@ -148,7 +149,16 @@ def q_curation(spark, sf_dir):
         F.col("shard").cast("string").alias("grp"),
         F.col("cum_tokens").cast("long").alias("v"),
     )
-    return strat.unionByName(mix).unionByName(shard)
+    size, ov = CURATION_CHUNK
+    chunk = tx.chunk_tokens(docs, size, ov).select(
+        F.lit("chunk").alias("part"), "doc_id",
+        # grp carries the chunk CONTENT hash — the window slicing itself
+        # is graded, not just the arithmetic
+        F.concat_ws(":", F.col("chunk_id").cast("string"),
+                    F.md5("chunk_text")).alias("grp"),
+        F.col("n_chunk_tokens").alias("v"),
+    )
+    return strat.unionByName(mix).unionByName(shard).unionByName(chunk)
 
 
 def q_difference(spark, sf_dir):
@@ -1106,7 +1116,19 @@ WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
 UNION ALL
 SELECT 'shard' AS part, doc_id,
   CAST((cum - n_tokens) // {CURATION_BUDGET} AS VARCHAR) AS grp, cum AS v
-FROM cumt"""
+FROM cumt
+UNION ALL
+SELECT 'chunk' AS part, doc_id,
+  CAST(cid AS VARCHAR) || ':' ||
+    md5(array_to_string(list_slice(toks, cid * {CURATION_CHUNK[0] - CURATION_CHUNK[1]} + 1,
+                                   cid * {CURATION_CHUNK[0] - CURATION_CHUNK[1]} + {CURATION_CHUNK[0]}), ' ')) AS grp,
+  CAST(least({CURATION_CHUNK[0]}, len(toks) - cid * {CURATION_CHUNK[0] - CURATION_CHUNK[1]}) AS BIGINT) AS v
+FROM (
+  SELECT doc_id, {TOKS_SQL} AS toks,
+    unnest(range(0, greatest(1, (len({TOKS_SQL}) - {CURATION_CHUNK[1]}
+      + {CURATION_CHUNK[0] - CURATION_CHUNK[1] - 1}) // {CURATION_CHUNK[0] - CURATION_CHUNK[1]}))) AS cid
+  FROM documents
+)"""
     o["difference"] = (
         f"WITH ev AS ({EV_SQL}), d AS ("
         "SELECT event_id, ts_us, user_id, "

@@ -50,3 +50,29 @@ def test_token_count_and_fingerprint_normalization(spark):
     assert out[1][0] == out[2][0] == 2
     # whitespace + case normalize to the same fingerprint
     assert out[1][1] == out[2][1]
+
+
+def test_chunk_tokens_window_invariants(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = tx.chunk_tokens(df, size=4, overlap=1).orderBy("doc_id", "chunk_id").collect()
+    got = [(r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in out]
+    assert got == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),   # stride 3: one-token overlap
+        (1, 2, "w6 w7 w8 w9", 4),
+        (2, 0, "a b", 2),           # short doc is its own chunk
+        (3, 0, "", 0),              # empty doc: one empty chunk, no pad
+    ]
+    # coverage: every token of doc 1 appears in at least one chunk
+    covered = set()
+    for _, _, text, _ in got[:3]:
+        covered |= set(text.split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx.chunk_tokens(df, size=4, overlap=4)

@@ -97,3 +97,48 @@ def lang_id(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Whitespace-normalized md5 document fingerprint (exact-dedup key)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def chunk_tokens(
+    df,
+    size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into overlapping token-window chunks — the standard
+    pretraining/RAG corpus step between curation and sharding. Chunk i
+    covers tokens [i·stride, i·stride + size) with stride = size − overlap;
+    every doc yields ≥1 chunk (a short doc is its own chunk), and the last
+    chunk may be short — docs are never padded.
+
+    Pure Catalyst: tokenize once, posexplode a chunk-index sequence, slice
+    the token array per chunk — row-local (the explode multiplies rows
+    ~n_tokens/stride but shuffles nothing). Output: (id, chunk_id,
+    chunk_text, n_chunk_tokens). Integer-exact chunk arithmetic, so the
+    DuckDB twin reproduces the chunking bit-for-bit.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    t = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), t.alias("__toks"))
+    # integer ceil-div via `div` (float division would mis-round big counts)
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(size(__toks) - {overlap} + {stride - 1}) div {stride}"),
+    )
+    exploded = d.select(
+        id_col,
+        "__toks",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+    ).select(
+        id_col, "__toks", F.col("col").alias("chunk_id")
+    )
+    start = F.col("chunk_id") * stride  # 0-based token offset
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.array_join(F.slice("__toks", start + 1, size), " ").alias("chunk_text"),
+        F.least(F.lit(size).cast("long"), F.size("__toks") - start).cast("long").alias("n_chunk_tokens"),
+    )
