@@ -299,3 +299,54 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    out: str = "q_embedding",
+    scale_out: str = "q_scale",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = max|x| / 127, q_i = floor(x_i/scale + 0.5) ∈ [-127, 127]
+    (explicit floor(+0.5) half-up — `round()` rounding modes differ
+    across engines; this formula is bit-identical everywhere). The
+    storage tier for data-scale embedding tables: 4× smaller scans, and
+    ANN recall survives (test-pinned) because cosine is scale-invariant
+    and 8 bits preserve direction.
+
+    Pure Catalyst (transform/aggregate) — no Python. An all-zero vector
+    quantizes to zeros with scale 0.
+    """
+    mx = F.aggregate(
+        F.transform(F.col(emb_col), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    d = df.withColumn(scale_out, mx / F.lit(127.0))
+    q = F.when(
+        F.col(scale_out) == 0.0,
+        F.transform(F.col(emb_col), lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            F.col(emb_col),
+            lambda x: F.floor(x.cast("double") / F.col(scale_out) + F.lit(0.5)).cast("int"),
+        )
+    )
+    return d.withColumn(out, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    out: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: x̂_i = q_i · scale (float32,
+    the original column type). Max per-component error is scale/2."""
+    return df.withColumn(
+        out,
+        F.transform(
+            F.col(q_col), lambda q: (q.cast("double") * F.col(scale_col)).cast("float")
+        ),
+    )
