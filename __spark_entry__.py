@@ -869,6 +869,8 @@ def q_text_stats(spark, sf_dir):
         tx.quality_score(t).alias("quality"),
         tx.lang_id(t).alias("lang_guess"),
         tx.fingerprint(t).alias("fp"),
+        tx.duplicate_line_ratio(t).alias("dup_line_ratio"),
+        tx.top_token_ratio(t).alias("top_token_ratio"),
         dd.simhash32_expr("text").alias("simhash"),
     )
 
@@ -1921,7 +1923,10 @@ simhash AS (
   SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
   FROM svotes GROUP BY doc_id)"""
     o["text_stats"] = f"""
-WITH d AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+WITH d AS (SELECT doc_id, text, {TOKS_SQL} AS toks,
+  list_filter(list_transform(regexp_split_to_array(text, '\n'), x -> trim(x)),
+              x -> x != '') AS lns
+  FROM documents),
 {_simhash_ctes}
 SELECT d.doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1938,6 +1943,13 @@ SELECT d.doc_id,
        WHEN {sw('de')} >= {sw('fr')} AND {sw('de')} >= {sw('es')} THEN 'de'
        WHEN {sw('fr')} >= {sw('es')} THEN 'fr' ELSE 'es' END AS lang_guess,
   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+  CASE WHEN len(lns) <= 1 THEN 0.0
+       ELSE 1.0 - len(list_distinct(lns))::DOUBLE / len(lns)::DOUBLE
+  END AS dup_line_ratio,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE list_max(list_transform(list_distinct(toks),
+              d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks)::DOUBLE
+  END AS top_token_ratio,
   simhash.simhash AS simhash
 FROM d JOIN simhash ON simhash.doc_id = d.doc_id"""
     o["dedup_exact"] = """

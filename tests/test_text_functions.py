@@ -76,3 +76,46 @@ def test_chunk_tokens_window_invariants(spark):
 
     with _pytest.raises(ValueError):
         tx.chunk_tokens(df, size=4, overlap=4)
+
+
+def test_duplicate_line_ratio_boilerplate_signal(spark):
+    clean = "first line\nsecond line\nthird line"
+    boiler = "nav menu\nreal content\nnav menu\nnav menu"
+    one = "only line"
+    df = spark.createDataFrame(
+        [(1, clean), (2, boiler), (3, one)], "id long, text string"
+    )
+    out = {r.id: r.d for r in df.select(
+        "id", tx.duplicate_line_ratio(F.col("text")).alias("d")).collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - 0.5) < 1e-12  # 4 lines, 2 distinct
+    assert out[3] == 0.0              # <=1 line: defined as 0
+
+
+def test_top_token_ratio_degeneracy_signal(spark):
+    varied = "a b c d e f g h"
+    degenerate = "spam spam spam spam eggs"
+    df = spark.createDataFrame(
+        [(1, varied), (2, degenerate), (3, "")], "id long, text string"
+    )
+    out = {r.id: r.t for r in df.select(
+        "id", tx.top_token_ratio(F.col("text")).alias("t")).collect()}
+    assert abs(out[1] - 1 / 8) < 1e-12
+    assert abs(out[2] - 4 / 5) < 1e-12
+    assert out[3] == 0.0
+
+
+def test_repetition_filter_combines_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),  # passes
+            (2, "buy buy buy buy buy now"),                            # top-token
+            (3, "menu\nmenu\nmenu\nactual words here and more text"),  # dup lines
+            (4, "ok"),                                                 # too short
+        ],
+        "id long, text string",
+    )
+    kept = sorted(
+        r.id for r in df.where(tx.repetition_filter(F.col("text"))).collect()
+    )
+    assert kept == [1]

@@ -142,3 +142,58 @@ def chunk_tokens(
         F.array_join(F.slice("__toks", start + 1, size), " ").alias("chunk_text"),
         F.least(F.lit(size).cast("long"), F.size("__toks") - start).cast("long").alias("n_chunk_tokens"),
     )
+
+
+# ---- repetition / boilerplate signals (public C4- and Gopher-style rules:
+# high duplicate-line share and single-token dominance mark low-quality,
+# template, or degenerate documents)
+
+
+def lines(col: Column) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(col, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def duplicate_line_ratio(col: Column) -> Column:
+    """1 − distinct_lines/lines ∈ [0,1); 0 for ≤1-line docs. The C4-style
+    boilerplate signal (repeated nav/footer lines)."""
+    ls = lines(col)
+    n = F.size(ls)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double") / n.cast("double")
+    )
+
+
+def top_token_ratio(col: Column) -> Column:
+    """Most-frequent-token share of all tokens ∈ (0,1]; 0 for token-less
+    docs. The Gopher-style degeneracy signal (a single token dominating).
+    O(distinct × n) per doc via list lambdas — row-local, and the same
+    lambda shape exists in DuckDB (list_transform/list_filter), so the
+    oracle reproduces it exactly."""
+    t = tokens(col)
+    counts = F.transform(
+        F.array_distinct(t),
+        lambda d: F.size(F.filter(t, lambda x: x == d)),
+    )
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.array_max(counts).cast("double") / F.size(t).cast("double")
+    )
+
+
+def repetition_filter(
+    col: Column,
+    max_dup_line_ratio: float = 0.3,
+    max_top_token_ratio: float = 0.2,
+    min_tokens: int = 3,
+) -> Column:
+    """Boolean keep-predicate combining the public repetition rules:
+    thresholds per the C4 / Gopher quality heuristics (tunable). True =
+    the doc passes."""
+    return (
+        (duplicate_line_ratio(col) <= max_dup_line_ratio)
+        & (top_token_ratio(col) <= max_top_token_ratio)
+        & (token_count(col) >= min_tokens)
+    )
