@@ -119,3 +119,59 @@ def test_repetition_filter_combines_rules(spark):
         r.id for r in df.where(tx.repetition_filter(F.col("text"))).collect()
     )
     assert kept == [1]
+
+
+def test_scrub_pii_masks_the_three_shapes(spark):
+    s = (
+        "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567, "
+        "server at 192.168.0.1 said hello"
+    )
+    df = spark.createDataFrame([(s,)], "text string")
+    out = df.select(tx.scrub_pii(F.col("text")).alias("t")).collect()[0].t
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+    assert "example.co.uk" not in out
+    assert "555" not in out
+    assert "192.168" not in out
+    assert "said hello" in out
+
+
+def test_scrub_pii_leaves_clean_text_alone(spark):
+    s = "version 2.1 released in 2026 with 3 fixes"
+    df = spark.createDataFrame([(s,)], "text string")
+    out = df.select(tx.scrub_pii(F.col("text")).alias("t")).collect()[0].t
+    assert out == s
+
+
+def test_chunk_tokens_property_full_coverage(spark):
+    """Property over random (n_tokens, size, overlap): chunks cover every
+    token, consecutive chunks overlap by exactly `overlap` (except a
+    short tail), and no chunk exceeds `size` tokens."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.integers(0, 40),          # n tokens
+        st.integers(2, 12),          # size
+        st.integers(0, 6),           # overlap (< size enforced below)
+    )
+    def check(n, size, overlap):
+        overlap = min(overlap, size - 1)
+        text = " ".join(f"t{i}" for i in range(n))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = (
+            tx.chunk_tokens(df, size, overlap)
+            .orderBy("chunk_id")
+            .collect()
+        )
+        stride = size - overlap
+        toks_seen = []
+        for r in rows:
+            ts = r.chunk_text.split() if r.chunk_text else []
+            assert len(ts) <= size
+            assert r.n_chunk_tokens == len(ts)
+            assert ts == [f"t{i}" for i in range(r.chunk_id * stride,
+                                                 min(r.chunk_id * stride + size, n))]
+            toks_seen.extend(ts)
+        assert set(toks_seen) == {f"t{i}" for i in range(n)}
+
+    check()

@@ -197,3 +197,40 @@ def repetition_filter(
         & (top_token_ratio(col) <= max_top_token_ratio)
         & (token_count(col) >= min_tokens)
     )
+
+
+def scrub_pii(
+    col: Column,
+    email: str = "<EMAIL>",
+    phone: str = "<PHONE>",
+    ip: str = "<IP>",
+) -> Column:
+    """Mask the three classic PII shapes — emails, phone numbers, IPv4
+    addresses — with placeholder tokens (the standard pre-training scrub;
+    placeholders keep token positions roughly stable for chunking).
+
+    Deliberately conservative explicit-class regexes (no \\w/\\d
+    shorthand) so the semantics are engine-portable and auditable:
+    - email: local@domain.tld with [A-Za-z0-9._%+-] local parts
+    - phone: 7+ digit runs allowing separators, optional +country
+    - ipv4: four 1-3 digit octets
+
+    Order matters: emails first (their domains contain dots that the IP
+    pattern could clip), then IPs, then phones.
+    """
+    out = F.regexp_replace(
+        col,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        email,
+    )
+    out = F.regexp_replace(
+        out,
+        "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+        ip,
+    )
+    out = F.regexp_replace(
+        out,
+        "\\+?[0-9][0-9()\\- ]{5,}[0-9]",
+        phone,
+    )
+    return out
