@@ -33,6 +33,7 @@ from wingfoil_spark.sources.tables import (
 )
 from wingfoil_spark.streaming.stateful import KeyedStateOp, with_close
 from wingfoil_spark.streaming.twins import EventTimeTimerOp
+from wingfoil_spark.frames import build_dataframe
 
 __all__ = [
     "Stream",
@@ -46,6 +47,7 @@ __all__ = [
     "KeyedStateOp",
     "with_close",
     "EventTimeTimerOp",
+    "build_dataframe",
 ]
 
 __version__ = "0.1.0"
