@@ -175,3 +175,52 @@ def test_chunk_tokens_property_full_coverage(spark):
         assert set(toks_seen) == {f"t{i}" for i in range(n)}
 
     check()
+
+
+def test_chunk_tokens_binds_on_streams(spark, tmp_path):
+    """chunk_tokens is a row-local posexplode+slice — legal on a
+    readStream as-is (chunk-at-ingest). Stream output == batch output."""
+    import os
+    import time
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [" ".join(f"w{i}" for i in range(9)), "a b", ""]}
+    )
+    src = str(tmp_path / "chunksrc")
+    os.makedirs(src)
+    for i in (0, 1):
+        p = os.path.join(src, f"c{i}.parquet")
+        pdf.iloc[i : i + 2 if i else 2].iloc[i:].to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    pdf.to_parquet(os.path.join(src, "all.parquet"), index=False)
+    # simplest deterministic feed: one file with everything
+    for f in os.listdir(src):
+        if f != "all.parquet":
+            os.remove(os.path.join(src, f))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        tx.chunk_tokens(stream, size=4, overlap=1)
+        .writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM chunk_stream")
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        tx.chunk_tokens(spark.createDataFrame(pdf), size=4, overlap=1)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert got["chunk_text"].tolist() == batch["chunk_text"].tolist()
+    assert got["n_chunk_tokens"].tolist() == batch["n_chunk_tokens"].tolist()
