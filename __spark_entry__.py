@@ -1105,7 +1105,7 @@ WITH strat AS (
     ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
   FROM documents
 ),
-toks AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents),
+toks AS (SELECT doc_id, COALESCE(CAST(len({TOKS_SQL}) AS BIGINT), 0) AS n_tokens FROM documents),
 cumt AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id
   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks)
 SELECT 'strat' AS part, doc_id, lang AS grp, CAST(rk AS BIGINT) AS v

@@ -222,3 +222,24 @@ def test_token_budget_shards_plan_has_no_global_window(spark, docs):
     # Spark renders a global window as 'Window [...], [id ASC ...]' with no
     # partition spec; ours is partitioned by __bkt
     assert "__bkt" in plan
+
+
+def test_token_budget_shards_null_text_contract(spark):
+    """NULL text counts 0 tokens and still gets a shard row — a null doc
+    must not poison the cumulative sum (it crashed the offsets collect
+    before this contract was pinned). exact-dedup side: null fingerprints
+    group like SQL GROUP BY (the oracle's semantics) — pipelines drop
+    null docs at the quality gate before dedup."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    got = (
+        cu.token_budget_shards(df, 2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r.doc_id, r.n_tokens, r.cum_tokens, r.shard) for r in got] == [
+        (1, 0, 0, 0),
+        (2, 3, 3, 0),
+        (3, 0, 3, 1),
+    ]

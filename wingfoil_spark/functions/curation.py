@@ -133,7 +133,13 @@ def token_budget_shards(
     """
     spark = df.sparkSession
     toks = df.select(
-        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+        F.col(id_col),
+        # NULL text contributes 0 tokens (not a null that poisons every
+        # downstream cumulative sum) — the doc still occupies a row so
+        # shard assignment covers the whole corpus
+        F.coalesce(
+            token_count(F.col(text_col)).cast("long"), F.lit(0).cast("long")
+        ).alias("n_tokens"),
     )
     lo_hi = toks.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
