@@ -224,3 +224,24 @@ def test_chunk_tokens_binds_on_streams(spark, tmp_path):
     )
     assert got["chunk_text"].tolist() == batch["chunk_text"].tolist()
     assert got["n_chunk_tokens"].tolist() == batch["n_chunk_tokens"].tolist()
+
+
+def test_null_text_contracts(spark):
+    """NULL text across the doc operators: battery features null-propagate,
+    simhash/minhash DROP the doc (unknown != unknown — an all-null
+    signature would bucket every null doc together), chunking yields one
+    empty chunk like the empty string."""
+    from wingfoil_spark.functions import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d"), (3, "")], "doc_id long, text string"
+    )
+    sigs = dd.minhash_sig_array(df).select("doc_id").toPandas()
+    assert sorted(sigs["doc_id"]) == [2, 3]  # null dropped, empty signs
+    sh = dd.simhash32(df).toPandas()
+    assert sorted(sh["doc_id"]) == [2]       # vote-less docs drop
+    ch = tx.chunk_tokens(df, 2, 0).toPandas()
+    nullrows = ch[ch.doc_id == 1]
+    assert len(nullrows) == 1
+    assert nullrows.iloc[0]["chunk_text"] == ""
+    assert nullrows.iloc[0]["n_chunk_tokens"] == 0

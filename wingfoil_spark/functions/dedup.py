@@ -121,7 +121,13 @@ def minhash_sig_array(
     directly (:func:`lsh_candidate_pairs`), where the 128-scalar-column
     projection (:func:`minhash_signatures`, the graded/oracle surface)
     costs more Catalyst analysis time than the signatures themselves."""
-    df = ensure_parallelism(docs).withColumn("__toks", tokens(F.col(text_col)))
+    # NULL text carries no signature — dropped like simhash's vote-less
+    # docs (a null doc is unknown, not equal to other null docs; letting
+    # an all-null signature through would put every null doc in ONE LSH
+    # bucket per band and pair them all). Empty strings still sign: two
+    # empty docs ARE exact duplicates.
+    df = ensure_parallelism(docs).where(F.col(text_col).isNotNull())
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
     df = df.withColumn(
         "__shingles",
         F.when(F.size("__toks") >= 2, word_bigrams(text_col)).otherwise(F.col("__toks")),

@@ -121,7 +121,10 @@ def chunk_tokens(
     if overlap >= size:
         raise ValueError("overlap must be < size")
     stride = size - overlap
-    t = tokens(F.col(text_col))
+    # NULL text chunks like the empty string (one empty 0-token chunk) —
+    # without the coalesce, greatest/least skip the null arithmetic and
+    # fabricate a phantom size-`size` chunk
+    t = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
     d = df.select(F.col(id_col), t.alias("__toks"))
     # integer ceil-div via `div` (float division would mis-round big counts)
     n_chunks = F.greatest(
