@@ -66,3 +66,26 @@ def test_ann_recall_survives_quantization(spark, emb):
     e, qn = topsets(exact), topsets(quant)
     agree = [len(e[p] & qn[p]) / len(e[p]) for p in e if p in qn]
     assert agree and sum(agree) / len(agree) >= 0.8
+
+
+def test_degenerate_embeddings_never_abort_the_tier(spark):
+    """ANSI-mode survival contract: null, empty, zero-norm, and off-dim
+    vectors are EXCLUDED from every cosine path (no direction), never a
+    job-aborting DIVIDE_BY_ZERO / kernel IndexError. One degenerate row
+    in a 100 TB corpus must not kill the query."""
+    import pyspark.sql.functions as F
+
+    from wingfoil_spark.functions import dedup as dd
+    from wingfoil_spark.streaming import ingest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, []), (4, [0.0, 0.0]), (5, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    probes = df.where(F.col("vec_id").isin(1, 2, 4))
+    out = sim.cosine_topk(df, probes, k=2).collect()
+    assert [(r.probe_id, r.neighbor_id) for r in out] == [(1, 5)]
+    sim.lsh_bucketed_topk(df, probes, k=2).count()      # must not raise
+    sim.ivf_topk(df, probes, k=2, n_centroids=2, nprobe=2, fit="take").count()
+    dd.cosine_near_dups(df, threshold=0.5).count()
+    assert ingest.build_ann_index(df).count() == 2      # ids 1 and 5

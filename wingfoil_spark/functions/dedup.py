@@ -298,7 +298,9 @@ def cosine_near_dups(
     from wingfoil_spark.functions.similarity import hyperplane_signature, with_norm
 
     sig = hyperplane_signature(embeddings, emb_col, bits)
-    n = with_norm(sig, emb_col, "__nrm")
+    n = with_norm(sig, emb_col, "__nrm").where(F.col("__nrm") > 0)
+    # zero/null vectors carry no direction — excluded (ANSI division
+    # would otherwise abort the job on one degenerate row)
     if probe_hamming:
         probes = F.array(
             F.col("bucket"),

@@ -56,10 +56,11 @@ def cosine_topk(
     """
     c = with_norm(corpus, emb_col, "n_c").select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "n_c"
-    )
+    ).where(F.col("n_c") > 0)  # zero/null vectors have no direction; ANSI
+    # division would otherwise abort the whole job on one bad row
     p = with_norm(probes, emb_col, "n_p").select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "n_p"
-    )
+    ).where(F.col("n_p") > 0)
     dot = F.aggregate(
         F.zip_with(F.col("e_p"), F.col("e_c"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -110,13 +111,26 @@ def hyperplane_signature(
     # bucketed frames straight into broadcast joins — an extra round-robin
     # shuffle ahead of a broadcast build measured 1.5-4× slower and highly
     # variable at sf0.1
+    # NULL embeddings have no signature (np.asarray(None) would kill the
+    # kernel; and no direction -> no bucket)
+    df = df.where(F.col(emb_col).isNotNull())
     coefs = hyperplane_coefs(bits, dim)
 
     @F.pandas_udf(T.LongType())
     def sig_udf(emb: pd.Series) -> pd.Series:
         if not len(emb):
             return pd.Series([], dtype="int64")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        arrs = [np.asarray(v, dtype=np.float64) for v in emb]
+        if all(a.shape == (dim,) for a in arrs):
+            m = np.stack(arrs)  # fast path: the well-formed batch
+        else:
+            # pad/truncate to the plane dimension: short vectors project
+            # with missing dims = 0 (ragged or off-dim inputs must not
+            # kill the job with an opaque IndexError/stack failure)
+            m = np.zeros((len(emb), dim), dtype=np.float64)
+            for i, a in enumerate(arrs):
+                a = a[:dim]
+                m[i, : len(a)] = a
         out = np.zeros(len(emb), dtype=np.int64)
         for p in range(bits):
             acc = np.zeros(len(emb))
@@ -142,11 +156,11 @@ def lsh_bucketed_topk(
     c = hyperplane_signature(corpus, emb_col, bits).select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "bucket"
     )
-    c = with_norm(c, "e_c", "n_c")
+    c = with_norm(c, "e_c", "n_c").where(F.col("n_c") > 0)
     p = hyperplane_signature(probes, emb_col, bits).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "bucket"
     )
-    p = with_norm(p, "e_p", "n_p")
+    p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
     dot = F.aggregate(
         F.zip_with(F.col("e_p"), F.col("e_c"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -188,7 +202,7 @@ def ivf_assign(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    d = with_norm(df, emb_col, "__nrm")
+    d = with_norm(df, emb_col, "__nrm").where(F.col("__nrm") > 0)
     scored = d.crossJoin(F.broadcast(centroids)).withColumn(
         "__sim", dot / (F.col("__nrm") * F.col("cnorm"))
     )
@@ -276,11 +290,11 @@ def ivf_topk(
     c = ivf_assign(corpus, cents, 1, emb_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "cid"
     )
-    c = with_norm(c, "e_c", "n_c")
+    c = with_norm(c, "e_c", "n_c").where(F.col("n_c") > 0)
     p = ivf_assign(probes, cents, nprobe, emb_col, id_col).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
     )
-    p = with_norm(p, "e_p", "n_p")
+    p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
     dot = F.aggregate(
         F.zip_with(F.col("e_p"), F.col("e_c"),
                    lambda x, y: x.cast("double") * y.cast("double")),

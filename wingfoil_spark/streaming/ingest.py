@@ -148,7 +148,7 @@ def build_ann_index(
     c = hyperplane_signature(corpus, emb_col, bits).select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "bucket"
     )
-    return with_norm(c, "e_c", "n_c")
+    return with_norm(c, "e_c", "n_c").where(F.col("n_c") > 0)
 
 
 def ann_topk_stream(
@@ -180,7 +180,7 @@ def ann_topk_stream(
     p = hyperplane_signature(probes, emb_col, bits).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "bucket"
     )
-    p = with_norm(p, "e_p", "n_p")
+    p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
     dot = F.aggregate(
         F.zip_with(F.col("e_p"), F.col("e_c"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
