@@ -243,3 +243,20 @@ def test_token_budget_shards_null_text_contract(spark):
         (2, 3, 3, 0),
         (3, 0, 3, 1),
     ]
+
+
+def test_describe_corpus_summary(spark, docs):
+    out = cu.describe_corpus(docs).toPandas()
+    # one row per (lang, source) present in the corpus
+    want_groups = docs.select("lang", "source").distinct().count()
+    assert len(out) == want_groups
+    assert set(out.columns) == {
+        "lang", "source", "n_docs", "total_tokens", "mean_tokens",
+        "token_p10_p50_p90", "mean_quality",
+    }
+    assert out["n_docs"].sum() == docs.count()
+    # quantiles ordered, totals consistent
+    for _, r in out.iterrows():
+        p10, p50, p90 = r["token_p10_p50_p90"]
+        assert p10 <= p50 <= p90
+        assert r["total_tokens"] >= r["n_docs"] * p10

