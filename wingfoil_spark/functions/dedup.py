@@ -255,21 +255,31 @@ def ngram_jaccard(
     docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs (the verify stage after
-    LSH): two broadcast-able joins against the token-set projection."""
-    toks = docs.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokset")
+    LSH): two joins against the corpus, tokenizing AFTER each join — only
+    rows that survive the candidate filter get tokenized. LSH's whole
+    point is that candidates ≪ corpus, so with the (small) pair side
+    broadcast, the corpus streams through two shuffle-free map stages and
+    only ~candidate-many rows pay the tokenize cost. The pairs subtree
+    evaluates ONCE (it feeds the first join only — no second reference to
+    re-run its Python signature stage). No forced broadcast hints: AQE
+    picks broadcast while the candidate side is small and degrades to a
+    shuffle join if it ever isn't (candidates grow with the corpus —
+    forcing the hint would be the q3/q5 fact-broadcast anti-pattern)."""
+    tokset = F.array_distinct(tokens(F.col("__txt")))
+    a = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("__txt"))
+    j1 = (
+        a.join(pairs, "a")
+        .select("a", "b", tokset.alias("ta"))
     )
-    a = toks.select(F.col(id_col).alias("a"), F.col("tokset").alias("ta"))
-    b = toks.select(F.col(id_col).alias("b"), F.col("tokset").alias("tb"))
+    b = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("__txt"))
     return (
-        pairs.join(a, "a")
-        .join(b, "b")
+        b.join(j1, "b")
         .select(
             "a",
             "b",
             (
-                F.size(F.array_intersect("ta", "tb")).cast("double")
-                / F.size(F.array_union("ta", "tb")).cast("double")
+                F.size(F.array_intersect("ta", tokset)).cast("double")
+                / F.size(F.array_union("ta", tokset)).cast("double")
             ).alias("jaccard"),
         )
     )
