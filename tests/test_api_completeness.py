@@ -60,10 +60,18 @@ MODULE_SURFACES = {
     ],
     "wingfoil_spark.functions.similarity": [
         "cosine_topk", "lsh_bucketed_topk", "ivf_topk",
+        "quantize_embeddings", "dequantize_embeddings",
     ],
     "wingfoil_spark.functions.text": [
         "tokens", "quality_score", "lang_id", "fingerprint",
+        "chunk_tokens", "duplicate_line_ratio", "top_token_ratio",
+        "repetition_filter", "scrub_pii",
     ],
+    "wingfoil_spark.functions.curation": [
+        "hash_sample", "weighted_mix", "stratified_take",
+        "token_budget_shards", "describe_corpus",
+    ],
+    "wingfoil_spark.frames": ["build_dataframe"],
     "wingfoil_spark.functions.multimodal": [
         "as_media", "media_meta", "frame_sample", "extract_features",
         "resize",
@@ -91,6 +99,10 @@ MODULE_SURFACES = {
         "encode_message", "decode_message", "decode_zmq", "zmq_values",
     ],
     "wingfoil_spark.streaming.stateful": ["KeyedStateOp", "with_close"],
+    "wingfoil_spark.streaming.ingest": [
+        "exact_dedup_stream", "build_lsh_index", "lsh_pairs_stream",
+        "build_ann_index", "ann_topk_stream",
+    ],
     "wingfoil_spark.streaming.twins": ["EventTimeTimerOp"],
     "wingfoil_spark.streaming.windows": ["tumbling_stream", "session_stream"],
     "wingfoil_spark.plans.iterate": ["feedback_iterate", "iterate_until_stable"],
