@@ -227,3 +227,17 @@ def test_no_full_data_single_partition(spark, name):
             f"{name}: Exchange SinglePartition over unreduced data:\n"
             + "\n".join(lines[max(0, i - 2) : i + 6])
         )
+
+
+def test_stratified_take_pushes_group_limit(spark):
+    """Scale gate for the curation sampler: Catalyst's WindowGroupLimit
+    must appear in BOTH Partial (pre-shuffle, each task keeps its local
+    top-n per stratum) and Final form — without it, ranking n-of-millions
+    per group shuffles and sorts whole strata for n rows."""
+    from wingfoil_spark.functions import curation as cu
+    from wingfoil_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = cu.stratified_take(d, 10)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "Partial" in plan and "Final" in plan
