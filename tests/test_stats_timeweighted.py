@@ -84,3 +84,35 @@ def test_rolling_weighted_median_window(spark):
     # @40 (7, w=1) and @41 (100, w=19); total 20, half 10;
     # sorted: 7(1), 100(19) → cumsum crosses 10 at 100
     assert got[60] == 100.0
+
+
+def test_null_value_is_a_non_tick_for_recursive_ops(spark):
+    """Null-value contract: the reference's streams cannot carry nulls; a
+    NaN entering a recursion would poison the accumulator FOREVER (unlike
+    window stats, which skip nulls per frame). The recursive operators
+    treat a null-valued row as a NON-TICK: excluded from input and
+    output."""
+    from wingfoil_spark.operators.stateful import (
+        ewma,
+        time_weighted_profile,
+        weighted_median,
+    )
+    from wingfoil_spark.sources.tables import replay_rows
+
+    s = replay_rows(
+        spark,
+        [(0, 0, 1.0), (10, 1, None), (20, 2, 3.0)],
+        "ts long, seq long, value double",
+        ts="ts",
+        seq="seq",
+    )
+    e = ewma(s, "value", alpha=0.5, out="f").df.orderBy("ts").collect()
+    assert [(r.ts, r.f) for r in e] == [(0, 1.0), (20, 2.0)]
+    m = (
+        s.stat("value", "median", ("cum",), weighting="time", out="md")
+        .df.orderBy("ts").collect()
+    )
+    assert [r.ts for r in m] == [0, 20]
+    p = time_weighted_profile(s, "value", 100).df.orderBy("ts").collect()
+    assert [r.ts for r in p] == [0, 20]
+    assert all(r.tw_mean == r.tw_mean for r in p)  # no NaN

@@ -271,6 +271,10 @@ def ewma(
     """
     if (alpha is None) == (half_life_ns is None):
         raise ValueError("exactly one of alpha / half_life_ns")
+    # null value = non-tick (the reference's streams cannot carry nulls;
+    # a NaN entering the recursion would poison the accumulator FOREVER,
+    # unlike the window stats, which skip nulls per-frame)
+    s = s._derive(s.df.where(F.col(col).isNotNull()))
 
     if s.df.isStreaming:
         from wingfoil_spark.streaming.stateful import ewma_step
@@ -311,6 +315,7 @@ def ewma_multi(s: Stream, col: str, specs: dict[str, dict]) -> Stream:
     — and the scalar-pow half-life walk), and the batch binding uses the
     whole-body multi-key path: one kernel call over all complete key
     groups with group-reset flags, bitwise identical to per-key runs."""
+    s = s._derive(s.df.where(F.col(col).isNotNull()))  # null = non-tick
     ts_col, vcol = s.ts, col
     items = [(out, p.get("alpha"), p.get("half_life_ns")) for out, p in specs.items()]
     added = [T.StructField(out, T.DoubleType()) for out, _, _ in items]
@@ -508,6 +513,7 @@ def weighted_median(s: Stream, col: str, wname: str, frame, out: str) -> Stream:
     ("rows", n) count window, ("cum",) unbounded, ("range", ns) trailing
     duration (sample-retention: a sample is in the window iff its tick time
     is within the trailing span)."""
+    s = s._derive(s.df.where(F.col(col).isNotNull()))  # null = non-tick
 
     rows_n = frame[1] if frame[0] == "rows" else None
     range_ns = frame[1] if frame[0] == "range" else None
@@ -642,6 +648,7 @@ def time_weighted_profile(
     (numpy-oracle-pinned by tests; integer-exact integrals as in
     :func:`time_windowed_time_weighted`). Kernel shared with the streaming
     twin: :func:`_tw_profile_kernel`."""
+    s = s._derive(s.df.where(F.col(col).isNotNull()))  # null = non-tick
     if s.df.isStreaming:
         from wingfoil_spark.streaming.twins import tw_profile_step
 

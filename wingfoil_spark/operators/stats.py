@@ -135,6 +135,10 @@ def _time_weighted(s: Stream, col: str, stat: str, frame, out: str) -> Stream:
       → range window including the current row, minus the current row's
       own terms. All three are pure JVM window expressions.
     """
+    # null value = non-tick BEFORE weights: the in-effect interval of the
+    # preceding sample must run to the next REAL tick, not split at a
+    # null row (matches the recursive ops' null contract)
+    s = Stream(s.df.where(F.col(col).isNotNull()), s.ts, s.seq, s.keys)
     wname = f"__w_{col}"
     base = s.map(**{wname: F.lead(s.ts).over(s._w_plain()) - F.col(s.ts)})
     v, wt = F.col(col).cast("double"), F.col(wname).cast("double")
