@@ -259,3 +259,22 @@ def test_combine_gathers_only_the_inputs_that_ticked(spark):
         (0, [1, 101]), (10, [2]), (20, [3]),
         (30, [4, 102]), (40, [5]), (50, [6]),
     ]
+
+
+def test_drop_small_change_zero_tol_degenerates_to_distinct(spark):
+    """wingfoil-python/tests/test_interop.py:83-93: an equality predicate
+    (here: tol=0 — emit only when the value actually changed) degenerates
+    drop_small_change to distinct_until_changed, value for value."""
+    from wingfoil_spark.operators.stateful import drop_small_change
+    from wingfoil_spark.sources.tables import replay_rows
+
+    # counter 1..6 at t=0..500 mapped n//2 -> 0,1,1,2,2,3
+    rows = [(100 * i, i, float((i + 1) // 2)) for i in range(6)]
+    s = replay_rows(spark, rows, "ts long, seq long, value double",
+                    ts="ts", seq="seq")
+    dsc = [r.value for r in
+           drop_small_change(s, "value", tol=0.0).df.orderBy("ts").collect()]
+    dis = [r.value for r in
+           s.distinct_until_changed("value").df.orderBy("ts").collect()]
+    assert dsc == [0.0, 1.0, 2.0, 3.0]
+    assert dsc == dis
