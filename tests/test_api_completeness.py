@@ -50,7 +50,10 @@ MODULE_SURFACES = {
         "detect_seasons", "dtw_distances", "dbscan_clusters",
     ],
     "wingfoil_spark.operators.dynamic": ["dynamic_group"],
-    "wingfoil_spark.operators.latency": ["timed", "stamp", "latency_report"],
+    "wingfoil_spark.operators.latency": [
+        "timed", "stamp", "latency_report", "Latency", "TracedBytes",
+        "decode_traced",
+    ],
     "wingfoil_spark.operators.scale": ["salted_agg", "salted_grouped_apply"],
     "wingfoil_spark.operators.registry": ["register_op"],
     "wingfoil_spark.functions.dedup": [

@@ -92,3 +92,117 @@ def timed(s: Stream, label: str = "run") -> tuple[int, float]:
     dt = time.perf_counter() - t0
     print(f"[wingfoil_spark] {label}: {n} rows in {dt:.3f}s")
     return n, dt
+
+
+# ---------------------------------------------------------------------------
+# The cross-process latency record: the Python binding's `Latency` /
+# `TracedBytes` surface and its 8-byte-per-stage wire header
+# (wingfoil-python/src/latency.rs; goldens in
+# wingfoil-python/tests/test_latency.py:40-126, 128-160). An adapter
+# prepends `to_bytes()` to the message body; the far side restores with
+# `from_bytes(data, stages)` — trailing payload ignored. This is the
+# carrier contract; the in-pipeline stamping above is the column tier.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+class Latency:
+    """Named-stage latency record: u64 nanosecond stamps, dict-style
+    access by stage name, and the little-endian 8-byte-per-stage wire
+    header. A fresh record is unstamped (all zeros)."""
+
+    __slots__ = ("stages", "stamps")
+
+    def __init__(self, stages):
+        stages = list(stages)
+        if not stages:
+            raise ValueError("Latency needs at least one stage")
+        if len(set(stages)) != len(stages):
+            raise ValueError(f"duplicate stage names: {stages}")
+        self.stages = stages
+        self.stamps = [0] * len(stages)
+
+    def _idx(self, stage: str) -> int:
+        try:
+            return self.stages.index(stage)
+        except ValueError:
+            raise KeyError(stage) from None
+
+    def __getitem__(self, stage: str) -> int:
+        return self.stamps[self._idx(stage)]
+
+    def __setitem__(self, stage: str, ns: int) -> None:
+        self.stamps[self._idx(stage)] = int(ns)
+
+    def __repr__(self) -> str:
+        inner = ", ".join(f"{s}={v}" for s, v in zip(self.stages, self.stamps))
+        return f"Latency({inner})"
+
+    def to_bytes(self) -> bytes:
+        """The wire header: one little-endian u64 per stage, stage order."""
+        return struct.pack(f"<{len(self.stamps)}Q", *self.stamps)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, stages) -> "Latency":
+        """Restore from a header (+ optional trailing payload, ignored).
+        Validates the byte length AND the stage list (the binding's
+        deviation 5 from legacy: a duplicate stage list is an error, not
+        just a length check)."""
+        rec = cls(stages)  # validates non-empty + unique
+        need = 8 * len(rec.stages)
+        if len(data) < need:
+            raise ValueError(
+                f"header needs {need} bytes for {len(rec.stages)} stages, got {len(data)}"
+            )
+        rec.stamps = list(struct.unpack(f"<{len(rec.stages)}Q", data[:need]))
+        return rec
+
+
+class TracedBytes:
+    """The carrier: a payload plus its latency record. The record is
+    SHARED, not copied — a stamp through the carrier mutates the caller's
+    record (the binding's in-place contract)."""
+
+    __slots__ = ("payload", "latency")
+
+    def __init__(self, payload: bytes, latency: Latency):
+        self.payload = payload
+        self.latency = latency
+
+    def to_bytes(self) -> bytes:
+        """header + body — the adapter egress shape."""
+        return self.latency.to_bytes() + self.payload
+
+    @classmethod
+    def from_bytes(cls, data: bytes, stages) -> "TracedBytes":
+        rec = Latency.from_bytes(data, stages)
+        return cls(data[8 * len(rec.stages):], rec)
+
+    def __repr__(self) -> str:
+        return f"TracedBytes(len={len(self.payload)}, {self.latency!r})"
+
+
+def decode_traced(df: DataFrame, col: str, stages: list[str],
+                  payload_out: str = "payload") -> DataFrame:
+    """Data-scale decode of captured TracedBytes: split each binary value
+    into per-stage stamp columns (long ns) + the trailing payload.
+    Arrow-batched, row-local (one Python stage, no shuffle)."""
+    n = len(stages)
+    if len(set(stages)) != n or n == 0:
+        raise ValueError(f"invalid stage list: {stages}")
+    fields = [T.StructField(s, T.LongType()) for s in stages]
+    fields.append(T.StructField(payload_out, T.BinaryType()))
+
+    @F.pandas_udf(T.StructType(fields))
+    def dec(b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in b:
+            rec = TracedBytes.from_bytes(bytes(v), stages)
+            rows.append((*rec.latency.stamps, rec.payload))
+        return pd.DataFrame(rows, columns=[*stages, payload_out])
+
+    out = df.withColumn("__tr", dec(F.col(col)))
+    for s in stages:
+        out = out.withColumn(s, F.col(f"__tr.{s}"))
+    return out.withColumn(payload_out, F.col(f"__tr.{payload_out}")).drop("__tr")
