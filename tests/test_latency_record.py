@@ -104,3 +104,17 @@ def test_decode_traced_at_data_scale(spark):
     for i, r in enumerate(out):
         assert r.ingress == 1000 + i and r.parse == 2000 + i
         assert bytes(r.payload) == f"m{i}".encode()
+
+
+def test_stamp_disabled_wires_nothing(spark):
+    """test_latency.py:189-194: a disabled stamp leaves the plan and the
+    frame untouched (identical object — zero cost, not just zero rows)."""
+    from wingfoil_spark.operators.latency import stamp
+    from wingfoil_spark.sources.tables import replay_rows
+
+    s = replay_rows(spark, [(0, 0, 1.0)], "ts long, seq long, value double",
+                    ts="ts", seq="seq")
+    assert stamp(s, "start", enabled=False) is s
+    out = stamp(stamp(s, "off", enabled=False), "on", enabled=True)
+    row = out.df.collect()[0]
+    assert [e.stage for e in row["__stamps"]] == ["on"]

@@ -37,10 +37,14 @@ def _now_ns(batch: pd.Series) -> pd.Series:
     return pd.Series([now] * len(batch), dtype="int64")
 
 
-def stamp(s: Stream, stage: str) -> Stream:
+def stamp(s: Stream, stage: str, enabled: bool = True) -> Stream:
     """Append a (stage, wall-clock-ns) stamp to each row's trace. First call
-    creates the trace column. Reference: ``stamp`` (latency.rs) — the
-    ``stamp_if`` toggle is ordinary conditional wiring here."""
+    creates the trace column. Reference: ``stamp`` (latency.rs);
+    ``enabled=False`` is the ``stamp_if`` toggle — it wires NOTHING (the
+    stream passes through untouched, zero plan cost — the binding's
+    disabled-stamp contract, test_latency.py:189-194)."""
+    if not enabled:
+        return s
     entry = F.struct(F.lit(stage).alias("stage"), _now_ns(F.col(s.ts)).alias("ts_ns"))
     if STAMPS in s.df.columns:
         df = s.df.withColumn(STAMPS, F.concat(F.col(STAMPS), F.array(entry)))
