@@ -74,3 +74,37 @@ def test_dtw_kernel_golden():
     assert analysis._dtw(a, b) == 0.0
     # warp path for +1 offset: (0,0)=1, (1,0)=0, (2,1)=0, (2,2)=1 → 2
     assert analysis._dtw(a, b + 1) == 2.0
+
+
+def test_forecast_interval_and_min_points_gate(spark):
+    """Binding knobs replayed (wingfoil-python test_augurs.py:45-84):
+    level populates symmetric bounds around the point; min_points gates
+    when the op TICKS (40 samples, gate 20 → 21 emissions; an unreachable
+    gate never ticks); an unsupported level raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from wingfoil_spark.operators.analysis import linear_forecast
+    from wingfoil_spark.sources.tables import replay_rows
+
+    rows = [(100 * i, i, float(i + 1)) for i in range(40)]
+    s = replay_rows(spark, rows, "ts long, seq long, value double",
+                    ts="ts", seq="seq")
+
+    out = linear_forecast(s, "value", window_n=32, horizon=2, level=0.95)
+    pdf = out.df.orderBy("ts").toPandas()
+    assert {"forecast", "forecast_lower", "forecast_upper"} <= set(pdf.columns)
+    tail = pdf.iloc[5:]  # past the 3-sample interval seed
+    assert (tail["forecast_lower"] <= tail["forecast"]).all()
+    assert (tail["forecast"] <= tail["forecast_upper"]).all()
+    # a perfectly linear series → near-zero residual band
+    assert float(tail.iloc[-1]["forecast_upper"] - tail.iloc[-1]["forecast_lower"]) < 1e-6
+    # numpy oracle for one row: window fully linear → ŷ = x0 + 1 exactly
+    assert abs(tail.iloc[-1]["forecast"] - (40 + 2)) < 1e-6
+
+    assert linear_forecast(s, "value", 32, 1, min_points=20).df.count() == 21
+    assert linear_forecast(s, "value", 32, 1, min_points=30).df.count() == 11
+    assert linear_forecast(s, "value", 32, 1, min_points=100).df.count() == 0
+
+    with _pytest.raises(ValueError, match="unsupported level"):
+        linear_forecast(s, "value", level=0.5)

@@ -99,18 +99,45 @@ def mean_shift_changepoint(
     return s.map(**{out: F.round(score, 6)})
 
 
+#: standard-normal quantiles for the supported interval levels (the
+#: binding validates its knobs loudly — an unsupported level is an error,
+#: not a silent approximation; augurs test_forecast_rejects_an_unknown_model
+#: is the pattern)
+_FORECAST_Z = {
+    0.80: 1.2815515655446004,
+    0.90: 1.6448536269514722,
+    0.95: 1.959963984540054,
+    0.99: 2.5758293035489004,
+}
+
+
 def linear_forecast(
     s: Stream,
     col: str,
     window_n: int = 20,
     horizon: int = 1,
     out: str = "forecast",
+    level: float | None = None,
+    min_points: int = 1,
 ) -> Stream:
     """One-step-ahead OLS trend forecast over the trailing window:
     ŷ = intercept + slope·(t+horizon), t in tick units. Reference:
     ``augurs_forecast`` (augurs.rs:441-459) — deterministic trend core in
     place of MSTL/ETS. regr_slope/regr_intercept are built-in aggregates in
-    both Spark and DuckDB → exact cross-engine parity."""
+    both Spark and DuckDB → exact cross-engine parity.
+
+    Binding knobs (wingfoil-python test_augurs.py:45-84):
+    - ``level`` → ``{out}_lower`` / ``{out}_upper`` prediction-interval
+      columns: ŷ ± z·s·√(1 + 1/n + (x₀−x̄)²/Sxx) with s² = SSE/(n−2)
+      from the window's regr_r2 — null below 3 samples. No level → no
+      interval columns (the binding's empty bounds).
+    - ``min_points`` → the op does not TICK until that many samples have
+      accumulated on the key (rows suppressed, not nulled — the
+      reference's gate; default 1 keeps every tick)."""
+    if level is not None and level not in _FORECAST_Z:
+        raise ValueError(
+            f"unsupported level {level!r}: pick one of {sorted(_FORECAST_Z)}"
+        )
     w = s.w_rows(-(window_n - 1), 0)
     x = F.row_number().over(s._w_plain()).cast("double")
     base = s.map(__x=x)
@@ -118,8 +145,27 @@ def linear_forecast(
     slope = F.regr_slope(c, F.col("__x")).over(w)
     icept = F.regr_intercept(c, F.col("__x")).over(w)
     pred = F.when(slope.isNotNull(), icept + slope * (F.col("__x") + horizon)).otherwise(c)
-    res = base.map(**{out: F.round(pred, 6)})
-    return Stream(res.df.drop("__x"), res.ts, res.seq, res.keys)
+    cols = {out: F.round(pred, 6)}
+    if level is not None:
+        n = F.count(c).over(w).cast("double")
+        r2 = F.regr_r2(c, F.col("__x")).over(w)
+        syy = F.var_pop(c).over(w) * n
+        sxx = F.var_pop(F.col("__x")).over(w) * n
+        xbar = F.avg(F.col("__x")).over(w)
+        x0 = F.col("__x") + horizon
+        s2 = F.when(n > 2, (F.lit(1.0) - r2) * syy / (n - 2))
+        band = F.lit(_FORECAST_Z[level]) * F.sqrt(
+            s2 * (F.lit(1.0) + F.lit(1.0) / n + (x0 - xbar) * (x0 - xbar) / sxx)
+        )
+        cols[f"{out}_lower"] = F.round(pred - band, 6)
+        cols[f"{out}_upper"] = F.round(pred + band, 6)
+    if min_points > 1:
+        cols["__n"] = F.count(c).over(w)
+    res = base.map(**cols)
+    df = res.df
+    if min_points > 1:
+        df = df.where(F.col("__n") >= min_points).drop("__n")
+    return Stream(df.drop("__x"), res.ts, res.seq, res.keys)
 
 
 # ------------------------------------------------------- Python-kernel ops
