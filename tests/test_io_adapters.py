@@ -129,3 +129,18 @@ def test_csv_read_groups_same_timestamp_into_one_burst(spark, tmp_path):
     got = [(r.time, tuple(r.burst)) for r in bursts.df.orderBy("time").collect()]
     assert got == [(1001, (10,)), (1002, (20,)), (1003, (30, 31)),
                    (1004, (40,))]
+
+
+def test_csv_read_rejects_bad_wiring_eagerly(spark, tmp_path):
+    """wingfoil-python test_csv.py:83-98: a missing file and an unknown
+    time column are WIRING errors, not first-use surprises."""
+    import pytest as _pytest
+
+    from wingfoil_spark.sources.io import csv_read
+
+    p = tmp_path / "ok.csv"
+    p.write_text("time,v\n1,2\n")
+    with _pytest.raises(ValueError, match="lacks declared stream column"):
+        csv_read(spark, str(p), "time long, v long", ts="nope")
+    with _pytest.raises(Exception):  # Spark's path resolution at wiring
+        csv_read(spark, str(tmp_path / "missing.csv"), "time long, v long")

@@ -50,6 +50,14 @@ def csv_read(
     post-start policy) — opt-in because it executes an eager check."""
     reader = spark.readStream if streaming else spark.read
     df = reader.schema(schema).options(header=str(header).lower(), **options).csv(path)
+    # wiring-time validation (the binding rejects an unknown time column
+    # at WIRING, not at first use — wingfoil-python test_csv.py:90-98; a
+    # missing file already raises here via Spark's file-index resolution)
+    missing = [c for c in (ts, seq, *keys) if c is not None and c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"csv source lacks declared stream column(s) {missing}; schema has {df.columns}"
+        )
     s = Stream(df, ts=ts, seq=seq, keys=keys)
     if validate and not streaming:
         validate_replay(s, start_ts=start_ts)
