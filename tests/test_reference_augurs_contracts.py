@@ -1,0 +1,211 @@
+"""Replays of the reference's augurs-adapter behavior contracts
+(/root/reference/crates/wingfoil/tests/augurs_adapter.rs) that round-3
+coverage had not yet pinned: the cross-sectional outlier shape, the
+DBSCAN outlier mode, the silence gates (min_points / two-samples /
+two-series), quiet-when-steady, and the selectable DTW metric. Each test
+cites the legacy test it replays; inputs mirror the reference's synthetic
+series (ticker → count → map shapes) keyed per series."""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from wingfoil_spark import Stream
+from wingfoil_spark.operators import analysis
+
+
+def multi_series(spark, fns, n):
+    """One row per (series key, tick): the reference's Vec<f64>-per-tick
+    reading transposed to a keyed stream (series index as the key)."""
+    rows = [
+        (f"s{j}", i + 1, float(fn(i + 1)))
+        for i in range(n)
+        for j, fn in enumerate(fns)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    return Stream(df, ts="ts", keys=("k",))
+
+
+def single(spark, vals, key="k"):
+    rows = [(key, i + 1, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    return Stream(df, ts="ts", keys=("k",))
+
+
+# ---------------------------------------------------------- outlier (MAD)
+
+
+def test_cross_outlier_flags_diverging_series(spark):
+    """outlier_mad_flags_diverging_series (augurs_adapter.rs:158-179):
+    three series move together except one that jumps away — flagged."""
+    base = lambda n: 100.0 + math.sin(n * 0.4)
+    s = multi_series(
+        spark,
+        [
+            base,
+            lambda n: base(n) + 0.1,
+            lambda n: base(n) + (80.0 if n > 20 else 0.2),
+        ],
+        40,
+    )
+    out = analysis.cross_section_outlier(s, "v").df.collect()
+    last = {r.k: r for r in out if r.ts == 40}
+    assert len(last) == 3, "one score per series at the last tick"
+    assert last["s2"].outlying is True
+    assert last["s0"].outlying is False
+    assert last["s1"].outlying is False
+    # before the jump the diverging series is still in line with the group
+    early = {r.k: r for r in out if r.ts == 10}
+    assert early["s2"].outlying is False
+
+
+def test_cross_outlier_quiet_when_aligned(spark):
+    """outlier_quiet_when_aligned (augurs_adapter.rs:206-224): with all
+    series moving together, nothing is flagged."""
+    base = lambda n: 50.0 + math.sin(n * 0.3)
+    s = multi_series(
+        spark,
+        [base, lambda n: base(n) + 0.05, lambda n: base(n) - 0.05],
+        30,
+    )
+    out = analysis.cross_section_outlier(s, "v").df.collect()
+    assert out, "aligned series still tick (scores emitted)"
+    assert all(r.outlying is False for r in out)
+
+
+def test_cross_outlier_waits_for_two_samples(spark):
+    """outlier_waits_for_two_samples (augurs_adapter.rs:226-243): fewer
+    than two samples (timestamps) → never ticks."""
+    s = multi_series(spark, [lambda n: float(n), lambda n: n + 1.0], 1)
+    assert analysis.cross_section_outlier(s, "v").df.count() == 0
+    # and from the second sample on, every instant emits
+    s2 = multi_series(spark, [lambda n: float(n), lambda n: n + 1.0], 3)
+    ticked = analysis.cross_section_outlier(s2, "v").df
+    assert sorted(r.ts for r in ticked.select("ts").distinct().collect()) == [2, 3]
+
+
+def test_cross_outlier_no_spread_scores_null(spark):
+    """The augurs detector needs spread to measure (augurs.rs:607-617):
+    a cross-section where every key sits at the median has MAD 0 → null
+    score, nothing flagged (never a divide-by-zero Infinity)."""
+    s = multi_series(spark, [lambda n: 7.0, lambda n: 7.0, lambda n: 7.0], 5)
+    out = analysis.cross_section_outlier(s, "v").df.collect()
+    assert out and all(r.outlier_score is None and r.outlying is False for r in out)
+
+
+# -------------------------------------------------------- outlier (DBSCAN)
+
+
+def test_dbscan_outlier_flags_diverging_series(spark):
+    """outlier_dbscan_flags_diverging_series (augurs_adapter.rs:184-204):
+    three series cluster together, the diverging fourth is DBSCAN noise."""
+    base = lambda n: 100.0 + math.sin(n * 0.4)
+    # numeric keys: dbscan_clusters labels through a LongType key column
+    rows = [
+        (j, i + 1, float(v))
+        for i in range(40)
+        for j, v in enumerate(
+            [
+                base(i + 1),
+                base(i + 1) + 0.1,
+                base(i + 1) - 0.1,
+                base(i + 1) + (90.0 if i + 1 > 15 else 0.3),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    s = Stream(df, ts="ts", keys=("k",))
+    out = {r.key: r.outlying for r in analysis.dbscan_outliers(s, "v", eps=30.0, min_pts=3).collect()}
+    assert out[3] is True, "diverging series is noise"
+    assert out[0] is False and out[1] is False and out[2] is False
+
+
+# ------------------------------------------------------------- changepoint
+
+
+def test_changepoint_quiet_when_steady(spark):
+    """changepoint_quiet_when_steady (augurs_adapter.rs:279-297): a
+    perfectly steady series has no spread to measure → null scores
+    everywhere, no spurious changepoints."""
+    s = single(spark, [5.0] * 30)
+    out = analysis.mean_shift_changepoint(s, "v", half_n=5).df.collect()
+    assert all(r.shift_score is None for r in out)
+
+
+def test_changepoint_waits_for_min_points(spark):
+    """changepoint_waits_for_min_points (augurs_adapter.rs:300-323): the
+    node does not tick until min_points samples have arrived — rows are
+    suppressed, not nulled."""
+    s = single(spark, [float(i) for i in range(15)])
+    assert analysis.mean_shift_changepoint(s, "v", half_n=4, min_points=20).df.count() == 0
+    ticked = analysis.mean_shift_changepoint(s, "v", half_n=4, min_points=10).df
+    assert sorted(r.ts for r in ticked.select("ts").collect()) == list(range(10, 16))
+
+
+# ----------------------------------------------------------------- seasons
+
+
+def test_seasons_waits_for_min_points(spark):
+    """seasons_waits_for_min_points (augurs_adapter.rs:375-390): below
+    min_points the key emits NOTHING."""
+    vals = [math.sin(2 * math.pi * i / 4) for i in range(15)]
+    s = single(spark, vals)
+    assert analysis.detect_seasons(s, "v", min_points=20).count() == 0
+    assert analysis.detect_seasons(s, "v", min_points=10).count() == 1
+
+
+def test_seasons_below_model_floor_still_emits(spark):
+    """seasons_window_below_floor_still_emits (augurs_adapter.rs:354-369):
+    a series below the 8-tick periodogram floor still emits (a null-period
+    row on the batch surface) rather than erroring or vanishing."""
+    row = analysis.detect_seasons(single(spark, [1.0, 2.0, 3.0]), "v").collect()[0]
+    assert row.dominant_period is None and row.n_ticks == 3
+
+
+# --------------------------------------------------------------------- dtw
+
+
+def test_dtw_waits_for_two_series(spark):
+    """dtw_waits_for_two_series (augurs_adapter.rs:445-459): one series →
+    the pair table is empty (strict key_a < key_b join has no pairs)."""
+    s = single(spark, [float(i) for i in range(10)])
+    assert analysis.dtw_distances(s, "v").count() == 0
+
+
+def test_dtw_metric_rankings_and_validation(spark):
+    """dtw_distances_reflect_similarity + dtw_manhattan_metric_ranks_
+    similarity (augurs_adapter.rs:397-423, 462-484): under BOTH metrics the
+    dissimilar series is farther than the near-identical pair; an unknown
+    metric is a wiring-time error (the binding's loud-knob pattern)."""
+    a = lambda n: math.sin(n * 0.3)
+    s = multi_series(
+        spark,
+        [a, lambda n: a(n) + 0.02, lambda n: 5.0 * a(n) + 10.0],
+        30,
+    )
+    for metric in ("manhattan", "euclidean"):
+        d = {
+            (r.key_a, r.key_b): r.dtw
+            for r in analysis.dtw_distances(s, "v", metric=metric).collect()
+        }
+        assert d[("s0", "s2")] > d[("s0", "s1")], metric
+    with pytest.raises(ValueError, match="unsupported dtw metric"):
+        analysis.dtw_distances(s, "v", metric="chebyshev")
+
+
+def test_dtw_euclidean_kernel_golden():
+    """The euclidean kernel is the augurs univariate convention
+    (augurs.rs:983): squared step costs along the optimal path, square root
+    of the total. Hand-checked: a=[0,1], b=[0,3] → path pairs (0,0),(1,3)
+    → sqrt(0 + 4) = 2; manhattan on the same pair → 0 + 2 = 2; offset
+    series disagree between metrics once costs exceed 1."""
+    a, b = np.array([0.0, 1.0]), np.array([0.0, 3.0])
+    assert analysis._dtw(a, b, "euclidean") == 2.0
+    assert analysis._dtw(a, b, "manhattan") == 2.0
+    c, d = np.array([0.0, 0.0]), np.array([3.0, 3.0])
+    # manhattan: 3+3=6; euclidean: sqrt(9+9)=4.24 — the metrics diverge
+    assert analysis._dtw(c, d, "manhattan") == 6.0
+    assert math.isclose(analysis._dtw(c, d, "euclidean"), math.sqrt(18.0))
+    assert analysis._dtw(a, a, "euclidean") == 0.0

