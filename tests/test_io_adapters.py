@@ -144,3 +144,44 @@ def test_csv_read_rejects_bad_wiring_eagerly(spark, tmp_path):
         csv_read(spark, str(p), "time long, v long", ts="nope")
     with _pytest.raises(Exception):  # Spark's path resolution at wiring
         csv_read(spark, str(tmp_path / "missing.csv"), "time long, v long")
+
+
+def test_jdbc_read_rejects_unbounded_slices(spark):
+    """The reference's shared slicer validator rejects a read without
+    explicit finite time bounds BEFORE any connection is attempted
+    (tests/kdb_adapter.rs:77-135: RealTime resolves no start, Forever
+    would generate unbounded slices, Cycles provides no end)."""
+    import pytest
+
+    for lo, hi in ((None, 100), (0, None), (100, 100), (200, 100)):
+        with pytest.raises(ValueError):
+            wio.jdbc_read_partitioned(
+                spark, "jdbc:postgresql://x/db", "t", "ts", lo, hi
+            )
+    with pytest.raises(ValueError, match="num_partitions"):
+        wio.jdbc_read_partitioned(
+            spark, "jdbc:postgresql://x/db", "t", "ts", 0, 100, num_partitions=0
+        )
+
+
+def test_kdb_epoch_conversions(spark):
+    """runtime/time.rs:62-87: KDB epoch (2000-01-01) ↔ engine nanos, with
+    the MAX sentinel preserved rather than offset."""
+    from wingfoil_spark.sources.tables import (
+        from_kdb_timestamp,
+        to_kdb_timestamp,
+    )
+
+    lm = (1 << 63) - 1
+    df = spark.createDataFrame(
+        [(0,), (1_000_000_000,), (lm,)], "kdb long"
+    ).select(
+        from_kdb_timestamp("kdb").alias("eng"), F.col("kdb")
+    ).select(
+        "eng", "kdb", to_kdb_timestamp("eng").alias("back")
+    )
+    rows = {r.kdb: r for r in df.collect()}
+    assert rows[0].eng == 946_684_800_000_000_000  # 2000-01-01 in unix nanos
+    assert rows[1_000_000_000].eng == 946_684_801_000_000_000
+    assert rows[lm].eng == lm, "MAX sentinel passes through"
+    assert all(r.back == r.kdb for r in rows.values()), "round trip exact"

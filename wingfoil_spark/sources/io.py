@@ -258,7 +258,27 @@ def jdbc_read_partitioned(
     slice with backpressure; Spark's equivalent is ``partitionColumn=ts``
     range partitioning, giving one concurrent slice per executor with the
     range predicate pushed down to the database. ``kdb_read``'s time slicing
-    (adapters/kdb/read.rs:445) maps the same way."""
+    (adapters/kdb/read.rs:445) maps the same way.
+
+    Wiring-time validation mirrors the reference's shared slicer validator
+    (tests/kdb_adapter.rs:77-135 — a read without explicit FINITE time
+    bounds is rejected before any connection is attempted: RealTime has no
+    historical start, ``Forever`` would generate unbounded slices, and
+    ``Cycles`` provides no end time): both bounds must be given, ordered,
+    and the partition count positive."""
+    if lower_ts is None or upper_ts is None:
+        raise ValueError(
+            "jdbc_read_partitioned needs explicit finite time bounds: an "
+            "unbounded slice plan is rejected at wiring time (the "
+            "reference's kdb/postgres slicer contract)"
+        )
+    if not lower_ts < upper_ts:
+        raise ValueError(
+            f"empty/reversed time slice: lower_ts={lower_ts} must be < "
+            f"upper_ts={upper_ts}"
+        )
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
     df = (
         spark.read.format("jdbc")
         .option("url", url)

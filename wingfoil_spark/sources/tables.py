@@ -61,6 +61,36 @@ def ts_us_expr(df: DataFrame, col: str = "ts"):
     return F.expr(f"{col} div 1000")
 
 
+#: KDB epoch is 2000-01-01, Unix epoch is 1970-01-01 — the reference's
+#: built-in conversion constant (runtime/time.rs:62-64).
+KDB_EPOCH_OFFSET_NANOS = 946_684_800_000_000_000
+
+_LONG_MAX = (1 << 63) - 1
+
+
+def from_kdb_timestamp(col):
+    """Engine nanos from a KDB timestamp column (nanoseconds since
+    2000-01-01) — ``NanoTime::from_kdb_timestamp`` (runtime/time.rs:76-78).
+    The MAX sentinel maps through unchanged in both directions (our
+    ``RawTime`` is int64, so the reference's u64::MAX ↔ i64::MAX saturation
+    collapses to one sentinel; without the guard ANSI mode would abort on
+    the overflowing add)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == _LONG_MAX, F.lit(_LONG_MAX)).otherwise(
+        c + F.lit(KDB_EPOCH_OFFSET_NANOS)
+    )
+
+
+def to_kdb_timestamp(col):
+    """KDB nanos (since 2000-01-01) from an engine-nanos column —
+    ``NanoTime::to_kdb_timestamp`` (runtime/time.rs:80-87): the MAX
+    sentinel is preserved, not offset."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == _LONG_MAX, F.lit(_LONG_MAX)).otherwise(
+        c - F.lit(KDB_EPOCH_OFFSET_NANOS)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
