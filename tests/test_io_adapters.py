@@ -185,3 +185,62 @@ def test_kdb_epoch_conversions(spark):
     assert rows[1_000_000_000].eng == 946_684_801_000_000_000
     assert rows[lm].eng == lm, "MAX sentinel passes through"
     assert all(r.back == r.kdb for r in rows.values()), "round trip exact"
+
+
+def test_lines_roundtrip_transform_and_sink(spark, tmp_path):
+    """lines_adapter.rs:32-60: replay a file through the source, transform
+    each record, write it back through the sink; reading the sink yields
+    exactly the transformed lines in replay order."""
+    src = tmp_path / "in.txt"
+    src.write_text("alpha\nbravo\ncharlie\ndelta\n")
+    s = wio.replay_lines(spark, str(src))
+    shouted = Stream(
+        s.df.withColumn("line", F.upper("line")), s.ts, s.seq, s.keys
+    )
+    out = tmp_path / "out"
+    wio.write_lines(shouted, str(out))
+    back = [r.value for r in spark.read.text(str(out)).collect()]
+    assert back == ["ALPHA", "BRAVO", "CHARLIE", "DELTA"]
+
+
+def test_lines_scheduled_on_the_graph_clock(spark, tmp_path):
+    """lines_adapter.rs:62-98: record i is delivered at base + i*step, in
+    order, one line per instant."""
+    src = tmp_path / "sched.txt"
+    src.write_text("one\ntwo\nthree\n")
+    s = wio.replay_lines(spark, str(src), base_ts=1_000, step_ns=10)
+    got = [(r.ts, r.line) for r in s.df.orderBy("ts").collect()]
+    assert got == [(1_000, "one"), (1_010, "two"), (1_020, "three")]
+
+
+def test_lines_zero_step_is_one_burst(spark, tmp_path):
+    """lines_adapter.rs:100-139: a zero step collapses all records into one
+    same-instant atomic burst; seq keeps the in-burst record order."""
+    src = tmp_path / "burst.txt"
+    src.write_text("a\nb\nc\n")
+    s = wio.replay_lines(spark, str(src), base_ts=5_000, step_ns=0)
+    rows = s.df.orderBy("seq").collect()
+    assert [r.ts for r in rows] == [5_000, 5_000, 5_000], "one instant"
+    assert [r.line for r in rows] == ["a", "b", "c"], "in-burst order kept"
+
+
+def test_lines_append_sink_preserves_existing(spark, tmp_path):
+    """lines_adapter.rs:141-162: an append sink adds to existing content
+    rather than truncating."""
+    src1, src2 = tmp_path / "s1.txt", tmp_path / "s2.txt"
+    src1.write_text("first\nsecond\n")
+    src2.write_text("third\n")
+    out = tmp_path / "outdir"
+    wio.write_lines(wio.replay_lines(spark, str(src1)), str(out))
+    wio.write_lines(wio.replay_lines(spark, str(src2)), str(out), mode="append")
+    back = sorted(r.value for r in spark.read.text(str(out)).collect())
+    assert back == ["first", "second", "third"]
+
+
+def test_lines_missing_source_is_an_error(spark, tmp_path):
+    """lines_adapter.rs:164-179: opening a missing source file surfaces an
+    error at wiring time (with context), rather than at first action."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="cannot open source file"):
+        wio.replay_lines(spark, str(tmp_path / "nope.txt"))

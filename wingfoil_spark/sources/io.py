@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wingfoil_spark.stream import Stream
@@ -123,12 +123,23 @@ def replay_lines(
     path: str,
     ts_expr: Column | None = None,
     streaming: bool = False,
+    base_ts: int | None = None,
+    step_ns: int | None = None,
 ) -> Stream:
     """Replay a text file line-by-line. Reference: ``replay_lines`` /
     ``tail_lines`` (adapters/lines.rs:102,196) — ``streaming=True`` is the
     tail. Each line gets a ``seq`` (input order via a monotonic id in
-    batch); ``ts`` defaults to seq (schedule-on-index, the reference's
-    ``replay_lines_scheduled`` default) or any expression over ``value``."""
+    batch); ``ts`` defaults to seq (schedule-on-index) or any expression
+    over ``value``.
+
+    ``base_ts``/``step_ns`` are ``replay_lines_scheduled``: record *i* is
+    delivered on the graph clock at ``base + i·step``
+    (tests/lines_adapter.rs:62-98), and a ZERO step collapses every record
+    into one same-instant atomic burst — the historical burst model, never
+    split, never coalesced (lines_adapter.rs:100-139). The ``seq`` column
+    keeps in-burst order exactly as the reference keeps in-burst record
+    order. A missing source file errors at wiring time with context
+    (lines_adapter.rs:164-179), not at first action."""
     if streaming:
         # tail: arrival-stamped (realtime sources are arrival-ordered in the
         # reference too); monotonic ids aren't defined on unbounded input
@@ -136,9 +147,46 @@ def replay_lines(
         ts = ts_expr if ts_expr is not None else (F.unix_micros(F.current_timestamp()) * 1000)
         df = df.withColumn("ts", ts)
         return Stream(df.select("ts", F.col("value").alias("line")), ts="ts")
-    df = spark.read.text(path).withColumn("seq", F.monotonically_increasing_id())
-    df = df.withColumn("ts", ts_expr if ts_expr is not None else F.col("seq"))
+    try:
+        df = spark.read.text(path)
+    except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+        raise FileNotFoundError(
+            f"replay_lines: cannot open source file {path!r}: {e}"
+        ) from e
+    # input order: text files split per line-block; zipWithIndex semantics
+    # via monotonic id are per-partition-ordered, which is file order for
+    # a single text file (the reference's shape — one local file)
+    df = df.withColumn("seq", F.monotonically_increasing_id())
+    if base_ts is not None or step_ns is not None:
+        if ts_expr is not None:
+            raise ValueError("pass either ts_expr or base_ts/step_ns, not both")
+        base = int(base_ts or 0)
+        step = int(step_ns or 0)
+        # bounded local-file replay: one ordered pass is the right plan
+        order = F.row_number().over(Window.orderBy("seq")) - 1
+        ts_col = (F.lit(base) + order * F.lit(step)).cast("long")
+        df = df.withColumn("ts", ts_col)
+    else:
+        df = df.withColumn("ts", ts_expr if ts_expr is not None else F.col("seq"))
     return Stream(df.select("ts", "seq", F.col("value").alias("line")), ts="ts", seq="seq")
+
+
+def write_lines(s: Stream, path: str, col: str = "line", mode: str = "overwrite") -> None:
+    """Ordered text sink — ``write_lines`` (adapters/lines.rs:236): the
+    sink writes records in replay order, and reading the file back yields
+    exactly the replayed lines (the roundtrip contract,
+    tests/lines_adapter.rs:32-60). ``mode="append"`` adds to existing
+    content rather than truncating (lines_adapter.rs:141-162).
+
+    Scale note: order is materialized by a sort before a single-partition
+    text write — the bounded-sink shape the reference has (one local file).
+    For cluster-scale text output drop the ordering contract and write
+    partitioned (``s.df.write.text``)."""
+    order = [s.ts] + ([s.seq] if s.seq else [])
+    df = s.df.orderBy(*[F.col(c).asc() for c in order]).select(
+        F.col(col).cast("string").alias("value")
+    )
+    df.coalesce(1).write.mode(mode).text(path)
 
 
 def parquet_write(s: Stream, path: str, partition_by: Sequence[str] = (),
