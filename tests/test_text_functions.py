@@ -245,3 +245,105 @@ def test_null_text_contracts(spark):
     assert len(nullrows) == 1
     assert nullrows.iloc[0]["chunk_text"] == ""
     assert nullrows.iloc[0]["n_chunk_tokens"] == 0
+
+
+# ---------------------------------------------------- decontamination tier
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A corpus doc embedding a verbatim benchmark sentence (>= n shared
+    tokens) is flagged; clean docs report zero hits."""
+    from wingfoil_spark.functions.dedup import decontaminate
+
+    bench_sent = "the quick brown fox jumps over the lazy dog every single day"
+    corpus = _corpus(spark, [
+        (1, "prefix words then " + bench_sent + " and a suffix"),
+        (2, "an entirely different document about spark plans"),
+        (3, bench_sent),  # verbatim copy
+    ])
+    bench = _corpus(spark, [(100, bench_sent)])
+    flagged = {r.doc_id: r for r in decontaminate(corpus, bench, n=12).collect()}
+    assert set(flagged) == {1, 3}, "default emission: flagged docs only"
+    assert flagged[1].n_hits >= 1 and flagged[1].contaminated
+    out = {r.doc_id: r for r in
+           decontaminate(corpus, bench, n=12, report_clean=True).collect()}
+    assert len(out) == 3, "report_clean: every corpus doc reported"
+    assert not out[2].contaminated and out[2].n_hits == 0
+
+
+def test_decontaminate_boundary_below_n_is_clean(spark):
+    """Sharing n-1 consecutive tokens is NOT contamination (the n-gram
+    window never matches); docs shorter than n tokens are trivially
+    clean."""
+    from wingfoil_spark.functions.dedup import decontaminate
+
+    bench = _corpus(spark, [(0, "a b c d e f g h i j k l m")])  # 13 tokens
+    corpus = _corpus(spark, [
+        (1, "a b c d e f g h i j k l"),   # only 12 of the 13 → clean
+        (2, "short doc"),                  # < n tokens → clean
+        (3, "x a b c d e f g h i j k l m y"),  # full 13-gram inside → hit
+    ])
+    out = {r.doc_id: r.contaminated for r in
+           decontaminate(corpus, bench, n=13, report_clean=True).collect()}
+    assert out == {1: False, 2: False, 3: True}
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    """min_hits raises the evidence bar: one shared n-gram stops flagging
+    when two distinct shared n-grams are required."""
+    from wingfoil_spark.functions.dedup import decontaminate
+
+    bench = _corpus(spark, [(0, "one two three four"), (1, "five six seven eight")])
+    corpus = _corpus(spark, [
+        (1, "xx one two three four yy"),                       # 1 shared 4-gram
+        (2, "one two three four and five six seven eight"),    # 2 shared
+    ])
+    res1 = {r.doc_id for r in decontaminate(corpus, bench, n=4, min_hits=1).collect()}
+    res2 = {r.doc_id for r in decontaminate(corpus, bench, n=4, min_hits=2).collect()}
+    assert res1 == {1, 2}
+    assert res2 == {2}
+
+
+def test_decontaminate_plan_never_shuffles_corpus_scan(spark):
+    """Scale gate: the benchmark side broadcasts (eval sets are tiny); the
+    corpus reaches the join through row-local stages only — no corpus-side
+    Exchange below the broadcast join, and no cartesian product anywhere."""
+    from wingfoil_spark.functions.dedup import decontaminate
+
+    bench = _corpus(spark, [(0, "a b c d")])
+    corpus = _corpus(spark, [(i, f"doc {i} a b c d tail") for i in range(50)])
+    plan = decontaminate(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "benchmark grams must broadcast"
+    assert "CartesianProduct" not in plan
+    # default (flagged-only) emission never joins back onto the corpus:
+    # the only exchanges are the broadcast itself and the per-doc
+    # hit-count aggregation over rows that matched
+    assert "SortMergeJoin" not in plan, \
+        "corpus must stream into the broadcast join unshuffled"
+
+
+def test_single_token_doc_survives_shingle_paths(spark):
+    """Regression hardening: sequence(1, 0) DESCENDS in Spark, so the
+    unguarded bigram bound indexed out of bounds for a 1-token doc and
+    ANSI mode aborted the JOB when word_bigrams was evaluated directly
+    (minhash's when()-guard masked it). word_bigrams is now total: [] for
+    short docs, and minhash keeps its lone-token signature policy."""
+    import pyspark.sql.functions as F
+
+    from wingfoil_spark.functions import dedup
+    from wingfoil_spark.functions.text import tokens
+
+    docs = _corpus(spark, [(1, "solo"), (2, "two words here"), (3, "x")])
+    # direct, unguarded evaluation no longer aborts
+    bg = (docs.withColumn("__toks", tokens(F.col("text")))
+              .select("doc_id", dedup.word_bigrams("text").alias("bg")))
+    got = {r.doc_id: r.bg for r in bg.collect()}
+    assert got[1] == [] and got[3] == [], "short docs shingle to []"
+    assert got[2] == ["two words", "words here"]
+    # minhash still signs every doc (lone-token fallback shingle)
+    sigs = dedup.minhash_signatures(docs)
+    assert sigs.count() == 3

@@ -71,11 +71,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def word_bigrams(text_col: str) -> "F.Column":
-    """Word-bigram shingles (array<string>); [] for single-token docs."""
-    t = tokens(F.col(text_col))
+    """Word-bigram shingles (array<string>); [] for single-token docs.
+
+    The short-doc case needs an explicit guard: ``sequence(1, 0)`` in
+    Spark DESCENDS to ``[1, 0]`` (step defaults to -1 for start > stop),
+    so the old ``greatest(size-1, 0)`` bound indexed past the array and
+    ABORTED the job under ANSI mode on any single-token doc — a one-token
+    tweet in a 100 TB corpus would have killed the whole dedup run."""
     return F.expr(
-        "transform(sequence(1, greatest(size({t}) - 1, 0)), "
-        "i -> concat({t}[i-1], ' ', {t}[i]))".format(t="__toks")
+        "if(size({t}) < 2, array(), "
+        "transform(sequence(1, size({t}) - 1), "
+        "i -> concat({t}[i-1], ' ', {t}[i])))".format(t="__toks")
     )
 
 
@@ -281,6 +287,85 @@ def ngram_jaccard(
                 F.size(F.array_intersect("ta", tokset)).cast("double")
                 / F.size(F.array_union("ta", tokset)).cast("double")
             ).alias("jaccard"),
+        )
+    )
+
+
+def word_ngrams_expr(toks_col: str, n: int) -> "F.Column":
+    """Word n-gram strings (space-joined) from a staged token-array column;
+    [] for docs shorter than ``n`` tokens (explicit guard — ``sequence(1,
+    0)`` DESCENDS in Spark, see :func:`word_bigrams`). Pure Catalyst
+    (transform over sequence + slice)."""
+    return F.expr(
+        f"if(size({toks_col}) < {n}, array(), "
+        f"transform(sequence(1, size({toks_col}) - {n - 1}), "
+        f"i -> array_join(slice({toks_col}, i, {n}), ' ')))"
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+    report_clean: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination for training corpora: flag every corpus
+    document sharing at least ``min_hits`` distinct word ``n``-grams with
+    an evaluation set — the published 13-gram overlap recipe used to
+    scrub eval leakage from LLM training data. Default emission is the
+    FLAGGED list only — ``(doc_id, n_hits, contaminated=true)`` — which
+    stays corpus-shuffle-free end to end (drop flagged docs with an
+    anti-join on it). ``report_clean=True`` reports every corpus doc
+    including zero-hit ones; the full report joins hit counts back onto
+    the corpus ids — one id-only shuffle, fine at audit scale, pointless
+    inside a production scrub.
+
+    100 TB shape: the EVAL side is tiny (benchmarks are thousands of docs
+    against a corpus of billions), so its distinct n-gram hash set
+    broadcasts; the corpus side is a row-local explode of per-doc distinct
+    n-gram hashes streamed through the broadcast hash join — the corpus is
+    NEVER shuffled, and the per-doc hit count aggregates only the rows
+    that actually matched (≈0 for a clean corpus). Docs shorter than ``n``
+    tokens have no n-grams and are trivially clean. Hashing uses the same
+    60-bit md5 units as the MinHash tier, so an exact DuckDB twin exists."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    gram_h = F.explode(
+        F.array_distinct(
+            F.transform(word_ngrams_expr("__toks", n), lambda g: _md5_int(g))
+        )
+    )
+    # n-grams are over the raw token SEQUENCE (array_distinct applies to
+    # the resulting grams, never the tokens) on BOTH sides:
+    bench_units = (
+        benchmark.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(gram_h.alias("gh"))
+        .distinct()
+    )
+    corpus_units = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(id_col, gram_h.alias("gh"))
+    )
+    hits = (
+        corpus_units.join(F.broadcast(bench_units), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    if not report_clean:
+        return hits.where(F.col("n_hits") >= min_hits).select(
+            id_col, "n_hits", F.lit(True).alias("contaminated")
+        )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
 
