@@ -125,6 +125,8 @@ CURATION_RATES = {"src0": 1.0, "src3": 0.5, "src7": 0.25}
 CURATION_STRAT_N = 10
 CURATION_BUDGET = 20000
 CURATION_CHUNK = (64, 8)  # (size, overlap): stride 56
+CURATION_DECON_N = 4  # graded n-gram size (production default is 13; the
+#                       synthetic corpus is tiny, 4 exercises cross-doc hits)
 
 
 def q_curation(spark, sf_dir):
@@ -158,7 +160,19 @@ def q_curation(spark, sf_dir):
                     F.md5("chunk_text")).alias("grp"),
         F.col("n_chunk_tokens").alias("v"),
     )
-    return strat.unionByName(mix).unionByName(shard).unionByName(chunk)
+    # decontamination: docs sharing any word 4-gram with the "eval set"
+    # (doc_id % 97 — a held-out slice of the same corpus, so benchmark
+    # docs self-flag and near-dup docs cross-flag). Flagged-only emission:
+    # the corpus side never shuffles (functions/dedup.py decontaminate).
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    decon = dd.decontaminate(docs, bench, n=CURATION_DECON_N).select(
+        F.lit("decon").alias("part"), "doc_id", F.lit("eval").alias("grp"),
+        F.col("n_hits").cast("long").alias("v"),
+    )
+    return (
+        strat.unionByName(mix).unionByName(shard).unionByName(chunk)
+        .unionByName(decon)
+    )
 
 
 def q_difference(spark, sf_dir):
@@ -1132,7 +1146,25 @@ FROM (
     unnest(range(0, greatest(1, (len({TOKS_SQL}) - {CURATION_CHUNK[1]}
       + {CURATION_CHUNK[0] - CURATION_CHUNK[1] - 1}) // {CURATION_CHUNK[0] - CURATION_CHUNK[1]}))) AS cid
   FROM documents
-)"""
+)
+UNION ALL
+SELECT 'decon' AS part, cg.doc_id, 'eval' AS grp, CAST(count(*) AS BIGINT) AS v
+FROM (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(toks[i:i+{CURATION_DECON_N - 1}], ' ')), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, toks,
+          unnest(range(1, greatest(len(toks) - {CURATION_DECON_N - 1}, 0) + 1)) AS i
+        FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL))
+) cg
+JOIN (
+  SELECT DISTINCT gh FROM (
+    SELECT ('0x' || substr(md5(array_to_string(toks[i:i+{CURATION_DECON_N - 1}], ' ')), 1, 15))::BIGINT AS gh
+    FROM (SELECT toks, unnest(range(1, greatest(len(toks) - {CURATION_DECON_N - 1}, 0) + 1)) AS i
+          FROM (SELECT {TOKS_SQL} AS toks FROM documents
+                WHERE doc_id % 97 = 0 AND text IS NOT NULL))
+  )
+) bg USING (gh)
+GROUP BY cg.doc_id"""
     o["difference"] = (
         f"WITH ev AS ({EV_SQL}), d AS ("
         "SELECT event_id, ts_us, user_id, "
