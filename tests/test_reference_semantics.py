@@ -278,3 +278,55 @@ def test_drop_small_change_zero_tol_degenerates_to_distinct(spark):
            s.distinct_until_changed("value").df.orderBy("ts").collect()]
     assert dsc == [0.0, 1.0, 2.0, 3.0]
     assert dsc == dis
+
+
+def _snap_rows(spark, trigger_period, n_trig, end_ts):
+    """catalog_flow.rs:57-74 harness: source=ticker(100).count, plain
+    delay(500) vs delay_with_reset(500, trigger), all three joined and
+    accumulated. Batch replays every scheduled event, so the reference's
+    RunFor window is applied as a ts cutoff (pops past the run end exist
+    here but the reference's runner never cycled them)."""
+    from wingfoil_spark.sources import tables
+
+    cnt = tables.ticker(spark, 100, 22).count()
+    a = Stream(cnt.df.select("ts", "seq", F.col("n").alias("a")), ts="ts", seq="seq")
+    b = Stream(cnt.df.select("ts", "seq", F.col("n").alias("b")),
+               ts="ts", seq="seq").delay(500)
+    trig = tables.ticker(spark, trigger_period, n_trig)
+    c = Stream(cnt.df.select("ts", "seq", F.col("n").alias("c")),
+               ts="ts", seq="seq").delay_with_reset(500, trig, value_cols=["c"])
+    j = a.join3(b, c)
+    return [(r.a, r.b, r.c) for r in j.collect_ordered() if r.ts <= end_ts]
+
+
+def test_delay_with_reset_snaps_on_trigger(spark):
+    """catalog_flow.rs:76-104 (legacy delay_with_reset_snaps_on_trigger),
+    value-by-value: the 1000ns trigger snaps the delayed output back to
+    the live value (rows 11→16 hold the snapped 11 while plain delay walks
+    6..11), pending pops resume after the snap (row 17: 12), and the first
+    upstream value seeds both delayed slots before any pop (rows 1-6 read
+    b=c=1 — ops.rs:3144-3149 Tick::Silent)."""
+    got = _snap_rows(spark, 1000, 3, end_ts=2100)
+    assert got == [
+        (1, 1, 1), (2, 1, 1), (3, 1, 1), (4, 1, 1), (5, 1, 1), (6, 1, 1),
+        (7, 2, 2), (8, 3, 3), (9, 4, 4), (10, 5, 5),
+        (11, 6, 11), (12, 7, 11), (13, 8, 11), (14, 9, 11), (15, 10, 11),
+        (16, 11, 11), (17, 12, 12), (18, 13, 13), (19, 14, 14), (20, 15, 15),
+        (21, 16, 21), (22, 17, 21),
+    ]
+
+
+def test_delay_with_reset_snaps_on_trigger_2(spark):
+    """catalog_flow.rs:106-140: the 750ns cadence, where the trigger fires
+    BETWEEN source ticks — the snap emits its own instant (a=8 appears
+    twice: the pop row at 700, then the snap row at 750) and a trigger
+    landing ON a source tick (1500) folds into that instant's single
+    emission."""
+    got = _snap_rows(spark, 750, 3, end_ts=2100)
+    assert got == [
+        (1, 1, 1), (2, 1, 1), (3, 1, 1), (4, 1, 1), (5, 1, 1), (6, 1, 1),
+        (7, 2, 2), (8, 3, 3), (8, 3, 8), (9, 4, 8), (10, 5, 8), (11, 6, 8),
+        (12, 7, 8), (13, 8, 8), (14, 9, 9), (15, 10, 10),
+        (16, 11, 16), (17, 12, 16), (18, 13, 16), (19, 14, 16), (20, 15, 16),
+        (21, 16, 16), (22, 17, 17),
+    ]
