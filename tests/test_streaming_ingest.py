@@ -341,3 +341,50 @@ def test_lsh_pairs_stream_verify_matches_batch_jaccard(spark, docs):
         g = got.sort_values(["a", "b"]).reset_index(drop=True)
         b = batch.sort_values(["a", "b"]).reset_index(drop=True)
         assert g["jaccard"].tolist() == b["jaccard"].tolist()
+
+
+def test_decontaminate_stream_equals_batch(spark, docs):
+    """Streaming decontamination == the batch scrub's flagged set
+    (min_hits=1) over the same rows: arriving docs vs the persisted
+    benchmark gram index, across micro-batch boundaries."""
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    batch_flagged = {
+        r.doc_id
+        for r in dd.decontaminate(docs, bench, n=4).collect()
+    }
+    assert batch_flagged, "fixture must exercise real hits"
+
+    index = ingest.build_decon_index(bench, n=4)
+    pdf = docs.toPandas().sort_values("doc_id")
+    stream, src_dir = _stream_chunks(spark, pdf)
+    try:
+        flagged = _run_to_memory(
+            ingest.decontaminate_stream(stream, index, n=4),
+            "ingest_decon",
+        )
+        got = {r.doc_id for r in flagged.collect()}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert got == batch_flagged
+
+
+def test_decontaminate_stream_null_text_is_clean(spark):
+    """Dirty-data contract: null text carries no grams → never flagged,
+    never fatal (the battery's null-propagation policy applied to the
+    scrub)."""
+    bench = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    index = ingest.build_decon_index(bench, n=4)
+    pdf = spark.createDataFrame(
+        [(1, None), (2, "x a b c d y")], "doc_id long, text string"
+    ).toPandas()
+    stream, src_dir = _stream_chunks(spark, pdf, n_chunks=1,
+                                     schema="doc_id long, text string")
+    try:
+        flagged = _run_to_memory(
+            ingest.decontaminate_stream(stream, index, n=4),
+            "ingest_decon_null",
+        )
+        got = {r.doc_id for r in flagged.collect()}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert got == {2}

@@ -43,10 +43,13 @@ from pyspark.sql import DataFrame, functions as F
 from wingfoil_spark.functions.dedup import (
     LSH_BANDS,
     MINHASH_K,
+    _md5_int,
     band_explode,
     minhash_sig_array,
     ngram_jaccard,
+    word_ngrams_expr,
 )
+from wingfoil_spark.functions.text import tokens
 from wingfoil_spark.functions.text import fingerprint
 from wingfoil_spark.functions.similarity import hyperplane_signature, with_norm
 
@@ -132,6 +135,71 @@ def lsh_pairs_stream(
     if not verify:
         return pairs
     return ngram_jaccard(corpus, pairs, text_col, id_col)
+
+
+def build_decon_index(
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """The eval-set n-gram hash index for streaming decontamination: one
+    distinct 60-bit md5 gram hash per row (column ``gh``). Benchmarks are
+    tiny against a crawl, so the persisted index broadcasts per
+    micro-batch. Same gram/hash math as the batch scrub
+    (`dedup.decontaminate`) — shared expressions, so stream == batch is a
+    structural fact, then differentially tested anyway."""
+    gram_h = F.explode(
+        F.array_distinct(
+            F.transform(word_ngrams_expr("__toks", n), lambda g: _md5_int(g))
+        )
+    )
+    return (
+        benchmark.where(F.col(text_col).isNotNull())
+        .select(tokens(F.col(text_col)).alias("__toks"))
+        .select(gram_h.alias("gh"))
+        .distinct()
+    )
+
+
+def decontaminate_stream(
+    new_docs: DataFrame,
+    index: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag ARRIVING docs that share any word ``n``-gram with the indexed
+    eval set — the streaming half of `dedup.decontaminate`'s flagged-only
+    emission (min_hits=1; graded hit-count audits are a batch/foreachBatch
+    concern — a cross-batch per-doc count would be unbounded keyed state
+    for a number the flag already decides).
+
+    ``new_docs`` may be a streaming frame; ``index`` is the static
+    persisted benchmark gram set. Plan per micro-batch: row-local token →
+    gram → hash explode, LEFT SEMI join against the (broadcast) index —
+    a doc row survives iff some gram matched — then `dropDuplicates` on
+    the doc id to collapse multi-gram hits (on a stream: exact-keyed
+    state bounded by the ARRIVING doc keys, the same contract as
+    :func:`lsh_pairs_stream`). Output: one ``(doc_id, contaminated=true)``
+    row per flagged arriving doc."""
+    grams = (
+        new_docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_ngrams_expr("__toks", n), lambda g: _md5_int(g))
+                )
+            ).alias("gh"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(index), "gh", "left_semi")
+        .select(id_col)
+        .dropDuplicates([id_col])
+        .withColumn("contaminated", F.lit(True))
+    )
 
 
 def build_ann_index(
