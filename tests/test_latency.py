@@ -64,3 +64,81 @@ def test_progress_listener_collects(spark, tmp_path):
         assert summ["total_input_rows"] >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+# --------------------------------------------------------- prometheus tier
+
+
+def test_prometheus_exposition_format():
+    """prometheus_adapter.rs:55-77 + adapters/prometheus.rs:224: the body
+    is '# TYPE name gauge' + the stringified value per metric (integral
+    values carry no decimal point — 'test_counter 5'), name-sorted; and
+    prometheus_adapter.rs:121+ — multiple metrics all appear."""
+    from wingfoil_spark.streaming.metrics import render_exposition
+
+    body = render_exposition({"test_counter": 5.0, "doubled": 10.0})
+    assert "# TYPE test_counter gauge\ntest_counter 5\n" in body
+    assert "# TYPE doubled gauge\ndoubled 10\n" in body
+    assert body.index("doubled") < body.index("test_counter"), "name-sorted"
+    assert render_exposition({"ratio": 2.5}) == "# TYPE ratio gauge\nratio 2.5\n"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="invalid prometheus metric name"):
+        render_exposition({"bad-name": 1.0})
+
+
+def test_prometheus_historical_mode_is_silent(spark, tmp_path):
+    """prometheus_adapter.rs:82-102: under historical replay the sink is a
+    no-op — a batch frame exports nothing, the textfile is never
+    written."""
+    from wingfoil_spark.sources.tables import ticker
+    from wingfoil_spark.streaming.metrics import prometheus_textfile_sink
+
+    s = ticker(spark, 100, 5).count()
+    out = tmp_path / "metrics.prom"
+    q = prometheus_textfile_sink(s, str(out), name_col="n", value_col="n")
+    assert q is None and not out.exists()
+
+
+def test_prometheus_textfile_sink_streams_gauges(spark, tmp_path):
+    """Realtime parity of serves_registered_metric: the stream's LAST
+    value per metric lands in the textfile with its TYPE header; metrics
+    absent from a later micro-batch keep their previous sample (the
+    exporter's slot semantics); the write is atomic (no .tmp leftover)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+
+    from wingfoil_spark.stream import Stream
+    from wingfoil_spark.streaming.metrics import prometheus_textfile_sink
+
+    src_dir = tempfile.mkdtemp(prefix="wf_prom_src_")
+    out = tmp_path / "metrics.prom"
+    try:
+        # batch 1: both metrics; batch 2: only test_counter advances
+        pd.DataFrame({"ts": [1, 2, 3], "metric": ["test_counter", "doubled", "test_counter"],
+                      "value": [3.0, 8.0, 4.0]}).to_parquet(f"{src_dir}/b0.parquet", index=False)
+        os.utime(f"{src_dir}/b0.parquet", (time.time(), time.time()))
+        pd.DataFrame({"ts": [4], "metric": ["test_counter"], "value": [5.0]}
+                     ).to_parquet(f"{src_dir}/b1.parquet", index=False)
+        os.utime(f"{src_dir}/b1.parquet", (time.time() + 1, time.time() + 1))
+
+        stream = (
+            spark.readStream.schema("ts long, metric string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = prometheus_textfile_sink(Stream(stream, ts="ts"), str(out))
+        q.awaitTermination(120)
+        body = out.read_text()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    assert "# TYPE test_counter gauge\ntest_counter 5\n" in body, body
+    assert "# TYPE doubled gauge\ndoubled 8\n" in body, \
+        "metric absent from batch 2 keeps its slot"
+    assert not [p for p in tmp_path.iterdir() if p.suffix == ".tmp"]

@@ -77,3 +77,101 @@ def attach(spark: SparkSession) -> ProgressListener:
     listener = ProgressListener()
     spark.streams.addListener(listener)
     return listener
+
+
+# ---------------------------------------------------------- prometheus tier
+
+#: Prometheus metric-name grammar (the exposition format's contract).
+_METRIC_NAME = __import__("re").compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
+
+
+def _fmt_value(v) -> str:
+    """Stringify a sample the way the reference's exporter does
+    (prometheus.rs:224 `format!("{value}")`): integral values carry no
+    decimal point (`test_counter 5`), floats print their shortest repr."""
+    f = float(v)
+    return str(int(f)) if f == int(f) and abs(f) < 1e15 else repr(f)
+
+
+def render_exposition(gauges: dict) -> str:
+    """Prometheus text exposition body: `# TYPE {name} gauge\\n{name}
+    {value}\\n` per metric (adapters/prometheus.rs:218-226), name-sorted
+    for a deterministic scrape. Invalid metric names are a loud error at
+    render (the registration-time guard below catches them earlier on the
+    sink path)."""
+    out = []
+    for name in sorted(gauges):
+        if not _METRIC_NAME.match(name):
+            raise ValueError(f"invalid prometheus metric name {name!r}")
+        out.append(f"# TYPE {name} gauge\n{name} {_fmt_value(gauges[name])}\n")
+    return "".join(out)
+
+
+def prometheus_textfile_sink(s, path: str, name_col: str = "metric",
+                             value_col: str = "value",
+                             checkpoint: str | None = None,
+                             trigger: dict | None = None):
+    """Export stream values as Prometheus gauges through the node-exporter
+    TEXTFILE-COLLECTOR pattern — the Spark home for the reference's
+    `prometheus_gauge` sink (adapters/prometheus.rs:247-268; the live
+    `GET /metrics` HTTP tier is a protocol-gateway non-goal, COVERAGE
+    §2.8 — node-exporter scrapes the textfile instead).
+
+    Contracts mapped from the reference:
+
+    - gauge semantics: the LAST value per metric name wins
+      (the exporter's slot; here: max-by event order per name per batch,
+      carried across batches in the driver-side registry — metrics absent
+      from a micro-batch keep their previous sample, exactly as an
+      unticked stream keeps its slot);
+    - `# TYPE name gauge` header + stringified value
+      (tests/prometheus_adapter.rs:55-77);
+    - HISTORICAL runs export nothing: on a batch frame this sink is a
+      NO-OP (tests/prometheus_adapter.rs:82-102 — metrics are realtime
+      observability, a replay must not overwrite live gauges);
+    - names validated against the metric grammar at WIRING;
+    - the `.prom` file is written atomically (tmp + rename — the textfile
+      collector's torn-read guard, same discipline as sources/cache.py).
+
+    Returns the StreamingQuery (None on the batch no-op)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    registry: dict = {}
+    # deterministic "last": max by the stream's event order, never the
+    # partition-order-dependent last() aggregate
+    ordk = F.struct(
+        F.col(s.ts).alias("t"),
+        (F.col(s.seq) if s.seq else F.lit(0)).alias("q"),
+    )
+
+    def write_batch(df, _bid):
+        rows = (
+            df.groupBy(name_col)
+            .agg(F.max_by(F.col(value_col), ordk).alias("__v"))
+            .collect()
+        )
+        for r in rows:
+            name = r[0]
+            if name is None:
+                continue
+            if not _METRIC_NAME.match(name):
+                raise ValueError(f"invalid prometheus metric name {name!r}")
+            registry[name] = r["__v"]
+        body = render_exposition(registry)
+        d = os.path.dirname(os.path.abspath(path)) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(body)
+        os.replace(tmp, path)  # atomic: a scrape never sees a torn file
+
+    if not s.df.isStreaming:
+        return None  # historical replay exports nothing (reference parity)
+    w = s.df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    w = w.trigger(**(trigger or {"availableNow": True}))
+    return w.start()
