@@ -142,3 +142,71 @@ def test_prometheus_textfile_sink_streams_gauges(spark, tmp_path):
     assert "# TYPE doubled gauge\ndoubled 8\n" in body, \
         "metric absent from batch 2 keeps its slot"
     assert not [p for p in tmp_path.iterdir() if p.suffix == ".tmp"]
+
+
+# --------------------------------------------------------------- otlp tier
+
+
+def test_otlp_request_shape_and_arms():
+    """The OTLP/HTTP JSON ExportMetricsServiceRequest shape: service.name
+    resource attribute (adapters/otlp.rs:126-133), nanos as strings per
+    the spec, integral samples in asInt and fractional in asDouble."""
+    from wingfoil_spark.streaming.metrics import otlp_metrics_request
+
+    body = otlp_metrics_request({"counter": 5.0, "ratio": 2.5}, "svc", 123)
+    rm = body["resourceMetrics"][0]
+    assert rm["resource"]["attributes"] == [
+        {"key": "service.name", "value": {"stringValue": "svc"}}
+    ]
+    metrics = {m["name"]: m for m in rm["scopeMetrics"][0]["metrics"]}
+    c = metrics["counter"]["gauge"]["dataPoints"][0]
+    assert c == {"timeUnixNano": "123", "asInt": "5"}
+    r = metrics["ratio"]["gauge"]["dataPoints"][0]
+    assert r == {"timeUnixNano": "123", "asDouble": 2.5}
+
+
+def test_otlp_historical_noop_and_graceful_failure(spark, tmp_path):
+    """tests/otlp_adapter.rs:33-70: a historical (batch) run drains
+    without connecting — the transport is never called; and a failing
+    transport is non-fatal — the streaming query completes."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+
+    from wingfoil_spark.sources.tables import ticker
+    from wingfoil_spark.stream import Stream
+    from wingfoil_spark.streaming.metrics import otlp_gauge_sink
+
+    calls = []
+    s = ticker(spark, 100, 5).count()
+    assert otlp_gauge_sink(s, calls.append, name_col="n", value_col="n") is None
+    assert calls == [], "historical mode never hands a value to the exporter"
+
+    src_dir = tempfile.mkdtemp(prefix="wf_otlp_src_")
+    try:
+        pd.DataFrame({"ts": [1], "metric": ["m"], "value": [1.5]}
+                     ).to_parquet(f"{src_dir}/b0.parquet", index=False)
+        os.utime(f"{src_dir}/b0.parquet", (time.time(), time.time()))
+        stream = (
+            spark.readStream.schema("ts long, metric string, value double")
+            .parquet(src_dir)
+        )
+
+        def bad_transport(_body):
+            raise ConnectionError("nothing listening")
+
+        q = otlp_gauge_sink(Stream(stream, ts="ts"), bad_transport)
+        q.awaitTermination(120)  # must complete despite the bad endpoint
+        assert q.exception() is None
+
+        good = []
+        q2 = otlp_gauge_sink(Stream(stream, ts="ts"), good.append)
+        q2.awaitTermination(120)
+        dp = good[-1]["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0]
+        assert dp["name"] == "m"
+        assert dp["gauge"]["dataPoints"][0]["asDouble"] == 1.5
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)

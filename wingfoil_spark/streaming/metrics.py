@@ -175,3 +175,108 @@ def prometheus_textfile_sink(s, path: str, name_col: str = "metric",
         w = w.option("checkpointLocation", checkpoint)
     w = w.trigger(**(trigger or {"availableNow": True}))
     return w.start()
+
+
+# ---------------------------------------------------------------- otlp tier
+
+
+def otlp_metrics_request(gauges: dict, service_name: str,
+                         time_unix_nano: int) -> dict:
+    """OTLP/HTTP **JSON** `ExportMetricsServiceRequest` body for a set of
+    gauge samples — the protobuf-free encoding of the reference's OTLP
+    gauge export (adapters/otlp.rs:126-133: endpoint + `service.name`
+    resource attribute; the OTel SDK machinery is replaced by the public
+    OTLP JSON schema: resourceMetrics → scopeMetrics → metrics →
+    gauge.dataPoints, 64-bit nanos as STRINGS per the spec). Integral
+    samples export `asInt`, others `asDouble` — the two OTLP NumberDataPoint
+    arms."""
+    points = []
+    for name in sorted(gauges):
+        if not _METRIC_NAME.match(name):
+            raise ValueError(f"invalid metric name {name!r}")
+        v = float(gauges[name])
+        dp = {"timeUnixNano": str(int(time_unix_nano))}
+        if v == int(v) and abs(v) < 1e15:
+            dp["asInt"] = str(int(v))
+        else:
+            dp["asDouble"] = v
+        points.append({"name": name, "gauge": {"dataPoints": [dp]}})
+    return {
+        "resourceMetrics": [
+            {
+                "resource": {
+                    "attributes": [
+                        {
+                            "key": "service.name",
+                            "value": {"stringValue": service_name},
+                        }
+                    ]
+                },
+                "scopeMetrics": [
+                    {
+                        "scope": {"name": "wingfoil_spark"},
+                        "metrics": points,
+                    }
+                ],
+            }
+        ]
+    }
+
+
+def otlp_gauge_sink(s, transport, service_name: str = "wingfoil_spark",
+                    name_col: str = "metric", value_col: str = "value",
+                    checkpoint: str | None = None,
+                    trigger: dict | None = None):
+    """Push stream values as OTLP gauges through a caller-supplied
+    ``transport(json_body: dict) -> None`` — POST it to
+    ``<endpoint>/v1/metrics`` in production (the reference's OTLP/HTTP
+    push, adapters/otlp.rs; this sandbox has no network, so the transport
+    is injected rather than baked in).
+
+    Reference contracts mapped (tests/otlp_adapter.rs:33-70):
+
+    - HISTORICAL runs drain without connecting: on a batch frame this
+      sink is a NO-OP — no transport call is ever made;
+    - a failing transport is non-fatal: export errors happen off the hot
+      path and are swallowed per batch (the OTel background-thread
+      discipline), the query keeps running.
+
+    Gauge slots carry across micro-batches exactly as in
+    :func:`prometheus_textfile_sink`. Event time of the LAST row in the
+    batch stamps the export (``timeUnixNano`` — the stream's ts unit is
+    the caller's; pass nanos for spec compliance)."""
+    from pyspark.sql import functions as F
+
+    registry: dict = {}
+    ordk = F.struct(
+        F.col(s.ts).alias("t"),
+        (F.col(s.seq) if s.seq else F.lit(0)).alias("q"),
+    )
+
+    def write_batch(df, _bid):
+        rows = (
+            df.groupBy(name_col)
+            .agg(F.max_by(F.col(value_col), ordk).alias("__v"),
+                 F.max(F.col(s.ts)).alias("__t"))
+            .collect()
+        )
+        t_max = 0
+        for r in rows:
+            if r[0] is None:
+                continue
+            registry[r[0]] = r["__v"]
+            t_max = max(t_max, r["__t"] or 0)
+        if not registry:
+            return
+        body = otlp_metrics_request(registry, service_name, t_max)
+        try:
+            transport(body)
+        except Exception:  # noqa: BLE001 - the reference swallows export
+            pass           # failures on the SDK's background thread
+    if not s.df.isStreaming:
+        return None  # historical replay drains without connecting
+    w = s.df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    w = w.trigger(**(trigger or {"availableNow": True}))
+    return w.start()
