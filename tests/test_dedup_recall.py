@@ -83,3 +83,69 @@ def test_lsh_no_candidate_explosion(corpus):
     pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(docs)).count()
     # unrelated random-word docs should almost never collide in a band
     assert pairs < n * 3, f"{pairs} candidate pairs for {n} docs"
+
+
+# ----------------------------------------------------- components / keep
+
+
+def test_dedup_components_labels_min_of_component(spark):
+    """Min-label propagation: a chain, a clique, and a 2-cycle all label
+    every member with the component's minimum id; disjoint components
+    never merge."""
+    from wingfoil_spark.functions.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (21, 20)],
+        "a long, b long",
+    )
+    got = {r.id: r.component for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_drops_non_representatives(spark):
+    """dedup_keep keeps the min-id representative per component and every
+    unpaired doc — the decision a curation pipeline applies."""
+    from wingfoil_spark.functions.dedup import dedup_keep
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    kept = sorted(r.doc_id for r in dedup_keep(docs, pairs).collect())
+    assert kept == [1, 4, 10, 99], "min ids + unpaired docs survive"
+
+
+def test_dedup_components_end_to_end_on_corpus(spark, sf_dir):
+    """The full pair→component→keep pipeline over the real corpus: every
+    LSH+Jaccard near-dup pair ends with exactly one surviving member per
+    component, and survivors are the component minima."""
+    from wingfoil_spark.functions import dedup as dd
+    from wingfoil_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_sig_array(docs)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    verified = (
+        dd.ngram_jaccard(docs, pairs)
+        .where(F.col("jaccard") >= 0.8)
+        .select("a", "b")
+    )
+    n_pairs = verified.count()
+    assert n_pairs > 0, "fixture must exercise real near-dups"
+
+    comp = dd.dedup_components(verified)
+    # every doc in a verified pair is labeled
+    labeled = {r.id for r in comp.collect()}
+    pair_ids = {
+        r.v
+        for r in verified.selectExpr("explode(array(a, b)) AS v").collect()
+    }
+    assert labeled == pair_ids
+    kept = dd.dedup_keep(docs, verified)
+    # survivors per component == 1 (the minimum)
+    comp_pd = comp.toPandas()
+    mins = set(comp_pd.groupby("component")["id"].min())
+    dropped = set(comp_pd["id"]) - mins
+    assert kept.count() == docs.count() - len(dropped)

@@ -291,6 +291,87 @@ def ngram_jaccard(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair table: every doc reachable
+    through the pair graph gets the MINIMUM id of its component as its
+    label — the step that turns pairwise near-dup evidence (LSH/Jaccard/
+    cosine pairs) into a duplicate-GROUP decision. Output: one
+    ``(id, component)`` row per doc that appears in any pair.
+
+    100 TB shape: min-label propagation to a fixpoint
+    (`plans.iterate.feedback_iterate` — lineage-truncated per pass, the
+    reference's feedback-edge discipline re-expressed as batch iteration):
+    each pass is one join + one aggregation on the PAIR table, never the
+    corpus, and near-dup components have tiny diameters (dup clusters are
+    cliques or near-cliques from LSH banding), so the loop converges in
+    a handful of passes. The convergence check is an aggregate, not a
+    collect."""
+    from wingfoil_spark.plans.iterate import iterate_until_stable
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+
+    def step(lab: DataFrame, _i: int) -> DataFrame:
+        neigh = (
+            edges.join(lab.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("n_min"))
+            .withColumnRenamed("src", "id")
+        )
+        return (
+            lab.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("n_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+
+    return iterate_until_stable(
+        labels, step, key_cols=["id"], value_cols=["component"],
+        max_iters=max_iters,
+    )
+
+
+def dedup_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "a",
+    id_b: str = "b",
+) -> DataFrame:
+    """The dedup DECISION applied: keep one representative per near-dup
+    component (the minimum id — deterministic, matching
+    :func:`exact_dedup`'s keep-min policy) plus every unpaired doc.
+    Returns ``docs`` minus the dropped duplicates — the frame a curation
+    pipeline feeds downstream.
+
+    Scale shape: the component table is bounded by the DOCS-IN-PAIRS count
+    (duplicates only, typically a few percent of the corpus), so the drop
+    list stays small and the final anti-join streams the corpus through
+    unshuffled when AQE broadcasts it."""
+    comp = dedup_components(pairs, id_a, id_b)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 def word_ngrams_expr(toks_col: str, n: int) -> "F.Column":
     """Word n-gram strings (space-joined) from a staged token-array column;
     [] for docs shorter than ``n`` tokens (explicit guard — ``sequence(1,
