@@ -900,13 +900,31 @@ def q_minhash(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """LSH band-bucket candidate pairs + exact n-gram Jaccard verify (the
-    full dedup candidate pipeline: signatures → banding → pair join →
-    verify). The pair set itself is the lsh_candidate_pairs output."""
+    """The full dedup pipeline, graded end to end as a tagged union:
+    LSH band-bucket candidate pairs + exact n-gram Jaccard verify
+    (part='pair'), then the DECISION — connected components over the
+    verified (jaccard >= 0.8) pair graph via min-label propagation to a
+    fixpoint (part='comp': a=id, b=component). The oracle reproduces the
+    closure with a recursive CTE."""
     d = load_table(spark, sf_dir, "documents")
     # array-form signatures: identical band keys, far cheaper to plan
     pairs = dd.lsh_candidate_pairs(dd.minhash_sig_array(d))
-    return dd.ngram_jaccard(d, pairs)
+    jac = dd.ngram_jaccard(d, pairs)
+    verified = jac.where(F.col("jaccard") >= 0.8).select("a", "b")
+    comp = dd.dedup_components(verified)
+    return (
+        jac.select(
+            F.lit("pair").alias("part"), "a", "b", F.col("jaccard").alias("v")
+        )
+        .unionByName(
+            comp.select(
+                F.lit("comp").alias("part"),
+                F.col("id").alias("a"),
+                F.col("component").alias("b"),
+                F.lit(None).cast("double").alias("v"),
+            )
+        )
+    )
 
 
 def q_ann(spark, sf_dir):
@@ -2024,11 +2042,31 @@ pairs AS (
   FROM bands l JOIN bands r ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
 )"""
     o["jaccard_pairs"] = bands_cte + f""",
-tsets AS (SELECT doc_id, list_distinct({TOKS_SQL}) AS tokset FROM documents)
-SELECT a, b,
-  (len(list_intersect(ta.tokset, tb.tokset)))::DOUBLE
-    / (len(list_distinct(list_concat(ta.tokset, tb.tokset))))::DOUBLE AS jaccard
-FROM pairs JOIN tsets ta ON pairs.a = ta.doc_id JOIN tsets tb ON pairs.b = tb.doc_id"""
+tsets AS (SELECT doc_id, list_distinct({TOKS_SQL}) AS tokset FROM documents),
+jacc AS (
+  SELECT a, b,
+    (len(list_intersect(ta.tokset, tb.tokset)))::DOUBLE
+      / (len(list_distinct(list_concat(ta.tokset, tb.tokset))))::DOUBLE AS jaccard
+  FROM pairs JOIN tsets ta ON pairs.a = ta.doc_id JOIN tsets tb ON pairs.b = tb.doc_id
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM jacc WHERE jaccard >= 0.8
+  UNION
+  SELECT b, a FROM jacc WHERE jaccard >= 0.8
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT 'pair' AS part, a, b, jaccard AS v FROM jacc
+UNION ALL
+SELECT 'comp' AS part, id AS a, min(r) AS b, NULL::DOUBLE AS v
+FROM reach GROUP BY id"""
+    # the closure CTE needs the RECURSIVE keyword on the shared WITH list
+    o["jaccard_pairs"] = o["jaccard_pairs"].replace(
+        "WITH d AS", "WITH RECURSIVE d AS", 1
+    )
     # media_doc: metadata facts + the deterministic 16-bin high-nibble byte
     # histogram (the documented codec stand-in). Byte values come from the
     # hex dump's odd positions; counts divide in FLOAT (f32) exactly as the

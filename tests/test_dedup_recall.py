@@ -149,3 +149,23 @@ def test_dedup_components_end_to_end_on_corpus(spark, sf_dir):
     mins = set(comp_pd.groupby("component")["id"].min())
     dropped = set(comp_pd["id"]) - mins
     assert kept.count() == docs.count() - len(dropped)
+
+
+def test_components_strategies_agree(spark):
+    """The packed union-find and the iterative fixpoint produce identical
+    labels (min of component) on the same graph; auto picks packed for a
+    small pair table; unknown strategies error at wiring."""
+    import pytest
+
+    from wingfoil_spark.functions.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 1), (3, 7), (7, 3), (100, 42)], "a long, b long"
+    )
+    expected = {1: 1, 5: 1, 9: 1, 3: 3, 7: 3, 42: 42, 100: 42}
+    for strategy in ("packed", "iterate", "auto"):
+        got = {r.id: r.component
+               for r in dedup_components(pairs, strategy=strategy).collect()}
+        assert got == expected, strategy
+    with pytest.raises(ValueError, match="unknown components strategy"):
+        dedup_components(pairs, strategy="magic")
