@@ -209,3 +209,53 @@ def test_dtw_euclidean_kernel_golden():
     assert analysis._dtw(c, d, "manhattan") == 6.0
     assert math.isclose(analysis._dtw(c, d, "euclidean"), math.sqrt(18.0))
     assert analysis._dtw(a, a, "euclidean") == 0.0
+
+
+# ------------------------------------------------------------------- bocpd
+
+
+def test_bocpd_detects_level_shift(spark):
+    """changepoint_detects_level_shift (augurs_adapter.rs:250-274) with
+    the REAL detector: a series jumping from a low to a high level
+    reports the shift index within its window; the window-start artifact
+    (index 0) never appears."""
+    vals = [2.0 + 0.1 * math.sin(i) for i in range(30)] + [
+        40.0 + 0.1 * math.sin(i) for i in range(30)
+    ]
+    s = single(spark, vals)
+    out = analysis.bocpd_changepoints(s, "v", window_n=60)
+    last = out.orderBy("ts").collect()[-1]
+    assert 30 in last.cp_indices, last
+    assert 0 not in last.cp_indices
+    assert last.n_changepoints >= 1
+
+
+def test_bocpd_quiet_when_steady(spark):
+    """changepoint_quiet_when_steady (augurs_adapter.rs:279-297): a
+    steady series yields no changepoints at any tick."""
+    s = single(spark, [5.0] * 40)
+    out = analysis.bocpd_changepoints(s, "v", window_n=40)
+    rows = out.collect()
+    assert rows, "ticks from min_points on"
+    assert all(r.n_changepoints == 0 and r.cp_indices == [] for r in rows)
+
+
+def test_bocpd_waits_for_min_points_and_floor(spark):
+    """changepoint_waits_for_min_points (augurs_adapter.rs:300-323): no
+    emission until min_points; a window below the floor is grown to it
+    (augurs.rs:782-786) rather than never ticking."""
+    s = single(spark, [float(i) for i in range(10)])
+    assert analysis.bocpd_changepoints(s, "v", min_points=20).count() == 0
+    # window 2 < min_points 8 → grown to 8 → ticks at 8, 9, 10
+    out = analysis.bocpd_changepoints(s, "v", window_n=2, min_points=8)
+    assert sorted(r.ts for r in out.collect()) == [8, 9, 10]
+
+
+def test_bocpd_kernel_two_regime_golden():
+    """Two clean regime changes in one window → exactly their start
+    indices (the MAP run-length restart reader)."""
+    y = np.concatenate(
+        [np.full(20, 0.0), np.full(20, 10.0), np.full(20, -5.0)]
+    )
+    assert analysis._bocpd_scan(y, 250.0) == [20, 40]
+    assert analysis._bocpd_scan(np.array([]), 250.0) == []
