@@ -259,3 +259,46 @@ def test_bocpd_kernel_two_regime_golden():
     )
     assert analysis._bocpd_scan(y, 250.0) == [20, 40]
     assert analysis._bocpd_scan(np.array([]), 250.0) == []
+
+
+# ------------------------------------------------------- seasonal forecast
+
+
+def test_mstl_forecast_captures_season(spark):
+    """forecast_mstl_captures_season (augurs_adapter.rs:75-99): a
+    period-12 sine riding a gentle ramp forecasts a horizon-12 vector
+    that SWINGS by a meaningful fraction of the 10.0 peak-to-peak
+    amplitude, rather than flat-lining."""
+    vals = [0.1 * t + 5.0 * math.sin(t * 2 * math.pi / 12.0)
+            for t in range(1, 81)]
+    s = single(spark, vals)
+    out = analysis.seasonal_forecast(s, "v", window_n=120, horizon=12,
+                                     periods=[12])
+    last = out.orderBy("ts").collect()[-1]
+    assert len(last.forecast) == 12, "horizon == 12 point forecasts"
+    swing = max(last.forecast) - min(last.forecast)
+    assert swing > 2.0, f"expected a seasonal swing, got {swing:.3f}"
+    # and the ramp is still rising: the mean forecast exceeds the window
+    # mean (the forecast_ramp_predicts_ahead direction check)
+    assert sum(last.forecast) / 12 > sum(vals) / len(vals)
+
+
+def test_mstl_rejects_invalid_period(spark):
+    """forecast_mstl_rejects_invalid_period (augurs_adapter.rs:122-136):
+    a period below 2 is rejected with a clear error at wiring."""
+    s = single(spark, [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError, match="period must be >= 2"):
+        analysis.seasonal_forecast(s, "v", 10, 2, periods=[1])
+
+
+def test_mstl_window_below_floor_still_emits(spark):
+    """forecast_window_below_floor_still_emits (augurs_adapter.rs:102-119):
+    a short window still warms up and emits (horizon-length vector), gated
+    only by min_points."""
+    vals = [float(i) + math.sin(i * 0.5) for i in range(1, 31)]
+    s = single(spark, vals)
+    out = analysis.seasonal_forecast(s, "v", window_n=10, horizon=2,
+                                     periods=[4])
+    rows = out.orderBy("ts").collect()
+    assert rows and all(len(r.forecast) == 2 for r in rows)
+    assert rows[0].ts == 8, "min_points gate"

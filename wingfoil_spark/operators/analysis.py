@@ -364,6 +364,91 @@ def linear_forecast(
     return Stream(df.drop("__x"), res.ts, res.seq, res.keys)
 
 
+def seasonal_forecast(
+    s: Stream,
+    col: str,
+    window_n: int,
+    horizon: int,
+    periods: list[int],
+    min_points: int = 8,
+) -> "F.DataFrame":
+    """Seasonal-trend forecast — the deterministic core of the reference's
+    MSTL mode (``AugursForecastConfig::mstl``, augurs.rs:441-459): per
+    tick, decompose the trailing window into an OLS trend plus one
+    centered seasonal component per period (classical decomposition,
+    extracted iteratively from the residual largest-period-last — the
+    MSTL recursion's shape without the LOESS smoother, which isn't in
+    this environment), then forecast ``horizon`` points ahead as
+    trend + seasonal phase. A seasonal forecast SWINGS with its period
+    instead of flat-lining — the ``forecast_mstl_captures_season``
+    contract (tests/augurs_adapter.rs:75-99).
+
+    Knob validation mirrors ``forecast_mstl_rejects_invalid_period``
+    (augurs_adapter.rs:122-136): any period < 2 is a clear error at
+    WIRING. There is no model floor — a short window still emits
+    (``forecast_window_below_floor_still_emits``), gated only by
+    ``min_points``. Emits one row per tick: ``forecast`` as an
+    array<double> of length ``horizon`` (the reference's point vector)."""
+    for p in periods:
+        if p < 2:
+            raise ValueError(f"mstl period must be >= 2, got {p}")
+    keys, ts_col, seq = s.keys, s.ts, s.seq
+    order = [ts_col] + ([seq] if seq else [])
+    key_fields = [s.df.schema[k] for k in keys]
+    ts_field = s.df.schema[ts_col]
+    schema = T.StructType(
+        list(key_fields)
+        + [ts_field, T.StructField("forecast", T.ArrayType(T.DoubleType()))]
+    )
+    vcol, wl, hz, mp = col, window_n, horizon, min_points
+    pers = sorted(set(int(p) for p in periods))
+
+    def fit_forecast(w: np.ndarray) -> list[float]:
+        n = len(w)
+        t = np.arange(n, dtype=np.float64)
+        # OLS trend
+        tm, wm = t.mean(), w.mean()
+        sxx = ((t - tm) ** 2).sum()
+        slope = ((t - tm) * (w - wm)).sum() / sxx if sxx > 0 else 0.0
+        icept = wm - slope * tm
+        resid = w - (icept + slope * t)
+        seasonals = {}
+        for p in pers:
+            phase = np.arange(n) % p
+            means = np.array([
+                resid[phase == ph].mean() if (phase == ph).any() else 0.0
+                for ph in range(p)
+            ])
+            means -= means.mean()  # centered seasonal component
+            seasonals[p] = means
+            resid = resid - means[phase]
+        out = []
+        for h in range(1, hz + 1):
+            v = icept + slope * (n - 1 + h)
+            for p in pers:
+                v += seasonals[p][(n - 1 + h) % p]
+            out.append(float(v))
+        return out
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[vcol].to_numpy(dtype=np.float64)
+        keyvals = [pdf[k].iloc[0] for k in keys]
+        out = []
+        for t_i in range(len(x)):
+            if t_i + 1 < mp:
+                continue
+            lo = max(0, t_i + 1 - wl)
+            out.append(
+                [*keyvals, pdf[ts_col].iloc[t_i], fit_forecast(x[lo : t_i + 1])]
+            )
+        return pd.DataFrame(out, columns=schema.names)
+
+    from wingfoil_spark.operators.stateful import _apply_per_key_reshape
+
+    return _apply_per_key_reshape(s, fn, schema)
+
+
 # ------------------------------------------------------- Python-kernel ops
 
 
