@@ -302,3 +302,47 @@ def test_mstl_window_below_floor_still_emits(spark):
     rows = out.orderBy("ts").collect()
     assert rows and all(len(r.forecast) == 2 for r in rows)
     assert rows[0].ts == 8, "min_points gate"
+
+
+# ----------------------------------------------------------------- cluster
+
+
+def test_dtw_and_cluster_wait_for_two_samples(spark):
+    """dtw_waits_for_two_samples + cluster_waits_for_two_samples
+    (augurs_adapter.rs:426-442, 538-554): two series with a single sample
+    each stay SILENT through the whole dtw → dbscan chain — a distance
+    over length-1 columns is not a windowed-history distance."""
+    df = spark.createDataFrame([(0, 1, 1.0), (1, 1, 2.0)], "k long, ts long, v double")
+    s = Stream(df, ts="ts", keys=("k",))
+    pairs = analysis.dtw_distances(s, "v")
+    assert pairs.count() == 0
+    assert analysis.dbscan_clusters(pairs, eps=1.0).count() == 0
+
+
+def test_cluster_waits_for_two_series(spark):
+    """cluster_waits_for_two_series (augurs_adapter.rs:521-536): one
+    series → no pairs → no cluster output."""
+    df = spark.createDataFrame([(0, t, float(t)) for t in range(10)],
+                               "k long, ts long, v double")
+    s = Stream(df, ts="ts", keys=("k",))
+    assert analysis.dbscan_outliers(s, "v", eps=1.0).count() == 0
+
+
+def test_cluster_groups_similar_series(spark):
+    """cluster_groups_similar_series (augurs_adapter.rs:489-518): two
+    tight groups of series plus one singleton — groups get distinct
+    cluster ids, the odd series out is noise."""
+    rows = []
+    for t in range(1, 31):
+        a = math.sin(t * 0.3)
+        for k, v in enumerate([a, a + 0.02, 10 + 2 * a, 10 + 2 * a + 0.02,
+                               1000.0 * ((t % 7) - 3)]):
+            rows.append((k, t, float(v)))
+    s = Stream(spark.createDataFrame(rows, "k long, ts long, v double"),
+               ts="ts", keys=("k",))
+    pairs = analysis.dtw_distances(s, "v")
+    labs = {r.key: r for r in analysis.dbscan_clusters(pairs, eps=5.0, min_pts=2).collect()}
+    assert labs[0].cluster == labs[1].cluster != -1
+    assert labs[2].cluster == labs[3].cluster != -1
+    assert labs[0].cluster != labs[2].cluster
+    assert labs[4].cluster == -1, "singleton is noise"

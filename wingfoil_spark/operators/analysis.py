@@ -575,13 +575,13 @@ def dtw_distances(
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")
         x = pdf[vcol].to_numpy(dtype=np.float64)
-        if len(x) == 0:
-            ser = [0.0] * rs
-        elif len(x) == 1:
-            ser = [float(x[0])] * rs
-        else:
-            grid = np.linspace(0, len(x) - 1, rs)
-            ser = np.interp(grid, np.arange(len(x)), x).tolist()
+        if len(x) < 2:
+            # a DTW distance over length-<2 columns is not a windowed-
+            # history distance: the key stays SILENT (dtw_waits_for_two_
+            # samples, tests/augurs_adapter.rs:426-442)
+            return pd.DataFrame({key: [], "series": []})
+        grid = np.linspace(0, len(x) - 1, rs)
+        ser = np.interp(grid, np.arange(len(x)), x).tolist()
         return pd.DataFrame({key: [pdf[key].iloc[0]], "series": [ser]})
 
     # packed per-key binding, as in detect_seasons (VERDICT r2 wrongness #3)
