@@ -244,3 +244,42 @@ def test_lines_missing_source_is_an_error(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="cannot open source file"):
         wio.replay_lines(spark, str(tmp_path / "nope.txt"))
+
+
+def test_time_window_half_open_and_clamped(spark):
+    """common_adapter.rs:20-37: half-open [lo, hi) containment; the
+    candidate window tightens to the run bounds."""
+    from wingfoil_spark.sources.io import TimeWindow
+
+    w = TimeWindow.clamp(10, 20, 0, 100)
+    assert not w.contains(9) and w.contains(10) and w.contains(15)
+    assert not w.contains(20) and not w.contains(21)
+    c = TimeWindow.clamp(0, 200, 50, 150)
+    assert not c.contains(49) and c.contains(50)
+    assert c.contains(149) and not c.contains(150)
+
+
+def test_window_filter_keep_drop_accounting(spark):
+    """common_adapter.rs:39-65: in-window rows kept, out-of-window rows
+    dropped with a single warning naming the adapter; the all-kept path
+    warns nothing. The predicate reaches the scan (pushed down)."""
+    import warnings
+
+    from wingfoil_spark.sources.io import TimeWindow, window_filter
+
+    df = spark.createDataFrame([(t,) for t in (5, 10, 19, 20, 25)], "ts long")
+    s = Stream(df, ts="ts")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        kept = window_filter(s, TimeWindow.clamp(10, 20, 0, 100),
+                             label="test_adapter")
+        assert sorted(r.ts for r in kept.df.collect()) == [10, 19]
+    ours = [w for w in rec if "test_adapter" in str(w.message)]
+    assert len(ours) == 1 and "dropped 3" in str(ours[0].message)
+
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        allkept = window_filter(s, TimeWindow.clamp(0, 100, 0, 100))
+        assert allkept.df.count() == 5
+    assert not [w for w in rec2 if "dropped" in str(w.message)], \
+        "dropped == 0 takes the no-warning branch"

@@ -379,3 +379,56 @@ def memory_sink(s: Stream, name: str, output_mode: str = "append"):
         s.df.writeStream.format("memory").queryName(name)
         .outputMode(output_mode).trigger(availableNow=True).start()
     )
+
+
+# ------------------------------------------------------ shared window helper
+
+
+class TimeWindow:
+    """Half-open ``[lo, hi)`` time window clamped to run bounds — the
+    shared adapter helper every time-sliced reader frames rows with
+    (``adapters/common.rs:52-77``; behavior pinned by
+    tests/common_adapter.rs). Timestamps are plain ints in the stream's
+    own ts unit."""
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = int(lo), int(hi)
+
+    @classmethod
+    def clamp(cls, t0: int, t1: int, start: int, end: int) -> "TimeWindow":
+        """Candidate ``[t0, t1)`` tightened to the run bounds
+        ``[start, end)`` (common.rs:63-69)."""
+        return cls(max(int(t0), int(start)), min(int(t1), int(end)))
+
+    def contains(self, ts: int) -> bool:
+        return self.lo <= int(ts) < self.hi
+
+    def expr(self, ts_col) -> "Column":
+        """The same containment as a Catalyst predicate — pushes to the
+        parquet/JDBC scan, the distributed form of per-row ``keep``."""
+        c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+        return (c >= F.lit(self.lo)) & (c < F.lit(self.hi))
+
+
+def window_filter(s: Stream, window: TimeWindow, label: str = "adapter",
+                  warn: bool = True) -> Stream:
+    """Keep only rows inside ``window``, with the reference's drop
+    accounting (``WindowFilter``, common.rs:79-127): rows outside the
+    requested window are dropped and, when any were, a single warning
+    names the adapter and the window. The count is one aggregate over the
+    stream (distributed), computed only when ``warn`` — the filter itself
+    is a pure pushed-down predicate either way."""
+    keep = window.expr(s.ts)
+    if warn:
+        dropped = s.df.where(~keep).count()
+        if dropped > 0:
+            import warnings
+
+            warnings.warn(
+                f"{label}: dropped {dropped} row(s) outside the requested "
+                f"window [{window.lo}, {window.hi})",
+                stacklevel=2,
+            )
+    return Stream(s.df.where(keep), s.ts, s.seq, s.keys)
