@@ -48,6 +48,8 @@ MODULE_SURFACES = {
     "wingfoil_spark.operators.analysis": [
         "mad_outlier", "mean_shift_changepoint", "linear_forecast",
         "detect_seasons", "dtw_distances", "dbscan_clusters",
+        "cross_section_outlier", "dbscan_outliers", "bocpd_changepoints",
+        "seasonal_forecast",
     ],
     "wingfoil_spark.operators.dynamic": ["dynamic_group"],
     "wingfoil_spark.operators.latency": [
@@ -59,7 +61,8 @@ MODULE_SURFACES = {
     "wingfoil_spark.functions.dedup": [
         "exact_dedup", "minhash_signatures", "minhash_sig_array",
         "lsh_candidate_pairs", "ngram_jaccard", "simhash32",
-        "cosine_near_dups",
+        "cosine_near_dups", "decontaminate", "word_ngrams_expr",
+        "dedup_components", "dedup_keep",
     ],
     "wingfoil_spark.functions.similarity": [
         "cosine_topk", "lsh_bucketed_topk", "ivf_topk",
@@ -84,10 +87,13 @@ MODULE_SURFACES = {
         "never",
     ],
     "wingfoil_spark.sources.io": [
-        "csv_read", "csv_write", "replay_lines", "parquet_write",
-        "kafka_source", "kafka_sink", "jdbc_read_partitioned",
-        "foreach_batch_sink", "memory_sink", "write_bucketed",
-        "validate_replay",
+        "csv_read", "csv_write", "replay_lines", "write_lines",
+        "parquet_write", "kafka_source", "kafka_sink",
+        "jdbc_read_partitioned", "foreach_batch_sink", "memory_sink",
+        "write_bucketed", "validate_replay", "TimeWindow", "window_filter",
+    ],
+    "wingfoil_spark.sources.cache": [
+        "CacheKey", "CacheConfig", "FileCache", "cached_query",
     ],
     "wingfoil_spark.sources.fix": [
         "decode_fix", "fix_field", "fix_fields_all", "explode_groups",
@@ -104,7 +110,12 @@ MODULE_SURFACES = {
     "wingfoil_spark.streaming.stateful": ["KeyedStateOp", "with_close"],
     "wingfoil_spark.streaming.ingest": [
         "exact_dedup_stream", "build_lsh_index", "lsh_pairs_stream",
-        "build_ann_index", "ann_topk_stream",
+        "build_ann_index", "ann_topk_stream", "build_decon_index",
+        "decontaminate_stream",
+    ],
+    "wingfoil_spark.streaming.metrics": [
+        "ProgressListener", "attach", "render_exposition",
+        "prometheus_textfile_sink", "otlp_metrics_request", "otlp_gauge_sink",
     ],
     "wingfoil_spark.streaming.twins": ["EventTimeTimerOp"],
     "wingfoil_spark.streaming.windows": ["tumbling_stream", "session_stream"],
