@@ -50,6 +50,23 @@ _TICK_AGGS = {
 }
 
 
+def _normalize_stat_args(stat: str, frame, weighting: str):
+    """The Python binding's argument shorthands (wingfoil-python
+    tests/test_statistics.py — the pyo3 marshaling contract): no window /
+    ``None`` is the cumulative (unbounded) window, a bare ``int`` is the
+    count window of that many samples, ``"count"`` is the tick weighting's
+    other name, and ``average`` aliases ``mean``."""
+    if frame is None or frame == "cum":
+        frame = ("cum",)
+    elif isinstance(frame, int):
+        frame = ("rows", frame)
+    else:
+        frame = tuple(frame)
+    weighting = {"count": "tick"}.get(weighting, weighting)
+    stat = {"average": "mean", "variance": "var"}.get(stat, stat)
+    return stat, frame, weighting
+
+
 def _frame_window(s: Stream, frame) -> tuple:
     kind = frame[0]
     if kind == "rows":
@@ -94,7 +111,14 @@ def window_stat(
     diverge from the batch rangeBetween window on same-timestamp bursts
     only: the batch frame sees the whole instant's committed weight
     (look-ahead), a causal stream cannot — pinned by the burst duality
-    test."""
+    test.
+
+    Argument shorthands (the binding's marshaling contract,
+    wingfoil-python tests/test_statistics.py): ``frame=None``/``"cum"`` →
+    cumulative, a bare int → that many samples, ``weighting="count"`` ≡
+    ``"tick"``, ``stat="average"`` ≡ ``"mean"``, ``"variance"`` ≡
+    ``"var"``."""
+    stat, frame, weighting = _normalize_stat_args(stat, frame, weighting)
     out = out or f"{stat}_{frame[0]}"
     if s.df.isStreaming:
         return _streaming_stat(s, col, stat, frame, weighting, out)
