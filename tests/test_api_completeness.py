@@ -108,6 +108,7 @@ MODULE_SURFACES = {
         "encode_message", "decode_message", "decode_zmq", "zmq_values",
     ],
     "wingfoil_spark.streaming.stateful": ["KeyedStateOp", "with_close"],
+    "wingfoil_spark.custom": ["CustomStream", "UpstreamValue"],
     "wingfoil_spark.streaming.ingest": [
         "exact_dedup_stream", "build_lsh_index", "lsh_pairs_stream",
         "build_ann_index", "ann_topk_stream", "build_decon_index",

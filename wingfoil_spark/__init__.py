@@ -32,11 +32,14 @@ from wingfoil_spark.sources.tables import (
     ticker,
 )
 from wingfoil_spark.streaming.stateful import KeyedStateOp, with_close
+from wingfoil_spark.custom import CustomStream, UpstreamValue
 from wingfoil_spark.streaming.twins import EventTimeTimerOp
 from wingfoil_spark.frames import build_dataframe
 
 __all__ = [
     "Stream",
+    "CustomStream",
+    "UpstreamValue",
     "get_spark",
     "configure_session",
     "load_table",
