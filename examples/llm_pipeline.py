@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""LLM training-data pipeline — filter, dedup, decontaminate, mix, shard.
+
+The training-corpus path unique to this engine (no binding twin): every
+step is deterministic (md5-keyed), so a re-run yields byte-identical
+shards. Runs on a small inline corpus; at scale the same code runs over
+parquet on a cluster.
+
+    python examples/llm_pipeline.py
+"""
+
+import pyspark.sql.functions as F
+
+import wingfoil_spark as wf
+from wingfoil_spark.functions import curation as cu
+from wingfoil_spark.functions import dedup as dd
+from wingfoil_spark.functions import text as tx
+
+spark = wf.get_spark("llm_pipeline", cpus=4)
+
+docs = spark.createDataFrame(
+    [
+        (1, "the quick brown fox jumps over the lazy dog", "web"),
+        (2, "the quick brown fox jumps over the lazy dog!", "web"),  # near-dup
+        (3, "an entirely different document about spark plans", "wiki"),
+        (4, "held-out benchmark sentence to scrub from training", "web"),
+        (5, "training doc embedding the held-out benchmark sentence to scrub from training data", "web"),
+        (6, "short", "web"),
+    ],
+    "doc_id long, text string, source string",
+)
+
+# 1. near-dup dedup: pairs -> components -> one survivor per group
+pairs = dd.lsh_candidate_pairs(dd.minhash_sig_array(docs))
+verified = dd.ngram_jaccard(docs, pairs).where("jaccard >= 0.7").select("a", "b")
+docs = dd.dedup_keep(docs, verified)
+print("after dedup:", sorted(r.doc_id for r in docs.select("doc_id").collect()))
+
+# 2. benchmark decontamination: drop docs leaking the eval set
+bench = spark.createDataFrame(
+    [(0, "held-out benchmark sentence to scrub from training")],
+    "doc_id long, text string",
+)
+flagged = dd.decontaminate(docs, bench, n=5)
+docs = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
+print("after decon:", sorted(r.doc_id for r in docs.select("doc_id").collect()))
+
+# 3. deterministic domain mixing + token-budget sharding
+mixed = cu.weighted_mix(docs, {"web": 1.0, "wiki": 1.0})
+shards = cu.token_budget_shards(mixed, budget=16)
+shards.select("doc_id", "shard", "cum_tokens").show()
+assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == [1, 3, 6], \
+    "dup (2) and leaks (4, 5) removed"
