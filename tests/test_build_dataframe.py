@@ -131,3 +131,29 @@ def test_keyed_streams_join_per_key(spark):
     assert df.columns.tolist() == ["user_id", "ts", "x", "y"]
     assert len(df) == 2
     assert math.isnan(df[df.user_id == 2].iloc[0]["y"])
+
+
+def test_stream_collect_and_dataframe_sugar(spark):
+    """The binding's read-back shapes (tests/test_pandas.py:10-13,
+    test_dict_of_streams): stream.collect() is (time, value) tuples in
+    replay order; stream.dataframe() is the engine-built pandas frame
+    with time/value columns; both feed build_dataframe's join."""
+    import pyspark.sql.functions as F
+
+    from wingfoil_spark.sources.tables import ticker
+
+    src = ticker(spark, 100, 3).count()
+    a = src.map(v=(F.col("n") - 1).cast("double"))
+    a = Stream(a.df.select("ts", "seq", "v"), "ts", "seq")
+    assert a.collect() == [(0, 0.0), (100, 1.0), (200, 2.0)]
+
+    pdf = a.dataframe()
+    assert list(pdf.columns) == ["time", "value"]
+    assert list(pdf["time"]) == [0, 100, 200]
+    assert list(pdf["value"]) == [0.0, 1.0, 2.0]
+
+    # explicit col= when several value columns exist
+    multi = src.map(v=F.col("n") * 1.0, w=F.col("n") * 2.0)
+    assert multi.collect(col="w") == [(0, 2.0), (100, 4.0), (200, 6.0)]
+    with pytest.raises(ValueError, match="one value column"):
+        multi.collect()

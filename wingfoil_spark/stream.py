@@ -787,6 +787,43 @@ class Stream:
         """Driver-side materialization for tests/golden checks only."""
         return self.df.orderBy(*self.keys, *self._order_cols()).collect()
 
+    def _single_value_col(self) -> str:
+        cand = [c for c in self.df.columns
+                if c not in (self.ts, self.seq, *self.keys)]
+        if len(cand) != 1:
+            raise ValueError(
+                f"expected one value column, got {cand}; pass col= explicitly"
+            )
+        return cand[0]
+
+    def collect(self, col: str | None = None) -> list:
+        """``(time, value)`` tuples in replay order — the binding's
+        ``stream.collect()`` (wingfoil-python stream.py; the legacy
+        ``dataframe()`` accumulation shape, tests/test_pandas.py:10-13).
+        Driver-side: tests/goldens and bounded reads only."""
+        vc = col or self._single_value_col()
+        return [
+            (r[self.ts], r[vc])
+            for r in self.df.orderBy(*self.keys, *self._order_cols())
+            .select(self.ts, vc)
+            .collect()
+        ]
+
+    def dataframe(self, col: str | None = None):
+        """A pandas DataFrame of ``(time, value)`` in replay order — the
+        binding's upgraded ``stream.dataframe()`` (engine-built frame,
+        wingfoil-python tests/test_pandas.py:10-13). Multi-stream joins
+        go through :func:`wingfoil_spark.frames.build_dataframe`, which
+        accepts Streams directly."""
+        vc = col or self._single_value_col()
+        pdf = (
+            self.df.orderBy(*self.keys, *self._order_cols())
+            .select(*self.keys, F.col(self.ts).alias("time"),
+                    F.col(vc).alias("value"))
+            .toPandas()
+        )
+        return pdf
+
 
 #: wiring-time seed instant: orders before any real tick (reference slots
 #: are seeded at graph wiring, i.e. before the run clock starts)
