@@ -10,6 +10,11 @@ constructor returns the wired `Stream`, so it chains like any other.
 
 import math
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import pyspark.sql.functions as F
 
 import wingfoil_spark as wf

@@ -8,6 +8,11 @@ key, slower streams showing NaN where they were quiet.
     python examples/dataframe.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import pyspark.sql.functions as F
 
 import wingfoil_spark as wf

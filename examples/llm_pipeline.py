@@ -9,6 +9,11 @@ parquet on a cluster.
     python examples/llm_pipeline.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import pyspark.sql.functions as F
 
 import wingfoil_spark as wf

@@ -10,6 +10,11 @@ build Streams; a batch run IS the deterministic historical replay, and
     python examples/quick_start.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import pyspark.sql.functions as F
 
 import wingfoil_spark as wf
