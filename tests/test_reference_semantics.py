@@ -330,3 +330,37 @@ def test_delay_with_reset_snaps_on_trigger_2(spark):
         (16, 11, 16), (17, 12, 16), (18, 13, 16), (19, 14, 16), (20, 15, 16),
         (21, 16, 16), (22, 17, 17),
     ]
+
+
+def test_drop_small_change_predicate_form(spark):
+    """The binding's predicate form (wingfoil-python
+    tests/test_interop.py:68-107): (cur, prev_emitted) -> is-the-change-
+    small. Comparison is against the last EMITTED value (3,6,9 dropped
+    under <8 until 12 fires); an equality predicate degenerates to
+    distinct; a raising predicate aborts the run; a non-bool return
+    errors naming the contract."""
+    import pytest
+
+    from wingfoil_spark.operators.stateful import drop_small_change
+    from wingfoil_spark.sources.tables import ticker
+
+    c = ticker(spark, 100, 6).count()
+    tripled = Stream(
+        c.df.select("ts", "seq", (F.col("n") * 3.0).alias("v")), "ts", "seq"
+    )
+    out = drop_small_change(tripled, "v", lambda cur, prev: abs(cur - prev) < 8)
+    assert out.collect() == [(0, 3.0), (300, 12.0)]
+
+    stepped = Stream(
+        c.df.select("ts", "seq", (F.col("n") / 2).cast("long").alias("v")),
+        "ts", "seq",
+    )
+    eq = drop_small_change(stepped, "v", lambda cur, prev: cur == prev)
+    distinct = stepped.distinct_until_changed("v")
+    assert [v for _, v in eq.collect()] == [r.v for r in distinct.collect_ordered()]
+
+    with pytest.raises(Exception, match="no_such_attr"):
+        drop_small_change(tripled, "v",
+                          lambda cur, prev: cur.no_such_attr).collect()
+    with pytest.raises(Exception, match="must return a bool"):
+        drop_small_change(tripled, "v", lambda cur, prev: "not a bool").collect()

@@ -384,11 +384,47 @@ def ewma_multi(s: Stream, col: str, specs: dict[str, dict]) -> Stream:
     return _apply_per_key(s, fn, added, fn_multi=fn_multi)
 
 
-def drop_small_change(s: Stream, col: str, tol: float) -> Stream:
+def drop_small_change(s: Stream, col: str, tol) -> Stream:
     """Suppress ticks while the change versus the last *emitted* value is
-    ≤ tol — slow drift still eventually fires (which ``lag`` can't express:
-    the reference point is the last emission, not the previous tick).
-    Reference: ``drop_small_change`` (fluent.rs:1022, ops.rs:227-262)."""
+    "small" — slow drift still eventually fires (which ``lag`` can't
+    express: the reference point is the last emission, not the previous
+    tick). Reference: ``drop_small_change`` (fluent.rs:1022,
+    ops.rs:227-262).
+
+    ``tol`` is a float threshold (small ⟺ |cur − ref| ≤ tol) or, the
+    binding's predicate form (wingfoil-python tests/test_interop.py:68-107),
+    a callable ``(cur, prev_emitted) -> bool`` returning whether the
+    change is small. Predicate contracts replayed: an equality predicate
+    degenerates to ``distinct``; a raising predicate aborts the run; a
+    non-bool return is an error naming the contract."""
+    if callable(tol):
+        pred = tol
+        if s.df.isStreaming:
+            raise NotImplementedError(
+                "predicate-form drop_small_change on a streaming frame: "
+                "use the float-tolerance form (the predicate would need "
+                "per-row Python in the state store)"
+            )
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            x = pdf[col].to_numpy()
+            keep = np.zeros(len(x), dtype=bool)
+            if len(x):
+                keep[0] = True
+                ref = x[0]
+                for i in range(1, len(x)):
+                    small = pred(x[i], ref)
+                    if not isinstance(small, (bool, np.bool_)):
+                        raise TypeError(
+                            "drop_small_change predicate must return a "
+                            f"bool, got {type(small).__name__}"
+                        )
+                    if not small:
+                        keep[i] = True
+                        ref = x[i]
+            return pdf.loc[keep]
+
+        return _apply_per_key(s, fn, [])
     if s.df.isStreaming:
         from wingfoil_spark.streaming.twins import drop_small_change_step
 
