@@ -364,3 +364,25 @@ def test_drop_small_change_predicate_form(spark):
                           lambda cur, prev: cur.no_such_attr).collect()
     with pytest.raises(Exception, match="must return a bool"):
         drop_small_change(tripled, "v", lambda cur, prev: "not a bool").collect()
+
+
+def test_map_python_callable_form(spark):
+    """The binding's lambda idiom (wingfoil-python test_interop.py:14-19,
+    43-48, 109-113): map(fn) applies per value (Arrow-batched), string
+    returns via dtype=, a raising callable aborts the run, and a
+    non-callable positional is a wiring-time TypeError."""
+    import pytest
+
+    from wingfoil_spark.sources.tables import ticker
+
+    c = ticker(spark, 100, 3).count()
+    s = Stream(c.df.select("ts", "seq", F.col("n").cast("double").alias("v")),
+               "ts", "seq")
+    assert [v for _, v in s.map(lambda n: n * 3).collect()] == [3.0, 6.0, 9.0]
+    labeled = s.map(lambda n: f"hello world {int(n)}", dtype="string")
+    assert [v for _, v in labeled.collect()] == [
+        "hello world 1", "hello world 2", "hello world 3"]
+    with pytest.raises(Exception, match="boom"):
+        s.map(lambda n: (_ for _ in ()).throw(RuntimeError("boom"))).collect()
+    with pytest.raises(TypeError, match="must be a callable"):
+        s.map("not a fn")

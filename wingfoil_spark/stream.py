@@ -114,9 +114,35 @@ class Stream:
 
     # ------------------------------------------------------- core combinators
 
-    def map(self, **cols: Column) -> "Stream":
+    def map(self, fn: Callable | None = None, dtype: str = "double",
+            col: str | None = None, **cols: Column) -> "Stream":
         """Per-value transformation. Reference: ``map`` (fluent.rs:780, op at
-        ops.rs:113-135). Stays in whole-stage codegen."""
+        ops.rs:113-135).
+
+        Two forms. ``map(**cols)`` with Column expressions is the FAST
+        path — whole-stage codegen, zero Python. ``map(fn)`` with a
+        Python callable is the binding's lambda idiom
+        (wingfoil-python: ``stream.map(lambda n: ...)``): ``fn`` applies
+        per value to the stream's single value column (or ``col=``),
+        replacing it, Arrow-batched through a pandas UDF with result type
+        ``dtype`` (default double — pass ``dtype="string"`` etc. for
+        other returns; Python has no static return type to read). An
+        exception in ``fn`` aborts the run — the binding's
+        map-callable-raises contract (tests/test_interop.py:109-113)."""
+        if fn is not None:
+            if not callable(fn):
+                raise TypeError(
+                    "map() positional argument must be a callable; use "
+                    "keyword Column expressions for the codegen path"
+                )
+            vc = col or self._single_value_col()
+
+            @F.pandas_udf(dtype)
+            def _apply(ser):
+                return ser.map(fn)
+
+            out = self.map(**{vc: _apply(F.col(vc)), **cols})
+            return out
         return self._derive(self.df.withColumns(dict(cols)))
 
     def select_cols(self, *cols: str) -> "Stream":
