@@ -386,3 +386,18 @@ def test_map_python_callable_form(spark):
         s.map(lambda n: (_ for _ in ()).throw(RuntimeError("boom"))).collect()
     with pytest.raises(TypeError, match="must be a callable"):
         s.map("not a fn")
+
+
+def test_filter_python_predicate_form(spark):
+    """test_filter_by_python_predicate (wingfoil-python
+    test_interop.py:50-58): the callable form filters per value; the
+    Column form stays the codegen path."""
+    from wingfoil_spark.sources.tables import ticker
+
+    c = ticker(spark, 100, 5).count()
+    s = Stream(c.df.select("ts", "seq", F.col("n").cast("double").alias("v")),
+               "ts", "seq")
+    got = [v for _, v in s.filter_value(lambda n: n > 2).collect()]
+    assert got == [3.0, 4.0, 5.0]
+    assert got[-1] == 5.0, "last passing value is the 5th tick"
+    assert [v for _, v in s.filter_value(F.col("v") > 2).collect()] == got

@@ -277,9 +277,21 @@ class Stream:
         )
         return ok, err
 
-    def filter_value(self, cond: Column) -> "Stream":
+    def filter_value(self, cond, col: str | None = None) -> "Stream":
         """Predicate on own value. Reference: ``filter_value``
-        (fluent.rs:924, ops.rs:2716-2747)."""
+        (fluent.rs:924, ops.rs:2716-2747). ``cond`` is a boolean Column
+        (the codegen path) or — the binding's lambda idiom — a Python
+        callable applied per value to the single value column (or
+        ``col=``), Arrow-batched like :meth:`map`."""
+        if callable(cond) and not isinstance(cond, Column):
+            fn = cond
+            vc = col or self._single_value_col()
+
+            @F.pandas_udf("boolean")
+            def _pred(ser):
+                return ser.map(lambda v: bool(fn(v)))
+
+            return self._derive(self.df.where(_pred(F.col(vc))))
         return self._derive(self.df.where(cond))
 
     def filter_none(self, col: str) -> "Stream":
