@@ -210,3 +210,46 @@ def test_otlp_historical_noop_and_graceful_failure(spark, tmp_path):
         assert dp["gauge"]["dataPoints"][0]["asDouble"] == 1.5
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_latency_report_aggregates_known_stage_times(spark):
+    """latency_report_aggregates_across_ticks (tests/latency.rs:189-214),
+    exactly: three messages with stage times base, base+10, base+30,
+    base+60 → per-hop counts of 3 and means 10/20/30ns. stamp_at carries
+    the known times (the Traced::with_latency construction shape)."""
+    import pyspark.sql.functions as F
+
+    from wingfoil_spark.operators.latency import latency_report, stamp_at
+    from wingfoil_spark.sources.tables import ticker
+    from wingfoil_spark.stream import Stream
+
+    c = ticker(spark, 1_000_000, 3).count()
+    s = Stream(c.df.select("ts", "seq", (F.col("n") * 100).alias("base")),
+               "ts", "seq")
+    s = stamp_at(s, "ingest", F.col("base"))
+    s = stamp_at(s, "decode", F.col("base") + 10)
+    s = stamp_at(s, "strategy", F.col("base") + 30)
+    s = stamp_at(s, "publish", F.col("base") + 60)
+    rep = {(r.from_stage, r.to_stage): r for r in latency_report(s).collect()}
+    assert rep[("ingest", "decode")].n == 3
+    assert rep[("ingest", "decode")].mean_ns == 10.0
+    assert rep[("decode", "strategy")].mean_ns == 20.0
+    assert rep[("strategy", "publish")].mean_ns == 30.0
+
+
+def test_latency_report_if_disabled_stays_empty(spark):
+    """latency_report_if_disabled_stays_empty (tests/latency.rs:219-246):
+    disabled → no observing sink, stats stay at zero — an empty frame in
+    the report schema."""
+    import pyspark.sql.functions as F
+
+    from wingfoil_spark.operators.latency import latency_report, stamp_at
+    from wingfoil_spark.sources.tables import ticker
+    from wingfoil_spark.stream import Stream
+
+    c = ticker(spark, 1_000_000, 3).count()
+    s = stamp_at(Stream(c.df.select("ts", "seq", F.col("n").alias("v")),
+                        "ts", "seq"), "ingest", 100)
+    rep = latency_report(s, enabled=False)
+    assert rep.count() == 0
+    assert "from_stage" in rep.columns and "mean_ns" in rep.columns

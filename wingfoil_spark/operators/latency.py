@@ -53,10 +53,38 @@ def stamp(s: Stream, stage: str, enabled: bool = True) -> Stream:
     return s._derive(df)
 
 
-def latency_report(s: Stream) -> DataFrame:
+def stamp_at(s: Stream, stage: str, ns, enabled: bool = True) -> Stream:
+    """Deterministic stamp: the stage timestamp comes from a Column (or
+    int literal) instead of the wall clock — the ``Traced::with_latency``
+    construction shape (tests/latency.rs:189-214 builds records with
+    known stage times) and the replay path for analyzing RECORDED
+    latencies, where wall time would be meaningless. Same trace column,
+    same toggle contract as :func:`stamp`."""
+    if not enabled:
+        return s
+    c = F.lit(ns) if isinstance(ns, int) else ns
+    entry = F.struct(F.lit(stage).alias("stage"), c.cast("long").alias("ts_ns"))
+    if STAMPS in s.df.columns:
+        df = s.df.withColumn(STAMPS, F.concat(F.col(STAMPS), F.array(entry)))
+    else:
+        df = s.df.withColumn(STAMPS, F.array(entry))
+    return s._derive(df)
+
+
+def latency_report(s: Stream, enabled: bool = True) -> DataFrame:
     """Aggregate per-hop deltas across all traced rows:
     (from_stage, to_stage, n, mean_ns, p50_ns, p95_ns, p99_ns, max_ns).
-    Reference: ``latency_report`` / ``StageStats`` (latency.rs:177-204)."""
+    Reference: ``latency_report`` / ``StageStats`` (latency.rs:177-204).
+    ``enabled=False`` is ``latency_report_if(false)`` — no observing sink
+    installs and the stats stay empty (tests/latency.rs:219-246): an
+    empty frame in the report schema, zero plan cost."""
+    if not enabled:
+        spark = s.df.sparkSession
+        return spark.createDataFrame(
+            [],
+            "from_stage string, to_stage string, n long, mean_ns double, "
+            "p50_ns long, p95_ns long, p99_ns long, max_ns long",
+        )
     if STAMPS not in s.df.columns:
         raise ValueError("stream has no stamps; call stamp() first")
     n = F.size(F.col(STAMPS))
