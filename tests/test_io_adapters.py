@@ -283,3 +283,24 @@ def test_window_filter_keep_drop_accounting(spark):
         assert allkept.df.count() == 5
     assert not [w for w in rec2 if "dropped" in str(w.message)], \
         "dropped == 0 takes the no-warning branch"
+
+
+def test_jdbc_read_rejects_half_a_credential(spark):
+    """wingfoil-python tests/test_kdb.py:108-121: username without
+    password (or vice versa) is rejected at wiring, before any
+    connection — the error says 'together'."""
+    import pytest
+
+    for opts in ({"user": "u"}, {"password": "p"}):
+        with pytest.raises(ValueError, match="together"):
+            wio.jdbc_read_partitioned(
+                spark, "jdbc:postgresql://x/db", "t", "ts", 0, 100, **opts
+            )
+    # both given together passes the credential gate: the failure moves
+    # to driver resolution (no JDBC driver in this env), not ValueError
+    with pytest.raises(Exception) as ei:
+        wio.jdbc_read_partitioned(
+            spark, "jdbc:postgresql://x/db", "t", "ts", 0, 100,
+            user="u", password="p",
+        )
+    assert not isinstance(ei.value, ValueError)

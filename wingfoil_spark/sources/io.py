@@ -327,6 +327,13 @@ def jdbc_read_partitioned(
         )
     if num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    if ("user" in options) != ("password" in options):
+        # wingfoil-python tests/test_kdb.py:108-121: half a credential is
+        # rejected at wiring, before any connection
+        raise ValueError(
+            "user and password must be given together (got only "
+            f"{'user' if 'user' in options else 'password'})"
+        )
     df = (
         spark.read.format("jdbc")
         .option("url", url)
