@@ -56,7 +56,8 @@ MODULE_SURFACES = {
         "timed", "stamp", "latency_report", "Latency", "TracedBytes",
         "decode_traced",
     ],
-    "wingfoil_spark.operators.scale": ["salted_agg", "salted_grouped_apply"],
+    "wingfoil_spark.operators.scale": ["salted_agg", "salted_grouped_apply",
+                                       "diagnose_skew"],
     "wingfoil_spark.operators.registry": ["register_op"],
     "wingfoil_spark.functions.dedup": [
         "exact_dedup", "minhash_signatures", "minhash_sig_array",
@@ -91,6 +92,7 @@ MODULE_SURFACES = {
         "parquet_write", "kafka_source", "kafka_sink",
         "jdbc_read_partitioned", "foreach_batch_sink", "memory_sink",
         "write_bucketed", "validate_replay", "TimeWindow", "window_filter",
+        "compact_parquet",
     ],
     "wingfoil_spark.sources.cache": [
         "CacheKey", "CacheConfig", "FileCache", "cached_query",

@@ -190,3 +190,46 @@ def test_salted_grouped_apply_beats_hot_python_stage(spark):
         f"salted {t_salted:.2f}s should beat plain {t_plain:.2f}s on a "
         f"50%-hot-key Python aggregation"
     )
+
+
+def test_diagnose_skew_reports_hot_key_and_salt(spark):
+    """The skew diagnostic names the hot key, its share, and a salt
+    factor sized hot-rows / target-rows-per-task (capped); a uniform
+    table suggests no salting."""
+    from wingfoil_spark.operators.scale import diagnose_skew
+
+    rows = [("hot", i) for i in range(900)] + [
+        (f"k{i % 10}", i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    d = diagnose_skew(df, ["k"], target_rows_per_task=100)
+    assert d["total_rows"] == 1000 and d["n_keys"] == 11
+    assert d["top_keys"][0]["key"] == {"k": "hot"}
+    assert d["top_keys"][0]["rows"] == 900
+    assert abs(d["hot_key_share"] - 0.9) < 1e-9
+    assert d["suggested_salt_buckets"] == 9  # ceil(900 / 100)
+
+    uniform = spark.createDataFrame(
+        [(f"k{i % 20}", i) for i in range(200)], "k string, v long"
+    )
+    assert diagnose_skew(uniform, ["k"],
+                         target_rows_per_task=100)["suggested_salt_buckets"] == 1
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction: many tiny input files rewrite into the computed
+    partition count at out_path; content set preserved; never in place."""
+    from wingfoil_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "small")
+    spark.range(0, 1000).repartition(50).write.parquet(src)
+    out = str(tmp_path / "compact")
+    rep = compact_parquet(spark, src, out, target_file_mb=256)
+    assert rep["files_before"] >= 50
+    assert rep["n_output_partitions"] == 1, "1000 longs fit one 256MB file"
+    a = {r.id for r in spark.read.parquet(src).collect()}
+    b = {r.id for r in spark.read.parquet(out).collect()}
+    assert a == b, "content preserved"
+    import glob
+    n_out = len(glob.glob(f"{out}/part-*"))
+    assert n_out == 1

@@ -173,3 +173,54 @@ def global_lag(s: Stream, col: str, out: str, bucket_width: int) -> Stream:
         out, F.coalesce(F.col("__lag_in"), F.col("__carry"))
     ).drop("__b", "__lag_in", "__carry")
     return Stream(res, ts=s.ts, seq=s.seq, keys=s.keys)
+
+
+def diagnose_skew(
+    df,
+    keys: list[str],
+    top_n: int = 10,
+    target_rows_per_task: int = 5_000_000,
+) -> dict:
+    """Shuffle-skew diagnostic for a planned groupBy/join on ``keys``:
+    one aggregation pass reporting the total row count, distinct-key
+    count, the top-``top_n`` hottest keys with their share of the table,
+    and a suggested salt factor for :func:`salted_agg` /
+    :func:`salted_grouped_apply` (hot-key rows ÷ target-rows-per-task,
+    capped at 64 — beyond that the combine stage's fan-in costs more than
+    the spread saves).
+
+    The operational companion to the salting primitives: run it BEFORE
+    committing a key choice at the 100 TB posture — a key whose top entry
+    carries >10% of the table will serialize that fraction of the whole
+    shuffle into one task. Driver returns a small dict (top_n rows), the
+    scan stays distributed."""
+    total = df.count()
+    per_key = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    n_keys = per_key.count()
+    top = (
+        per_key.orderBy(F.col("__n").desc())
+        .limit(top_n)
+        .collect()
+    )
+    hottest = top[0]["__n"] if top else 0
+    suggested = 1
+    if hottest > target_rows_per_task:
+        suggested = min(64, -(-hottest // target_rows_per_task))
+    return {
+        "total_rows": total,
+        "n_keys": n_keys,
+        "mean_rows_per_key": (total / n_keys) if n_keys else 0.0,
+        "top_keys": [
+            {
+                "key": {k: r[k] for k in keys},
+                "rows": r["__n"],
+                "share": r["__n"] / total if total else 0.0,
+            }
+            for r in top
+        ],
+        "hot_key_share": (hottest / total) if total else 0.0,
+        "suggested_salt_buckets": suggested,
+    }

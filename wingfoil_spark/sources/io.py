@@ -439,3 +439,47 @@ def window_filter(s: Stream, window: TimeWindow, label: str = "adapter",
                 stacklevel=2,
             )
     return Stream(s.df.where(keep), s.ts, s.seq, s.keys)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 256,
+    partition_by: Sequence[str] = (),
+) -> dict:
+    """Compact a small-files parquet dataset into ~``target_file_mb``
+    outputs — the operational repair for streaming sinks and
+    high-frequency batch appends, whose thousands of tiny files poison
+    scan planning (one task per file) and metastore listing at the
+    100 TB posture.
+
+    One distributed pass: size the input from the file index (no data
+    read), repartition to ``ceil(bytes / target)`` and rewrite. Writes to
+    ``out_path`` (never in place — swap directories after validating, the
+    atomic-publish discipline every table maintenance job needs).
+    Returns {files_before, bytes, n_output_partitions}."""
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    import math
+    from urllib.parse import urlparse
+
+    total = 0
+    for f in files:
+        p = urlparse(f).path
+        try:
+            import os
+
+            total += os.path.getsize(p)
+        except OSError:
+            continue
+    n_parts = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    w = df.repartition(n_parts).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out_path)
+    return {
+        "files_before": len(files),
+        "bytes": total,
+        "n_output_partitions": n_parts,
+    }
