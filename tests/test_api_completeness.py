@@ -123,6 +123,7 @@ MODULE_SURFACES = {
     "wingfoil_spark.streaming.twins": ["EventTimeTimerOp"],
     "wingfoil_spark.streaming.windows": ["tumbling_stream", "session_stream"],
     "wingfoil_spark.plans.iterate": ["feedback_iterate", "iterate_until_stable"],
+    "wingfoil_spark.plans.audit": ["plan_summary", "assert_plan"],
     "wingfoil_spark.plans.relational": [
         "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
         "q6_forecast_revenue", "topk_customers", "sessionize",
