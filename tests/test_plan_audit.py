@@ -53,3 +53,16 @@ def test_broadcast_vs_smj_visibility(spark, sf_dir):
     s = plan_summary(j)
     assert s["broadcast_joins"] + s["nested_loop_joins"] >= 1
     assert s["sort_merge_joins"] == 0
+
+
+def test_dedup_keep_gated_with_assert_plan(spark, sf_dir):
+    """Realistic use: gate the dedup decision's plan — the corpus anti-
+    join must not cartesian, and the only Python stage allowed is the
+    packed union-find over the (tiny) component table."""
+    from wingfoil_spark.functions import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    kept = dd.dedup_keep(docs, pairs)
+    s = assert_plan(kept, forbid=["CartesianProduct"], max_python_stages=1)
+    assert s["n_scans"] >= 1
