@@ -169,3 +169,88 @@ def test_components_strategies_agree(spark):
         assert got == expected, strategy
     with pytest.raises(ValueError, match="unknown components strategy"):
         dedup_components(pairs, strategy="magic")
+
+
+# --------------------------------------------------------- property tests
+
+
+@pytest.mark.filterwarnings("ignore::hypothesis.errors.HypothesisWarning")
+def test_components_invariant_under_edge_presentation(spark):
+    """Property (hypothesis): component labels are invariant under pair
+    ORDER and DIRECTION — presentation must never leak into the label
+    (the determinism a distributed shuffle order would otherwise
+    threaten). Checked against a pure-Python union-find oracle."""
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    from wingfoil_spark.functions.dedup import dedup_components
+
+    edge = st.tuples(st.integers(0, 15), st.integers(0, 15))
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=20), st.randoms())
+    def prop(edges, rnd):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        # oracle: plain union-find with min labels
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {k: find(k) for k in parent}
+
+        shuffled = list(edges)
+        rnd.shuffle(shuffled)
+        flipped = [(b, a) if rnd.random() < 0.5 else (a, b)
+                   for a, b in shuffled]
+        df = spark.createDataFrame(flipped, "a long, b long")
+        got = {r.id: r.component
+               for r in dedup_components(df, strategy="packed").collect()}
+        assert got == expected
+
+    prop()
+
+
+@pytest.mark.filterwarnings("ignore::hypothesis.errors.HypothesisWarning")
+def test_decontaminate_invariant_under_doc_order(spark):
+    """Property: the flagged set depends only on CONTENT — permuting
+    corpus row order (a shuffle's prerogative) never changes it, and a
+    doc equal to a benchmark doc is always flagged."""
+    from hypothesis import given, settings, strategies as st
+
+    from wingfoil_spark.functions.dedup import decontaminate
+
+    words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+    doc = st.lists(words, min_size=4, max_size=10).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6, unique=True), st.randoms())
+    def prop(texts, rnd):
+        bench_text = texts[0]
+        rows = list(enumerate(texts))
+        bench = spark.createDataFrame([(0, bench_text)],
+                                      "doc_id long, text string")
+        base = spark.createDataFrame(rows, "doc_id long, text string")
+        flagged1 = {r.doc_id
+                    for r in decontaminate(base, bench, n=4).collect()}
+        rnd.shuffle(rows)
+        perm = spark.createDataFrame(rows, "doc_id long, text string")
+        flagged2 = {r.doc_id
+                    for r in decontaminate(perm, bench, n=4).collect()}
+        assert flagged1 == flagged2
+        if len(texts[0].split()) >= 4:
+            assert 0 in flagged1, "the benchmark doc itself always flags"
+
+    prop()
