@@ -462,16 +462,19 @@ def compact_parquet(
     df = spark.read.parquet(path)
     files = df.inputFiles()
     import math
-    from urllib.parse import urlparse
 
+    # size through the Hadoop FileSystem API so EVERY scheme stats
+    # correctly (file://, hdfs://, s3a://, ...) — a local os.path walk
+    # would report 0 bytes on object stores and collapse the rewrite to
+    # one partition
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     total = 0
     for f in files:
-        p = urlparse(f).path
         try:
-            import os
-
-            total += os.path.getsize(p)
-        except OSError:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:
             continue
     n_parts = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     w = df.repartition(n_parts).write.mode("overwrite")
