@@ -194,12 +194,18 @@ def diagnose_skew(
     carries >10% of the table will serialize that fraction of the whole
     shuffle into one task. Driver returns a small dict (top_n rows), the
     scan stays distributed."""
-    total = df.count()
+    # one shuffle over the data, materialized once (n_keys rows — small);
+    # without the checkpoint each of the three reads below would re-run
+    # the whole aggregation
     per_key = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
     )
-    n_keys = per_key.count()
+    tot = per_key.agg(
+        F.sum("__n").alias("t"), F.count(F.lit(1)).alias("k")
+    ).collect()[0]
+    total, n_keys = (tot["t"] or 0), tot["k"]
     top = (
         per_key.orderBy(F.col("__n").desc())
         .limit(top_n)
