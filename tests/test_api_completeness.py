@@ -92,7 +92,7 @@ MODULE_SURFACES = {
         "parquet_write", "kafka_source", "kafka_sink",
         "jdbc_read_partitioned", "foreach_batch_sink", "memory_sink",
         "write_bucketed", "validate_replay", "TimeWindow", "window_filter",
-        "compact_parquet",
+        "compact_parquet", "save_stream", "load_stream",
     ],
     "wingfoil_spark.sources.cache": [
         "CacheKey", "CacheConfig", "FileCache", "cached_query",

@@ -304,3 +304,27 @@ def test_jdbc_read_rejects_half_a_credential(spark):
             user="u", password="p",
         )
     assert not isinstance(ei.value, ValueError)
+
+
+def test_stream_save_load_round_trips_identity(spark, tmp_path):
+    """save_stream persists the data AND the stream identity; load_stream
+    reconstructs the same Stream (ts/seq/keys), so downstream operators
+    keep their ordering contract. A bare parquet dir errors loudly."""
+    import pytest
+
+    rows = [("a", 3, 1, 1.0), ("a", 1, 2, 2.0), ("b", 2, 3, 3.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, seq long, v double")
+    s = Stream(df, ts="ts", seq="seq", keys=("k",))
+    path = str(tmp_path / "saved")
+    wio.save_stream(s, path)
+    back = wio.load_stream(spark, path)
+    assert (back.ts, back.seq, back.keys) == ("ts", "seq", ("k",))
+    assert sorted((r.k, r.ts, r.v) for r in back.df.collect()) == \
+        sorted((r[0], r[1], r[3]) for r in rows)
+    # the sidecar is invisible to the data scan
+    assert back.df.count() == 3
+
+    bare = str(tmp_path / "bare")
+    df.write.parquet(bare)
+    with pytest.raises(FileNotFoundError, match="no _stream_meta.json"):
+        wio.load_stream(spark, bare)

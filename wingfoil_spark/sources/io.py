@@ -486,3 +486,61 @@ def compact_parquet(
         "bytes": total,
         "n_output_partitions": n_parts,
     }
+
+
+# ----------------------------------------------------- stream persistence
+
+
+def save_stream(s: Stream, path: str, mode: str = "overwrite",
+                partition_by: Sequence[str] = ()) -> None:
+    """Persist a Stream as parquet PLUS its stream identity — the (ts,
+    seq, keys) metadata a bare parquet write would lose. The sidecar
+    ``_stream_meta.json`` rides inside the dataset directory (underscore
+    prefix: Spark's file index ignores it as data), so
+    :func:`load_stream` reconstructs the exact same Stream and every
+    downstream operator keeps its ordering/partitioning contract."""
+    import json
+
+    w = s.df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    meta = {"ts": s.ts, "seq": s.seq, "keys": list(s.keys)}
+    jvm = s.df.sparkSession._jvm
+    hconf = s.df.sparkSession._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_stream_meta.json")
+    fs = p.getFileSystem(hconf)
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    out.close()
+
+
+def load_stream(spark: SparkSession, path: str) -> Stream:
+    """Reload a Stream saved by :func:`save_stream`: the parquet data
+    plus its (ts, seq, keys) identity from the sidecar. Missing sidecar
+    is a loud error — a bare parquet dataset carries no stream identity;
+    wrap it in ``Stream(spark.read.parquet(p), ts=..., keys=...)``
+    yourself."""
+    import json
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_stream_meta.json")
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"{path} has no _stream_meta.json sidecar: not a saved Stream "
+            "(for bare parquet, construct Stream(spark.read.parquet(...), "
+            "ts=..., keys=...) explicitly)"
+        )
+    stream = fs.open(p)
+    try:
+        # py4j cannot fill a Python bytearray in place; commons-io (on
+        # Spark's classpath) drains the JVM stream to a string instead
+        txt = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+        meta = json.loads(txt)
+    finally:
+        stream.close()
+    df = spark.read.parquet(path)
+    return Stream(df, ts=meta["ts"], seq=meta["seq"], keys=tuple(meta["keys"]))
