@@ -410,3 +410,30 @@ def test_ewma_half_life_matches_per_tick_when_dt_equals_half_life(spark):
     s = _counter(spark, n=4)
     got = _series(ewma(s, "value", half_life_ns=100, out="e"), "e")
     _approx(got, [1.0, 1.5, 2.25, 3.125])
+
+
+def test_cumulative_moments_match_direct_recompute(spark):
+    """statistics_cumulative.rs:167-192: 200 ticks of ((n%7)*1.5 - 3) —
+    the expanding mean/var equal a direct whole-history recompute."""
+    N = 200
+    s = ticker(spark, period_ns=100, n=N).count(out="n").map(
+        value=((F.col("n") % 7).cast("double") * 1.5 - 3.0))
+    mean = _series(window_stat(s, "value", "mean", ("cum",), out="o"), "o")[-1]
+    var = _series(window_stat(s, "value", "var", ("cum",), out="o"), "o")[-1]
+    all_v = [((n % 7) * 1.5) - 3.0 for n in range(1, N + 1)]
+    em = sum(all_v) / len(all_v)
+    ev = sum((v - em) ** 2 for v in all_v) / (len(all_v) - 1)
+    assert abs(mean - em) < 1e-9
+    assert abs(var - ev) < 1e-9
+
+
+def test_cumulative_std_of_constant_is_zero_not_nan(spark):
+    """statistics_cumulative.rs:194-215: floating-point cancellation can
+    push a constant stream's variance a hair negative — std must clamp to
+    zero, never NaN."""
+    s = ticker(spark, period_ns=100, n=6).count(out="n").map(
+        value=F.lit(7.0))
+    vals = _series(window_stat(s, "value", "std", ("cum",), out="o"), "o")
+    for v in vals:
+        assert v == v, "cumulative_std must not be NaN"  # NaN != NaN
+        assert abs(v) < 1e-10
