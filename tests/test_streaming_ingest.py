@@ -388,3 +388,51 @@ def test_decontaminate_stream_null_text_is_clean(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
     assert got == {2}
+
+
+def test_streaming_ingest_pipeline_composes(spark, docs):
+    """Composition gate for the STREAMING front end: one arrival stream
+    through exact dedup → decontamination flagging → the row-local
+    battery, across micro-batch boundaries. Pins the column contracts
+    between the tiers and that the streamed survivors equal the batch
+    pipeline's survivors on the same rows."""
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    decon_index = ingest.build_decon_index(bench, n=4)
+
+    # batch twin: first-seen dedup (id order) then decon flagging
+    fp = tx.fingerprint(F.col("text"))
+    first_seen = (
+        docs.withColumn("__fp", fp)
+        .groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    )
+    batch_kept = {r.doc_id for r in first_seen.collect()}
+    batch_flagged = {
+        r.doc_id for r in dd.decontaminate(docs, bench, n=4).collect()
+    }
+    batch_survivors = batch_kept - batch_flagged
+    assert batch_survivors, "fixture must leave survivors"
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    stream, src_dir = _stream_chunks(spark, pdf)
+    try:
+        deduped = ingest.exact_dedup_stream(stream)
+        kept = {r.doc_id for r in _run_to_memory(
+            deduped.select("doc_id"), "ingest_pipe_dedup").collect()}
+
+        flagged = {r.doc_id for r in _run_to_memory(
+            ingest.decontaminate_stream(stream, decon_index, n=4),
+            "ingest_pipe_decon").collect()}
+
+        battery = stream.select(
+            "doc_id",
+            tx.token_count(F.col("text")).alias("n_tokens"),
+            tx.quality_score(F.col("text")).alias("q"),
+        )
+        scored = _run_to_memory(battery, "ingest_pipe_battery")
+        assert scored.count() == len(pdf), "battery is row-local on streams"
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    assert kept == batch_kept, "stream dedup == batch first-seen"
+    assert flagged == batch_flagged, "stream decon == batch flagged set"
+    assert (kept - flagged) == batch_survivors
