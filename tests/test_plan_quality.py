@@ -37,24 +37,27 @@ def hints_of(spark, name: str) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
-def test_q3_broadcasts_dims_only(spark):
-    # Scale contract (VERDICT r3 #1): orders is a FACT table — it must
-    # carry NO broadcast hint; only the customer dim is hinted. The fact
-    # join is free to SMJ/shuffle at scale (AQE may still broadcast at
-    # tiny sf on measured size — that's the correct mechanism, so we do
-    # NOT forbid either strategy on the physical plan).
+def test_q3_no_broadcast_hints_on_scaling_tables(spark):
+    # Scale contract (VERDICT r3 #1 + r4 #3): orders AND customer both
+    # grow with sf — NEITHER carries a broadcast hint. AQE broadcasts the
+    # filtered customer side at small sf on MEASURED size (the correct
+    # mechanism); at 100 TB it shuffle-joins. q3 touches no
+    # fixed-cardinality dim, so zero hints total.
     opt = hints_of(spark, "q3_shipping_priority")
-    assert opt.count("strategy=broadcast") == 1, opt
+    assert opt.count("strategy=broadcast") == 0, opt
     plan = plan_of(spark, "q3_shipping_priority")
-    assert "BroadcastHashJoin" in plan  # the dim join at minimum
+    # size-based broadcast still kicks in at tiny sf — the mechanism works
+    assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
 
 
-def test_q5_dims_broadcast_fact_free(spark):
-    # 4 hinted dims (customer, supplier, nation, region); orders unhinted.
+def test_q5_fixed_dims_hinted_scaling_tables_free(spark):
+    # Only the FIXED-cardinality dims (nation=25, region=5 rows at every
+    # sf) are hinted; customer/supplier scale with sf and are AQE-decided;
+    # orders is the fact and never hinted (VERDICT r4 #3).
     opt = hints_of(spark, "q5_revenue_by_nation")
-    assert opt.count("strategy=broadcast") == 4, opt
+    assert opt.count("strategy=broadcast") == 2, opt
     plan = plan_of(spark, "q5_revenue_by_nation")
-    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_combine_latest_single_shuffle(spark):

@@ -297,6 +297,7 @@ def dedup_components(
     id_b: str = "b",
     max_iters: int = 20,
     strategy: str = "auto",
+    packed_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair table: every doc reachable
     through the pair graph gets the MINIMUM id of its component as its
@@ -340,8 +341,11 @@ def dedup_components(
     if strategy not in ("auto", "packed", "iterate"):
         raise ValueError(f"unknown components strategy {strategy!r}")
     if strategy == "auto":
-        strategy = "packed" if edges.limit(2_000_001).count() <= 2_000_000 \
+        strategy = (
+            "packed"
+            if edges.limit(packed_max_edges + 1).count() <= packed_max_edges
             else "iterate"
+        )
     if strategy == "packed":
         return _components_packed(edges)
 
@@ -381,9 +385,14 @@ def _components_packed(edges: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
+    # the output id type follows the INPUT edge type — string/UUID doc ids
+    # must not coerce to long just because 'auto' routed a small pair table
+    # through the packed path (the iterate strategy preserves the type, so
+    # the two strategies must stay drop-in identical)
+    id_type = edges.schema["src"].dataType
     schema = T.StructType([
-        T.StructField("id", T.LongType()),
-        T.StructField("component", T.LongType()),
+        T.StructField("id", id_type),
+        T.StructField("component", id_type),
     ])
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

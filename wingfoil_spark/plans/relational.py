@@ -64,13 +64,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(D4) - _dec("l_discount", D4))
-    # orders is a FACT table (grows with sf): never force-broadcast it.
-    # The fact⋈fact join shuffles on orderkey; AQE may still pick a
-    # broadcast at small sf on measured size, which is the right mechanism.
-    # Only the true dim (customer, segment-filtered) is broadcast by hint.
+    # orders is a FACT table (grows with sf): never force-broadcast it —
+    # and customer ALSO scales with sf (150k × sf rows), so no hint there
+    # either; AQE broadcasts it on MEASURED size while it's small and
+    # shuffle-joins when it isn't. Hints are reserved for fixed-cardinality
+    # dims (nation/region) only.
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
@@ -98,12 +99,17 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(D4) - _dec("l_discount", D4))
     # orders is a FACT table: the fact⋈fact join shuffles on orderkey
-    # (AQE may broadcast at small sf on measured size). Dims only below.
+    # (AQE may broadcast at small sf on measured size). customer and
+    # supplier ALSO scale with sf (150k/10k × sf rows) — an unfiltered
+    # broadcast hint on them blows the broadcast limit at the 100 TB
+    # posture exactly as orders would, so AQE size-decides them too. Only
+    # the fixed-cardinality dims (nation=25, region=5 rows at EVERY sf)
+    # keep hints.
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -152,9 +158,11 @@ def topk_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         F.col("total_revenue").desc(), F.col("o_custkey").asc()
     ).limit(k)
     w = Window.orderBy(F.col("total_revenue").desc(), F.col("o_custkey").asc())
+    # top is k rows — IT is the broadcast side; customer scales with sf so
+    # it carries no hint (the k-row side is always the one to ship)
+    ranked = F.broadcast(top.withColumn("rank", F.row_number().over(w)))
     return (
-        top.withColumn("rank", F.row_number().over(w))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        c.join(ranked, F.col("o_custkey") == F.col("c_custkey"))
         .select("rank", "o_custkey", "c_name", "total_revenue", "n_orders")
     )
 
