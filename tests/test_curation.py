@@ -162,6 +162,27 @@ def test_token_budget_shards_sparse_gappy_ids(spark):
     check()
 
 
+def test_token_budget_shards_60bit_ids_no_row_dropped(spark):
+    """Regression (ADVICE r4): float bucket division past 2^53 could
+    round a top-edge id into bucket nb (absent from the offsets table)
+    and silently drop the row at the inner join. Ids here are the
+    library's own 60-bit md5-derived shape, pinned at the exact top edge
+    of the id span — the bucket index must come from integer `div`."""
+    top = (1 << 60) - 1
+    # a tight cluster at the top edge plus a far-away lo anchor: with
+    # float division, (top - lo) / width rounds to nb for the edge ids
+    ids = [7, top - 2, top - 1, top]
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "text": ["w w w" for _ in ids]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = cu.token_budget_shards(df, 5, n_buckets=13).toPandas()
+    assert len(got) == len(ids), "a row was dropped at the offsets join"
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["cum_tokens"].tolist() == [3, 6, 9, 12]
+    assert got["shard"].tolist() == [0, 0, 1, 1]
+
+
 def test_token_budget_shards_empty_frame(spark, docs):
     out = cu.token_budget_shards(docs.where(F.lit(False)), 1000)
     assert out.count() == 0

@@ -285,6 +285,49 @@ def test_window_filter_keep_drop_accounting(spark):
         "dropped == 0 takes the no-warning branch"
 
 
+def test_window_filter_streaming_observes_instead_of_counting(spark, tmp_path):
+    """ADVICE r4: warn=True used to run an eager count(), which raises
+    AnalysisException on streaming frames. Streaming now attaches an
+    ``observe`` node instead: the query RUNS, drops the right rows, and
+    the per-batch observedMetrics carry dropped/kept."""
+    import os
+
+    import pandas as pd
+
+    from wingfoil_spark.sources.io import TimeWindow, window_filter
+
+    src = str(tmp_path / "wf_src")
+    os.makedirs(src)
+    pd.DataFrame({"ts": [5, 10, 19, 20, 25]}).to_parquet(
+        os.path.join(src, "a.parquet"), index=False
+    )
+    sdf = spark.readStream.schema("ts long").parquet(src)
+    out = window_filter(
+        Stream(sdf, ts="ts"), TimeWindow.clamp(10, 20, 0, 100),
+        label="stream_adapter", warn=True,
+    )
+    assert out.df.isStreaming
+    q = (
+        out.df.writeStream.format("memory").queryName("wf_stream_obs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.ts for r in spark.sql(
+        "SELECT * FROM wf_stream_obs").collect())
+    assert got == [10, 19]
+    obs = [
+        p.observedMetrics["stream_adapter_window_filter"]
+        for p in q.recentProgress
+        if "stream_adapter_window_filter" in (p.observedMetrics or {})
+    ]
+    assert sum(m["dropped"] for m in obs) == 3
+    assert sum(m["kept"] for m in obs) == 2
+    # warn=False on a stream is the pure pushed predicate — still legal
+    pure = window_filter(Stream(sdf, ts="ts"), TimeWindow.clamp(10, 20, 0, 100),
+                         warn=False)
+    assert pure.df.isStreaming
+
+
 def test_jdbc_read_rejects_half_a_credential(spark):
     """wingfoil-python tests/test_kdb.py:108-121: username without
     password (or vice versa) is rejected at wiring, before any

@@ -88,6 +88,41 @@ def test_prometheus_exposition_format():
         render_exposition({"bad-name": 1.0})
 
 
+def test_exporters_survive_non_finite_samples():
+    """ADVICE r4: NaN/±Inf are legal gauge samples — int(f) raised and a
+    single non-finite value would kill the exporting foreachBatch (and
+    with it the streaming query). Prometheus exposition spells them
+    NaN/+Inf/-Inf; OTLP JSON uses the string doubles arm."""
+    import math
+
+    from wingfoil_spark.streaming.metrics import (
+        otlp_metrics_request, render_exposition,
+    )
+
+    body = render_exposition({
+        "nan_g": float("nan"), "pinf": float("inf"),
+        "ninf": float("-inf"), "ok": 7.0,
+    })
+    assert "nan_g NaN\n" in body
+    assert "pinf +Inf\n" in body and "ninf -Inf\n" in body
+    assert "ok 7\n" in body
+
+    req = otlp_metrics_request(
+        {"nan_g": float("nan"), "pinf": float("inf"), "ok": 7.0}, "svc", 1
+    )
+    pts = {
+        m["name"]: m["gauge"]["dataPoints"][0]
+        for m in req["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]
+    }
+    assert pts["nan_g"]["asDouble"] == "NaN"
+    assert pts["pinf"]["asDouble"] == "Infinity"
+    assert pts["ok"]["asInt"] == "7"
+    # the request stays JSON-serializable (no bare float nan leaks)
+    import json
+
+    json.dumps(req)
+
+
 def test_prometheus_historical_mode_is_silent(spark, tmp_path):
     """prometheus_adapter.rs:82-102: under historical replay the sink is a
     no-op — a batch frame exports nothing, the textfile is never

@@ -318,29 +318,53 @@ def test_ann_topk_stream_matches_batch_tier(spark, sf_dir):
 
 
 def test_lsh_pairs_stream_verify_matches_batch_jaccard(spark, docs):
-    """verify=True attaches the exact n-gram Jaccard — same values as the
-    batch verify stage for the same pairs."""
+    """verify=True attaches the exact n-gram Jaccard under the DOCUMENTED
+    deployment: ``corpus`` is ONLY the pre-arrival snapshot (the frame the
+    index was built from) — the arriving side's text comes from the
+    stream itself. ADVICE r4 regression: the old b-side lookup joined
+    arrivals against ``corpus`` and silently dropped every candidate when
+    corpus excluded them (the old test masked it by handing the FULL
+    corpus in). An exact-duplicate arrival guarantees a non-vacuous hit;
+    values must match the batch verify stage."""
     pdf = docs.toPandas().sort_values("doc_id")
     cut = int(len(pdf) * 0.8)
-    corpus_df = docs.where(F.col("doc_id") < int(pdf.iloc[cut]["doc_id"]))
-    arrival_pdf = pdf.iloc[cut:]
+    cut_id = int(pdf.iloc[cut]["doc_id"])
+    corpus_pdf = pdf[pdf["doc_id"] < cut_id]
+    corpus_df = docs.where(F.col("doc_id") < cut_id)
+    arrival_pdf = pdf.iloc[cut:].copy()
+    # one guaranteed near-dup arrival: an exact copy of a corpus doc
+    seed = corpus_pdf.iloc[0]
+    clone = arrival_pdf.iloc[[0]].copy()
+    clone["doc_id"] = int(pdf["doc_id"].max()) + 1
+    clone["text"] = seed["text"]
+    arrival_pdf = __import__("pandas").concat(
+        [arrival_pdf, clone], ignore_index=True
+    )
     index = ingest.build_lsh_index(corpus_df)
 
     stream, src_dir = _stream_chunks(spark, arrival_pdf, n_chunks=2)
     try:
         got = _run_to_memory(
-            ingest.lsh_pairs_stream(stream, index, docs, verify=True),
+            # corpus = snapshot ONLY — arrivals' text must NOT be needed
+            ingest.lsh_pairs_stream(stream, index, corpus_df, verify=True),
             "ingest_pairs_v",
         ).toPandas()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
 
-    if len(got):
-        pairs = spark.createDataFrame(got[["a", "b"]])
-        batch = dd.ngram_jaccard(docs, pairs).toPandas()
-        g = got.sort_values(["a", "b"]).reset_index(drop=True)
-        b = batch.sort_values(["a", "b"]).reset_index(drop=True)
-        assert g["jaccard"].tolist() == b["jaccard"].tolist()
+    assert len(got) > 0, "verify silently dropped every candidate"
+    assert (int(seed["doc_id"]), int(clone["doc_id"].iloc[0])) in set(
+        zip(got["a"], got["b"])
+    )
+    # jaccard values == batch verify over the union frame (which HAS both
+    # sides' text, so the batch path is the ground truth here)
+    full = docs.unionByName(spark.createDataFrame(clone, schema=docs.schema))
+    pairs = spark.createDataFrame(got[["a", "b"]])
+    batch = dd.ngram_jaccard(full, pairs).toPandas()
+    g = got.sort_values(["a", "b"]).reset_index(drop=True)
+    b = batch.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(g) == len(b)
+    assert g["jaccard"].tolist() == b["jaccard"].tolist()
 
 
 def test_decontaminate_stream_equals_batch(spark, docs):

@@ -152,8 +152,12 @@ def token_budget_shards(
     span = max(hi - lo + 1, 1)
     nb = min(n_buckets, span)
     width = -(-span // nb)  # ceil: bucket = (id - lo) // width ∈ [0, nb)
+    # integer `div`, never float division: for id spans past 2^53 (this
+    # library's own 60-bit md5-derived ids qualify) double rounding at the
+    # top edge can land a row in bucket nb, which has no offsets row — the
+    # inner join below would then silently drop it from the shard output
     bucketed = toks.withColumn(
-        "__bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long")
+        "__bkt", F.expr(f"(cast({id_col} as bigint) - {lo}L) div {width}L")
     )
     totals = {
         int(r["__bkt"]): int(r["t"])
@@ -174,7 +178,9 @@ def token_budget_shards(
     )
     return out.withColumn(
         "shard",
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
+        # same rule: exact integer div (cum/n are longs; a 100 TB corpus's
+        # token total passes 2^53 long before its ids do)
+        F.expr(f"(cum_tokens - n_tokens) div {int(budget)}L"),
     )
 
 

@@ -109,7 +109,7 @@ _MINHASH_B = _uhash_consts("B", MINHASH_K)
 
 def minhash_sig_array(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = MINHASH_K,
+    k: int = MINHASH_K, keep: tuple = (),
 ) -> DataFrame:
     """Per-doc MinHash signature as ONE array column: (id, __sig
     array<long>) over word-bigram shingles. Row-local (no shuffle);
@@ -178,7 +178,13 @@ def minhash_sig_array(
         res = [out[i].tolist() if nz[i] else [None] * k for i in range(nd)]
         return pd.Series(res)
 
-    return df.select(F.col(id_col), sig_udf(F.col("__base")).alias("__sig"))
+    # ``keep``: extra columns carried through row-locally (the streaming
+    # verify tier threads the arriving doc's token set alongside its
+    # signature — no re-join against the stream needed)
+    return df.select(
+        F.col(id_col), sig_udf(F.col("__base")).alias("__sig"),
+        *[F.col(c) for c in keep]
+    )
 
 
 def minhash_signatures(
@@ -194,7 +200,8 @@ def minhash_signatures(
 
 
 def band_explode(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = LSH_BANDS
+    sigs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K,
+    bands: int = LSH_BANDS, keep: tuple = (),
 ) -> DataFrame:
     """(id, band, bk) rows — one per LSH band per doc. Row-local (the only
     shuffle in any consumer is on the band key downstream). Shared by the
@@ -216,8 +223,9 @@ def band_explode(
                      for r in range(rows_per_band)]
         band_keys.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bk")))
     return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_keys)).alias("bandkey")
-    ).select(id_col, "bandkey.band", "bandkey.bk")
+        F.col(id_col), F.explode(F.array(*band_keys)).alias("bandkey"),
+        *[F.col(c) for c in keep]
+    ).select(id_col, "bandkey.band", "bandkey.bk", *keep)
 
 
 def lsh_candidate_pairs(

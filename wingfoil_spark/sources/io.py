@@ -423,21 +423,47 @@ def window_filter(s: Stream, window: TimeWindow, label: str = "adapter",
                   warn: bool = True) -> Stream:
     """Keep only rows inside ``window``, with the reference's drop
     accounting (``WindowFilter``, common.rs:79-127): rows outside the
-    requested window are dropped and, when any were, a single warning
-    names the adapter and the window. The count is one aggregate over the
-    stream (distributed), computed only when ``warn`` — the filter itself
-    is a pure pushed-down predicate either way."""
-    keep = window.expr(s.ts)
-    if warn:
-        dropped = s.df.where(~keep).count()
-        if dropped > 0:
-            import warnings
+    requested window are dropped and the drop COUNT is recorded. With
+    ``warn=False`` the filter is a pure predicate that pushes to the
+    source scan; with ``warn=True`` the observe node must see the
+    dropped rows, so the predicate applies above the scan (the price of
+    accounting for what you dropped).
 
-            warnings.warn(
-                f"{label}: dropped {dropped} row(s) outside the requested "
-                f"window [{window.lo}, {window.hi})",
-                stacklevel=2,
-            )
+    Accounting strategy by frame kind (ADVICE r4: the old eager
+    ``count()`` raised AnalysisException on streaming frames — eager
+    actions are illegal there):
+
+    - **streaming** + ``warn=True``: ``df.observe`` attaches a
+      ``<label>_window_filter`` observation carrying ``dropped``/``kept``
+      per micro-batch — surfaced through
+      ``StreamingQueryProgress.observedMetrics`` (pair with
+      :mod:`wingfoil_spark.streaming.metrics`). Zero extra passes, no
+      eager action; the observe node pins the predicate above the source
+      scan (accounting must see the dropped rows).
+    - **batch** + ``warn=True``: one eager aggregate over the upstream
+      frame to count drops — an EXTRA batch pass by design (accounting
+      is the point; pass ``warn=False`` on expensive pipelines).
+    - ``warn=False``: pure predicate, pushes all the way to the scan.
+    """
+    keep = window.expr(s.ts)
+    if not warn:
+        return Stream(s.df.where(keep), s.ts, s.seq, s.keys)
+    if s.df.isStreaming:
+        observed = s.df.observe(
+            f"{label}_window_filter",
+            F.sum((~keep).cast("long")).alias("dropped"),
+            F.sum(keep.cast("long")).alias("kept"),
+        )
+        return Stream(observed.where(keep), s.ts, s.seq, s.keys)
+    dropped = s.df.where(~keep).count()
+    if dropped > 0:
+        import warnings
+
+        warnings.warn(
+            f"{label}: dropped {dropped} row(s) outside the requested "
+            f"window [{window.lo}, {window.hi})",
+            stacklevel=2,
+        )
     return Stream(s.df.where(keep), s.ts, s.seq, s.keys)
 
 

@@ -46,7 +46,6 @@ from wingfoil_spark.functions.dedup import (
     _md5_int,
     band_explode,
     minhash_sig_array,
-    ngram_jaccard,
     word_ngrams_expr,
 )
 from wingfoil_spark.functions.text import tokens
@@ -114,27 +113,59 @@ def lsh_pairs_stream(
     ``new_docs`` may be a streaming frame; ``index``/``corpus`` are static
     (the persisted snapshot). Plan per micro-batch: row-local signatures →
     band explode → equi-join on (band, bk) against the index → per-pair
-    dedup across bands → (optionally) exact n-gram Jaccard verify against
-    the corpus text. Self-matches (a doc joining its own index rows on a
-    re-crawl replay) are dropped.
+    dedup across bands → (optionally) exact n-gram Jaccard verify. Self-
+    matches (a doc joining its own index rows on a re-crawl replay) are
+    dropped.
+
+    The verify stage reads the B side (the ARRIVING doc) from the STREAM
+    itself: its token set is computed row-locally up front and carried
+    through banding/pairing, so only the A side (the existing corpus doc)
+    joins against ``corpus``. ADVICE r4: the old path looked BOTH sides
+    up in ``corpus`` — under the documented deployment (corpus = the
+    persisted snapshot, which excludes arrivals) the b-side join found no
+    row and every candidate silently vanished at verify. ``corpus`` now
+    only needs the snapshot the index was built from — by construction
+    the same thing.
 
     Output: (a, b[, jaccard]) with a = corpus id, b = arriving id.
     `dropDuplicates` on (a, b) collapses multi-band hits; on a stream
     that is exact-keyed state — bounded by the arriving-doc key space,
-    not the corpus.
+    not the corpus (with ``verify`` the state rows also carry the
+    arriving doc's token set — still arrival-bounded).
     """
-    sigs = minhash_sig_array(new_docs, text_col, id_col, k)
-    stream_bands = band_explode(sigs, id_col, k, bands).withColumnRenamed(id_col, "b")
+    keep = ("__tb",) if verify else ()
+    src = new_docs
+    if verify:
+        src = new_docs.withColumn(
+            "__tb", F.array_distinct(tokens(F.col(text_col)))
+        )
+    sigs = minhash_sig_array(src, text_col, id_col, k, keep=keep)
+    stream_bands = band_explode(sigs, id_col, k, bands, keep=keep) \
+        .withColumnRenamed(id_col, "b")
     idx = index.withColumnRenamed(id_col, "a")
     pairs = (
         stream_bands.join(idx, ["band", "bk"])
         .where(F.col("a") != F.col("b"))
-        .select("a", "b")
+        .select("a", "b", *keep)
         .dropDuplicates(["a", "b"])
     )
     if not verify:
         return pairs
-    return ngram_jaccard(corpus, pairs, text_col, id_col)
+    a_side = corpus.select(
+        F.col(id_col).alias("a"),
+        F.array_distinct(tokens(F.col(text_col))).alias("__ta"),
+    )
+    return (
+        pairs.join(a_side, "a")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("__ta", "__tb")).cast("double")
+                / F.size(F.array_union("__ta", "__tb")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
 
 
 def build_decon_index(

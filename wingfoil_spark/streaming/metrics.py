@@ -17,6 +17,7 @@ documented mapping, nothing separately replayable."""
 from __future__ import annotations
 
 import json
+import math
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
@@ -90,6 +91,11 @@ def _fmt_value(v) -> str:
     (prometheus.rs:224 `format!("{value}")`): integral values carry no
     decimal point (`test_counter 5`), floats print their shortest repr."""
     f = float(v)
+    # NaN/±Inf are legal Prometheus gauge samples — int(f) on them raises,
+    # and a raise here would kill the whole foreachBatch/streaming query
+    # over one bad sample. Exposition spec spells them NaN / +Inf / -Inf.
+    if not math.isfinite(f):
+        return "NaN" if math.isnan(f) else ("+Inf" if f > 0 else "-Inf")
     return str(int(f)) if f == int(f) and abs(f) < 1e15 else repr(f)
 
 
@@ -196,7 +202,14 @@ def otlp_metrics_request(gauges: dict, service_name: str,
             raise ValueError(f"invalid metric name {name!r}")
         v = float(gauges[name])
         dp = {"timeUnixNano": str(int(time_unix_nano))}
-        if v == int(v) and abs(v) < 1e15:
+        # non-finite: int(v) raises; OTLP JSON spells doubles "NaN"/
+        # "Infinity"/"-Infinity" as strings in the asDouble arm
+        if not math.isfinite(v):
+            dp["asDouble"] = (
+                "NaN" if math.isnan(v)
+                else ("Infinity" if v > 0 else "-Infinity")
+            )
+        elif v == int(v) and abs(v) < 1e15:
             dp["asInt"] = str(int(v))
         else:
             dp["asDouble"] = v
