@@ -400,10 +400,14 @@ def drop_small_change(s: Stream, col: str, tol) -> Stream:
     if callable(tol):
         pred = tol
         if s.df.isStreaming:
-            raise NotImplementedError(
-                "predicate-form drop_small_change on a streaming frame: "
-                "use the float-tolerance form (the predicate would need "
-                "per-row Python in the state store)"
+            from wingfoil_spark.streaming.twins import (
+                drop_small_change_pred_step,
+            )
+
+            return _keyed_stream(
+                s,
+                drop_small_change_pred_step(col, pred, list(s.keys)),
+                s.df.schema,
             )
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
