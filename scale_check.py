@@ -41,11 +41,15 @@ BIG = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/wingfoil_scale_sf1eq")
 REPL = 10
 SLACK = 1.6  # parallel slack: ratio <= REPL * SLACK counts as linear
 
-#: second tier (VERDICT r3 item 8): the three worst r3 ratios re-run at
-#: 30× to confirm the sublinear trend holds another decade
+#: second tier (VERDICT r3 item 8): the worst 10× ratios re-run at 30× to
+#: confirm the sublinear trend holds another half-decade. r5 (VERDICT r4
+#: task 5) adds text_stats and curation — the two worst 10× ratios not
+#: previously covered (2.81 and 1.40): the text battery's Arrow stages
+#: and the two-phase distributed prefix sum.
 BIG30 = os.environ.get("SPARK_GRAFT_SCALE30_DIR", "/tmp/wingfoil_scale_sf3eq")
 REPL30 = 30
-QUERIES_30X = ["stats_tw_kernel", "book_feed"]  # + ann_fixed, added in main()
+QUERIES_30X = ["stats_tw_kernel", "book_feed", "text_stats", "curation"]
+# (+ ann_fixed, added in main())
 
 #: linear-expected graded queries exercised at both scales
 QUERIES = [
@@ -72,8 +76,21 @@ def build_big(spark, big: str = BIG, repl: int = REPL,
 
     os.makedirs(big, exist_ok=True)
     marker = os.path.join(big, "_built")
+    # the marker records WHICH tables are real replicas (the rest are
+    # symlinks to SMALL). A previous round's build may cover fewer tables
+    # — build only the missing ones, and NEVER write through a stale
+    # symlink (Spark's overwrite would resolve it into the read-only
+    # testdata tree): unlink first.
+    have: set = set()
     if os.path.exists(marker):
-        return
+        have = {t for t in open(marker).read().split(",") if t and t != "ok"}
+        if set(tables) <= have:
+            return
+    tables = tuple(t for t in tables if t not in have)
+    for t in tables:
+        dst = os.path.join(big, f"{t}.parquet")
+        if os.path.islink(dst):
+            os.remove(dst)
     if "events" in tables:
         ev = load_table(spark, SMALL, "events")
         n_ev = 10_000_000
@@ -137,7 +154,7 @@ def build_big(spark, big: str = BIG, repl: int = REPL,
         dst = os.path.join(big, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SMALL, f"{t}.parquet"), dst)
-    open(marker, "w").write("ok")
+    open(marker, "w").write(",".join(sorted(have | set(tables))))
 
 
 def ann_fixed_probes(spark, sf_dir):
@@ -189,7 +206,8 @@ def main() -> None:
     print(f"# sf1-equivalent build: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()
-    build_big(spark, BIG30, REPL30, tables=("events", "embeddings"))
+    build_big(spark, BIG30, REPL30, tables=("events", "embeddings",
+                                            "documents"))
     print(f"# sf3-equivalent (30x) build: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
