@@ -109,6 +109,12 @@ MODULE_SURFACES = {
     "wingfoil_spark.sources.zmq_wire": [
         "encode_message", "decode_message", "decode_zmq", "zmq_values",
     ],
+    "wingfoil_spark.sources.transport": [
+        "TransportError", "ChannelUri", "aeron_sub_bursts",
+        "aeron_sub_status", "aeron_pub_status", "aeron_sub",
+        "Iceoryx2ServiceContract", "iceoryx2_open_or_create",
+        "iceoryx2_sub", "signal_service_name",
+    ],
     "wingfoil_spark.streaming.stateful": ["KeyedStateOp", "with_close"],
     "wingfoil_spark.custom": ["CustomStream", "UpstreamValue"],
     "wingfoil_spark.streaming.ingest": [
