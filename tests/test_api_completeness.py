@@ -72,7 +72,7 @@ MODULE_SURFACES = {
     "wingfoil_spark.functions.text": [
         "tokens", "quality_score", "lang_id", "fingerprint",
         "chunk_tokens", "duplicate_line_ratio", "top_token_ratio",
-        "repetition_filter", "scrub_pii",
+        "repetition_filter", "scrub_pii", "gopher_quality_flags",
     ],
     "wingfoil_spark.functions.curation": [
         "hash_sample", "weighted_mix", "stratified_take",

@@ -347,3 +347,35 @@ def test_single_token_doc_survives_shingle_paths(spark):
     # minhash still signs every doc (lone-token fallback shingle)
     sigs = dedup.minhash_signatures(docs)
     assert sigs.count() == 3
+
+
+def test_gopher_quality_flags(spark):
+    """The published Gopher A1.1 rules as a struct column: a healthy doc
+    passes every rule; each degenerate shape trips exactly its rule."""
+    from wingfoil_spark.functions.text import gopher_quality_flags
+
+    healthy = " ".join(
+        ["the quick brown fox jumps over a lazy dog and then it rests"] * 5
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = " ".join(["word #tag"] * 30)
+    nonalpha = " ".join(["12345"] * 60)
+    short = "too short"
+    rows = [(1, healthy), (2, bullets), (3, symbols), (4, nonalpha), (5, short)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.g.asDict()
+        for r in df.select(
+            "doc_id", gopher_quality_flags(F.col("text"), min_words=20).alias("g")
+        ).collect()
+    }
+    assert out[1]["keep"] is True, out[1]
+    assert out[2]["bullet_lines"] is False and out[2]["keep"] is False
+    assert out[3]["symbol_ratio"] is False and out[3]["keep"] is False
+    assert out[4]["alpha_words"] is False and out[4]["keep"] is False
+    assert out[5]["word_count"] is False and out[5]["keep"] is False
+    # plan stays row-local JVM (no shuffle, no Python stage)
+    plan = df.select(gopher_quality_flags(F.col("text")).alias("g")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -237,3 +237,81 @@ def scrub_pii(
         phone,
     )
     return out
+
+
+def gopher_quality_flags(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A1.1 — public filter
+    thresholds, the de-facto standard corpus gate) as a struct of
+    per-rule booleans plus the conjunction, all pure Catalyst:
+
+    - ``word_count``: ``min_words ≤ #words ≤ max_words``;
+    - ``mean_word_len``: mean word length in ``[3, 10]``;
+    - ``symbol_ratio``: (# of ``#`` or ``...``) / words ≤ 0.1;
+    - ``bullet_lines``: < 90% of lines start with a bullet;
+    - ``ellipsis_lines``: < 30% of lines end with "...";
+    - ``alpha_words``: ≥ 80% of words contain ≥ one alphabetic char;
+    - ``stop_words``: ≥ 2 hits from the tiny stopword inventory (the
+      paper's the/be/to/of/and/that/have/with set — ours reuses
+      :data:`STOPWORDS`);
+    - ``keep``: every rule passed.
+
+    Shape mirrors the augurs compute-adapter pattern: one struct column
+    out, row-local, zero shuffle, no Python. Thresholds are the paper's,
+    overridable per corpus."""
+    t = tokens(col)
+    n = F.size(t)
+    nd = n.cast("double")
+    ls = lines(col)
+    nl = F.size(ls)
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(t, F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x).cast("long"))
+        .cast("double") / nd
+    )
+    symbols = (
+        F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+        + (F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))) / F.lit(3)
+    )
+    bullet = F.size(F.filter(
+        ls, lambda x: x.rlike("^([-*•‣◦]|[0-9]+[.)])")
+    ))
+    ellipsis = F.size(F.filter(ls, lambda x: x.endswith("...")))
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    stops = stopword_count(col)
+    flags = {
+        "word_count": (n >= min_words) & (n <= max_words),
+        "mean_word_len": (mean_len >= min_mean_word_len)
+                         & (mean_len <= max_mean_word_len),
+        "symbol_ratio": F.when(n == 0, F.lit(False)).otherwise(
+            symbols.cast("double") / nd <= max_symbol_word_ratio
+        ),
+        "bullet_lines": F.when(nl == 0, F.lit(True)).otherwise(
+            bullet.cast("double") / nl.cast("double") < max_bullet_line_ratio
+        ),
+        "ellipsis_lines": F.when(nl == 0, F.lit(True)).otherwise(
+            ellipsis.cast("double") / nl.cast("double")
+            < max_ellipsis_line_ratio
+        ),
+        "alpha_words": F.when(n == 0, F.lit(False)).otherwise(
+            alpha.cast("double") / nd >= min_alpha_word_ratio
+        ),
+        "stop_words": stops >= min_stop_hits,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return F.struct(
+        *[v.alias(k) for k, v in flags.items()], keep.alias("keep")
+    )
