@@ -113,7 +113,8 @@ MODULE_SURFACES = {
         "TransportError", "ChannelUri", "aeron_sub_bursts",
         "aeron_sub_status", "aeron_pub_status", "aeron_sub",
         "Iceoryx2ServiceContract", "iceoryx2_open_or_create",
-        "iceoryx2_sub", "signal_service_name",
+        "iceoryx2_sub", "signal_service_name", "FileZmqRegistry",
+        "MemoryZmqRegistry", "resolve_zmq_address",
     ],
     "wingfoil_spark.streaming.stateful": ["KeyedStateOp", "with_close"],
     "wingfoil_spark.custom": ["CustomStream", "UpstreamValue"],

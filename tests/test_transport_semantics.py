@@ -274,3 +274,55 @@ def test_iceoryx2_service_contract():
     with pytest.raises(tp.TransportError, match="must not be empty"):
         tp.iceoryx2_open_or_create("", "local")
     assert tp.signal_service_name("svc/a") == "svc/a.signal"
+
+
+# ----------------------------------------------------- zmq service discovery
+
+
+def test_zmq_registry_register_lookup_revoke(tmp_path):
+    """zmq/registry.rs contract: register -> lookup returns the address;
+    revoke removes the key immediately; unknown names error naming the
+    service (registry.rs:268)."""
+    for reg in (tp.MemoryZmqRegistry(),
+                tp.FileZmqRegistry(str(tmp_path / "reg"))):
+        h = reg.register("quotes", "tcp://host:5556")
+        assert reg.lookup("quotes") == "tcp://host:5556"
+        h.revoke()
+        with pytest.raises(tp.TransportError, match="no publisher named 'quotes'"):
+            reg.lookup("quotes")
+        with pytest.raises(tp.TransportError, match="no publisher named 'nope'"):
+            reg.lookup("nope")
+        h.revoke()  # double revoke is a no-op (teardown never fails the run)
+
+
+def test_zmq_registry_lease_expiry_and_keepalive(tmp_path):
+    """The etcd lease model (registry.rs:109-111): a registration with no
+    keepalive is invisible ~TTL after the last heartbeat (crash cleanup);
+    keepalive extends it."""
+    now = [1000.0]
+    reg = tp.FileZmqRegistry(str(tmp_path / "reg"), ttl_s=30,
+                             clock=lambda: now[0])
+    h = reg.register("quotes", "tcp://host:5556")
+    now[0] += 29
+    assert reg.lookup("quotes") == "tcp://host:5556", "inside the lease"
+    now[0] += 2  # past TTL, no keepalive -> crashed publisher
+    with pytest.raises(tp.TransportError, match="no publisher named"):
+        reg.lookup("quotes")
+    # a live publisher heartbeats every KEEPALIVE_INTERVAL < TTL
+    h2 = reg.register("live", "tcp://host:5557")
+    for _ in range(6):
+        now[0] += 10
+        h2.keepalive()
+    assert reg.lookup("live") == "tcp://host:5557"
+
+
+def test_zmq_sub_config_resolution(tmp_path):
+    """ZmqSubConfig From impls (registry.rs:57-93): a bare address passes
+    through; (name, registry) resolves one-shot at wiring."""
+    assert tp.resolve_zmq_address("tcp://direct:5556") == "tcp://direct:5556"
+    reg = tp.MemoryZmqRegistry()
+    reg.register("quotes", "tcp://found:5556")
+    assert tp.resolve_zmq_address(("quotes", reg)) == "tcp://found:5556"
+    assert tp.resolve_zmq_address("quotes", registry=reg) == "tcp://found:5556"
+    with pytest.raises(tp.TransportError):
+        tp.resolve_zmq_address(("missing", reg))

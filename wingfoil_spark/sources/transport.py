@@ -442,3 +442,148 @@ def iceoryx2_sub(spark, run_mode: str, service: str, mode: str = "spin",
         "port: bridge to Kafka (sources.io.kafka_source); open the "
         "service contract with iceoryx2_open_or_create at start"
     )
+
+
+# ------------------------------------------------- zmq service discovery
+
+class ZmqRegistryHandle:
+    """Handle returned by a registry's ``register`` (zmq/registry.rs:28-33):
+    ``revoke()`` cleans the registration up on clean shutdown; errors are
+    logged, never propagated (teardown must not fail the run)."""
+
+    def revoke(self) -> None:  # pragma: no cover - interface default
+        raise NotImplementedError
+
+
+class FileZmqRegistry:
+    """ZMQ service discovery over a shared filesystem — the Spark-cluster
+    analog of the reference's ``EtcdRegistry`` (zmq/registry.rs:96-297):
+    publishers write their address under a LEASE (an expiry the keepalive
+    refreshes), so a crashed publisher's registration disappears ~TTL
+    after its last heartbeat while clean shutdown revokes immediately;
+    subscribers do a one-shot lookup at wiring. etcd's lease/keepalive
+    machinery maps to (expiry stamp in the file, ``keepalive()`` rewrites
+    it); the shared directory plays the etcd cluster (any DBFS/NFS/S3FS
+    path every node mounts).
+
+    Contracts pinned from the reference:
+    - register → lookup returns the address;
+    - ``revoke()`` removes the key immediately;
+    - a lease past its TTL with no keepalive is INVISIBLE to lookup
+      (crash cleanup);
+    - ``keepalive()`` extends the lease (KEEPALIVE_INTERVAL < TTL);
+    - lookup of an unknown name raises naming the service:
+      ``no publisher named '<name>' found`` (registry.rs:268).
+
+    ``clock`` is injectable for deterministic tests (defaults to
+    ``time.time``)."""
+
+    LEASE_TTL_SECS = 30
+    KEEPALIVE_INTERVAL_SECS = 10
+
+    def __init__(self, root: str, ttl_s: float | None = None, clock=None):
+        import os
+        import time as _time
+
+        self.root = root
+        self.ttl_s = float(ttl_s if ttl_s is not None else self.LEASE_TTL_SECS)
+        self._clock = clock or _time.time
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        import hashlib
+        import os
+
+        if not name:
+            raise TransportError("invalid", "registry name must not be empty")
+        # names may carry '/' (service paths): key on a digest, keep the
+        # name inside the record
+        return os.path.join(
+            self.root, hashlib.sha256(name.encode()).hexdigest()[:32] + ".json"
+        )
+
+    def register(self, name: str, address: str) -> "ZmqRegistryHandle":
+        import json
+        import os
+
+        path = self._path(name)
+        reg = self
+
+        def write():
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"name": name, "address": address,
+                           "expires_at": reg._clock() + reg.ttl_s}, f)
+            os.replace(tmp, path)  # atomic: lookups never see a torn write
+
+        write()
+
+        class Handle(ZmqRegistryHandle):
+            def keepalive(self) -> None:
+                write()
+
+            def revoke(self) -> None:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass  # teardown errors are logged-not-propagated
+
+        return Handle()
+
+    def lookup(self, name: str) -> str:
+        import json
+
+        path = self._path(name)
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            rec = None
+        if rec is None or rec.get("expires_at", 0) <= self._clock():
+            raise TransportError(
+                "connection", f"no publisher named '{name}' found"
+            )
+        return rec["address"]
+
+
+class MemoryZmqRegistry:
+    """In-process registry for tests and single-driver wiring — the mock
+    the reference's own registry tests use. Same contract surface as
+    :class:`FileZmqRegistry` minus leases (entries live until revoked)."""
+
+    def __init__(self):
+        self._entries: dict = {}
+
+    def register(self, name: str, address: str) -> "ZmqRegistryHandle":
+        if not name:
+            raise TransportError("invalid", "registry name must not be empty")
+        self._entries[name] = address
+        entries = self._entries
+
+        class Handle(ZmqRegistryHandle):
+            def revoke(self) -> None:
+                entries.pop(name, None)
+
+        return Handle()
+
+    def lookup(self, name: str) -> str:
+        try:
+            return self._entries[name]
+        except KeyError:
+            raise TransportError(
+                "connection", f"no publisher named '{name}' found"
+            ) from None
+
+
+def resolve_zmq_address(config, registry=None) -> str:
+    """The ZmqSubConfig resolution (zmq/registry.rs:57-93): a bare
+    address string passes through; a ``(name, registry)`` pair (or a name
+    plus the ``registry`` argument) resolves through the registry at
+    wiring — one-shot, exactly like the reference subscriber's
+    construction-time GET."""
+    if isinstance(config, tuple):
+        name, registry = config
+        return registry.lookup(name)
+    if registry is not None:
+        return registry.lookup(config)
+    return config
