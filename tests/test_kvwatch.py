@@ -1,0 +1,77 @@
+"""etcd-adapter semantics over the revisioned KV event log
+(sources/kvwatch.py): the snapshot→watch handoff contract, latest-per-key
+snapshot state, the delete/empty-value contract, prefix filtering, the
+realtime-only wiring guard, and the force=False conditional write —
+replayed from adapters/etcd.rs:84-95,172-208,231,371 and
+tests/etcd_adapter.rs:44-66."""
+
+import pytest
+
+from wingfoil_spark.sources import kvwatch as kv
+
+
+def _seed(spark, d):
+    kv.kv_put(spark, d, [("cfg/a", "1"), ("cfg/b", "2")], revision=1)
+    kv.kv_put(spark, d, [("cfg/a", "3")], revision=2)          # update a
+    kv.kv_put(spark, d, [("cfg/b", None)], revision=3)         # delete b
+    kv.kv_put(spark, d, [("other/x", "9")], revision=4)        # off-prefix
+
+
+def test_snapshot_latest_per_key_deletes_absent(spark, tmp_path):
+    d = str(tmp_path / "log")
+    _seed(spark, d)
+    snap, rev = kv.kv_snapshot(spark, d, prefix="cfg/")
+    rows = {r.key: (r.value, r.revision, r.kind) for r in snap.collect()}
+    # b's latest event is a delete -> absent; a at its latest revision;
+    # every snapshot row is kind='put' (etcd.rs:198-201)
+    assert rows == {"cfg/a": ("3", 2, "put")}
+    assert rev == 3, "snapshot_rev is the prefix log's max revision"
+
+
+def test_watch_handoff_filters_snapshot_covered_events(spark, tmp_path):
+    """etcd.rs:84-87: the watch sees every file, but events with
+    revision <= snapshot_rev are filtered as duplicates; a write landing
+    AFTER the snapshot flows through."""
+    d = str(tmp_path / "log")
+    _seed(spark, d)
+    snap, rev = kv.kv_snapshot(spark, d, prefix="cfg/")
+    # post-snapshot writes: an update and a delete
+    kv.kv_put(spark, d, [("cfg/c", "7")], revision=5)
+    kv.kv_put(spark, d, [("cfg/a", None)], revision=6)
+    q = (
+        kv.kv_watch(spark, d, prefix="cfg/", snapshot_rev=rev)
+        .writeStream.format("memory").queryName("kvw")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.key: (r.value, r.revision, r.kind)
+        for r in spark.sql("SELECT * FROM kvw").collect()
+    }
+    assert got == {
+        "cfg/c": ("7", 5, "put"),
+        "cfg/a": (None, 6, "delete"),  # delete carries key, empty value
+    }
+
+
+def test_watch_rejects_historical_mode(spark, tmp_path):
+    """tests/etcd_adapter.rs:44-66: a historical run is rejected at
+    wiring — the watch never closes."""
+    with pytest.raises(ValueError, match="RealTime-only"):
+        kv.kv_watch(spark, str(tmp_path / "log"), run_mode="HistoricalFrom")
+
+
+def test_conditional_write_conflict(spark, tmp_path):
+    """etcd.rs:371 force=False: a conditional PUT against a key that
+    already carries an equal-or-newer revision errors (the reference
+    aborts the run); force=True is last-writer-wins."""
+    d = str(tmp_path / "log")
+    kv.kv_put(spark, d, [("k", "v1")], revision=5)
+    with pytest.raises(ValueError, match="conditional write conflict"):
+        kv.kv_put(spark, d, [("k", "v2")], revision=5, force=False)
+    kv.kv_put(spark, d, [("k", "v2")], revision=6, force=False)  # newer: fine
+    with pytest.raises(ValueError, match="conditional write conflict"):
+        kv.kv_put(spark, d, [("k", "v3")], revision=6, force=False)
+    kv.kv_put(spark, d, [("k", "v3")], revision=7, force=True)   # force wins
+    snap, _ = kv.kv_snapshot(spark, d)
+    assert {r.key: r.value for r in snap.collect()} == {"k": "v3"}

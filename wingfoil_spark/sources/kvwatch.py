@@ -1,0 +1,136 @@
+"""Key-prefix snapshot + live watch over a revisioned KV event log — the
+Spark home for the reference's etcd adapter (adapters/etcd.rs).
+
+The reference's ``etcd_sub`` (etcd.rs:231) emits a consistent key-prefix
+SNAPSHOT (all current keys as Put events) and then streams live watch
+events (puts and deletes), with the handoff contract: *the watch is
+opened before the GET so no write is missed, and any event already
+covered by the snapshot (mod_revision <= snapshot_rev) is filtered as a
+duplicate* (etcd.rs:84-95). ``EtcdSinkOps::etcd_pub`` (etcd.rs:371) PUTs
+entries, with ``force=False`` making the write conditional — a conflict
+aborts the run.
+
+The cluster-native carrier for the same facts is a REVISIONED EVENT LOG
+on shared storage: one row per change, ``(key, value, revision, kind)``,
+append-only files under a directory (the "cluster"). etcd's cluster
+revision maps to the log's monotone ``revision``; the GET maps to a
+batch read; the watch maps to ``readStream`` over the same directory.
+The snapshot→watch handoff then replays EXACTLY: the stream source sees
+every file (the watch "opened first"), and the ``revision >
+snapshot_rev`` filter is the reference's duplicate suppression.
+
+Live etcd itself is a driver-side config store — bridging it means a
+relay that appends watch events to this log (or Kafka; sources/io.py).
+Like the reference, the source is realtime-only: a historical run is
+rejected at wiring (etcd.rs:88-95 — the watch never closes, so a
+block-collecting historical receiver would deadlock).
+
+Event schema (mirrors EtcdEvent, etcd.rs:172-208): ``key string,
+value string, revision long, kind string('put'|'delete')`` — a delete
+carries the key with a NULL value (the reference's empty-value
+contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+KV_SCHEMA = "key string, value string, revision long, kind string"
+
+
+def kv_snapshot(spark: SparkSession, log_dir: str,
+                prefix: str = "") -> tuple[DataFrame, int]:
+    """The consistent prefix snapshot (the reference's initial GET):
+    current state = per key, the highest-revision event; keys whose
+    latest event is a delete are absent; every emitted row is kind='put'
+    (etcd.rs:198-201 — snapshot events are always Put). Returns
+    ``(snapshot_df, snapshot_rev)`` where ``snapshot_rev`` is the log's
+    cluster revision at read time (max revision, 0 for an empty log)."""
+    log = spark.read.schema(KV_SCHEMA).json(log_dir)
+    if prefix:
+        log = log.where(F.col("key").startswith(prefix))
+    rev_row = log.agg(F.max("revision").alias("r")).collect()[0]
+    snapshot_rev = int(rev_row["r"]) if rev_row["r"] is not None else 0
+    w = Window.partitionBy("key").orderBy(F.col("revision").desc())
+    latest = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    snap = latest.where(F.col("kind") == "put").select(
+        "key", "value", "revision", F.lit("put").alias("kind")
+    )
+    return snap, snapshot_rev
+
+
+def kv_watch(spark: SparkSession, log_dir: str, prefix: str = "",
+             snapshot_rev: int = 0, run_mode: str = "RealTime") -> DataFrame:
+    """The live watch half: a streaming frame of every event STRICTLY
+    AFTER ``snapshot_rev`` (the handoff duplicate filter,
+    etcd.rs:84-87) under the prefix. Pair with :func:`kv_snapshot`::
+
+        snap, rev = kv_snapshot(spark, log, prefix="cfg/")
+        updates = kv_watch(spark, log, prefix="cfg/", snapshot_rev=rev)
+
+    The file-stream source reads every log file (the watch is "opened
+    before the GET" by construction — nothing in the handoff window can
+    be missed), and the revision filter drops what the snapshot already
+    covered. Historical runs are rejected at wiring, matching
+    etcd.rs:88-95 (the watch never closes; a block-collecting historical
+    receiver would deadlock)."""
+    if run_mode != "RealTime":
+        raise ValueError(
+            "kv_watch (etcd_sub) is RealTime-only: a live watch has no "
+            f"historical timeline to replay (got run mode '{run_mode}'); "
+            "replay the event log with kv_snapshot / a batch read instead"
+        )
+    stream = spark.readStream.schema(KV_SCHEMA).json(log_dir)
+    if prefix:
+        stream = stream.where(F.col("key").startswith(prefix))
+    return stream.where(F.col("revision") > int(snapshot_rev))
+
+
+def kv_put(spark: SparkSession, log_dir: str, entries, revision: int,
+           kind: str = "put", force: bool = True) -> int:
+    """Append entries to the log at ``revision`` (the ``etcd_pub`` PUT,
+    etcd.rs:371). ``entries`` is a list of ``(key, value)`` pairs (value
+    None for deletes). With ``force=False`` the write is CONDITIONAL —
+    it errors if any key already has an event at a revision >= this one
+    (the reference's conditional-write conflict, which aborts the run);
+    ``force=True`` last-writer-wins, like etcd's unconditional PUT.
+    Returns the revision written."""
+    import json
+    import os
+    import uuid
+
+    revision = int(revision)
+    if not force:
+        try:
+            snap, _ = kv_snapshot(spark, log_dir)
+            conflict = [
+                r.key for r in snap.where(
+                    F.col("key").isin([k for k, _ in entries])
+                    & (F.col("revision") >= revision)
+                ).collect()
+            ]
+        except Exception:
+            conflict = []  # empty/absent log: nothing to conflict with
+        if conflict:
+            raise ValueError(
+                f"conditional write conflict (force=False): keys "
+                f"{sorted(conflict)} already carry revision >= {revision}"
+            )
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"rev-{revision:016d}-{uuid.uuid4().hex[:8]}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for k, v in entries:
+            f.write(json.dumps({
+                "key": k,
+                "value": None if (kind == "delete" or v is None) else str(v),
+                "revision": revision,
+                "kind": "delete" if (kind == "delete" or v is None) else "put",
+            }) + "\n")
+    os.replace(tmp, path)
+    return revision
