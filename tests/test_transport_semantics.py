@@ -326,3 +326,18 @@ def test_zmq_sub_config_resolution(tmp_path):
     assert tp.resolve_zmq_address("quotes", registry=reg) == "tcp://found:5556"
     with pytest.raises(tp.TransportError):
         tp.resolve_zmq_address(("missing", reg))
+
+
+def test_burst_grouping_single_cycle_shuffle(spark):
+    """Scale gate: the fragment->burst grouping shuffles ONCE on the
+    cycle key (the parser stage is row-local Arrow)."""
+    import re
+
+    frames = _frames(spark, [[_le64(1), _le64(2)]])
+    plan = tp.aeron_sub_bursts(frames, _i64_parser) \
+        ._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(
+        r"Exchange hashpartitioning|Exchange rangepartitioning"
+        r"|Exchange SinglePartition", plan))
+    assert n == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
