@@ -341,3 +341,24 @@ def test_burst_grouping_single_cycle_shuffle(spark):
         r"|Exchange SinglePartition", plan))
     assert n == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_binding_knob_validation(spark):
+    """wingfoil-python tests/test_aeron.py:52-92 + test_iceoryx2.py:
+    73-116: the binding's wiring knobs validate with the reference's
+    exact messages, before anything touches a driver."""
+    ipc = tp.ChannelUri.ipc()
+    with pytest.raises(tp.TransportError, match="expected 'spin' or 'threaded'"):
+        tp.aeron_sub(spark, "RealTime", ipc, 1001, mode="polling")
+    with pytest.raises(tp.TransportError, match="fragment_limit must be at least 1"):
+        tp.aeron_sub(spark, "RealTime", ipc, 1001, fragment_limit=0)
+    for bad in (0.0, -1.0, float("nan")):
+        with pytest.raises(tp.TransportError, match="timeout_secs"):
+            tp.aeron_sub(spark, "RealTime", ipc, 1001, timeout_secs=bad)
+    with pytest.raises(tp.TransportError, match="HistoricalFrom"):
+        tp.aeron_sub(spark, "HistoricalFrom", ipc, 1001)
+    with pytest.raises(tp.TransportError, match="unknown service variant"):
+        tp.iceoryx2_sub(spark, "RealTime", "svc", variant="shm")
+    with pytest.raises(tp.TransportError,
+                       match="initial_max_slice_len must be at least 1"):
+        tp.iceoryx2_sub(spark, "RealTime", "svc", initial_max_slice_len=0)

@@ -315,18 +315,39 @@ def aeron_pub_status(
     return _status_transitions(offers, status, cycle_col, key_cols)
 
 
-def aeron_sub(spark, run_mode: str, channel: str, stream_id: int):
+def aeron_sub(spark, run_mode: str, channel: str, stream_id: int,
+              mode: str = "spin", fragment_limit: int = 10,
+              timeout_secs: float | None = None):
     """Wiring-time front door for a live Aeron subscription. Validates
-    the channel URI shape and rejects historical run modes (an Aeron
-    subscription is live-only; tests/aeron_adapter.rs:497-511 — the
-    publisher twin rejects with the run-mode named). The live transport
-    itself is the documented non-goal: bridge the media driver into
-    Kafka and read via ``sources.io.kafka_source``; the burst/status
-    semantics above then apply unchanged."""
+    the channel URI shape and the binding's knobs with the reference's
+    exact wiring errors (wingfoil-python tests/test_aeron.py:52-92:
+    unknown mode → "expected 'spin' or 'threaded'"; ``fragment_limit``
+    must be ≥ 1; ``timeout_secs`` must be a positive finite number;
+    historical rejection mentions HistoricalFrom and must not touch a
+    driver). The live transport itself is the documented non-goal:
+    bridge the media driver into Kafka and read via
+    ``sources.io.kafka_source``; the burst/status semantics above then
+    apply unchanged."""
+    import math
+
     if not str(channel).startswith("aeron:"):
         raise TransportError("invalid", f"channel must be an aeron: URI, got '{channel}'")
     if not (0 <= int(stream_id) <= 2**31 - 1):
         raise TransportError("invalid", f"stream_id {stream_id} out of range")
+    if mode not in ("spin", "threaded"):
+        raise TransportError(
+            "invalid", f"unknown mode '{mode}': expected 'spin' or 'threaded'"
+        )
+    if int(fragment_limit) < 1:
+        raise TransportError("invalid", "fragment_limit must be at least 1")
+    if timeout_secs is not None and not (
+        isinstance(timeout_secs, (int, float))
+        and math.isfinite(timeout_secs) and timeout_secs > 0
+    ):
+        raise TransportError(
+            "invalid",
+            f"timeout_secs must be a positive finite number, got {timeout_secs!r}",
+        )
     if run_mode != "RealTime":
         raise TransportError(
             "invalid",
@@ -418,7 +439,9 @@ def iceoryx2_open_or_create(
 
 def iceoryx2_sub(spark, run_mode: str, service: str, mode: str = "spin",
                  variant: str = "local",
-                 history_size: int = ICEORYX2_DEFAULT_HISTORY_SIZE):
+                 history_size: int = ICEORYX2_DEFAULT_HISTORY_SIZE,
+                 initial_max_slice_len: int =
+                 ICEORYX2_DEFAULT_INITIAL_MAX_SLICE_LEN):
     """Wiring-time front door for an iceoryx2 subscription. Historical
     run modes are rejected AT WIRING with the adapter named
     (tests/iceoryx2_adapter.rs:246-281: the Threaded/Signaled modes ride
@@ -430,6 +453,12 @@ def iceoryx2_sub(spark, run_mode: str, service: str, mode: str = "spin",
     grouping (burst semantics are identical)."""
     if mode not in ICEORYX2_MODES:
         raise TransportError("invalid", f"unknown iceoryx2 mode '{mode}'")
+    if variant not in ICEORYX2_VARIANTS:
+        raise TransportError("invalid", f"unknown service variant '{variant}'")
+    if int(initial_max_slice_len) < 1:
+        # wingfoil-python tests/test_iceoryx2.py:112-116
+        raise TransportError("invalid",
+                             "initial_max_slice_len must be at least 1")
     if run_mode != "RealTime":
         raise TransportError(
             "invalid",
