@@ -116,7 +116,8 @@ MODULE_SURFACES = {
         "iceoryx2_sub", "signal_service_name", "FileZmqRegistry",
         "MemoryZmqRegistry", "resolve_zmq_address",
     ],
-    "wingfoil_spark.sources.kvwatch": ["kv_snapshot", "kv_watch", "kv_put"],
+    "wingfoil_spark.sources.kvwatch": ["kv_snapshot", "kv_watch", "kv_put",
+        "redis_stream_id_parts", "redis_stream_tail"],
     "wingfoil_spark.streaming.stateful": ["KeyedStateOp", "with_close"],
     "wingfoil_spark.custom": ["CustomStream", "UpstreamValue"],
     "wingfoil_spark.streaming.ingest": [

@@ -75,3 +75,18 @@ def test_conditional_write_conflict(spark, tmp_path):
     kv.kv_put(spark, d, [("k", "v3")], revision=7, force=True)   # force wins
     snap, _ = kv.kv_snapshot(spark, d)
     assert {r.key: r.value for r in snap.collect()} == {"k": "v3"}
+
+
+def test_redis_stream_id_handoff(spark):
+    """adapters/redis.rs:85-89: the tail returns entries with an ID
+    strictly greater than the snapshot's last ID - the ms-seq order,
+    where seq breaks ties within a millisecond."""
+    rows = [("1526919030474-0", "a"), ("1526919030474-55", "b"),
+            ("1526919030474-56", "c"), ("1526919030475-0", "d")]
+    df = spark.createDataFrame(rows, "id string, v string")
+    got = sorted(
+        r.v for r in kv.redis_stream_tail(df, "1526919030474-55").collect()
+    )
+    assert got == ["c", "d"], "strictly-greater: b itself never re-delivers"
+    parts = df.select(kv.redis_stream_id_parts("id").alias("p")).collect()
+    assert (parts[1].p.ms, parts[1].p.seq) == (1526919030474, 55)

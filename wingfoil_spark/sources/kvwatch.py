@@ -134,3 +134,34 @@ def kv_put(spark: SparkSession, log_dir: str, entries, revision: int,
             }) + "\n")
     os.replace(tmp, path)
     return revision
+
+
+def redis_stream_id_parts(col):
+    """Split a Redis stream entry ID (``"<ms>-<seq>"``, the
+    `XRANGE`/`XREAD` cursor format) into a sortable
+    ``struct(ms long, seq long)`` — the reference's
+    ``redis_stream_read`` snapshot→tail handoff keys on exactly this
+    ordering (adapters/redis.rs:85-89: tail = entries with ID STRICTLY
+    greater than the snapshot's last ID, which this struct's natural
+    order reproduces). Pure Catalyst; pair with :func:`kv_watch`'s
+    revision filter by using ``ms * 2^20 + seq`` (or the struct
+    comparison) as the revision."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.split(c, "-")[0].cast("long").alias("ms"),
+        F.split(c, "-")[1].cast("long").alias("seq"),
+    )
+
+
+def redis_stream_tail(events: DataFrame, last_id: str,
+                      id_col: str = "id") -> DataFrame:
+    """The `XREAD STREAMS key <last_id>` contract over an event frame:
+    only entries with an ID STRICTLY greater than ``last_id`` (redis.rs:
+    382-389 — the snapshot's last entry is never re-delivered, nothing
+    after it is missed). Works on batch or streaming frames."""
+    ms, seq = (last_id.split("-") + ["0"])[:2]
+    parts = redis_stream_id_parts(id_col)
+    return events.where(
+        (parts.ms > int(ms))
+        | ((parts.ms == int(ms)) & (parts.seq > int(seq)))
+    )
