@@ -105,6 +105,7 @@ MODULE_SURFACES = {
         "encode_envelope", "decode_envelope", "encode_control",
         "decode_control", "decode_envelopes", "encode_envelopes",
         "json_payload_rows", "split_control", "complete_frame",
+        "redact_ws_url", "WsBackoff", "ws_backoff_delay", "validate_ws_url",
     ],
     "wingfoil_spark.sources.zmq_wire": [
         "encode_message", "decode_message", "decode_zmq", "zmq_values",

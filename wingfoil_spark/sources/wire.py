@@ -400,3 +400,122 @@ def split_control(df: DataFrame, env: str = "env", codec: str = "bincode"):
         env=env, codec=codec,
     )
     return data, ctrl
+
+
+# ------------------------------------------------ ws reconnect policy tier
+
+#: Query-key stems whose values are masked (ws.rs:150): best-effort
+#: defence against the common secret shapes, not a licence to log URLs.
+WS_SECRET_QUERY_KEYS = ("key", "token", "secret", "sign", "pass", "auth",
+                        "cred")
+
+#: What a mask replaces a secret with, in both userinfo and query values.
+WS_REDACTED = "***"
+
+
+def redact_ws_url(url: str) -> str:
+    """Mask credentials in a WebSocket URL — userinfo passwords and
+    secret-looking query values (ws.rs:372-421, byte-for-byte algorithm).
+    Deliberately STRING-level, never URL-parsing: its only job is to make
+    an error message safe to print, so it must never fail or change the
+    URL's shape. A string with no ``scheme://`` still has its query
+    masked; only the userinfo step needs an authority."""
+    base, _, query = url.partition("?")
+    if "://" in base:
+        scheme, _, rest = base.partition("://")
+        cut = rest.find("/")
+        authority, path = (rest, "") if cut < 0 else (rest[:cut], rest[cut:])
+        if "@" in authority:
+            userinfo, _, host = authority.rpartition("@")
+            user = userinfo.split(":", 1)[0]
+            base = f"{scheme}://{user}:{WS_REDACTED}@{host}{path}"
+    if not query and "?" not in url:
+        return base
+    masked = "&".join(
+        f"{k}={WS_REDACTED}"
+        if any(stem in k.lower() for stem in WS_SECRET_QUERY_KEYS)
+        else pair
+        for pair in query.split("&")
+        for k, _, _v in [pair.partition("=")]
+    )
+    return f"{base}?{masked}"
+
+
+class WsBackoff:
+    """Exponential reconnect backoff (ws.rs:238-273):
+    ``delay(attempt) = min(initial * multiplier^(attempt-1), max)``, with
+    optional EQUAL jitter — the sleep draws uniformly from
+    ``[delay/2, delay]`` (not full jitter, which can retry almost
+    immediately). Jitter matters more than it looks: a venue restart
+    disconnects its whole fleet at once, and an unjittered fleet then
+    reconnects in lockstep forever. ``max_attempts=None`` retries
+    forever; a number aborts the run when exhausted."""
+
+    def __init__(self, initial: float = 0.25, max: float = 30.0,
+                 multiplier: float = 2.0, jitter: bool = True,
+                 max_attempts: int | None = None):
+        self.initial = float(initial)
+        self.max = float(max)
+        self.multiplier = float(multiplier)
+        self.jitter = bool(jitter)
+        self.max_attempts = max_attempts
+
+
+def ws_backoff_delay(backoff: WsBackoff, attempt: int, seed: int) -> float:
+    """The backoff sleep before retry ``attempt`` (1-based) in seconds —
+    a PURE function (ws.rs:432-457): the caller supplies the jitter seed
+    (a wall-clock read in production), keeping it testable. A multiplier
+    below 1.0 clamps to 1.0 (a shrinking backoff is always a config
+    mistake); the exponent saturates so growth can't overflow past the
+    cap."""
+    multiplier = max(backoff.multiplier, 1.0)
+    exponent = min(max(attempt - 1, 0), 64)
+    grown = backoff.initial * multiplier ** exponent
+    capped = min(grown, backoff.max)
+    delay = capped if capped > 0.0 else backoff.max
+    if not backoff.jitter:
+        return delay
+    # Equal jitter over [delay/2, delay]; xorshift of the seed (u64
+    # wrapping, matching ws.rs:450-455) spreads a reconnect storm with
+    # zero dependencies.
+    m = (1 << 64) - 1
+    x = (seed | 1) & m
+    x ^= (x << 13) & m
+    x ^= x >> 7
+    x ^= (x << 17) & m
+    fraction = (x % 1_000_000) / 1_000_000.0
+    return delay * (0.5 + fraction / 2.0)
+
+
+def validate_ws_url(url: str, run_mode: str = "RealTime",
+                    tls_available: bool = False) -> str:
+    """The ws_sub/ws_connect wiring guards (tests/ws_adapter.rs:269-335),
+    every error printed through :func:`redact_ws_url` so credentials
+    never reach a message:
+
+    - historical runs: "HistoricalFrom is unsupported" (a live socket
+      has no historical timeline to replay);
+    - a non-WebSocket scheme is "not a WebSocket URL";
+    - ``wss://`` without TLS support fails AT WIRING naming what fixes
+      it (the backoff loop would bury a connect-time failure).
+
+    Returns the url unchanged when valid."""
+    safe = redact_ws_url(url)
+    if run_mode != "RealTime":
+        raise WireCodecError(
+            f"ws_sub: RunMode::HistoricalFrom is unsupported — a live "
+            f"socket has no historical timeline to replay ({safe})"
+        )
+    scheme = url.split("://", 1)[0].lower() if "://" in url else ""
+    if scheme not in ("ws", "wss"):
+        raise WireCodecError(
+            f"'{scheme}://' is not a WebSocket URL scheme (this is not a "
+            f"WebSocket URL; expected ws:// or wss://): {safe}"
+        )
+    if scheme == "wss" and not tls_available:
+        raise WireCodecError(
+            f"wss:// needs TLS support (the reference's ws-tls feature); "
+            f"terminate TLS at the bridge or supply a TLS-capable relay: "
+            f"{safe}"
+        )
+    return url
