@@ -91,6 +91,7 @@ MODULE_SURFACES = {
         "csv_read", "csv_write", "replay_lines", "write_lines",
         "parquet_write", "kafka_source", "kafka_sink",
         "jdbc_read_partitioned", "foreach_batch_sink", "memory_sink",
+        "fluvio_sub", "redact_credentials",
         "write_bucketed", "validate_replay", "TimeWindow", "window_filter",
         "compact_parquet", "save_stream", "load_stream",
     ],

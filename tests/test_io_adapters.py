@@ -404,3 +404,17 @@ def test_stream_save_load_round_trips_identity(spark, tmp_path):
     df.write.parquet(bare)
     with pytest.raises(FileNotFoundError, match="no _stream_meta.json"):
         wio.load_stream(spark, bare)
+
+
+def test_fluvio_sub_rejects_negative_offset(spark):
+    """fluvio_adapter.rs:51-70: a negative absolute start_offset is
+    rejected at wiring, before any connection, naming the adapter and
+    the bound."""
+    from wingfoil_spark.sources.io import fluvio_sub
+
+    with pytest.raises(ValueError) as ei:
+        fluvio_sub(spark, "127.0.0.1:9003", "topic", 0, start_offset=-1)
+    msg = str(ei.value)
+    assert "fluvio_sub" in msg and "non-negative" in msg
+    with pytest.raises(ValueError, match="partition must be non-negative"):
+        fluvio_sub(spark, "127.0.0.1:9003", "topic", -2, start_offset=5)

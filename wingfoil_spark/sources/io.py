@@ -268,6 +268,41 @@ def kafka_source(
     return Stream(df, ts="ts", seq="seq", keys=("kafka_partition",))
 
 
+def fluvio_sub(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    partition: int = 0,
+    start_offset: int | None = None,
+    streaming: bool = True,
+    max_offsets_per_trigger: int | None = None,
+) -> Stream:
+    """Fluvio subscription — Fluvio speaks the Kafka wire protocol, so
+    the read IS :func:`kafka_source` pinned to one partition, with the
+    reference's wiring validation replayed (fluvio_adapter.rs:51-70): a
+    FLUVIO absolute ``start_offset`` must be NON-NEGATIVE (Kafka's -1/-2
+    sentinels are not part of Fluvio's offset model), rejected at wiring
+    before any connection with the adapter named."""
+    import json as _json
+
+    if start_offset is not None and int(start_offset) < 0:
+        raise ValueError(
+            f"fluvio_sub: start_offset must be non-negative, got "
+            f"{start_offset} (Fluvio offsets are absolute; there are no "
+            "latest/earliest sentinels)"
+        )
+    if int(partition) < 0:
+        raise ValueError(f"fluvio_sub: partition must be non-negative, got {partition}")
+    starting = (
+        "earliest" if start_offset is None
+        else _json.dumps({topic: {str(int(partition)): int(start_offset)}})
+    )
+    return kafka_source(
+        spark, brokers, topic, starting_offsets=starting,
+        streaming=streaming, max_offsets_per_trigger=max_offsets_per_trigger,
+    )
+
+
 def kafka_sink(s: Stream, brokers: str, topic: str, key_col: str | None = None,
                value_col: str = "value", checkpoint: str | None = None):
     """Kafka sink (``kafka_pub``, adapters/kafka.rs:412). Streaming:
