@@ -50,9 +50,22 @@ flagged = dd.decontaminate(docs, bench, n=5)
 docs = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
 print("after decon:", sorted(r.doc_id for r in docs.select("doc_id").collect()))
 
-# 3. deterministic domain mixing + token-budget sharding
+# 3. Gopher quality gate (row-local struct of per-rule booleans): with
+# the paper's 50-word minimum (and 2-stopword floor) these toy docs all
+# fail; relax both and the degenerate one-word doc still fails while
+# real ones pass
+quality = docs.select(
+    "doc_id", tx.gopher_quality_flags(F.col("text"), min_words=5,
+                            min_stop_hits=0).alias("g")
+)
+kept_ids = sorted(r.doc_id for r in quality.where("g.keep").collect())
+print("gopher keep:", kept_ids)
+assert 6 not in kept_ids, "the degenerate one-word doc fails the gate"
+docs = docs.join(quality.where("g.keep").select("doc_id"), "doc_id")
+
+# 4. deterministic domain mixing + token-budget sharding
 mixed = cu.weighted_mix(docs, {"web": 1.0, "wiki": 1.0})
 shards = cu.token_budget_shards(mixed, budget=16)
 shards.select("doc_id", "shard", "cum_tokens").show()
-assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == [1, 3, 6], \
-    "dup (2) and leaks (4, 5) removed"
+assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == [1, 3], \
+    "dup (2), leaks (4, 5) and the degenerate doc (6) removed"
