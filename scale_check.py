@@ -51,6 +51,15 @@ REPL30 = 30
 QUERIES_30X = ["stats_tw_kernel", "book_feed", "text_stats", "curation"]
 # (+ ann_fixed, added in main())
 
+#: third tier (r5): the LLM-pipeline queries pushed to 100× (sf10-eq,
+#: 10M docs / 2M vectors) — the half-decade beyond 30× where a hidden
+#: all-pairs or single-task stage would be unmissable. Gated behind
+#: SPARK_GRAFT_SCALE100=1 (it adds ~10 min); results land in
+#: queries_100x when run.
+BIG100 = os.environ.get("SPARK_GRAFT_SCALE100_DIR", "/tmp/wingfoil_scale_sf10eq")
+REPL100 = 100
+QUERIES_100X = ["text_stats", "curation", "minhash"]  # + ann_fixed
+
 #: linear-expected graded queries exercised at both scales
 QUERIES = [
     "q1_pricing_summary",
@@ -247,7 +256,7 @@ def main() -> None:
             superlinear.append(f"{name}@30x")
         print(f"# {name}@30x: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x){flag}",
               file=sys.stderr)
-    print(json.dumps({
+    result = {
         "metric": "scale_check_sf0.1_to_sf1eq",
         "replication": REPL,
         "slack": SLACK,
@@ -255,7 +264,35 @@ def main() -> None:
         "replication_30x": REPL30,
         "queries_30x": out30,
         "superlinear": superlinear,
-    }))
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALE100") == "1":
+        t0 = time.perf_counter()
+        build_big(spark, BIG100, REPL100, tables=("documents", "embeddings"))
+        print(f"# sf10-equivalent (100x) build: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        out100 = {}
+        runs100 = [(n, qs[n]) for n in QUERIES_100X] + [("ann_fixed", ann_fixed_probes)]
+        for name, fn in runs100:
+            t_small = (out.get(name, {}).get("t_small")
+                       or timed(fn, spark, SMALL))
+            t_big = timed(fn, spark, BIG100)
+            ratio = t_big / t_small
+            out100[name] = {
+                "t_small": round(t_small, 3),
+                "t_big": round(t_big, 3),
+                "ratio": round(ratio, 2),
+            }
+            flag = " SUPERLINEAR" if ratio > REPL100 * SLACK else ""
+            if flag:
+                superlinear.append(f"{name}@100x")
+            print(f"# {name}@100x: {t_small:.2f}s -> {t_big:.2f}s "
+                  f"({ratio:.1f}x){flag}", file=sys.stderr)
+        result["replication_100x"] = REPL100
+        result["queries_100x"] = out100
+        result["superlinear"] = superlinear
+
+    print(json.dumps(result))
     sys.exit(1 if superlinear else 0)
 
 
