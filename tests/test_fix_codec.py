@@ -392,3 +392,51 @@ def test_fix_book_stream_duality(spark, tmp_path):
     for c in batch.columns:
         x, y = a[c], b[c]
         assert ((x == y) | (x.isna() & y.isna())).all(), c
+
+
+@pytest.mark.filterwarnings("ignore::hypothesis.errors.HypothesisWarning")
+def test_groups_split_differential_vs_python_walk(spark):
+    """Property (hypothesis): the Catalyst groups split equals the
+    reference's imperative walk (fix.rs:437-475 — first count tag, starts
+    at delimiters after it capped at the declared count, entries run to
+    the next start / message end) on RANDOM tag sequences, including
+    garbage counts, missing delimiters, and delimiters before the count
+    tag."""
+    from hypothesis import given, settings, strategies as st
+
+    CT, DT = 268, 269
+
+    def python_walk(pairs, declared_raw):
+        count_at = next((i for i, (t, _) in enumerate(pairs) if t == CT), None)
+        if count_at is None:
+            return []
+        try:
+            declared = int(pairs[count_at][1])
+        except ValueError:
+            return []
+        if declared <= 0:
+            return []
+        starts = [i for i, (t, _) in enumerate(pairs)
+                  if t == DT and i > count_at][:declared]
+        out = []
+        for n, s in enumerate(starts):
+            e = starts[n + 1] if n + 1 < len(starts) else len(pairs)
+            out.append(pairs[s:e])
+        return out
+
+    tag = st.sampled_from([CT, DT, 270, 271, 55])
+    val = st.sampled_from(["0", "1", "2", "3", "x", "150.10", ""])
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.tuples(tag, val), min_size=0, max_size=12))
+    def prop(pairs):
+        df = spark.createDataFrame(
+            [([{"tag": t, "val": v} for t, v in pairs],)],
+            "fields array<struct<tag:int,val:string>>",
+        )
+        got = df.select(fx.groups_col("fields", CT, DT).alias("g")) \
+            .collect()[0]["g"]
+        got = [[(f["tag"], f["val"]) for f in e] for e in got]
+        assert got == python_walk(pairs, None), pairs
+
+    prop()
