@@ -57,3 +57,65 @@ def test_kmeans_centroids_beat_take_recall(spark, emb):
     print(f"\nIVF recall @nprobe=4/16: take={r_take:.3f} kmeans={r_km:.3f}")
     assert r_km >= r_take, f"kmeans recall {r_km:.3f} < take recall {r_take:.3f}"
     assert r_km > 0.3  # and it's a real recall, not vacuous
+
+
+# --------------------------------------------------- product quantization
+
+
+def test_pq_retrieves_planted_near_dups(spark):
+    """PQ-ADC (Jégou et al. 2011) is the memory-scale tier: m smallint
+    codes per vector instead of floats. On planted near-dups
+    (cosine ≈ 0.98) every probe must surface its twin in the top-5 under
+    BOTH codebook fits; codes are m shorts (16-32x smaller than
+    float32); results are run-deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from wingfoil_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 64))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for j in range(20):
+        rows.append((1000 + j, (base[j] + 0.12 * rng.normal(size=64)).tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    ))
+    probes = emb.where(F.col("vec_id") >= 1000)
+    for fit in ("take", "kmeans"):
+        books = sim.pq_train(emb, m=8, k=16, fit=fit)
+        assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+        codes = sim.pq_encode(emb, books)
+        code0 = codes.where("vec_id = 0").first()["pq_code"]
+        assert len(code0) == 8, "m codes per vector (the compression)"
+        out = sim.pq_topk(codes, probes, books, k=5).toPandas()
+        hits = sum(
+            1 for j in range(20)
+            if j in set(out[out.probe_id == 1000 + j]["neighbor_id"])
+        )
+        assert hits == 20, f"fit={fit}: planted twin missed ({hits}/20)"
+        again = sim.pq_topk(codes, probes, books, k=5).toPandas()
+        a = out.sort_values(["probe_id", "rank"]).reset_index(drop=True)
+        b = again.sort_values(["probe_id", "rank"]).reset_index(drop=True)
+        assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+
+
+def test_pq_guards(spark):
+    """Wiring errors: non-divisible dim, unknown fit, empty corpus."""
+    import pandas as pd
+    import pytest
+
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": [1], "embedding": [[1.0] * 62]}
+    ))
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train(emb, m=8, k=4)
+    ok = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": [1], "embedding": [[1.0] * 64]}
+    ))
+    with pytest.raises(ValueError, match="unknown pq fit"):
+        sim.pq_train(ok, m=8, k=4, fit="magic")
+    with pytest.raises(ValueError, match="empty corpus"):
+        sim.pq_train(ok.where("vec_id < 0"), m=8, k=4)

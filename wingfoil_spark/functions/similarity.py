@@ -364,3 +364,162 @@ def dequantize_embeddings(
             F.col(q_col), lambda q: (q.cast("double") * F.col(scale_col)).cast("float")
         ),
     )
+
+
+# --------------------------------------------------- product quantization
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit: str = "take",
+) -> list:
+    """Train PQ codebooks: split the (L2-normalized) vector into ``m``
+    subvectors and learn ``k`` centroids per subspace. Returns a plain
+    ``m × k × (dim/m)`` nested list — a few KB, broadcast implicitly in
+    every downstream closure; this is the whole point of PQ at the
+    100 TB posture: the CODES are m bytes/vector (16-32× smaller than
+    float32) and the only float state is this tiny codebook.
+
+    ``fit="take"`` (default): centroids = the k lowest-id vectors'
+    subvectors — deterministic, test/oracle-reproducible (the
+    ivf_centroids policy, same trade-off). ``fit="kmeans"``: per-subspace
+    numpy Lloyd iterations over a bounded sample (seeded, deterministic
+    given the corpus) — tighter cells, the production default when
+    cross-engine reproducibility is not needed."""
+    sample = (
+        corpus.select(id_col, emb_col).orderBy(id_col)
+        .limit(max(k * 64, 1024))
+        .toPandas()
+    )
+    if not len(sample):
+        raise ValueError("pq_train: empty corpus")
+    X = np.asarray([np.asarray(e, dtype=np.float64) for e in sample[emb_col]])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = []
+    for j in range(m):
+        sub = X[:, j * d_sub:(j + 1) * d_sub]
+        cents = sub[:k].copy()
+        if fit == "kmeans":
+            for _ in range(10):  # bounded Lloyd; seeded by take-init
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(k):
+                    pts = sub[assign == c]
+                    if len(pts):
+                        cents[c] = pts.mean(axis=0)
+        elif fit != "take":
+            raise ValueError(f"unknown pq fit {fit!r}")
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    emb_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``out`` is an ``array<smallint>`` of
+    ``m`` centroid indexes (nearest centroid per L2-normalized
+    subvector). Row-local Arrow-batched numpy — one pass, no shuffle;
+    at scale this is the WRITE path of the compressed vector store
+    (store codes + drop the float column: 16-32× smaller scans)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d_sub = books[0].shape[1]
+
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def enc(embs: pd.Series) -> pd.Series:
+        out_codes = []
+        for e in embs:
+            if e is None:
+                out_codes.append(None)
+                continue
+            x = np.asarray(e, dtype=np.float64)
+            n = np.linalg.norm(x)
+            if n > 0:
+                x = x / n
+            code = np.empty(m, dtype=np.int16)
+            for j in range(m):
+                sub = x[j * d_sub:(j + 1) * d_sub]
+                d2 = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+                code[j] = int(d2.argmin())
+            out_codes.append(code.tolist())
+        return pd.Series(out_codes)
+
+    return df.withColumn(out, enc(F.col(emb_col)))
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    probes: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    code_col: str = "pq_code",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the probe stays a FULL vector,
+    the corpus is only its PQ codes. Per probe, one ``m × k`` distance
+    table (probe subvector vs every centroid); a corpus row's
+    approximate squared L2 distance to the probe is then ``m`` table
+    lookups — on L2-normalized vectors this ranks like cosine
+    (||a−b||² = 2 − 2·cos). Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — the standard
+    billion-vector search layout.
+
+    Plan: probes (small) broadcast-joined against the code table, ADC
+    via a vectorized numpy gather inside mapInPandas grouped per probe
+    (repartition on probe_id, same shape as the streaming ANN tier).
+    Output: probe_id, neighbor_id, adc_dist (ascending = nearest), rank.
+    """
+    books = np.asarray([np.asarray(b, dtype=np.float64) for b in codebooks])
+    m, kk_cent, d_sub = books.shape
+    topk = int(k)
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p")
+    )
+    joined = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("code")
+    ).join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for probe_id, grp in pdf.groupby("probe_id", sort=False):
+                x = np.asarray(grp["e_p"].iloc[0], dtype=np.float64)
+                n = np.linalg.norm(x)
+                if n > 0:
+                    x = x / n
+                table = np.empty((m, kk_cent), dtype=np.float64)
+                for j in range(m):
+                    sub = x[j * d_sub:(j + 1) * d_sub]
+                    table[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+                codes = np.asarray(
+                    [np.asarray(c, dtype=np.int64) for c in grp["code"]]
+                )
+                dists = table[np.arange(m)[None, :], codes].sum(axis=1)
+                order = np.lexsort((grp["neighbor_id"].to_numpy(), dists))
+                take = order[:topk]
+                out = pd.DataFrame({
+                    "probe_id": probe_id,
+                    "neighbor_id": grp["neighbor_id"].to_numpy()[take],
+                    "adc_dist": np.round(dists[take], 9),
+                })
+                out["rank"] = np.arange(1, len(out) + 1)
+                yield out
+
+    return joined.repartition("probe_id").mapInPandas(
+        adc, "probe_id long, neighbor_id long, adc_dist double, rank long"
+    )
