@@ -127,6 +127,8 @@ CURATION_BUDGET = 20000
 CURATION_CHUNK = (64, 8)  # (size, overlap): stride 56
 CURATION_DECON_N = 4  # graded n-gram size (production default is 13; the
 #                       synthetic corpus is tiny, 4 exercises cross-doc hits)
+CURATION_DUP_L = 8  # substring-dedup min span (production default 50 tokens;
+#                     the synthetic docs are ~55 tokens with planted repeats)
 
 
 def q_curation(spark, sf_dir):
@@ -169,9 +171,20 @@ def q_curation(spark, sf_dir):
         F.lit("decon").alias("part"), "doc_id", F.lit("eval").alias("grp"),
         F.col("n_hits").cast("long").alias("v"),
     )
+    # substring-level dedup (ExactSubstr, Lee et al. 2022): maximal token
+    # spans ≥ L occurring more than once anywhere in the corpus — one gram
+    # -hash shuffle + per-doc interval merge (functions/dedup.py
+    # duplicate_spans). grp carries the span extent so the slicing itself
+    # is graded.
+    dupspan = dd.duplicate_spans(docs, CURATION_DUP_L).select(
+        F.lit("dupspan").alias("part"), "doc_id",
+        F.concat_ws(":", F.col("span_start").cast("string"),
+                    F.col("span_end").cast("string")).alias("grp"),
+        F.col("span_tokens").cast("long").alias("v"),
+    )
     return (
         strat.unionByName(mix).unionByName(shard).unionByName(chunk)
-        .unionByName(decon)
+        .unionByName(decon).unionByName(dupspan)
     )
 
 
@@ -1237,7 +1250,32 @@ JOIN (
                 WHERE doc_id % 97 = 0 AND text IS NOT NULL))
   )
 ) bg USING (gh)
-GROUP BY cg.doc_id"""
+GROUP BY cg.doc_id
+UNION ALL
+SELECT 'dupspan' AS part, doc_id,
+  CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR) AS grp,
+  CAST(e - s AS BIGINT) AS v
+FROM (
+  SELECT doc_id, min(pos) AS s, max(pos) + {CURATION_DUP_L} AS e
+  FROM (
+    SELECT doc_id, pos,
+      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sgrp
+    FROM (
+      SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             > {CURATION_DUP_L} THEN 1 ELSE 0 END AS brk
+      FROM (
+        SELECT doc_id, i - 1 AS pos,
+          ('0x' || substr(md5(array_to_string(toks[i:i+{CURATION_DUP_L - 1}], ' ')), 1, 15))::BIGINT AS gh
+        FROM (SELECT doc_id, toks,
+                unnest(range(1, greatest(len(toks) - {CURATION_DUP_L - 1}, 0) + 1)) AS i
+              FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents))
+        QUALIFY count(*) OVER (PARTITION BY gh) > 1
+      )
+    )
+  )
+  GROUP BY doc_id, sgrp
+)"""
     o["difference"] = (
         f"WITH ev AS ({EV_SQL}), d AS ("
         "SELECT event_id, ts_us, user_id, "

@@ -647,3 +647,138 @@ def _simhash_vote_udf():
         return pd.Series(out)
 
     return sh_udf
+
+
+# ------------------------------------------------------- substring dedup
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level (passage) deduplication: every maximal token span of
+    at least ``min_len`` tokens whose text occurs MORE THAN ONCE anywhere
+    in the corpus — the ExactSubstr recipe of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), with the
+    corpus-wide suffix array replaced by the equivalent duplicated-n-gram
+    formulation: a span of length ≥ L duplicates iff every length-L gram
+    inside it duplicates, so maximal runs of duplicated L-gram start
+    positions reconstruct exactly the maximal duplicated spans.
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` — token-index
+    spans, 0-based, end-exclusive, coalesced (overlapping or touching
+    duplicated windows merge into one maximal span). Internal repetition
+    counts: a passage pasted twice inside ONE document flags both copies,
+    exactly like a cross-document duplicate.
+
+    100 TB shape: the gram explode is row-local (≈ n_tokens rows per doc,
+    the same cost class as the MinHash shingle stage); occurrence counting
+    is ONE shuffle on the 60-bit gram hash with map-side partial
+    aggregation expressed as a count window over the hash partition; the
+    interval merge is a per-document window (documents are small — no
+    giant partitions). No suffix array, no sort of the whole corpus, no
+    all-pairs stage. Boilerplate-heavy grams (one license header duplicated
+    across millions of docs) make a hot hash partition — AQE skew-join
+    handling and the 60-bit key spread apply; the count-window stage only
+    carries (id, pos, hash), never text.
+
+    Hashing matches :func:`decontaminate` (60-bit md5 units), so a DuckDB
+    twin reproduces spans exactly. Tokenization is :func:`tokens`
+    (lowercased whitespace split) — spans index THOSE tokens.
+    """
+    from pyspark.sql.window import Window
+
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    L = min_len
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(word_ngrams_expr("__toks", L), lambda g: _md5_int(g))
+        ).alias("pos", "gh"),
+    )
+    # one shuffle: count occurrences of each gram hash across the corpus
+    # (window over the hash partition = groupBy+join collapsed to a single
+    # exchange; the filter drops the ~100% unique tail immediately after)
+    hits = (
+        grams.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .where(F.col("__c") > 1)
+        .select(id_col, "pos")
+    )
+    # gaps-and-islands per doc: a new span starts when the next duplicated
+    # window no longer overlaps/touches the running one (gap > L)
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "__brk",
+            F.when(F.col("pos") - F.lag("pos").over(wd) > L, 1).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__brk").over(wd))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+    return spans
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spans: DataFrame | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove every duplicated span (see :func:`duplicate_spans`) from the
+    corpus text. ALL occurrences are dropped — the one-sided "keep a single
+    copy" policy needs a global owner election per duplicate cluster, which
+    the published pipelines skip for exactly the reasons it doesn't scale;
+    Lee et al. drop every occurrence too and report no quality loss.
+
+    Docs containing no duplicated span keep their text VERBATIM (original
+    whitespace, original case). Scrubbed docs are rebuilt from the
+    surviving tokens of the lowercased tokenization, space-joined —
+    documented normalization, same as every other token-level op here.
+
+    Join shape: the span table aggregates per doc (tiny — only flagged
+    docs), then LEFT-joins onto the corpus by id. AQE broadcast-decides:
+    for a mostly-clean corpus the span side is small; the corpus side
+    never shuffles in that plan.
+    """
+    target = out_col or text_col
+    if spans is None:
+        spans = duplicate_spans(docs, min_len, text_col=text_col, id_col=id_col)
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = docs.join(agg, id_col, "left")
+    rebuilt = F.array_join(
+        F.expr(
+            f"transform(filter(transform({'__tk'}, (t, i) -> struct(t AS t, i AS i)), "
+            "x -> NOT exists(__spans, sp -> x.i >= sp.span_start AND x.i < sp.span_end)), "
+            "x -> x.t)"
+        ),
+        " ",
+    )
+    out = (
+        joined.withColumn("__tk", tokens(F.col(text_col)))
+        .withColumn(
+            target,
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(rebuilt),
+        )
+        .drop("__tk", "__spans")
+    )
+    return out
