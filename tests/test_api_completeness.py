@@ -64,6 +64,7 @@ MODULE_SURFACES = {
         "lsh_candidate_pairs", "ngram_jaccard", "simhash32",
         "cosine_near_dups", "decontaminate", "word_ngrams_expr",
         "dedup_components", "dedup_keep",
+        "duplicate_spans", "scrub_duplicate_spans",
     ],
     "wingfoil_spark.functions.similarity": [
         "cosine_topk", "lsh_bucketed_topk", "ivf_topk",
@@ -78,6 +79,10 @@ MODULE_SURFACES = {
     "wingfoil_spark.functions.curation": [
         "hash_sample", "weighted_mix", "stratified_take",
         "token_budget_shards", "describe_corpus",
+        "pack_sequences", "packing_stats",
+    ],
+    "wingfoil_spark.functions.lm": [
+        "fit_bigram_lm", "lm_perplexity", "ppl_buckets",
     ],
     "wingfoil_spark.frames": ["build_dataframe"],
     "wingfoil_spark.functions.multimodal": [

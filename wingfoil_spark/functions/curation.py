@@ -210,3 +210,88 @@ def describe_corpus(
         F.percentile_approx(ntok, [0.1, 0.5, 0.9]).alias("token_p10_p50_p90"),
         F.round(F.avg(q), 4).alias("mean_quality"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_budget: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: assign whole documents, in id order, to
+    fixed-capacity training sequences of ``seq_len`` tokens — the standard
+    "concatenate in order, start a new sequence when the next doc would
+    overflow" packing used to build LLM pretraining batches without
+    splitting documents. Docs longer than ``seq_len`` get a sequence of
+    their own (callers wanting splits run :func:`~wingfoil_spark.functions.
+    text.chunk_tokens` first — documented, not silently truncated).
+
+    Emits ``(id, n_tokens, shard, seq_id, seq_fill)`` where ``seq_id``
+    is globally unique (shard-qualified) and ``seq_fill`` is the packed
+    token count of the doc's sequence AFTER placing it — ``seq_fill`` of a
+    sequence's last doc is its final occupancy, so waste per sequence =
+    ``seq_len - max(seq_fill)`` (capped sequences excepted).
+
+    Scale shape: greedy packing is a sequential recurrence (each doc's
+    placement depends on the running fill), which would be one task
+    corpus-wide. The distributed form bounds the sequential scope with
+    :func:`token_budget_shards` (two-phase prefix sum, ~``shard_budget``
+    tokens per shard — default 1024 × seq_len) and packs WITHIN each
+    shard via one Arrow batch per shard: a numpy-backed greedy walk over
+    at most ~shard_budget/seq_len·(seq_len/min_doc) rows. Packing quality
+    is unchanged except at the ≤1-sequence shard seam (a shard boundary
+    may close a partially-filled sequence early — bounded waste, exactly
+    like the per-file packing every real pipeline does); determinism is
+    exact: same corpus, same ids → same sequences, independent of
+    partitioning.
+    """
+    import pandas as pd
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    budget = shard_budget or seq_len * 1024
+    sharded = token_budget_shards(
+        df, budget, text_col=text_col, id_col=id_col
+    ).select(id_col, "n_tokens", "shard")
+
+    out_schema = (
+        f"{id_col} long, n_tokens long, shard long, seq_id string, seq_fill long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        seq_idx, fill = 0, 0
+        seq_ids, fills = [], []
+        for n in pdf["n_tokens"].to_numpy():
+            n = int(n)
+            if fill > 0 and fill + n > seq_len:
+                seq_idx += 1
+                fill = 0
+            fill += n
+            seq_ids.append(f"{shard}:{seq_idx}")
+            fills.append(fill)
+        pdf["seq_id"] = seq_ids
+        pdf["seq_fill"] = fills
+        return pdf[[id_col, "n_tokens", "shard", "seq_id", "seq_fill"]]
+
+    return sharded.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
+def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Packing-efficiency report over :func:`pack_sequences` output: one
+    row per shard with sequence count, mean occupancy, and waste ratio
+    (1 - packed_tokens / (n_sequences × seq_len)). One aggregation."""
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.max("seq_fill").alias("occ"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_seq.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("occ").alias("packed_tokens"),
+        F.round(F.avg("occ"), 2).alias("mean_occupancy"),
+        F.round(
+            1.0 - F.sum("occ") / (F.count(F.lit(1)) * F.lit(float(seq_len))), 4
+        ).alias("waste_ratio"),
+    )
