@@ -63,9 +63,28 @@ print("gopher keep:", kept_ids)
 assert 6 not in kept_ids, "the degenerate one-word doc fails the gate"
 docs = docs.join(quality.where("g.keep").select("doc_id"), "doc_id")
 
-# 4. deterministic domain mixing + token-budget sharding
+# 4. substring-level dedup (ExactSubstr): scrub passages repeated
+# anywhere in the corpus — here nothing survives duplicated ≥6-token
+# spans after the doc-level dedup above, so text passes through verbatim
+docs = dd.scrub_duplicate_spans(docs, min_len=6)
+print("after span scrub:", docs.count(), "docs")
+
+# 5. LM perplexity gate (CCNet shape): fit on the surviving corpus, keep
+# head+middle buckets
+from wingfoil_spark.functions import lm
+
+model = lm.fit_bigram_lm(docs, k=0.5)
+scored = lm.ppl_buckets(lm.lm_perplexity(docs, model))
+print("ppl buckets:", sorted((r.doc_id, r.ppl_bucket) for r in scored.collect()))
+docs = docs.join(
+    scored.where(F.col("ppl_bucket") != "tail").select("doc_id"), "doc_id"
+)
+
+# 6. deterministic domain mixing + token-budget sharding + packing
 mixed = cu.weighted_mix(docs, {"web": 1.0, "wiki": 1.0})
 shards = cu.token_budget_shards(mixed, budget=16)
 shards.select("doc_id", "shard", "cum_tokens").show()
+packed = cu.pack_sequences(mixed, seq_len=16)
+packed.show()
 assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == [1, 3], \
     "dup (2), leaks (4, 5) and the degenerate doc (6) removed"
