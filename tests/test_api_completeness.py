@@ -84,6 +84,10 @@ MODULE_SURFACES = {
     "wingfoil_spark.functions.lm": [
         "fit_bigram_lm", "lm_perplexity", "ppl_buckets",
     ],
+    "wingfoil_spark.functions.bpe": [
+        "word_counts", "train_bpe", "merges_table", "bpe_encode",
+        "bpe_token_count",
+    ],
     "wingfoil_spark.frames": ["build_dataframe"],
     "wingfoil_spark.functions.multimodal": [
         "as_media", "media_meta", "frame_sample", "extract_features",
