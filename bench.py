@@ -196,6 +196,14 @@ def main() -> None:
                     "0.788/0.607/1.604 s (r5 run; r3 bests 0.73/0.47/1.67)"
                     " - r4 regressions were host jitter, not plan changes"
                 ),
+                # r5: curation gained a SIXTH union branch (part='dupspan',
+                # substring-level dedup — a gram-hash count-window shuffle
+                # + per-doc islands merge), so its time vs r4 (1.63s) rises
+                # by the new branch's cost (~+1s at sf0.1), not a
+                # regression of the prior five branches. Scale ratios with
+                # the new branch: 2.05@10x / 3.45@30x / 9.6@100x
+                # (SCALE_r05.json).
+                "curation_note": "r5 adds part='dupspan' (substring dedup)",
             }
         )
     )
