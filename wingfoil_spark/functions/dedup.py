@@ -782,3 +782,80 @@ def scrub_duplicate_spans(
         .drop("__tk", "__spans")
     )
     return out
+
+
+# ------------------------------------------------------- line-level dedup
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style line-level deduplication: any (trimmed) line occurring more
+    than once in the corpus keeps only its FIRST occurrence (lowest
+    (doc id, line position)); every other copy is removed and the
+    documents are rebuilt with their surviving lines in order. Lines
+    shorter than ``min_chars`` after trimming (blank lines, stray
+    punctuation) are never dedup keys and always survive — they are
+    document structure, not content.
+
+    Returns the input frame with ``text_col`` rewritten and an
+    ``n_lines_removed`` count per doc.
+
+    100 TB shape: one shuffle of the exploded line table on a 60-bit line
+    hash (the owner election is a min-struct window inside each hash
+    partition), then one doc-id shuffle to regroup surviving lines.
+    Structure lines get a row-unique, domain-separated key instead of a
+    shared NULL — a corpus with billions of blank lines never funnels
+    them into one hot partition. No corpus sort, no Python.
+    """
+    from pyspark.sql.window import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__t", F.trim(F.col("__line")))
+    # Structure lines (below min_chars after trim) are never dedup keys:
+    # give each a row-unique key in a separate hash domain ('\x01' prefix)
+    # so it owns a singleton partition and trivially survives the election.
+    keyed = lines.withColumn(
+        "__lh",
+        F.when(F.length("__t") >= min_chars, _md5_int(F.col("__t"))).otherwise(
+            _md5_int(
+                F.concat_ws("\x01", F.lit("s"), F.col(id_col), F.col("__pos"))
+            )
+        ),
+    )
+    wh = Window.partitionBy("__lh")
+    owned = keyed.withColumn(
+        "__owner", F.min(F.struct(F.col(id_col), F.col("__pos"))).over(wh)
+    )
+    kept = owned.where(
+        (F.col("__owner")[id_col] == F.col(id_col))
+        & (F.col("__owner.__pos") == F.col("__pos"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__new_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    out = (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(
+            "n_lines_removed",
+            F.coalesce(n_lines - F.col("__n_kept"), n_lines, F.lit(0)).cast(
+                "long"
+            ),
+        )
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
+        .drop("__new_text", "__n_kept")
+    )
+    return out
