@@ -88,6 +88,16 @@ def test_lm_k_guard(spark):
         lm.fit_bigram_lm(ref, k=0.0)
 
 
+def test_lm_empty_vocab_guard(spark):
+    # the round-5 hypothesis counterexample, pinned: ref_texts=[''] has no
+    # tokens, so V=0 and log(1/V) would ANSI-abort the scoring job.
+    # fit_bigram_lm must raise at wiring time instead.
+    for rows in [[("",)], [("   ",)], [("",), ("  ",)]]:
+        ref = spark.createDataFrame(rows, "text string")
+        with pytest.raises(ValueError, match="empty vocabulary"):
+            lm.fit_bigram_lm(ref, k=0.1)
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
@@ -103,6 +113,12 @@ def test_lm_k_guard(spark):
 )
 def test_lm_differential(spark, ref_texts, score_texts):
     texts = dict(enumerate(score_texts))
+    if not any(t.split() for t in ref_texts):
+        # empty-vocabulary reference corpus: the model is undefined and
+        # fit must fail loudly at wiring time (not abort the scoring job)
+        with pytest.raises(ValueError, match="empty vocabulary"):
+            spark_lm_scores(spark, ref_texts, texts, k=0.25)
+        return
     got = spark_lm_scores(spark, ref_texts, texts, k=0.25)
     want = ref_lm_scores(ref_texts, texts, k=0.25)
     assert set(got) == set(want)

@@ -202,3 +202,68 @@ def test_plan_no_cartesian_no_collect(spark):
     plan = dd.duplicate_spans(df, min_len=4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_gram_planted(spark):
+    # Skew posture (VERDICT r5 #2): one 8-token boilerplate span repeated
+    # 10^4 times across the corpus must dedup correctly — and must go
+    # through the two-level groupBy election, never an unsplittable
+    # count-window over the gram hash.
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("u"), F.col("id") * 97 + i)
+                    for i in range(6)
+                ],
+            ),
+        ).alias("text"),
+    )
+    spans = dd.duplicate_spans(df, min_len=8)
+    rows = spans.collect()
+    # every doc flags exactly the boilerplate prefix [0, 8)
+    assert len(rows) == 10_000
+    assert all(
+        (r.span_start, r.span_end, r.span_tokens) == (0, 8, 8) for r in rows
+    )
+
+
+def test_gram_count_partial_aggregation_plan(spark):
+    # The election must partial-aggregate map-side (HashAggregate with
+    # partial_count before the exchange) and must NOT plan a window over
+    # the gram hash — a window partition cannot be split by AQE, so a hot
+    # gram would become a single multi-GB task at 100 TB.
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit("w"), (F.col("id") * 31 + i) % 7) for i in range(20)]
+        ).alias("text"),
+    )
+    plan = dd.duplicate_spans(df, min_len=4)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    # exactly one Window remains: the per-doc gaps-and-islands merge
+    import re
+
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert all("gh" not in w for w in wins), plan
+
+
+def test_dedup_lines_partial_aggregation_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "b\nd")], "doc_id long, text string"
+    )
+    plan = (
+        dd.dedup_lines(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_" in plan, plan
+    import re
+
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert all("__lh" not in w for w in wins), plan

@@ -675,13 +675,16 @@ def duplicate_spans(
 
     100 TB shape: the gram explode is row-local (≈ n_tokens rows per doc,
     the same cost class as the MinHash shingle stage); occurrence counting
-    is ONE shuffle on the 60-bit gram hash with map-side partial
-    aggregation expressed as a count window over the hash partition; the
-    interval merge is a per-document window (documents are small — no
-    giant partitions). No suffix array, no sort of the whole corpus, no
-    all-pairs stage. Boilerplate-heavy grams (one license header duplicated
-    across millions of docs) make a hot hash partition — AQE skew-join
-    handling and the 60-bit key spread apply; the count-window stage only
+    is a TWO-LEVEL election — ``groupBy(gh).count()`` (true map-side
+    partial aggregation: every map task emits at most one partial row per
+    gram, so even a license header duplicated 10⁸ times arrives at the
+    reduce side as one row per map task, never 10⁸ rows in one task),
+    filtered to ``count > 1`` (a tiny table for a mostly-unique gram
+    space), then joined back onto the gram rows — AQE broadcast-decides
+    the join and can skew-split it, unlike a window partition, which is
+    unsplittable by construction. The interval merge is a per-document
+    window (documents are small — no giant partitions). No suffix array,
+    no sort of the whole corpus, no all-pairs stage; the count stage only
     carries (id, pos, hash), never text.
 
     Hashing matches :func:`decontaminate` (60-bit md5 units), so a DuckDB
@@ -702,14 +705,16 @@ def duplicate_spans(
             F.transform(word_ngrams_expr("__toks", L), lambda g: _md5_int(g))
         ).alias("pos", "gh"),
     )
-    # one shuffle: count occurrences of each gram hash across the corpus
-    # (window over the hash partition = groupBy+join collapsed to a single
-    # exchange; the filter drops the ~100% unique tail immediately after)
-    hits = (
-        grams.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+    # two-level occurrence election: partial-aggregated counts (map-side
+    # combine caps any hot gram at one row per map task), keep only the
+    # duplicated hashes (tiny for a mostly-unique gram space), join back.
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") > 1)
-        .select(id_col, "pos")
+        .select("gh")
     )
+    hits = grams.join(dup_gh, "gh").select(id_col, "pos")
     # gaps-and-islands per doc: a new span starts when the next duplicated
     # window no longer overlaps/touches the running one (gap > L)
     wd = Window.partitionBy(id_col).orderBy("pos")
@@ -804,15 +809,19 @@ def dedup_lines(
     Returns the input frame with ``text_col`` rewritten and an
     ``n_lines_removed`` count per doc.
 
-    100 TB shape: one shuffle of the exploded line table on a 60-bit line
-    hash (the owner election is a min-struct window inside each hash
-    partition), then one doc-id shuffle to regroup surviving lines.
-    Structure lines get a row-unique, domain-separated key instead of a
-    shared NULL — a corpus with billions of blank lines never funnels
-    them into one hot partition. No corpus sort, no Python.
+    100 TB shape: the owner election is TWO-LEVEL — a partial-aggregated
+    ``groupBy(__lh).agg(count, min(struct(id, pos)))`` (map-side combine:
+    a boilerplate line duplicated 10⁸ times reaches the reduce side as one
+    partial row per map task, never as one 10⁸-row task the way a window
+    partition would), filtered to ``count > 1`` (only genuinely duplicated
+    lines — tiny for a mostly-unique corpus), joined LEFT back onto the
+    line rows (AQE broadcast-decides and can skew-split); then one doc-id
+    shuffle to regroup surviving lines. Structure lines get a row-unique,
+    domain-separated key instead of a shared NULL — a corpus with billions
+    of blank lines never funnels them into one hot partition — and, being
+    unique, never enter the duplicated-owner table at all. No corpus sort,
+    no Python.
     """
-    from pyspark.sql.window import Window
-
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
@@ -828,13 +837,21 @@ def dedup_lines(
             )
         ),
     )
-    wh = Window.partitionBy("__lh")
-    owned = keyed.withColumn(
-        "__owner", F.min(F.struct(F.col(id_col), F.col("__pos"))).over(wh)
+    dup_owned = (
+        keyed.groupBy("__lh")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__owner"),
+        )
+        .where(F.col("__c") > 1)
+        .select("__lh", "__owner")
     )
-    kept = owned.where(
-        (F.col("__owner")[id_col] == F.col(id_col))
-        & (F.col("__owner.__pos") == F.col("__pos"))
+    kept = keyed.join(dup_owned, "__lh", "left").where(
+        F.col("__owner").isNull()
+        | (
+            (F.col("__owner")[id_col] == F.col(id_col))
+            & (F.col("__owner.__pos") == F.col("__pos"))
+        )
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(

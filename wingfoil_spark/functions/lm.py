@@ -71,6 +71,15 @@ def fit_bigram_lm(
     # every row's expression — take it once (an aggregate collect of ONE
     # row, not a data collect)
     v = uni.count()
+    if v == 0:
+        # An empty-vocabulary model is undefined (log(1/0) would abort the
+        # whole scoring job under ANSI mode with DIVIDE_BY_ZERO). Fail
+        # loudly at wiring time — the module convention for degenerate
+        # inputs.
+        raise ValueError(
+            "fit_bigram_lm: reference corpus has empty vocabulary "
+            "(no tokens after tokenization)"
+        )
     denom = F.col("c1") + F.lit(k) * F.lit(float(v))
     bigrams = (
         big.join(uni, "w1")
