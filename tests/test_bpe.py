@@ -161,3 +161,103 @@ def test_guard(spark):
     docs = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError):
         bpe.train_bpe(docs, n_merges=-1)
+
+
+# --------------------------------------- incremental trainer (round 6)
+
+
+def _rand_vocab(rng, n_words, alpha=3):
+    words = {}
+    for _ in range(n_words):
+        w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+        words[tuple(list(w) + [bpe.END])] = rng.randint(1, 50)
+    return words
+
+
+def test_incremental_trainer_matches_naive():
+    """The production incremental loop (heap + delta updates) must emit a
+    BITWISE-identical merge list to the textbook recount loop, across
+    random vocabularies and merge depths."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(30):
+        vocab = _rand_vocab(rng, rng.randint(1, 40))
+        n = rng.randint(0, 60)
+        assert bpe._train_merges(vocab, n) == bpe._train_merges_naive(
+            vocab, n
+        ), (vocab, n)
+
+
+def test_incremental_trainer_resurrected_pair():
+    """A later merge can RE-CREATE adjacency of an already-merged pair
+    (symbols grow by concatenation: merging (x,y) in 'a x y' yields
+    'a xy', resurrecting (a, xy) if that pair merged earlier elsewhere).
+    The incremental loop must see it exactly like a full recount."""
+    vocab = {
+        ("a", "b", bpe.END): 10,          # drives (a,b) early
+        ("a", "x", "y", bpe.END): 9,      # later (x,y) -> 'xy'
+        ("x", "y", bpe.END): 8,
+    }
+    for n in range(1, 10):
+        assert bpe._train_merges(dict(vocab), n) == bpe._train_merges_naive(
+            dict(vocab), n
+        )
+
+
+def test_incremental_trainer_speed():
+    """1k merges over a realistic word table in seconds, not minutes —
+    the verdict's production-shape bar (Next #4)."""
+    import random
+    import time
+
+    rng = random.Random(5)
+    vocab = {}
+    while len(vocab) < 20_000:
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(2, 12))
+        )
+        vocab[tuple(list(w) + [bpe.END])] = rng.randint(1, 1000)
+    t0 = time.monotonic()
+    merges = bpe._train_merges(vocab, 1000)
+    dt = time.monotonic() - t0
+    assert len(merges) == 1000
+    assert dt < 30, f"incremental trainer took {dt:.1f}s for 1k merges"
+
+
+def test_encode_unicode_whitespace_parity(spark):
+    """Encode-time tokenization goes through the SAME Catalyst tokens()
+    expression as word_counts/train_bpe (round-5 ADVICE): Java's \\s is
+    ASCII-only, so NBSP stays INSIDE a word on both sides — a Python
+    str.split() at encode time would split it and drift from the trained
+    segmentation. Pin: (a) ASCII whitespace/case normalize identically;
+    (b) an NBSP-joined word encodes as ONE word (exactly one trailing
+    word-end marker), matching what the trainer counted."""
+    import pyspark.sql.functions as F
+
+    from wingfoil_spark.functions.text import tokens as cat_tokens
+
+    corpus = ["low low lower newest newest widest"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    merges = bpe.train_bpe(docs, 10)
+    fancy = spark.createDataFrame(
+        [(1, "low newest"), (2, "low\u00a0newest"), (3, "LOW\tNEWEST")],
+        "id long, text string",
+    )
+    got = {
+        r.id: list(r.bpe_tokens)
+        for r in bpe.bpe_encode(fancy, merges).collect()
+    }
+    assert got[3] == got[1]  # tab + case normalize like the trainer
+    # NBSP does NOT split under tokens() — one word, one </w> terminator,
+    # and the word count seen at encode time equals the trainer's view
+    assert sum(t.endswith(bpe.END) for t in got[2]) == 1
+    n_words = {
+        r.id: r.n
+        for r in fancy.select(
+            "id", F.size(cat_tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert sum(t.endswith(bpe.END) for t in got[i]) == n_words[i]

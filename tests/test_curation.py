@@ -281,3 +281,46 @@ def test_describe_corpus_summary(spark, docs):
         p10, p50, p90 = r["token_p10_p50_p90"]
         assert p10 <= p50 <= p90
         assert r["total_tokens"] >= r["n_docs"] * p10
+
+
+def test_token_budget_shards_string_ids(spark):
+    """String/UUID ids (round-5 ADVICE-low): shards must be contiguous in
+    id ORDER and cum_tokens must match a pandas cumsum over the sorted
+    ids, same as the numeric path; n_buckets must not change the result."""
+    import pandas as pd
+
+    texts = [(f"doc-{i:04d}", "w " * ((i * 7) % 23 + 1)) for i in range(200)]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    a = (
+        cu.token_budget_shards(df, 100, n_buckets=1)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        cu.token_budget_shards(df, 100, n_buckets=16)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 200
+    want_cum = a["n_tokens"].cumsum()
+    assert (a["cum_tokens"].to_numpy() == want_cum.to_numpy()).all()
+    assert (
+        a["shard"].to_numpy() == (a["cum_tokens"] - a["n_tokens"]) // 100
+    ).all()
+    # contiguity: shard is non-decreasing in id order
+    assert (a["shard"].diff().fillna(0) >= 0).all()
+
+
+def test_pack_sequences_string_ids(spark):
+    """pack_sequences end to end on string ids: output id column keeps the
+    input type (no hardcoded long schema) and packing is deterministic."""
+    texts = [(f"u-{i:03d}", "tok " * ((i % 9) + 1)) for i in range(60)]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    out = cu.pack_sequences(df, seq_len=16)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    pdf = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(pdf) == 60
+    assert (pdf["seq_fill"] <= 16).all() | (pdf["n_tokens"] > 16).any()
+    again = cu.pack_sequences(df, seq_len=16).toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert pdf["seq_id"].tolist() == again["seq_id"].tolist()

@@ -62,19 +62,33 @@ def test_watch_rejects_historical_mode(spark, tmp_path):
 
 
 def test_conditional_write_conflict(spark, tmp_path):
-    """etcd.rs:371 force=False: a conditional PUT against a key that
-    already carries an equal-or-newer revision errors (the reference
-    aborts the run); force=True is last-writer-wins."""
+    """etcd.rs:103-105,371 force=False: the conditional PUT is a
+    create_revision == 0 transaction — it aborts whenever the key already
+    EXISTS, regardless of revision; a deleted key does not exist (recreate
+    succeeds); force=True is last-writer-wins."""
     d = str(tmp_path / "log")
     kv.kv_put(spark, d, [("k", "v1")], revision=5)
-    with pytest.raises(ValueError, match="conditional write conflict"):
+    with pytest.raises(ValueError, match="already exist"):
         kv.kv_put(spark, d, [("k", "v2")], revision=5, force=False)
-    kv.kv_put(spark, d, [("k", "v2")], revision=6, force=False)  # newer: fine
-    with pytest.raises(ValueError, match="conditional write conflict"):
-        kv.kv_put(spark, d, [("k", "v3")], revision=6, force=False)
+    # a HIGHER revision still conflicts: existence, not recency, is the
+    # etcd compare (the round-5 divergence, now pinned)
+    with pytest.raises(ValueError, match="already exist"):
+        kv.kv_put(spark, d, [("k", "v2")], revision=6, force=False)
+    kv.kv_put(spark, d, [("k2", "w")], revision=6, force=False)  # new key: fine
     kv.kv_put(spark, d, [("k", "v3")], revision=7, force=True)   # force wins
     snap, _ = kv.kv_snapshot(spark, d)
-    assert {r.key: r.value for r in snap.collect()} == {"k": "v3"}
+    assert {r.key: r.value for r in snap.collect()} == {"k": "v3", "k2": "w"}
+    # delete tombstones the key -> conditional recreate succeeds
+    kv.kv_put(spark, d, [("k", None)], revision=8, kind="delete")
+    kv.kv_put(spark, d, [("k", "v4")], revision=9, force=False)
+    snap, _ = kv.kv_snapshot(spark, d)
+    assert {r.key: r.value for r in snap.collect()} == {"k": "v4", "k2": "w"}
+
+
+def test_conditional_write_absent_log_ok(spark, tmp_path):
+    """An absent log path is 'nothing exists yet', not a conflict."""
+    d = str(tmp_path / "fresh")
+    assert kv.kv_put(spark, d, [("a", "1")], revision=1, force=False) == 1
 
 
 def test_redis_stream_id_handoff(spark):

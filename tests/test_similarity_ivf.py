@@ -152,3 +152,78 @@ def test_ivfpq_composition(spark):
     # the twin lands in the probe's own cell with overwhelming odds at
     # nprobe=4/8; demand near-total recall (allow one cell-boundary miss)
     assert hits >= 15, f"planted twin missed too often ({hits}/16)"
+
+
+def test_pq_topk_batch_size_invariant(spark):
+    """The round-5 ADVICE-high reproduction: with tiny Arrow batches a
+    per-batch groupby top-k emits duplicate ranks and >k rows whenever a
+    probe's candidates span batches. The running per-probe merge must be
+    batch-size-INVARIANT: k=5 → exactly 5 rows per probe, ranks 1..5,
+    bitwise-equal to the default-batch result."""
+    import numpy as np
+    import pandas as pd
+
+    from wingfoil_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(120)),
+        "embedding": [rng.normal(size=32).tolist() for _ in range(120)],
+    }))
+    probes = emb.where(F.col("vec_id") < 3)
+    books = sim.pq_train(emb, m=4, k=8)
+    codes = sim.pq_encode(emb, books)
+    key = ["probe_id", "rank"]
+    want = (
+        sim.pq_topk(codes, probes, books, k=5)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "10")
+        got = (
+            sim.pq_topk(codes, probes, books, k=5)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+        got_ivf = (
+            sim.ivfpq_topk(emb, probes, books, k=5, n_centroids=4, nprobe=4)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set(conf, old)
+    assert len(want) == 15, want
+    assert len(got) == 15, got
+    for pdf in (want, got, got_ivf):
+        for _, grp in pdf.groupby("probe_id"):
+            assert sorted(grp["rank"].tolist()) == [1, 2, 3, 4, 5]
+            assert grp["neighbor_id"].is_unique
+    assert got["neighbor_id"].tolist() == want["neighbor_id"].tolist()
+    assert got["adc_dist"].tolist() == want["adc_dist"].tolist()
+
+
+def test_pq_topk_string_ids(spark):
+    """Output id columns derive their type from the input schema — string
+    (UUID-style) ids must work end to end (round-5 ADVICE-low)."""
+    import numpy as np
+    import pandas as pd
+
+    from wingfoil_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [f"doc-{i:04d}" for i in range(60)],
+        "embedding": [rng.normal(size=32).tolist() for _ in range(60)],
+    }))
+    probes = emb.limit(2)
+    books = sim.pq_train(emb, m=4, k=8)
+    codes = sim.pq_encode(emb, books)
+    out = sim.pq_topk(codes, probes, books, k=3)
+    assert dict(out.dtypes)["probe_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+    pdf = out.toPandas()
+    assert len(pdf) == 6
+    assert all(isinstance(v, str) for v in pdf["neighbor_id"])
+    out2 = sim.ivfpq_topk(emb, probes, books, k=3, n_centroids=4, nprobe=4)
+    assert dict(out2.dtypes)["probe_id"] == "string"
+    assert len(out2.toPandas()) == 6

@@ -148,16 +148,43 @@ def token_budget_shards(
         return toks.withColumn("cum_tokens", F.lit(None).cast("long")).withColumn(
             "shard", F.lit(None).cast("long")
         )
-    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    id_sql_type = df.schema[id_col].dataType.simpleString()
+    if id_sql_type in ("tinyint", "smallint", "int", "bigint"):
+        lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+        key_sql = f"cast({id_col} as bigint)"
+    else:
+        # String/UUID ids: equal-width ranges need arithmetic, so bucket
+        # on an order-preserving numeric proxy — the 7 bytes after the
+        # corpus-wide common id prefix, zero-right-padded, read big-endian
+        # (7 bytes so the value fits a signed bigint). Proxy ties share a
+        # bucket, which keeps ranges order-contiguous; within-bucket order
+        # still uses the real id. Assumes binary-comparable ids (ASCII doc
+        # keys / UUIDs — Spark's own string min/max order); id-ORDER
+        # semantics are unchanged.
+        import os
+
+        lo_b = str(lo_hi["lo"]).encode("utf-8")
+        hi_b = str(lo_hi["hi"]).encode("utf-8")
+        p = len(os.path.commonprefix([lo_b, hi_b]))
+
+        def _proxy(b: bytes) -> int:
+            return int.from_bytes(b[p:p + 7].ljust(7, b"\x00"), "big")
+
+        lo, hi = _proxy(lo_b), _proxy(hi_b)
+        key_sql = (
+            "cast(coalesce(nullif(conv(hex(rpad(substring("
+            f"encode(cast({id_col} as string), 'UTF-8'), {p + 1}, 7), "
+            "7, X'00')), 16, 10), ''), '0') as bigint)"
+        )
     span = max(hi - lo + 1, 1)
     nb = min(n_buckets, span)
-    width = -(-span // nb)  # ceil: bucket = (id - lo) // width ∈ [0, nb)
+    width = -(-span // nb)  # ceil: bucket = (key - lo) // width ∈ [0, nb)
     # integer `div`, never float division: for id spans past 2^53 (this
     # library's own 60-bit md5-derived ids qualify) double rounding at the
     # top edge can land a row in bucket nb, which has no offsets row — the
     # inner join below would then silently drop it from the shard output
     bucketed = toks.withColumn(
-        "__bkt", F.expr(f"(cast({id_col} as bigint) - {lo}L) div {width}L")
+        "__bkt", F.expr(f"(({key_sql}) - {lo}L) div {width}L")
     )
     totals = {
         int(r["__bkt"]): int(r["t"])
@@ -255,8 +282,12 @@ def pack_sequences(
         df, budget, text_col=text_col, id_col=id_col
     ).select(id_col, "n_tokens", "shard")
 
+    # the id field keeps the INPUT's type — string/UUID ids must not fail
+    # on a hardcoded long (same coercion contract as _components_packed)
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, n_tokens long, shard long, seq_id string, seq_fill long"
+        f"{id_col} {id_type}, n_tokens long, shard long, "
+        "seq_id string, seq_fill long"
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -459,6 +459,70 @@ def pq_encode(
     return df.withColumn(out, enc(F.col(emb_col)))
 
 
+def _adc_topk_iter(books: np.ndarray, topk: int):
+    """Build the mapInPandas iterator for ADC top-k scoring.
+
+    Keeps a RUNNING top-k per probe across Arrow batches: mapInPandas
+    splits a partition into ~10k-row batches, so a per-batch groupby
+    top-k would emit duplicate ranks and >k rows whenever one probe's
+    candidate set spans batches (the round-5 ADVICE-high finding).
+    Selecting the k smallest under the (dist, neighbor_id) total order is
+    associative, so batch-wise merge + one emission at iterator
+    exhaustion is exact AND memory-bounded: O(probes_in_partition × k)
+    state, never the full candidate set."""
+    m, kk_cent, d_sub = books.shape
+
+    def adc(batches):
+        tables: dict = {}   # probe_id -> m×k ADC lookup table
+        best: dict = {}     # probe_id -> (dists, neighbor_ids) top-k so far
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for probe_id, grp in pdf.groupby("probe_id", sort=False):
+                table = tables.get(probe_id)
+                if table is None:
+                    x = np.asarray(grp["e_p"].iloc[0], dtype=np.float64)
+                    n = np.linalg.norm(x)
+                    if n > 0:
+                        x = x / n
+                    table = np.empty((m, kk_cent), dtype=np.float64)
+                    for j in range(m):
+                        sub = x[j * d_sub:(j + 1) * d_sub]
+                        table[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+                    tables[probe_id] = table
+                codes = np.asarray(
+                    [np.asarray(c, dtype=np.int64) for c in grp["code"]]
+                )
+                dists = table[np.arange(m)[None, :], codes].sum(axis=1)
+                ids = grp["neighbor_id"].to_numpy()
+                if probe_id in best:
+                    pdists, pids = best[probe_id]
+                    dists = np.concatenate([pdists, dists])
+                    ids = np.concatenate([pids, ids])
+                order = np.lexsort((ids, dists))[:topk]
+                best[probe_id] = (dists[order], ids[order])
+        for probe_id, (dists, ids) in best.items():
+            out = pd.DataFrame({
+                "probe_id": probe_id,
+                "neighbor_id": ids,
+                "adc_dist": np.round(dists, 9),
+            })
+            out["rank"] = np.arange(1, len(out) + 1)
+            yield out
+
+    return adc
+
+
+def _adc_out_schema(probe_id_type, neighbor_id_type) -> str:
+    """ADC output schema with id field types DERIVED from the inputs
+    (string/UUID ids must not fail on a hardcoded `long`)."""
+    return (
+        f"probe_id {probe_id_type.simpleString()}, "
+        f"neighbor_id {neighbor_id_type.simpleString()}, "
+        "adc_dist double, rank long"
+    )
+
+
 def pq_topk(
     corpus_codes: DataFrame,
     probes: DataFrame,
@@ -478,12 +542,13 @@ def pq_topk(
     billion-vector search layout.
 
     Plan: probes (small) broadcast-joined against the code table, ADC
-    via a vectorized numpy gather inside mapInPandas grouped per probe
-    (repartition on probe_id, same shape as the streaming ANN tier).
+    via a vectorized numpy gather inside mapInPandas with a running
+    per-probe top-k across Arrow batches (repartition on probe_id
+    colocates a probe's candidates; the running merge makes the result
+    batch-size-invariant — see :func:`_adc_topk_iter`).
     Output: probe_id, neighbor_id, adc_dist (ascending = nearest), rank.
     """
     books = np.asarray([np.asarray(b, dtype=np.float64) for b in codebooks])
-    m, kk_cent, d_sub = books.shape
     topk = int(k)
 
     p = probes.select(
@@ -493,35 +558,11 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("code")
     ).join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
 
-    def adc(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            for probe_id, grp in pdf.groupby("probe_id", sort=False):
-                x = np.asarray(grp["e_p"].iloc[0], dtype=np.float64)
-                n = np.linalg.norm(x)
-                if n > 0:
-                    x = x / n
-                table = np.empty((m, kk_cent), dtype=np.float64)
-                for j in range(m):
-                    sub = x[j * d_sub:(j + 1) * d_sub]
-                    table[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
-                codes = np.asarray(
-                    [np.asarray(c, dtype=np.int64) for c in grp["code"]]
-                )
-                dists = table[np.arange(m)[None, :], codes].sum(axis=1)
-                order = np.lexsort((grp["neighbor_id"].to_numpy(), dists))
-                take = order[:topk]
-                out = pd.DataFrame({
-                    "probe_id": probe_id,
-                    "neighbor_id": grp["neighbor_id"].to_numpy()[take],
-                    "adc_dist": np.round(dists[take], 9),
-                })
-                out["rank"] = np.arange(1, len(out) + 1)
-                yield out
-
+    schema = _adc_out_schema(
+        probes.schema[id_col].dataType, corpus_codes.schema[id_col].dataType
+    )
     return joined.repartition("probe_id").mapInPandas(
-        adc, "probe_id long, neighbor_id long, adc_dist double, rank long"
+        _adc_topk_iter(books, topk), schema
     )
 
 
@@ -555,7 +596,6 @@ def ivfpq_topk(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
     )
     books = np.asarray([np.asarray(b, dtype=np.float64) for b in codebooks])
-    m, kk_cent, d_sub = books.shape
     topk = int(k)
 
     cand = (
@@ -567,33 +607,9 @@ def ivfpq_topk(
         # (corpus assignment is 1-nearest), so no cross-cell dedup needed
     )
 
-    def adc(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            for probe_id, grp in pdf.groupby("probe_id", sort=False):
-                x = np.asarray(grp["e_p"].iloc[0], dtype=np.float64)
-                n = np.linalg.norm(x)
-                if n > 0:
-                    x = x / n
-                table = np.empty((m, kk_cent), dtype=np.float64)
-                for j in range(m):
-                    sub = x[j * d_sub:(j + 1) * d_sub]
-                    table[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
-                codes = np.asarray(
-                    [np.asarray(cd, dtype=np.int64) for cd in grp["code"]]
-                )
-                dists = table[np.arange(m)[None, :], codes].sum(axis=1)
-                order = np.lexsort((grp["neighbor_id"].to_numpy(), dists))
-                take = order[:topk]
-                out = pd.DataFrame({
-                    "probe_id": probe_id,
-                    "neighbor_id": grp["neighbor_id"].to_numpy()[take],
-                    "adc_dist": np.round(dists[take], 9),
-                })
-                out["rank"] = np.arange(1, len(out) + 1)
-                yield out
-
+    schema = _adc_out_schema(
+        probes.schema[id_col].dataType, corpus.schema[id_col].dataType
+    )
     return cand.repartition("probe_id").mapInPandas(
-        adc, "probe_id long, neighbor_id long, adc_dist double, rank long"
+        _adc_topk_iter(books, topk), schema
     )

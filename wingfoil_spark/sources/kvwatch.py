@@ -95,14 +95,19 @@ def kv_put(spark: SparkSession, log_dir: str, entries, revision: int,
            kind: str = "put", force: bool = True) -> int:
     """Append entries to the log at ``revision`` (the ``etcd_pub`` PUT,
     etcd.rs:371). ``entries`` is a list of ``(key, value)`` pairs (value
-    None for deletes). With ``force=False`` the write is CONDITIONAL —
-    it errors if any key already has an event at a revision >= this one
-    (the reference's conditional-write conflict, which aborts the run);
-    ``force=True`` last-writer-wins, like etcd's unconditional PUT.
-    Returns the revision written."""
+    None for deletes). With ``force=False`` the write is CONDITIONAL on
+    key ABSENCE — it errors whenever any key already EXISTS in the
+    snapshot, regardless of revision (the reference's
+    ``create_revision == 0`` transaction compare, etcd.rs:103-105: "aborts
+    the run, naming the key, if it already exists"). A deleted key does
+    not exist (the snapshot drops tombstoned keys), so recreate-after-
+    delete succeeds, matching etcd. ``force=True`` last-writer-wins, like
+    etcd's unconditional PUT. Returns the revision written."""
     import json
     import os
     import uuid
+
+    from pyspark.errors import AnalysisException
 
     revision = int(revision)
     if not force:
@@ -111,15 +116,18 @@ def kv_put(spark: SparkSession, log_dir: str, entries, revision: int,
             conflict = [
                 r.key for r in snap.where(
                     F.col("key").isin([k for k, _ in entries])
-                    & (F.col("revision") >= revision)
                 ).collect()
             ]
-        except Exception:
-            conflict = []  # empty/absent log: nothing to conflict with
+        except AnalysisException:
+            # absent log path: nothing exists yet. Any OTHER failure (a
+            # corrupt log, a real read error) must propagate — swallowing
+            # it would turn the conditional write unconditional.
+            conflict = []
         if conflict:
             raise ValueError(
                 f"conditional write conflict (force=False): keys "
-                f"{sorted(conflict)} already carry revision >= {revision}"
+                f"{sorted(conflict)} already exist "
+                "(use force=true to overwrite)"
             )
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"rev-{revision:016d}-{uuid.uuid4().hex[:8]}.json")
