@@ -129,6 +129,10 @@ CURATION_DECON_N = 4  # graded n-gram size (production default is 13; the
 #                       synthetic corpus is tiny, 4 exercises cross-doc hits)
 CURATION_DUP_L = 8  # substring-dedup min span (production default 50 tokens;
 #                     the synthetic docs are ~55 tokens with planted repeats)
+LM_K = 0.1          # add-k smoothing for the graded bigram LM
+LM_REF_MOD = 7      # reference corpus = docs with doc_id % 7 == 0
+PACK_SEQ_LEN = 128  # graded packing sequence capacity (tokens)
+PACK_BUDGET = 2048  # shard budget: ~40 docs/shard at the synthetic token mix
 
 
 def q_curation(spark, sf_dir):
@@ -780,28 +784,59 @@ def q_seasons(spark, sf_dir):
     )
 
 
-def q_dtw(spark, sf_dir):
-    """Pairwise DTW over resampled per-key series (augurs.rs:1038-1056);
-    bounded to 16 keys → ≤120 pairs. Oracle replicates np.interp resampling
-    and the DP recurrence via nested list folds — bitwise-exact."""
-    from wingfoil_spark.operators import analysis
-
-    s = _ev(spark, sf_dir)
-    s16 = s.filter_value(F.col("user_id") < 16)
-    return analysis.dtw_distances(s16, "value", resample_to=32)
-
-
-def q_cluster(spark, sf_dir):
-    """DBSCAN over the DTW distance matrix (augurs_cluster,
-    augurs.rs:1159-1177): deterministic min-id labeling so the closure
-    oracle (recursive CTE over eps-edges) matches exactly."""
+def q_dtw_cluster(spark, sf_dir):
+    """Pairwise DTW (augurs.rs:1038-1056) AND DBSCAN over that distance
+    matrix (augurs_cluster, augurs.rs:1159-1177) as one tagged union —
+    merged in r6 (from r5's separate dtw / cluster rows) to free a driver
+    slot for the LLM tier's lm_packing query; both branches share the
+    16-key pair table and stay fully hash-graded. part='dtw': (a,b)=pair,
+    v=distance; part='cluster': a=key, b=cluster label, v=is_core."""
     from wingfoil_spark.operators import analysis
 
     s = _ev(spark, sf_dir)
     s16 = s.filter_value(F.col("user_id") < 16)
     pairs = analysis.dtw_distances(s16, "value", resample_to=32)
-    out = analysis.dbscan_clusters(pairs, eps=600.0, min_pts=3)
-    return out.select(F.col("key").alias("user_id"), "cluster", "is_core")
+    dtw = pairs.select(
+        F.lit("dtw").alias("part"), F.col("key_a").alias("a"),
+        F.col("key_b").alias("b"), F.col("dtw").alias("v"),
+    )
+    clus = analysis.dbscan_clusters(pairs, eps=600.0, min_pts=3).select(
+        F.lit("cluster").alias("part"), F.col("key").alias("a"),
+        F.col("cluster").alias("b"),
+        F.col("is_core").cast("double").alias("v"),
+    )
+    return dtw.unionByName(clus)
+
+
+def q_lm_packing(spark, sf_dir):
+    """The r5 LLM-tier additions graded end to end (VERDICT r5 Next #5) as
+    one tagged union. part='ppl': the CCNet perplexity filter
+    (functions/lm.py) — fit an add-k bigram LM on the doc_id % LM_REF_MOD
+    reference slice, score EVERY doc; grp = bigram count, v = mean bigram
+    log-prob (6dp — ln/avg op order differs from DuckDB at ~1e-15).
+    part='pack': greedy sequence packing (functions/curation.py
+    pack_sequences) — grp = the shard-qualified sequence id, v = the
+    running fill after placement; the oracle replays the same greedy walk
+    as a recursive CTE over the shard row order, so the LAYOUT itself is
+    hash-graded, not just counts."""
+    from wingfoil_spark.functions import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % LM_REF_MOD == 0)
+    model = lm.fit_bigram_lm(ref, k=LM_K)
+    ppl = lm.lm_perplexity(docs, model).select(
+        F.lit("ppl").alias("part"), "doc_id",
+        F.col("n_bigrams").cast("string").alias("grp"),
+        F.round("logprob_per_token", 6).alias("v"),
+    )
+    pack = cu.pack_sequences(
+        docs, PACK_SEQ_LEN, shard_budget=PACK_BUDGET
+    ).select(
+        F.lit("pack").alias("part"), "doc_id",
+        F.col("seq_id").alias("grp"),
+        F.col("seq_fill").cast("double").alias("v"),
+    )
+    return ppl.unionByName(pack)
 
 
 # -------------------------------------------------------------------- market
@@ -1108,8 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analysis_scores": q_analysis_scores,
         "decon_stream": q_decon_stream,
         "seasons": q_seasons,
-        "dtw": q_dtw,
-        "cluster": q_cluster,
+        "dtw_cluster": q_dtw_cluster,
+        "lm_packing": q_lm_packing,
         "vwap_suite": q_vwap_suite,
         "seq_gaps": q_seq_gaps,
         "order_book_top": q_order_book_top,
@@ -1948,12 +1983,11 @@ dp AS (
   FROM dpairs
 ),
 dtw_pairs AS (SELECT key_a, key_b, round(fin[{RS}+1], 6) AS dtw FROM dp)"""
-    o["dtw"] = f"WITH {_dtw_pairs_cte}\nSELECT key_a, key_b, dtw FROM dtw_pairs"
-
-    # cluster: DBSCAN over the DTW pairs — eps-edge graph, degree-core
-    # test, min-label closure over core-core edges (recursive UNION), and
-    # deterministic border attachment to the minimum core neighbor.
-    o["cluster"] = f"""
+    # dtw_cluster: the DTW pair table plus DBSCAN over it — eps-edge
+    # graph, degree-core test, min-label closure over core-core edges
+    # (recursive UNION), deterministic border attachment to the minimum
+    # core neighbor — as one tagged union (merged r6 to free a slot).
+    o["dtw_cluster"] = f"""
 WITH RECURSIVE {_dtw_pairs_cte},
 edges AS (
   SELECT key_a AS a, key_b AS b FROM dtw_pairs WHERE dtw <= 600.0
@@ -1974,9 +2008,63 @@ border AS (
   SELECT ks.k, (SELECT min(e.b) FROM edges e WHERE e.a = ks.k AND e.b IN (SELECT k FROM core)) AS cn
   FROM ks WHERE ks.k NOT IN (SELECT k FROM core)
 )
-SELECT k AS user_id, lbl AS cluster, true AS is_core FROM core JOIN comp ON comp.node = core.k
+SELECT 'dtw' AS part, key_a AS a, key_b AS b, dtw AS v FROM dtw_pairs
 UNION ALL
-SELECT b.k, coalesce(c.lbl, -1), false FROM border b LEFT JOIN comp c ON c.node = b.cn"""
+SELECT 'cluster', k, lbl, 1.0::DOUBLE FROM core JOIN comp ON comp.node = core.k
+UNION ALL
+SELECT 'cluster', b.k, coalesce(c.lbl, -1), 0.0::DOUBLE
+FROM border b LEFT JOIN comp c ON c.node = b.cn"""
+
+    # lm_packing: the CCNet add-k bigram LM (exact joins + ln, 6dp) and
+    # the greedy packing walk replayed as a recursive CTE per shard.
+    o["lm_packing"] = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+ref AS (SELECT t FROM toks WHERE doc_id % {LM_REF_MOD} = 0),
+uni AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(t) AS w1 FROM ref) GROUP BY 1),
+big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM ref) GROUP BY 1, 2
+),
+vv AS (SELECT count(*) AS v FROM uni),
+pos AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+sc AS (
+  SELECT doc_id,
+    CASE WHEN c12 IS NOT NULL THEN ln((c12 + {LM_K}) / (c1 + {LM_K} * v))
+         WHEN c1  IS NOT NULL THEN ln({LM_K} / (c1 + {LM_K} * v))
+         ELSE ln(1.0 / v) END AS lp
+  FROM pos
+  LEFT JOIN big USING (w1, w2)
+  LEFT JOIN uni USING (w1)
+  CROSS JOIN vv
+),
+perdoc AS (SELECT doc_id, count(*) AS nb, avg(lp) AS mlp FROM sc GROUP BY 1),
+ptoks AS (SELECT doc_id, COALESCE(CAST(len(t) AS BIGINT), 0) AS n FROM toks),
+pcum AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ptoks),
+pshard AS (
+  SELECT doc_id, n, (cum - n) // {PACK_BUDGET} AS shard,
+    row_number() OVER (PARTITION BY (cum - n) // {PACK_BUDGET} ORDER BY doc_id) AS rn
+  FROM pcum
+),
+pwalk AS (
+  SELECT shard, rn, doc_id, n, n AS fill, 0 AS seq_idx FROM pshard WHERE rn = 1
+  UNION ALL
+  SELECT p.shard, p.rn, p.doc_id, p.n,
+    CASE WHEN w.fill > 0 AND w.fill + p.n > {PACK_SEQ_LEN} THEN p.n ELSE w.fill + p.n END,
+    CASE WHEN w.fill > 0 AND w.fill + p.n > {PACK_SEQ_LEN} THEN w.seq_idx + 1 ELSE w.seq_idx END
+  FROM pwalk w JOIN pshard p ON p.shard = w.shard AND p.rn = w.rn + 1
+)
+SELECT 'ppl' AS part, d.doc_id,
+  CAST(COALESCE(p.nb, 0) AS VARCHAR) AS grp, round(p.mlp, 6) AS v
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+UNION ALL
+SELECT 'pack', doc_id,
+  CAST(shard AS VARCHAR) || ':' || CAST(seq_idx AS VARCHAR) AS grp,
+  fill::DOUBLE AS v
+FROM pwalk"""
 
     trade_pv = ("CAST(CAST(value AS DECIMAL(18,9)) * CAST(1 + event_id % 100 AS DECIMAL(18,4)) "
                 "AS DECIMAL(38,13))")

@@ -60,6 +60,10 @@ HEADLINE = [
     "media_doc",
     "join3",
     "delay_with_reset",
+    # r6: the LLM tier's graded union (bigram-LM scoring join + greedy
+    # packing walk) — the newest first-class pipeline ops, benched from
+    # day one so regressions surface against a baseline.
+    "lm_packing",
 ]
 
 
