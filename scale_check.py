@@ -58,7 +58,13 @@ QUERIES_30X = ["stats_tw_kernel", "book_feed", "text_stats", "curation"]
 #: queries_100x when run.
 BIG100 = os.environ.get("SPARK_GRAFT_SCALE100_DIR", "/tmp/wingfoil_scale_sf10eq")
 REPL100 = 100
-QUERIES_100X = ["text_stats", "curation", "minhash"]  # + ann_fixed
+#: r6 (VERDICT r5 Next #6): + jaccard_pairs and dynamic_membership — the
+#: two heaviest stateful/join pipelines, previously measured only to
+#: 30x/10x — and the new lm_packing union.
+QUERIES_100X = [
+    "text_stats", "curation", "minhash",
+    "jaccard_pairs", "dynamic_membership", "lm_packing",
+]  # + ann_fixed
 
 #: linear-expected graded queries exercised at both scales
 QUERIES = [
@@ -73,6 +79,7 @@ QUERIES = [
     "minhash",
     "jaccard_pairs",
     "curation",
+    "lm_packing",
 ]
 
 
@@ -268,7 +275,8 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SCALE100") == "1":
         t0 = time.perf_counter()
-        build_big(spark, BIG100, REPL100, tables=("documents", "embeddings"))
+        build_big(spark, BIG100, REPL100,
+                  tables=("documents", "embeddings", "events"))
         print(f"# sf10-equivalent (100x) build: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
         out100 = {}

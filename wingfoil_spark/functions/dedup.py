@@ -592,14 +592,17 @@ def cosine_near_dups(
     )
 
 
-def simhash32_expr(text_col: str = "text") -> "F.Column":
+def simhash32_expr(text_col: str = "text", toks=None) -> "F.Column":
     """The SimHash vote kernel as a COLUMN expression, for fusing into a
     wider one-pass per-doc projection (e.g. the text-stats battery —
     joining two row-local projections of the same corpus on doc_id is a
     full-corpus shuffle for nothing at data scale). Token-less docs yield
     a simhash of 0 with no votes; callers wanting the classic "dropped"
-    semantics filter ``size(tokens(col)) > 0`` in the same pass."""
-    base = F.transform(tokens(F.col(text_col)), lambda t: _md5_int(t))
+    semantics filter ``size(tokens(col)) > 0`` in the same pass. Pass a
+    pre-tokenized array via ``toks`` when fusing with other token stats
+    (see functions.text._toks — lambda trees don't CSE)."""
+    t = toks if toks is not None else tokens(F.col(text_col))
+    base = F.transform(t, lambda x: _md5_int(x))
     return _simhash_vote_udf()(base)
 
 
