@@ -200,6 +200,18 @@ def main() -> None:
                     "0.788/0.607/1.604 s (r5 run; r3 bests 0.73/0.47/1.67)"
                     " - r4 regressions were host jitter, not plan changes"
                 ),
+                # VERDICT r5 Next #3 — the same 10x-minima protocol
+                # applied to r5's own unexplained moves (cosine_near_dups
+                # 1.12→1.61, vwap_suite 0.89→1.25, delay_with_reset
+                # 0.48→0.64): r6 minima recover to r4-or-better in all
+                # three, with the slow tails again on steal-logged
+                # windows. No plan change exists in any of them.
+                "variance_note_r6": (
+                    "cosine_near_dups/vwap_suite/delay_with_reset 10x "
+                    "minima at sf0.1: 1.116/0.751/0.467 s (r6 run; r4 "
+                    "values 1.12/0.89/0.48) - r5 moves were host jitter, "
+                    "not plan changes"
+                ),
                 # r5: curation gained a SIXTH union branch (part='dupspan',
                 # substring-level dedup — a gram-hash count-window shuffle
                 # + per-doc islands merge), so its time vs r4 (1.63s) rises

