@@ -1,0 +1,267 @@
+"""functions/selection.py — DSIR importance resampling, BM25, SemDeDup.
+
+DSIR and BM25 are differential-tested against independent pure-Python
+references (same md5 bucket hashing via hashlib, same formulas);
+SemDeDup against planted duplicate geometry and a brute-force reference.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wingfoil_spark.functions import selection as S
+
+
+# ---------- pure-Python references ----------
+
+def _py_tokens(text):
+    return [t for t in text.lower().strip().split() if t]
+
+
+def _py_grams(text):
+    t = _py_tokens(text)
+    return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+
+def _py_bucket(g, n_buckets):
+    return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def _py_dsir_weights(docs, target_ids, n_buckets):
+    """docs: {id: text}; returns {id: log_w} with add-1 smoothing."""
+    tc, rc = {}, {}
+    for i, txt in docs.items():
+        for g in _py_grams(txt):
+            b = _py_bucket(g, n_buckets)
+            rc[b] = rc.get(b, 0) + 1
+            if i in target_ids:
+                tc[b] = tc.get(b, 0) + 1
+    T, R = sum(tc.values()), sum(rc.values())
+    out = {}
+    for i, txt in docs.items():
+        w = 0.0
+        for g in _py_grams(txt):
+            b = _py_bucket(g, n_buckets)
+            w += math.log((tc.get(b, 0) + 1.0) / (T + n_buckets)) - math.log(
+                (rc.get(b, 0) + 1.0) / (R + n_buckets)
+            )
+        out[i] = w
+    return out
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75):
+    toks = {i: _py_tokens(t) for i, t in docs.items()}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            idf = math.log(1.0 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        out[i] = s
+    return out
+
+
+DOCS = {
+    0: "the cat sat on the mat",
+    1: "the dog sat on the log",
+    2: "cat cat cat",
+    3: "a completely different sentence about spark plans",
+    4: "the cat sat on the mat",  # exact dup of 0
+    5: "one",
+    6: "spark plans shuffle data between executors",
+}
+TARGET_IDS = {3, 6}  # "spark-flavored" target distribution
+NB = 64
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in DOCS.items()], "doc_id long, text string"
+    )
+
+
+def test_dsir_weights_match_python(spark, docs_df):
+    target = docs_df.where(F.col("doc_id").isin(list(TARGET_IDS)))
+    tp = S.dsir_profile(target, n_buckets=NB)
+    rp = S.dsir_profile(docs_df, n_buckets=NB)
+    got = {
+        r["doc_id"]: r["log_w"]
+        for r in S.dsir_weights(docs_df, tp, rp, n_buckets=NB).collect()
+    }
+    want = _py_dsir_weights(DOCS, TARGET_IDS, NB)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9), i
+    # target-like docs must outweigh off-distribution docs
+    assert got[6] > got[0] and got[3] > got[1]
+
+
+def test_dsir_sample_deterministic_topn(spark, docs_df):
+    target = docs_df.where(F.col("doc_id").isin(list(TARGET_IDS)))
+    tp = S.dsir_profile(target, n_buckets=NB)
+    rp = S.dsir_profile(docs_df, n_buckets=NB)
+    w = S.dsir_weights(docs_df, tp, rp, n_buckets=NB)
+    s1 = [r["doc_id"] for r in S.dsir_sample(w, 3).collect()]
+    s2 = [r["doc_id"] for r in S.dsir_sample(w, 3).collect()]
+    assert s1 == s2 and len(s1) == 3
+    # python twin of the Gumbel key
+    want = _py_dsir_weights(DOCS, TARGET_IDS, NB)
+    H = (1 << 60) + 1
+
+    def key(i):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) + 1) / H
+        return want[i] - math.log(-math.log(u))
+
+    expect = sorted(DOCS, key=lambda i: (-key(i), i))[:3]
+    assert s1 == expect
+
+
+def test_bm25_matches_python(spark, docs_df):
+    terms = ["cat", "spark", "the"]
+    got = {r["doc_id"]: r["score"] for r in S.bm25_score(docs_df, terms).collect()}
+    want = _py_bm25(DOCS, terms)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9), i
+
+
+def test_bm25_topk_order(spark, docs_df):
+    top = S.bm25_topk(docs_df, ["spark", "plans"], k=3).collect()
+    ids = [r["doc_id"] for r in top]
+    assert ids[0] in (3, 6) and ids[1] in (3, 6)  # both spark docs lead
+    assert top[0]["score"] >= top[1]["score"] >= top[2]["score"]
+
+
+def test_bm25_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "Apache SPARK engine"), (1, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    top = S.bm25_topk(df, ["Spark"], k=1).collect()
+    assert top[0]["doc_id"] == 0 and top[0]["score"] > 0
+
+
+# ---------- SemDeDup ----------
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_prunes_planted_duplicates(spark):
+    # fit="take" centroids are the 3 LOWEST ids — make those the three
+    # distinct axes, and plant the duplicate groups at high ids
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),      # singleton cluster seed
+        (10, [0.999, 0.01, 0.0]),  # near-dup of 0
+        (11, [1.0, 0.001, 0.0]),   # near-dup of 0
+        (20, [0.0, 0.999, 0.02]),  # near-dup of 1
+    ]
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in S.semdedup(_emb_df(spark, rows), n_clusters=3,
+                            threshold=0.98, fit="take").collect()
+    }
+    assert out[2] is True
+    # exactly one survivor per duplicate group
+    assert sum(out[i] for i in (0, 10, 11)) == 1
+    assert sum(out[i] for i in (1, 20)) == 1
+
+
+def test_semdedup_keeps_outlier_policy(spark):
+    # exact duplicates: equal centroid sim -> smallest id kept
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in S.semdedup(_emb_df(spark, rows), n_clusters=2,
+                            threshold=0.95, fit="take").collect()
+    }
+    assert out[0] is True and out[1] is False and out[2] is True
+
+
+def test_semdedup_no_false_prunes(spark):
+    # near-orthogonal set: nothing above threshold -> all kept
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)]
+    out = S.semdedup(_emb_df(spark, rows), n_clusters=2,
+                     threshold=0.9, fit="take")
+    assert out.where(~F.col("keep")).count() == 0
+    assert out.count() == 4
+
+
+def test_semdedup_partition_invariance(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        if i % 5 == 0:  # plant a near-dup
+            rows.append((1000 + i, [float(x * 1.001) for x in base]))
+    df1 = _emb_df(spark, rows).repartition(1)
+    df8 = _emb_df(spark, rows).repartition(8)
+    r1 = sorted(
+        (r["vec_id"], r["keep"])
+        for r in S.semdedup(df1, n_clusters=4, threshold=0.99, fit="take").collect()
+    )
+    r8 = sorted(
+        (r["vec_id"], r["keep"])
+        for r in S.semdedup(df8, n_clusters=4, threshold=0.99, fit="take").collect()
+    )
+    assert r1 == r8
+    assert any(not k for _, k in r1)  # planted dups actually pruned
+
+
+def test_semdedup_brute_force_reference(spark):
+    """Per-cluster pairwise prune vs a brute-force python replay."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(30)
+    ]
+    rows += [(100 + i, list(v)) for i, (_, v) in enumerate(rows[:6])]  # exact dups
+    df = _emb_df(spark, [(i, [float(x) for x in v]) for i, v in rows])
+    got = {
+        r["vec_id"]: (r["cid"], r["centroid_sim"], r["keep"])
+        for r in S.semdedup(df, n_clusters=3, threshold=0.999, fit="take").collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+
+    vec = dict(rows)
+    for i, (cid_i, cs_i, keep_i) in got.items():
+        should_prune = any(
+            cid_j == cid_i
+            and j != i
+            and ((cs_j < cs_i) or (cs_j == cs_i and j < i))
+            and cos(vec[i], vec[j]) > 0.999
+            for j, (cid_j, cs_j, _) in got.items()
+        )
+        assert keep_i == (not should_prune), i
+
+
+def test_dsir_null_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "some text here"), (1, None), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    tp = S.dsir_profile(df.where("doc_id = 0"), n_buckets=NB)
+    rp = S.dsir_profile(df, n_buckets=NB)
+    out = {r["doc_id"]: r["log_w"] for r in S.dsir_weights(df, tp, rp, n_buckets=NB).collect()}
+    assert 1 not in out            # null text dropped
+    assert out[2] == 0.0 and out[3] == 0.0  # gram-less docs weigh 0
+    s = S.bm25_score(df, ["text"]).collect()
+    assert {r["doc_id"] for r in s} == {0, 2, 3}

@@ -1,3 +1,3 @@
-from wingfoil_spark.functions import text, dedup, similarity, lm, bpe
+from wingfoil_spark.functions import text, dedup, similarity, lm, bpe, selection
 
-__all__ = ["text", "dedup", "similarity", "lm", "bpe"]
+__all__ = ["text", "dedup", "similarity", "lm", "bpe", "selection"]

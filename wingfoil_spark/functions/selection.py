@@ -1,0 +1,386 @@
+"""Training-data SELECTION: DSIR importance resampling, BM25 retrieval
+scoring, SemDeDup semantic deduplication.
+
+All three are published large-scale data-curation recipes re-expressed as
+Spark plans (no reference-engine counterpart — this tier extends the
+engine for LLM-corpus work, like functions/dedup.py and functions/lm.py):
+
+- DSIR — Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling" (hashed n-gram importance weights).
+- BM25 — Robertson & Zaragoza 2009 (the Okapi BM25 ranking function).
+- SemDeDup — Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  web-scale through semantic deduplication".
+
+100 TB shape (the design constraint for every function here):
+
+- DSIR: the bucket PROFILES are two ``groupBy(bucket)`` aggregations with
+  at most ``n_buckets`` (default 10k) output groups — map-side combined,
+  so the shuffle moves ≤ n_buckets rows per task regardless of corpus
+  size. The per-document WEIGHT is then row-local: the ≤10k-entry
+  log-ratio table rides along as ONE broadcast row holding a
+  ``map<bigint,double>``, and ``F.aggregate`` walks the doc's gram array
+  JVM-side. The corpus itself never shuffles and no Python stage runs.
+- BM25: document frequencies are computed AFTER restricting to the query
+  terms (predicate pushdown-friendly; ≤ |terms| groups), folded with
+  N/avgdl into ONE broadcast stats row; scoring is a row-local
+  projection. Zero corpus shuffles.
+- SemDeDup: k-means bounds every candidate set to one cluster — the
+  pairwise-cosine stage is an equi-join on ``cid`` (AQE-splittable,
+  skew-safe), never an all-pairs product. Cluster count is the knob: at
+  100 TB you raise ``n_clusters`` so clusters stay ~10⁴ vectors.
+
+All hashing is md5-based (:func:`dedup._md5_int` idiom) so the DuckDB
+oracle reproduces bucket ids, Gumbel keys, and weights exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wingfoil_spark.functions.dedup import _md5_int, ensure_parallelism
+from wingfoil_spark.functions.text import tokens
+
+__all__ = [
+    "dsir_profile",
+    "dsir_weights",
+    "dsir_sample",
+    "bm25_score",
+    "bm25_topk",
+    "semdedup",
+]
+
+#: 2^60 — _md5_int yields 60-bit non-negative ints; u = (h+1)/(2^60+1)
+#: maps them into (0,1) exclusive, safe for log(-log(u)).
+_H60 = 1 << 60
+
+
+def _grams(text_col: str) -> F.Column:
+    """Unigrams + word-bigrams of :func:`text.tokens` — the DSIR feature
+    stream (the paper hashes n-grams of the word sequence; unigrams keep
+    single-token docs represented)."""
+    t = tokens(F.col(text_col))
+    bi = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bi)
+
+
+def _bucket(col: F.Column, n_buckets: int) -> F.Column:
+    """md5-derived feature bucket ∈ [0, n_buckets) — DuckDB:
+    ``('0x' || substr(md5(x),1,15))::BIGINT % n_buckets``."""
+    return _md5_int(col) % F.lit(n_buckets)
+
+
+def dsir_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Hashed-n-gram bucket counts ``(bucket, n)`` for a corpus.
+
+    One explode + one ``groupBy(bucket)`` — map-side partial aggregation
+    caps the shuffle at ``n_buckets`` rows per task, so this is one cheap
+    pass even over the full raw corpus.
+    """
+    return (
+        ensure_parallelism(docs)
+        .where(F.col(text_col).isNotNull())
+        .select(F.explode(_grams(text_col)).alias("g"))
+        .groupBy(_bucket(F.col("g"), n_buckets).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _log_ratio_row(
+    target_profile: DataFrame, raw_profile: DataFrame, n_buckets: int
+) -> DataFrame:
+    """ONE row ``(lam map<bigint,double>)``: per-bucket importance
+    log-ratio ``log p̂_target(b) − log q̂_raw(b)`` with add-1 smoothing
+    over the full bucket space (so unseen buckets are defined on both
+    sides). ≤ ``n_buckets`` entries → broadcastable."""
+    t = target_profile.select(F.col("bucket"), F.col("n").alias("tn"))
+    r = raw_profile.select(F.col("bucket"), F.col("n").alias("rn"))
+    joined = t.join(r, "bucket", "full").select(
+        "bucket",
+        F.coalesce(F.col("tn"), F.lit(0)).alias("tn"),
+        F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+    )
+    # totals fold into the same tiny frame; add-1 over n_buckets cells
+    tot = joined.agg(
+        F.sum("tn").alias("T"), F.sum("rn").alias("R")
+    )
+    lam = (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tn") + 1.0) / (F.col("T") + float(n_buckets)))
+                - F.log((F.col("rn") + 1.0) / (F.col("R") + float(n_buckets)))
+            ).alias("lam"),
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("lam")))
+            ).alias("lam")
+        )
+    )
+    return lam
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_profile: DataFrame,
+    raw_profile: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight ``(id, log_w)``.
+
+    ``log_w(d) = Σ_{g ∈ grams(d)} λ(bucket(g))`` where
+    ``λ(b) = log p̂_target(b) − log q̂_raw(b)`` (add-1 smoothed). Summing
+    per occurrence equals the paper's ``Σ_b c_d(b)·λ(b)``.
+
+    Plan shape: the λ table is ONE broadcast row holding a
+    ``map<bigint,double>``; the weight is a row-local JVM ``F.aggregate``
+    over the doc's gram array — the corpus never shuffles and no Python
+    stage runs. Buckets unseen in either profile use the smoothed
+    λ_oov = log(R + n_buckets) − log(T + n_buckets) implied by add-1 —
+    exactly the map-miss value, precomputed below.
+    """
+    lam_row = _log_ratio_row(target_profile, raw_profile, n_buckets)
+    # λ for a bucket absent from both profiles: log((0+1)/(T+B)) − log((0+1)/(R+B))
+    tot = (
+        target_profile.agg(F.sum("n").alias("T"))
+        .crossJoin(raw_profile.agg(F.sum("n").alias("R")))
+        .select(
+            (
+                F.log(1.0 / (F.col("T") + float(n_buckets)))
+                - F.log(1.0 / (F.col("R") + float(n_buckets)))
+            ).alias("lam_oov")
+        )
+    )
+    d = (
+        ensure_parallelism(docs)
+        .where(F.col(text_col).isNotNull())
+        .withColumn("__g", _grams(text_col))
+        .crossJoin(F.broadcast(lam_row))
+        .crossJoin(F.broadcast(tot))
+    )
+    w = F.aggregate(
+        F.col("__g"),
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.coalesce(
+            F.element_at(F.col("lam"), _bucket(g, n_buckets)), F.col("lam_oov")
+        ),
+    )
+    return d.select(F.col(id_col), w.alias("log_w"))
+
+
+def dsir_sample(
+    weights: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Deterministic Gumbel-top-``n`` importance resample over DSIR
+    weights: ``key = log_w/τ − ln(−ln(u_d))`` with ``u_d`` derived from
+    md5(id) — the standard Gumbel-max reparameterization of sampling
+    without replacement ∝ exp(log_w/τ), made reproducible (and
+    SQL-twinnable) by hashing the id instead of drawing randomness.
+
+    Plan: one TakeOrdered — no full sort materializes at scale.
+    """
+    u = (_md5_int(F.col(id_col).cast("string")) + 1).cast("double") / float(_H60 + 1)
+    key = F.col("log_w") / float(temperature) - F.log(-F.log(u))
+    return (
+        weights.select(id_col, "log_w", key.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query
+    ``terms``: ``(id, score)`` (docs with score 0 included — callers
+    filter/limit).
+
+    ``score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))``
+    with ``idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))``.
+
+    Plan shape: df(t)/N/avgdl fold into ONE broadcast stats row (per-term
+    dfs as a ``map<string,bigint>`` — ≤ |terms| entries); tf and the score
+    are a row-local projection over the tokenized doc. Zero corpus
+    shuffles, no Python stage — BM25 at 100 TB is one scan.
+    """
+    terms = [t.lower() for t in terms]
+    d = (
+        ensure_parallelism(docs)
+        .where(F.col(text_col).isNotNull())
+        .withColumn("__t", tokens(F.col(text_col)))
+        .withColumn("__dl", F.size("__t"))
+    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    # per-term document frequencies + N + avgdl in one pass, one tiny row
+    stats = d.select(
+        F.col("__dl"),
+        *[
+            F.array_contains("__t", t).cast("long").alias(f"__df{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).agg(
+        F.count("*").alias("N"),
+        F.avg("__dl").alias("avgdl"),
+        F.map_from_arrays(
+            term_arr,
+            F.array(*[F.sum(f"__df{i}") for i in range(len(terms))]),
+        ).alias("dfs"),
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    per_term = F.transform(
+        term_arr,
+        lambda t: (
+            F.log(
+                1.0
+                + (F.col("N") - F.element_at(F.col("dfs"), t) + 0.5)
+                / (F.element_at(F.col("dfs"), t) + 0.5)
+            )
+            * (F.size(F.filter(F.col("__t"), lambda x: x == t)) * (k1 + 1.0))
+            / (
+                F.size(F.filter(F.col("__t"), lambda x: x == t))
+                + k1
+                * (1.0 - b + b * F.col("__dl") / F.col("avgdl"))
+            )
+        ),
+    )
+    score = F.aggregate(per_term, F.lit(0.0), lambda acc, s: acc + s)
+    return scored.select(F.col(id_col), score.alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 — one TakeOrdered over
+    :func:`bm25_score` (score desc, id asc tie-break)."""
+    s = bm25_score(docs, terms, text_col, id_col, k1, b)
+    return s.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit: str = "kmeans",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then within each cluster drop all but one of any group of vectors
+    whose pairwise cosine exceeds ``threshold``. Returns
+    ``(id, cid, centroid_sim, keep)`` — ``keep`` false for pruned rows.
+
+    Keep policy (the paper's): among semantic duplicates, KEEP the
+    example with the LOWEST cosine to its centroid (retain outliers,
+    prune prototypical redundancy); ties break on id. Implemented as:
+    a row is pruned iff some same-cluster neighbor with cosine >
+    threshold has strictly lower centroid-sim (or equal centroid-sim and
+    smaller id) — the greedy sweep in centroid-distance order, expressed
+    as one anti-join-shaped aggregation rather than an iterative loop.
+    (Transitive chains a–b–c where cos(a,c) < τ keep both endpoints —
+    matching the paper's per-pair pruning inside a cluster, not a
+    connected-components closure.)
+
+    Plan shape: k-means via :func:`similarity.ivf_centroids` (seeded,
+    deterministic); assignment is a broadcast NLJ against ≤``n_clusters``
+    centroids; the duplicate scan is an equi-join on ``cid`` —
+    AQE-splittable, never an all-pairs product. ``n_clusters`` is the
+    scale knob: size it so clusters stay ~10⁴ vectors (the paper runs
+    50k clusters over LAION-scale corpora).
+    """
+    from wingfoil_spark.functions.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(embeddings, n_clusters, emb_col, id_col, fit=fit)
+    # keep centroid similarity: re-derive it (ivf_assign drops its score)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(emb_col), F.col("cvec"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(emb_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    assigned = (
+        ivf_assign(embeddings, cents, nprobe=1, emb_col=emb_col, id_col=id_col)
+        .join(F.broadcast(cents), "cid")
+        .withColumn("__nrm", nrm)
+        .withColumn("centroid_sim", dot / (F.col("__nrm") * F.col("cnorm")))
+        .select(id_col, "cid", emb_col, "__nrm", "centroid_sim")
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col(id_col).alias("a_id"),
+        F.col(emb_col).alias("a_emb"),
+        F.col("__nrm").alias("a_nrm"),
+        F.col("centroid_sim").alias("a_cs"),
+    )
+    b_side = assigned.select(
+        F.col("cid"),
+        F.col(id_col).alias("b_id"),
+        F.col(emb_col).alias("b_emb"),
+        F.col("__nrm").alias("b_nrm"),
+        F.col("centroid_sim").alias("b_cs"),
+    )
+    pair_cos = F.aggregate(
+        F.zip_with(
+            F.col("a_emb"), F.col("b_emb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.col("a_nrm") * F.col("b_nrm"))
+    # a is PRUNED iff a higher-priority duplicate exists (lower centroid
+    # sim keeps; priority: b_cs < a_cs, tie on smaller id)
+    pruned = (
+        a.join(b_side, "cid")
+        .where(F.col("a_id") != F.col("b_id"))
+        .where(
+            (F.col("b_cs") < F.col("a_cs"))
+            | ((F.col("b_cs") == F.col("a_cs")) & (F.col("b_id") < F.col("a_id")))
+        )
+        .where(pair_cos > threshold)
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            pruned.withColumn("__pruned", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cid",
+            "centroid_sim",
+            F.coalesce(~F.col("__pruned"), F.lit(True)).alias("keep"),
+        )
+    )
