@@ -133,6 +133,10 @@ LM_K = 0.1          # add-k smoothing for the graded bigram LM
 LM_REF_MOD = 7      # reference corpus = docs with doc_id % 7 == 0
 PACK_SEQ_LEN = 128  # graded packing sequence capacity (tokens)
 PACK_BUDGET = 2048  # shard budget: ~40 docs/shard at the synthetic token mix
+SEL_BUCKETS = 10000  # DSIR hashed-feature buckets (the paper's default)
+SEL_TOP = 32         # Gumbel-top-n resample size in the graded query
+SEL_TERMS = ("spark", "join", "window")  # BM25 query over the synthetic vocab
+SEL_BM25_K = 20      # BM25 top-k in the graded query
 
 
 def q_curation(spark, sf_dir):
@@ -995,9 +999,55 @@ def q_text_stats(spark, sf_dir):
     )
 
 
-def q_dedup_exact(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return dd.exact_dedup(d)
+def q_selection(spark, sf_dir):
+    """Training-data SELECTION tier (functions/selection.py — r6) graded
+    end to end as one tagged union, absorbing the r1 exact-dedup slot:
+
+    - part='exact': the fp keep-set (k=fp, id=keep_id, v=n_dups) —
+      unchanged semantics from the former dedup_exact row;
+    - part='dsir': per-doc DSIR importance log-weight against the
+      lang='en' target slice (Xie 2023). v = round(log_w, 6): the Spark
+      side folds the broadcast λ-map over the gram array row-locally,
+      the oracle sums an exploded join — same doubles, different
+      accumulation order (~1e-12), absorbed by 6dp;
+    - part='dsir_top': the deterministic Gumbel-top-N resample
+      (md5-derived uniforms, v = round(gumbel_key, 6)) — the SAMPLING
+      itself is hash-graded, not just the weights;
+    - part='bm25': top-K docs by Okapi BM25 for a fixed query
+      (v = round(score, 6); same-order term sum both engines).
+
+    SemDeDup (selection.semdedup) stays unit-tier: its k-means fit is
+    not SQL-expressible (tests/test_selection.py pins it, incl. a
+    brute-force replay), mirroring how PQ/IVF-PQ are graded."""
+    from wingfoil_spark.functions import selection as sel
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dd.exact_dedup(docs).select(
+        F.lit("exact").alias("part"), F.col("fp").alias("k"),
+        F.col("keep_id").alias("id"), F.col("n_dups").cast("double").alias("v"),
+    )
+    # profiles are <=SEL_BUCKETS rows; checkpoint so the corpus gram scan
+    # behind them runs ONCE, not once per downstream branch
+    tp = sel.dsir_profile(
+        docs.where(F.col("lang") == "en"), n_buckets=SEL_BUCKETS
+    ).localCheckpoint(eager=True)
+    rp = sel.dsir_profile(docs, n_buckets=SEL_BUCKETS).localCheckpoint(eager=True)
+    w = sel.dsir_weights(docs, tp, rp, n_buckets=SEL_BUCKETS).localCheckpoint(
+        eager=True  # feeds BOTH the weight branch and the resample
+    )
+    dsir = w.select(
+        F.lit("dsir").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("log_w", 6).alias("v"),
+    )
+    top = sel.dsir_sample(w, SEL_TOP).select(
+        F.lit("dsir_top").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("gumbel_key", 6).alias("v"),
+    )
+    bm = sel.bm25_topk(docs, list(SEL_TERMS), k=SEL_BM25_K).select(
+        F.lit("bm25").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("score", 6).alias("v"),
+    )
+    return ex.unionByName(dsir).unionByName(top).unionByName(bm)
 
 
 def q_minhash(spark, sf_dir):
@@ -1167,7 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_customers": relational.topk_customers,
         "sessionize": q_sessionize,
         "text_stats": q_text_stats,
-        "dedup_exact": q_dedup_exact,
+        "selection": q_selection,
         "minhash": q_minhash,
         "jaccard_pairs": q_jaccard_pairs,
         "ann": q_ann,
@@ -2218,10 +2268,61 @@ SELECT d.doc_id,
   END AS top_token_ratio,
   simhash.simhash AS simhash
 FROM d JOIN simhash ON simhash.doc_id = d.doc_id"""
-    o["dedup_exact"] = """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-  min(doc_id) AS keep_id, count(*) AS n_dups
-FROM documents GROUP BY 1"""
+    # selection: exact-dedup keep-set + DSIR weights/resample + BM25, the
+    # r6 data-selection tier. DSIR buckets via the shared md5 idiom; the
+    # Gumbel uniform divides by 2^60+1 (not representable — both engines
+    # round the literal to 2^60, same double). BM25 term sum written in
+    # the Spark fold's exact order.
+    _g_sql = "list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))"
+
+    def _bm25_term_sql(t: str) -> str:
+        tf = f"len(list_filter(t, x -> x = '{t}'))"
+        return (
+            f"ln(1.0 + ((N - df_{t}) + 0.5) / (df_{t} + 0.5))"
+            f" * ({tf} * {K1 + 1.0!r})"
+            f" / ({tf} + {K1!r} * ({1.0 - B_b!r} + ({B_b!r} * dl) / avgdl))"
+        )
+
+    K1, B_b = 1.2, 0.75
+    bm_terms = " + ".join(_bm25_term_sql(t) for t in SEL_TERMS)
+    bm_dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        for t in SEL_TERMS
+    )
+    o["selection"] = f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t
+              FROM documents WHERE text IS NOT NULL),
+grams AS (SELECT doc_id, lang, unnest({_g_sql}) AS g FROM toks),
+gb AS (SELECT doc_id, lang,
+       ('0x' || substr(md5(g), 1, 15))::BIGINT % {SEL_BUCKETS} AS b FROM grams),
+rawp AS (SELECT b, count(*) AS rn FROM gb GROUP BY 1),
+tgtp AS (SELECT b, count(*) AS tn FROM gb WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT sum(tn) FROM tgtp) AS T, (SELECT sum(rn) FROM rawp) AS R),
+lam AS (SELECT b,
+    ln((COALESCE(tn, 0) + 1.0) / (T + {float(SEL_BUCKETS)!r}))
+  - ln((rn + 1.0) / (R + {float(SEL_BUCKETS)!r})) AS lam
+  FROM rawp LEFT JOIN tgtp USING (b) CROSS JOIN tot),
+wsum AS (SELECT doc_id, sum(lam) AS log_w FROM gb JOIN lam USING (b) GROUP BY 1),
+w AS (SELECT toks.doc_id, COALESCE(wsum.log_w, 0.0) AS log_w
+      FROM toks LEFT JOIN wsum ON toks.doc_id = wsum.doc_id),
+gk AS (SELECT doc_id, log_w / 1.0
+  - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+           / 1152921504606846977.0)) AS gumbel_key FROM w),
+bt AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+bs AS (SELECT count(*) AS N, avg(dl) AS avgdl, {bm_dfs} FROM bt),
+bscore AS (SELECT doc_id, 0.0 + {bm_terms} AS score FROM bt CROSS JOIN bs)
+SELECT 'exact' AS part, fp AS k, keep_id AS id, n_dups::DOUBLE AS v FROM (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+    min(doc_id) AS keep_id, count(*) AS n_dups
+  FROM documents GROUP BY 1)
+UNION ALL
+SELECT 'dsir', CAST(NULL AS VARCHAR), doc_id, round(log_w, 6) FROM w
+UNION ALL
+SELECT 'dsir_top', CAST(NULL AS VARCHAR), doc_id, round(gumbel_key, 6) FROM (
+  SELECT doc_id, gumbel_key FROM gk ORDER BY gumbel_key DESC, doc_id LIMIT {SEL_TOP})
+UNION ALL
+SELECT 'bm25', CAST(NULL AS VARCHAR), doc_id, round(score, 6) FROM (
+  SELECT doc_id, score FROM bscore ORDER BY score DESC, doc_id LIMIT {SEL_BM25_K})"""
 
     mh = ", ".join(
         "list_min(list_transform(base, h -> (h * {a} + {b}) % {p})) AS mh{j}".format(

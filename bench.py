@@ -40,7 +40,7 @@ HEADLINE = [
     "tumbling_1h",
     "dynamic_group_sum",
     "text_stats",
-    "dedup_exact",
+    "selection",
     "minhash",
     "jaccard_pairs",
     "ann",

@@ -80,6 +80,7 @@ QUERIES = [
     "jaccard_pairs",
     "curation",
     "lm_packing",
+    "selection",  # r6: DSIR profiles+weights+resample, BM25, exact keep-set
 ]
 
 
