@@ -265,3 +265,69 @@ def test_dsir_null_and_empty_docs(spark):
     assert out[2] == 0.0 and out[3] == 0.0  # gram-less docs weigh 0
     s = S.bm25_score(df, ["text"]).collect()
     assert {r["doc_id"] for r in s} == {0, 2, 3}
+
+
+# ---------- plan gates (the 100 TB shape, pinned) ----------
+
+def test_dsir_weights_plan_row_local(spark, sf_dir):
+    """The corpus side of dsir_weights must not shuffle: λ rides in as a
+    broadcast one-row map, the weight is a JVM fold — no Python stage,
+    no corpus-keyed exchange, no CartesianProduct (the one-row
+    crossJoins plan as broadcast NLJ)."""
+    import wingfoil_spark as wf
+    from wingfoil_spark.plans.audit import assert_plan, plan_summary
+
+    docs = wf.load_table(spark, sf_dir, "documents")
+    tp = S.dsir_profile(docs.where(F.col("lang") == "en"), n_buckets=256)
+    rp = S.dsir_profile(docs, n_buckets=256)
+    w = S.dsir_weights(docs, tp, rp, n_buckets=256)
+    s = assert_plan(w, max_python_stages=0, forbid=("CartesianProduct",))
+    # profile aggregations must partial-aggregate (map-side combine):
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    # no exchange may partition on the exploded gram stream of the
+    # SCORED corpus: the only hash exchanges allowed belong to the two
+    # bucket profiles (bounded at n_buckets groups; the computed bucket
+    # key plans as _groupingexpression). Exactly two — one per profile:
+    # the single-pass λ row must NOT re-run the profile plans for totals.
+    import re as _re
+
+    hashex = _re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all(
+        k.strip().startswith(("bucket", "b#", "_groupingexpression")) for k in hashex
+    ), hashex
+    assert len(hashex) <= 2, (len(hashex), hashex)
+
+
+def test_bm25_plan_zero_corpus_shuffle(spark, sf_dir):
+    import wingfoil_spark as wf
+    from wingfoil_spark.plans.audit import assert_plan
+
+    docs = wf.load_table(spark, sf_dir, "documents")
+    sc = S.bm25_score(docs, ["spark", "join"])
+    plan = sc._jdf.queryExecution().executedPlan().toString()
+    assert_plan(sc, max_python_stages=0, forbid=("CartesianProduct",))
+    import re as _re
+
+    # the ONLY non-broadcast exchange is the single-row stats fold
+    ex = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "Broadcast" not in l and "Reused" not in l
+    ]
+    assert all("SinglePartition" in l or "RoundRobin" in l for l in ex), ex
+
+
+def test_semdedup_plan_equijoin_only(spark):
+    """The duplicate scan must be an equi-join on cid (AQE-splittable),
+    never a cartesian/all-pairs product; the only NLJ allowed is the
+    broadcast centroid assignment."""
+    from wingfoil_spark.plans.audit import assert_plan, plan_summary
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.semdedup(df, n_clusters=4, threshold=0.95, fit="take")
+    s = assert_plan(out, max_python_stages=0, forbid=("CartesianProduct",))
+    # cid equi-join present as a hash/sort-merge join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan
+    assert s["sort_merge_joins"] + s["broadcast_joins"] >= 1

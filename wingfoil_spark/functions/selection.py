@@ -99,10 +99,20 @@ def dsir_profile(
 def _log_ratio_row(
     target_profile: DataFrame, raw_profile: DataFrame, n_buckets: int
 ) -> DataFrame:
-    """ONE row ``(lam map<bigint,double>)``: per-bucket importance
-    log-ratio ``log p̂_target(b) − log q̂_raw(b)`` with add-1 smoothing
-    over the full bucket space (so unseen buckets are defined on both
-    sides). ≤ ``n_buckets`` entries → broadcastable."""
+    """ONE row ``(lam map<bigint,double>, lam_oov double)``: per-bucket
+    importance log-ratio ``log p̂_target(b) − log q̂_raw(b)`` with add-1
+    smoothing over the full bucket space, plus the ratio for a bucket
+    unseen in EITHER profile. ≤ ``n_buckets`` map entries →
+    broadcastable.
+
+    Single-pass on purpose: the profile totals come from a
+    whole-frame window over the joined profiles (≤ 2·n_buckets rows —
+    bounded by construction, so the SinglePartition window is fine at
+    any corpus size) instead of a second aggregation, so each profile
+    plan — and the corpus gram scan behind it — executes ONCE even when
+    the caller does not checkpoint the profiles."""
+    from pyspark.sql import Window
+
     t = target_profile.select(F.col("bucket"), F.col("n").alias("tn"))
     r = raw_profile.select(F.col("bucket"), F.col("n").alias("rn"))
     joined = t.join(r, "bucket", "full").select(
@@ -110,26 +120,31 @@ def _log_ratio_row(
         F.coalesce(F.col("tn"), F.lit(0)).alias("tn"),
         F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
     )
-    # totals fold into the same tiny frame; add-1 over n_buckets cells
-    tot = joined.agg(
-        F.sum("tn").alias("T"), F.sum("rn").alias("R")
-    )
-    lam = (
-        joined.crossJoin(F.broadcast(tot))
+    w = Window.partitionBy(F.lit(1))  # ≤ 2·n_buckets rows: bounded
+    return (
+        joined.select(
+            "bucket", "tn", "rn",
+            F.sum("tn").over(w).alias("T"),
+            F.sum("rn").over(w).alias("R"),
+        )
         .select(
             "bucket",
             (
                 F.log((F.col("tn") + 1.0) / (F.col("T") + float(n_buckets)))
                 - F.log((F.col("rn") + 1.0) / (F.col("R") + float(n_buckets)))
             ).alias("lam"),
+            (
+                F.log(1.0 / (F.col("T") + float(n_buckets)))
+                - F.log(1.0 / (F.col("R") + float(n_buckets)))
+            ).alias("lam_oov"),
         )
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("bucket"), F.col("lam")))
-            ).alias("lam")
+            ).alias("lam"),
+            F.first("lam_oov").alias("lam_oov"),
         )
     )
-    return lam
 
 
 def dsir_weights(
@@ -154,23 +169,11 @@ def dsir_weights(
     exactly the map-miss value, precomputed below.
     """
     lam_row = _log_ratio_row(target_profile, raw_profile, n_buckets)
-    # λ for a bucket absent from both profiles: log((0+1)/(T+B)) − log((0+1)/(R+B))
-    tot = (
-        target_profile.agg(F.sum("n").alias("T"))
-        .crossJoin(raw_profile.agg(F.sum("n").alias("R")))
-        .select(
-            (
-                F.log(1.0 / (F.col("T") + float(n_buckets)))
-                - F.log(1.0 / (F.col("R") + float(n_buckets)))
-            ).alias("lam_oov")
-        )
-    )
     d = (
         ensure_parallelism(docs)
         .where(F.col(text_col).isNotNull())
         .withColumn("__g", _grams(text_col))
         .crossJoin(F.broadcast(lam_row))
-        .crossJoin(F.broadcast(tot))
     )
     w = F.aggregate(
         F.col("__g"),
