@@ -200,7 +200,7 @@ _NO_GLOBAL_EXCHANGE = [
     "media_frames",
     "jaccard_pairs",
     "cosine_near_dups",
-    "dedup_exact",
+    "selection",
     "ewma",
     "drop_small_change",
     "order_book_top",

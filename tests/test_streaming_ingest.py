@@ -460,3 +460,38 @@ def test_streaming_ingest_pipeline_composes(spark, docs):
     assert kept == batch_kept, "stream dedup == batch first-seen"
     assert flagged == batch_flagged, "stream decon == batch flagged set"
     assert (kept - flagged) == batch_survivors
+
+
+def test_dsir_score_stream_equals_batch(spark, docs):
+    """Streaming DSIR scoring == batch dsir_weights over the same rows:
+    arriving docs scored row-locally against the frozen one-row λ index,
+    across micro-batch boundaries (stateless — batching cannot matter,
+    and this pins it)."""
+    from wingfoil_spark.functions import selection as sel
+
+    target = docs.where(F.col("lang") == "en")
+    batch = {
+        r.doc_id: r.log_w
+        for r in sel.dsir_weights(
+            docs,
+            sel.dsir_profile(target, n_buckets=512),
+            sel.dsir_profile(docs, n_buckets=512),
+            n_buckets=512,
+        ).collect()
+    }
+    assert batch, "fixture must produce weights"
+
+    index = ingest.build_dsir_index(target, docs, n_buckets=512).localCheckpoint()
+    pdf = docs.toPandas().sort_values("doc_id")
+    stream, src_dir = _stream_chunks(spark, pdf)
+    try:
+        scored = _run_to_memory(
+            ingest.dsir_score_stream(stream, index, n_buckets=512),
+            "ingest_dsir",
+        )
+        got = {r.doc_id: r.log_w for r in scored.collect()}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert set(got) == set(batch)
+    for i, v in got.items():
+        assert v == pytest.approx(batch[i], abs=1e-12), i

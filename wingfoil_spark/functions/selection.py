@@ -175,7 +175,16 @@ def dsir_weights(
         .withColumn("__g", _grams(text_col))
         .crossJoin(F.broadcast(lam_row))
     )
-    w = F.aggregate(
+    return d.select(F.col(id_col), _fold_weight(n_buckets).alias("log_w"))
+
+
+def _fold_weight(n_buckets: int) -> F.Column:
+    """The row-local weight fold: Σ λ[bucket(g)] over the ``__g`` gram
+    array, with ``lam``/``lam_oov`` columns in scope. Shared by the batch
+    scorer above and the streaming scorer
+    (:func:`wingfoil_spark.streaming.ingest.dsir_score_stream`), so
+    stream == batch is a structural fact."""
+    return F.aggregate(
         F.col("__g"),
         F.lit(0.0),
         lambda acc, g: acc
@@ -183,7 +192,6 @@ def dsir_weights(
             F.element_at(F.col("lam"), _bucket(g, n_buckets)), F.col("lam_oov")
         ),
     )
-    return d.select(F.col(id_col), w.alias("log_w"))
 
 
 def dsir_sample(

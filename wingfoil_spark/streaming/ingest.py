@@ -233,6 +233,57 @@ def decontaminate_stream(
     )
 
 
+def build_dsir_index(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """The DSIR model for streaming selection: ONE row
+    ``(lam map<bigint,double>, lam_oov double)`` — the add-1-smoothed
+    per-bucket importance log-ratios of a target corpus vs the raw
+    corpus (`functions.selection._log_ratio_row`). Batch; persist it and
+    hand it to :func:`dsir_score_stream`. Like the decon index, the
+    model is a frozen snapshot — retrain per corpus refresh, not per
+    micro-batch."""
+    from wingfoil_spark.functions.selection import _log_ratio_row, dsir_profile
+
+    return _log_ratio_row(
+        dsir_profile(target_docs, text_col, n_buckets),
+        dsir_profile(raw_docs, text_col, n_buckets),
+        n_buckets,
+    )
+
+
+def dsir_score_stream(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR importance log-weights for ARRIVING docs — the streaming half
+    of `functions.selection.dsir_weights` (the selection a continuous
+    crawl actually needs: score each arriving doc against the frozen
+    target/raw profile snapshot, keep the high-weight ones).
+
+    ``new_docs`` may be a streaming frame; ``index`` is the static
+    one-row :func:`build_dsir_index` frame. Plan per micro-batch, fully
+    stateless: stream-static broadcast cross join of the single λ row,
+    then the row-local JVM weight fold — zero shuffles, zero Python, no
+    standing state. The fold expression is SHARED with the batch scorer
+    (`selection._fold_weight`), so stream == batch is a structural fact
+    — and differentially tested anyway."""
+    from wingfoil_spark.functions.selection import _fold_weight, _grams
+
+    d = (
+        new_docs.where(F.col(text_col).isNotNull())
+        .withColumn("__g", _grams(text_col))
+        .crossJoin(F.broadcast(index))
+    )
+    return d.select(F.col(id_col), _fold_weight(n_buckets).alias("log_w"))
+
+
 def build_ann_index(
     corpus,
     emb_col: str = "embedding",
