@@ -1091,17 +1091,28 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_ann(spark, sf_dir):
-    """The similarity-search tier triple in one graded query: exact
-    brute-force cosine top-k (the oracle tier), LSH-bucketed (deterministic
-    md5 hyperplanes), and IVF-flat (take-based centroids, nprobe=4) —
-    unioned with a method tag. Every branch is deterministic so the DuckDB
-    twin reproduces all three exactly."""
+    """The similarity-search tier in one graded query: exact brute-force
+    cosine top-k (the oracle tier), LSH-bucketed (deterministic md5
+    hyperplanes), IVF-flat (take-based centroids, nprobe=4), and — r6 —
+    PQ-ADC (take-fit codebooks, m=8 × k=16 over dim 64): codes via the
+    Arrow encode kernel, asymmetric-distance top-5 via the running-top-k
+    gather, reported as cosine = 1 − adc/2 (exact on L2-normalized
+    vectors). Every branch is deterministic so the DuckDB twin reproduces
+    all four exactly (PQ: same argmin/rank tie-breaks; 9dp on the ADC
+    total then 6dp absorb the numpy-vs-SQL accumulation order)."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") % 50 == 0)
+    books = sim.pq_train(e, m=8, k=16, fit="take")
+    pq = sim.pq_topk(sim.pq_encode(e, books), probes, books, k=5).select(
+        "probe_id", "neighbor_id",
+        F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),
+        "rank",
+    ).withColumn("method", F.lit("pq"))
     parts = [
         sim.cosine_topk(e, probes, k=5).withColumn("method", F.lit("exact")),
         sim.lsh_bucketed_topk(e, probes, k=5).withColumn("method", F.lit("lsh")),
         sim.ivf_topk(e, probes, k=5, n_centroids=16, nprobe=4, fit="take").withColumn("method", F.lit("ivf")),
+        pq,
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2480,12 +2491,48 @@ ivf_scored AS (
   JOIN n c ON c.vec_id = ca.vec_id AND c.vec_id != p.vec_id
 ),
 ivf_ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
-  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM ivf_scored)
+  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM ivf_scored),
+pqn AS (SELECT vec_id,
+  CASE WHEN nrm > 0 THEN list_transform(emb, x -> x / nrm) ELSE emb END AS x
+  FROM n),
+pqc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, x
+  FROM (SELECT vec_id, x FROM pqn ORDER BY vec_id LIMIT 16)),
+pqj AS (SELECT unnest(range(0, 8)) AS j),
+pq_codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT v.vec_id, pqj.j, cb.c,
+      row_number() OVER (PARTITION BY v.vec_id, pqj.j ORDER BY
+        list_sum(list_transform(range(1, 9),
+          i -> (v.x[pqj.j*8 + i] - cb.x[pqj.j*8 + i])
+             * (v.x[pqj.j*8 + i] - cb.x[pqj.j*8 + i]))), cb.c) AS rn
+    FROM pqn v, pqj, pqc cb
+  ) WHERE rn = 1
+),
+pq_dt AS (
+  SELECT p.vec_id AS probe_id, pqj.j, cb.c,
+    list_sum(list_transform(range(1, 9),
+      i -> (px.x[pqj.j*8 + i] - cb.x[pqj.j*8 + i])
+         * (px.x[pqj.j*8 + i] - cb.x[pqj.j*8 + i]))) AS d2
+  FROM p JOIN pqn px ON px.vec_id = p.vec_id, pqj, pqc cb
+),
+pq_cand AS (
+  SELECT dt.probe_id, cd.vec_id AS neighbor_id, sum(dt.d2) AS total
+  FROM pq_codes cd JOIN pq_dt dt ON dt.j = cd.j AND dt.c = cd.c
+  WHERE cd.vec_id != dt.probe_id
+  GROUP BY 1, 2
+),
+pq_ranked AS (SELECT probe_id, neighbor_id,
+  round(1.0 - round(total, 9) / 2.0, 6) AS cosine,
+  CAST(row_number() OVER (PARTITION BY probe_id
+    ORDER BY total, neighbor_id) AS BIGINT) AS rank
+  FROM pq_cand)
 SELECT 'exact' AS method, probe_id, neighbor_id, cosine, rank FROM exact_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'lsh', probe_id, neighbor_id, cosine, rank FROM lsh_ranked WHERE rank <= 5
 UNION ALL
-SELECT 'ivf', probe_id, neighbor_id, cosine, rank FROM ivf_ranked WHERE rank <= 5"""
+SELECT 'ivf', probe_id, neighbor_id, cosine, rank FROM ivf_ranked WHERE rank <= 5
+UNION ALL
+SELECT 'pq', probe_id, neighbor_id, cosine, rank FROM pq_ranked WHERE rank <= 5"""
     # Hyperplane buckets + Hamming-1 probing, exactly dedup.cosine_near_dups:
     # the probe side expands each vector's bucket with its 8 one-bit flips;
     # a pair (a<b) matches iff hamming(bucket_a, bucket_b) <= 1 (symmetric,
