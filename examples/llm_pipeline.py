@@ -80,6 +80,25 @@ docs = docs.join(
     scored.where(F.col("ppl_bucket") != "tail").select("doc_id"), "doc_id"
 )
 
+# 5b. data selection: DSIR importance weights against a wiki-flavored
+# target distribution (hashed-n-gram log-ratios, fully row-local), plus
+# BM25 retrieval over the corpus — both from functions.selection
+from wingfoil_spark.functions import selection as sel
+
+target = docs.where(F.col("source") == "wiki")
+wgt = sel.dsir_weights(
+    docs,
+    sel.dsir_profile(target, n_buckets=256),
+    sel.dsir_profile(docs, n_buckets=256),
+    n_buckets=256,
+)
+print("dsir:", sorted((r.doc_id, round(r.log_w, 3)) for r in wgt.collect()))
+best = wgt.orderBy(F.col("log_w").desc()).limit(1).collect()[0].doc_id
+assert best == 3, "the wiki doc carries the top importance weight"
+top = sel.bm25_topk(docs, ["spark", "plans"], k=1).collect()
+print("bm25 top:", top[0].doc_id)
+assert top[0].doc_id == 3, "the spark-plans doc wins the retrieval query"
+
 # 6. deterministic domain mixing + token-budget sharding + packing
 mixed = cu.weighted_mix(docs, {"web": 1.0, "wiki": 1.0})
 shards = cu.token_budget_shards(mixed, budget=16)
