@@ -1108,11 +1108,22 @@ def q_ann(spark, sf_dir):
         F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),
         "rank",
     ).withColumn("method", F.lit("pq"))
+    # r6: the full IVF-PQ composition graded too (same take centroids as
+    # the ivf branch, same take codebooks as the pq branch — the oracle
+    # composes the two CTE families; nothing new is trained)
+    ipq = sim.ivfpq_topk(
+        e, probes, books, k=5, n_centroids=16, nprobe=4, fit="take"
+    ).select(
+        "probe_id", "neighbor_id",
+        F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),
+        "rank",
+    ).withColumn("method", F.lit("ivfpq"))
     parts = [
         sim.cosine_topk(e, probes, k=5).withColumn("method", F.lit("exact")),
         sim.lsh_bucketed_topk(e, probes, k=5).withColumn("method", F.lit("lsh")),
         sim.ivf_topk(e, probes, k=5, n_centroids=16, nprobe=4, fit="take").withColumn("method", F.lit("ivf")),
         pq,
+        ipq,
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2525,14 +2536,30 @@ pq_ranked AS (SELECT probe_id, neighbor_id,
   round(1.0 - round(total, 9) / 2.0, 6) AS cosine,
   CAST(row_number() OVER (PARTITION BY probe_id
     ORDER BY total, neighbor_id) AS BIGINT) AS rank
-  FROM pq_cand)
+  FROM pq_cand),
+ivfpq_cand AS (
+  SELECT dt.probe_id, cd.vec_id AS neighbor_id, sum(dt.d2) AS total
+  FROM pq_codes cd
+  JOIN cassign ca ON ca.vec_id = cd.vec_id
+  JOIN passign pa ON pa.cid = ca.cid
+  JOIN pq_dt dt ON dt.probe_id = pa.vec_id AND dt.j = cd.j AND dt.c = cd.c
+  WHERE cd.vec_id != dt.probe_id
+  GROUP BY 1, 2
+),
+ivfpq_ranked AS (SELECT probe_id, neighbor_id,
+  round(1.0 - round(total, 9) / 2.0, 6) AS cosine,
+  CAST(row_number() OVER (PARTITION BY probe_id
+    ORDER BY total, neighbor_id) AS BIGINT) AS rank
+  FROM ivfpq_cand)
 SELECT 'exact' AS method, probe_id, neighbor_id, cosine, rank FROM exact_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'lsh', probe_id, neighbor_id, cosine, rank FROM lsh_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'ivf', probe_id, neighbor_id, cosine, rank FROM ivf_ranked WHERE rank <= 5
 UNION ALL
-SELECT 'pq', probe_id, neighbor_id, cosine, rank FROM pq_ranked WHERE rank <= 5"""
+SELECT 'pq', probe_id, neighbor_id, cosine, rank FROM pq_ranked WHERE rank <= 5
+UNION ALL
+SELECT 'ivfpq', probe_id, neighbor_id, cosine, rank FROM ivfpq_ranked WHERE rank <= 5"""
     # Hyperplane buckets + Hamming-1 probing, exactly dedup.cosine_near_dups:
     # the probe side expands each vector's bucket with its 8 one-bit flips;
     # a pair (a<b) matches iff hamming(bucket_a, bucket_b) <= 1 (symmetric,
