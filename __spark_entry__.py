@@ -1026,15 +1026,15 @@ def q_selection(spark, sf_dir):
         F.lit("exact").alias("part"), F.col("fp").alias("k"),
         F.col("keep_id").alias("id"), F.col("n_dups").cast("double").alias("v"),
     )
-    # profiles are <=SEL_BUCKETS rows; checkpoint so the corpus gram scan
-    # behind them runs ONCE, not once per downstream branch
-    tp = sel.dsir_profile(
-        docs.where(F.col("lang") == "en"), n_buckets=SEL_BUCKETS
+    # subset-target form: ONE gram pass builds both bucket profiles
+    # (count + conditional count) and the weight scan rides the same
+    # action via the broadcast λ row — the whole DSIR fit+score is one
+    # job. Checkpointed because BOTH the weight branch and the resample
+    # read it. (dsir_weights_subset == dsir_weights exactly; pinned by
+    # tests/test_selection.py.)
+    w = sel.dsir_weights_subset(
+        docs, F.col("lang") == "en", n_buckets=SEL_BUCKETS
     ).localCheckpoint(eager=True)
-    rp = sel.dsir_profile(docs, n_buckets=SEL_BUCKETS).localCheckpoint(eager=True)
-    w = sel.dsir_weights(docs, tp, rp, n_buckets=SEL_BUCKETS).localCheckpoint(
-        eager=True  # feeds BOTH the weight branch and the resample
-    )
     dsir = w.select(
         F.lit("dsir").alias("part"), F.lit(None).cast("string").alias("k"),
         F.col("doc_id").alias("id"), F.round("log_w", 6).alias("v"),
@@ -1103,7 +1103,12 @@ def q_ann(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") % 50 == 0)
     books = sim.pq_train(e, m=8, k=16, fit="take")
-    pq = sim.pq_topk(sim.pq_encode(e, books), probes, books, k=5).select(
+    # encode ONCE; both PQ branches read the shared code table (the
+    # persisted-codes shape ivfpq_topk(corpus_codes=...) models)
+    codes = sim.pq_encode(e, books).select("vec_id", "pq_code").localCheckpoint(
+        eager=True
+    )
+    pq = sim.pq_topk(codes, probes, books, k=5).select(
         "probe_id", "neighbor_id",
         F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),
         "rank",
@@ -1112,7 +1117,8 @@ def q_ann(spark, sf_dir):
     # the ivf branch, same take codebooks as the pq branch — the oracle
     # composes the two CTE families; nothing new is trained)
     ipq = sim.ivfpq_topk(
-        e, probes, books, k=5, n_centroids=16, nprobe=4, fit="take"
+        e, probes, books, k=5, n_centroids=16, nprobe=4, fit="take",
+        corpus_codes=codes,
     ).select(
         "probe_id", "neighbor_id",
         F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),

@@ -220,6 +220,17 @@ def main() -> None:
                 # the new branch: 2.05@10x / 3.45@30x / 9.6@100x
                 # (SCALE_r05.json).
                 "curation_note": "r5 adds part='dupspan' (substring dedup)",
+                # r6 scope growth (not regressions): ann gains the pq and
+                # ivfpq branches (5 methods, one shared encode pass —
+                # per-branch ~1s at sf0.1, sum ≈ union time, no waste);
+                # the former dedup_exact slot is now the 4-branch
+                # selection union (exact + dsir + dsir_top + bm25 — DSIR
+                # fit+score is ONE job via the subset-target gram pass);
+                # lm_packing is the r6-graded LM+packing union.
+                "scope_note_r6": (
+                    "ann 3->5 branches (pq, ivfpq); dedup_exact ->"
+                    " selection 4-branch union; lm_packing new"
+                ),
             }
         )
     )

@@ -331,3 +331,17 @@ def test_semdedup_plan_equijoin_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "cid" in plan
     assert s["sort_merge_joins"] + s["broadcast_joins"] >= 1
+
+
+def test_dsir_weights_subset_equals_two_profile(spark, docs_df):
+    """The one-gram-pass subset form must equal the general two-profile
+    form EXACTLY (same doubles — identical formula over identical
+    counts), not just approximately."""
+    cond = F.col("doc_id").isin(list(TARGET_IDS))
+    tp = S.dsir_profile(docs_df.where(cond), n_buckets=NB)
+    rp = S.dsir_profile(docs_df, n_buckets=NB)
+    a = {r["doc_id"]: r["log_w"]
+         for r in S.dsir_weights(docs_df, tp, rp, n_buckets=NB).collect()}
+    b = {r["doc_id"]: r["log_w"]
+         for r in S.dsir_weights_subset(docs_df, cond, n_buckets=NB).collect()}
+    assert a == b

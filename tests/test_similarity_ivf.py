@@ -227,3 +227,30 @@ def test_pq_topk_string_ids(spark):
     out2 = sim.ivfpq_topk(emb, probes, books, k=3, n_centroids=4, nprobe=4)
     assert dict(out2.dtypes)["probe_id"] == "string"
     assert len(out2.toPandas()) == 6
+
+
+def test_ivfpq_shared_codes_equals_internal_encode(spark):
+    """ivfpq_topk(corpus_codes=...) — the persisted-code-table path —
+    must return exactly what the internal-encode path returns."""
+    import random
+
+    from wingfoil_spark.functions import similarity as sim
+
+    rng = random.Random(11)
+    rows = [(i, [float(rng.uniform(-1, 1)) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.where(F.col("vec_id") % 20 == 0)
+    books = sim.pq_train(df, m=4, k=8, fit="take")
+    a = sorted(
+        (r.probe_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in sim.ivfpq_topk(df, probes, books, k=3, n_centroids=4,
+                                nprobe=2, fit="take").collect()
+    )
+    codes = sim.pq_encode(df, books).select("vec_id", "pq_code")
+    b = sorted(
+        (r.probe_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in sim.ivfpq_topk(df, probes, books, k=3, n_centroids=4,
+                                nprobe=2, fit="take",
+                                corpus_codes=codes).collect()
+    )
+    assert a == b and a

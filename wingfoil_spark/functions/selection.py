@@ -178,6 +178,68 @@ def dsir_weights(
     return d.select(F.col(id_col), _fold_weight(n_buckets).alias("log_w"))
 
 
+def dsir_weights_subset(
+    docs: DataFrame,
+    target_cond: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """:func:`dsir_weights` for the common case where the target
+    distribution is a SUBSET of the scored corpus (``target_cond`` a
+    boolean Column over ``docs``): ONE gram pass builds BOTH bucket
+    profiles (``count(*)`` + conditional count), halving the corpus
+    explode work and leaving a single tiny aggregate to broadcast.
+    Identical weights to the two-profile form — differentially pinned."""
+    gb = (
+        ensure_parallelism(docs)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            target_cond.alias("__t"),
+            F.explode(_grams(text_col)).alias("g"),
+        )
+        .groupBy(_bucket(F.col("g"), n_buckets).alias("bucket"))
+        .agg(
+            F.count("*").alias("rn"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tn"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))  # ≤ n_buckets rows: bounded
+    lam_row = (
+        gb.select(
+            "bucket", "tn", "rn",
+            F.sum("tn").over(w).alias("T"),
+            F.sum("rn").over(w).alias("R"),
+        )
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tn") + 1.0) / (F.col("T") + float(n_buckets)))
+                - F.log((F.col("rn") + 1.0) / (F.col("R") + float(n_buckets)))
+            ).alias("lam"),
+            (
+                F.log(1.0 / (F.col("T") + float(n_buckets)))
+                - F.log(1.0 / (F.col("R") + float(n_buckets)))
+            ).alias("lam_oov"),
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("lam")))
+            ).alias("lam"),
+            F.first("lam_oov").alias("lam_oov"),
+        )
+    )
+    d = (
+        ensure_parallelism(docs)
+        .where(F.col(text_col).isNotNull())
+        .withColumn("__g", _grams(text_col))
+        .crossJoin(F.broadcast(lam_row))
+    )
+    return d.select(F.col(id_col), _fold_weight(n_buckets).alias("log_w"))
+
+
 def _fold_weight(n_buckets: int) -> F.Column:
     """The row-local weight fold: Σ λ[bucket(g)] over the ``__g`` gram
     array, with ``lam``/``lam_oov`` columns in scope. Shared by the batch

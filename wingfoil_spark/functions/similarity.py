@@ -576,6 +576,8 @@ def ivfpq_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     fit: str = "take",
+    corpus_codes: DataFrame | None = None,
+    code_col: str = "pq_code",
 ) -> DataFrame:
     """IVF-PQ: the full billion-vector composition — coarse IVF centroids
     bound WHICH rows are scanned (corpus/n_centroids × nprobe per
@@ -588,10 +590,21 @@ def ivfpq_topk(
     PQ's, recall caveat is IVF's — both test-pinned separately; together
     they are the standard disk/memory layout for 100 TB of vectors."""
     cents = ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
-    c = ivf_assign(corpus, cents, 1, emb_col, id_col)
-    c_codes = pq_encode(c, codebooks, emb_col).select(
-        F.col(id_col), F.col("cid"), F.col("pq_code")
-    )
+    if corpus_codes is not None:
+        # persisted/shared code table: (id, pq_code). Skips the encode
+        # pass — at scale the codes ARE the stored corpus (the float
+        # column was dropped at write time), so this is the normal path;
+        # only the coarse assignment still reads vectors.
+        c = ivf_assign(corpus, cents, 1, emb_col, id_col).select(id_col, "cid")
+        c_codes = c.join(
+            corpus_codes.select(F.col(id_col), F.col(code_col).alias("pq_code")),
+            id_col,
+        )
+    else:
+        c = ivf_assign(corpus, cents, 1, emb_col, id_col)
+        c_codes = pq_encode(c, codebooks, emb_col).select(
+            F.col(id_col), F.col("cid"), F.col("pq_code")
+        )
     p = ivf_assign(probes, cents, nprobe, emb_col, id_col).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
     )
