@@ -1007,7 +1007,7 @@ def q_selection(spark, sf_dir):
       unchanged semantics from the former dedup_exact row;
     - part='dsir': per-doc DSIR importance log-weight against the
       lang='en' target slice (Xie 2023). v = round(log_w, 6): the Spark
-      side folds the broadcast λ-map over the gram array row-locally,
+      side folds the broadcast dense λ-array over the gram array row-locally,
       the oracle sums an exploded join — same doubles, different
       accumulation order (~1e-12), absorbed by 6dp;
     - part='dsir_top': the deterministic Gumbel-top-N resample

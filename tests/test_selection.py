@@ -345,3 +345,29 @@ def test_dsir_weights_subset_equals_two_profile(spark, docs_df):
     b = {r["doc_id"]: r["log_w"]
          for r in S.dsir_weights_subset(docs_df, cond, n_buckets=NB).collect()}
     assert a == b
+
+
+def test_dsir_lambda_is_dense_array(spark, docs_df):
+    """Scale gate: the broadcast λ row must be a DENSE array<double>
+    (O(1) bucket indexing in the weight fold) — a MapType λ linear-scans
+    n_buckets per gram (ArrayBasedMapData has no hash index; measured
+    7.3x at the 10x scale tier before the fix)."""
+    from pyspark.sql import types as T
+
+    cond = F.col("doc_id").isin(list(TARGET_IDS))
+    tp = S.dsir_profile(docs_df.where(cond), n_buckets=NB)
+    rp = S.dsir_profile(docs_df, n_buckets=NB)
+    row_df = S._log_ratio_row(tp, rp, NB)
+    lam_field = row_df.schema["lam"].dataType
+    assert isinstance(lam_field, T.ArrayType), lam_field
+    assert isinstance(lam_field.elementType, T.DoubleType)
+    row = row_df.collect()[0]
+    assert len(row["lam"]) == NB
+    # unseen buckets carry exactly lam_oov
+    want = _py_dsir_weights(DOCS, TARGET_IDS, NB)  # noqa: F841 (profiles)
+    seen = {
+        _py_bucket(g, NB) for txt in DOCS.values() for g in _py_grams(txt)
+    }
+    for b in range(NB):
+        if b not in seen:
+            assert row["lam"][b] == row["lam_oov"], b

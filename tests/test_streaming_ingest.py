@@ -495,3 +495,28 @@ def test_dsir_score_stream_equals_batch(spark, docs):
     assert set(got) == set(batch)
     for i, v in got.items():
         assert v == pytest.approx(batch[i], abs=1e-12), i
+
+
+def test_bm25_score_stream_equals_batch(spark, docs):
+    """Streaming BM25 scoring == batch bm25_score over the same rows,
+    against the frozen one-row stats index, across micro-batches."""
+    from wingfoil_spark.functions import selection as sel
+
+    terms = ["spark", "join", "window"]
+    batch = {r.doc_id: r.score for r in sel.bm25_score(docs, terms).collect()}
+    assert batch and any(v > 0 for v in batch.values())
+
+    index = ingest.build_bm25_index(docs, terms).localCheckpoint()
+    pdf = docs.toPandas().sort_values("doc_id")
+    stream, src_dir = _stream_chunks(spark, pdf)
+    try:
+        scored = _run_to_memory(
+            ingest.bm25_score_stream(stream, index, terms),
+            "ingest_bm25",
+        )
+        got = {r.doc_id: r.score for r in scored.collect()}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert set(got) == set(batch)
+    for i, v in got.items():
+        assert v == pytest.approx(batch[i], abs=1e-12), i

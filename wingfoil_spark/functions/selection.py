@@ -17,8 +17,9 @@ engine for LLM-corpus work, like functions/dedup.py and functions/lm.py):
   at most ``n_buckets`` (default 10k) output groups — map-side combined,
   so the shuffle moves ≤ n_buckets rows per task regardless of corpus
   size. The per-document WEIGHT is then row-local: the ≤10k-entry
-  log-ratio table rides along as ONE broadcast row holding a
-  ``map<bigint,double>``, and ``F.aggregate`` walks the doc's gram array
+  log-ratio table rides along as ONE broadcast row holding a DENSE
+  ``array<double>`` indexed by bucket (O(1) lookups — a MapType λ would
+  linear-scan per gram), and ``F.aggregate`` walks the doc's gram array
   JVM-side. The corpus itself never shuffles and no Python stage runs.
 - BM25: document frequencies are computed AFTER restricting to the query
   terms (predicate pushdown-friendly; ≤ |terms| groups), folded with
@@ -55,11 +56,19 @@ __all__ = [
 _H60 = 1 << 60
 
 
-def _grams(text_col: str) -> F.Column:
-    """Unigrams + word-bigrams of :func:`text.tokens` — the DSIR feature
-    stream (the paper hashes n-grams of the word sequence; unigrams keep
-    single-token docs represented)."""
-    t = tokens(F.col(text_col))
+def _grams(tok_col: F.Column) -> F.Column:
+    """Unigrams + word-bigrams over a MATERIALIZED token-array column —
+    the DSIR feature stream (the paper hashes n-grams of the word
+    sequence; unigrams keep single-token docs represented).
+
+    Takes the token ARRAY, not the text: lambda-bearing expressions are
+    excluded from Spark's subexpression elimination (the text.py
+    battery lesson), so passing ``tokens(text)`` directly here re-runs
+    the regex split inside the bigram lambda PER POSITION — O(len²)
+    splits per doc, which alone cost ~7s at the 10× scale tier. Callers
+    project the tokens into a real column first (CollapseProject keeps
+    a non-cheap alias referenced more than once)."""
+    t = tok_col
     bi = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -90,7 +99,8 @@ def dsir_profile(
     return (
         ensure_parallelism(docs)
         .where(F.col(text_col).isNotNull())
-        .select(F.explode(_grams(text_col)).alias("g"))
+        .select(tokens(F.col(text_col)).alias("__tk"))
+        .select(F.explode(_grams(F.col("__tk"))).alias("g"))
         .groupBy(_bucket(F.col("g"), n_buckets).alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
@@ -99,13 +109,23 @@ def dsir_profile(
 def _log_ratio_row(
     target_profile: DataFrame, raw_profile: DataFrame, n_buckets: int
 ) -> DataFrame:
-    """ONE row ``(lam map<bigint,double>, lam_oov double)``: per-bucket
+    """ONE row ``(lam array<double>, lam_oov double)``: per-bucket
     importance log-ratio ``log p̂_target(b) − log q̂_raw(b)`` with add-1
-    smoothing over the full bucket space, plus the ratio for a bucket
-    unseen in EITHER profile. ≤ ``n_buckets`` map entries →
-    broadcastable.
+    smoothing, as a DENSE length-``n_buckets`` array indexed by bucket
+    (entry = λ_oov for buckets unseen in either profile). A few tens of
+    KB → broadcastable.
 
-    Single-pass on purpose: the profile totals come from a
+    DENSE ON PURPOSE — the scale lesson pinned by
+    test_dsir_lambda_is_dense_array: Spark's ``element_at`` on a MapType
+    is a LINEAR scan (ArrayBasedMapData carries no hash index), so a
+    map-backed λ costs O(n_buckets) per gram lookup — ~5k comparisons
+    per gram at the default 10k buckets, which dominated the whole
+    selection query the moment the corpus outgrew the scheduler overhead
+    (7.3× at the 10× scale tier). Array indexing is O(1); the one-time
+    densify (n_buckets map probes inside the single λ row) is the cheap
+    side of that trade.
+
+    Single-pass on purpose too: the profile totals come from a
     whole-frame window over the joined profiles (≤ 2·n_buckets rows —
     bounded by construction, so the SinglePartition window is fine at
     any corpus size) instead of a second aggregation, so each profile
@@ -141,9 +161,21 @@ def _log_ratio_row(
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("bucket"), F.col("lam")))
-            ).alias("lam"),
+            ).alias("_m"),
             F.first("lam_oov").alias("lam_oov"),
         )
+        .select(_densify("_m", n_buckets).alias("lam"), "lam_oov")
+    )
+
+
+def _densify(map_col: str, n_buckets: int) -> F.Column:
+    """Sparse bucket→λ map → dense length-``n_buckets`` array (missing
+    buckets take ``lam_oov``). Runs once inside the one-row λ frame."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: F.coalesce(
+            F.element_at(F.col(map_col), b.cast("bigint")), F.col("lam_oov")
+        ),
     )
 
 
@@ -162,7 +194,7 @@ def dsir_weights(
     per occurrence equals the paper's ``Σ_b c_d(b)·λ(b)``.
 
     Plan shape: the λ table is ONE broadcast row holding a
-    ``map<bigint,double>``; the weight is a row-local JVM ``F.aggregate``
+    dense ``array<double>``; the weight is a row-local JVM ``F.aggregate``
     over the doc's gram array — the corpus never shuffles and no Python
     stage runs. Buckets unseen in either profile use the smoothed
     λ_oov = log(R + n_buckets) − log(T + n_buckets) implied by add-1 —
@@ -172,7 +204,8 @@ def dsir_weights(
     d = (
         ensure_parallelism(docs)
         .where(F.col(text_col).isNotNull())
-        .withColumn("__g", _grams(text_col))
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .withColumn("__g", _grams(F.col("__tk")))
         .crossJoin(F.broadcast(lam_row))
     )
     return d.select(F.col(id_col), _fold_weight(n_buckets).alias("log_w"))
@@ -194,10 +227,8 @@ def dsir_weights_subset(
     gb = (
         ensure_parallelism(docs)
         .where(F.col(text_col).isNotNull())
-        .select(
-            target_cond.alias("__t"),
-            F.explode(_grams(text_col)).alias("g"),
-        )
+        .select(target_cond.alias("__t"), tokens(F.col(text_col)).alias("__tk"))
+        .select("__t", F.explode(_grams(F.col("__tk"))).alias("g"))
         .groupBy(_bucket(F.col("g"), n_buckets).alias("bucket"))
         .agg(
             F.count("*").alias("rn"),
@@ -227,14 +258,16 @@ def dsir_weights_subset(
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("bucket"), F.col("lam")))
-            ).alias("lam"),
+            ).alias("_m"),
             F.first("lam_oov").alias("lam_oov"),
         )
+        .select(_densify("_m", n_buckets).alias("lam"), "lam_oov")
     )
     d = (
         ensure_parallelism(docs)
         .where(F.col(text_col).isNotNull())
-        .withColumn("__g", _grams(text_col))
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .withColumn("__g", _grams(F.col("__tk")))
         .crossJoin(F.broadcast(lam_row))
     )
     return d.select(F.col(id_col), _fold_weight(n_buckets).alias("log_w"))
@@ -242,16 +275,17 @@ def dsir_weights_subset(
 
 def _fold_weight(n_buckets: int) -> F.Column:
     """The row-local weight fold: Σ λ[bucket(g)] over the ``__g`` gram
-    array, with ``lam``/``lam_oov`` columns in scope. Shared by the batch
-    scorer above and the streaming scorer
-    (:func:`wingfoil_spark.streaming.ingest.dsir_score_stream`), so
-    stream == batch is a structural fact."""
+    array, with the DENSE ``lam`` array in scope (O(1) indexing; bucket
+    ∈ [0, n_buckets) by construction, so the +1 index is always valid
+    under ANSI). Shared by the batch scorer above and the streaming
+    scorer (:func:`wingfoil_spark.streaming.ingest.dsir_score_stream`),
+    so stream == batch is a structural fact."""
     return F.aggregate(
         F.col("__g"),
         F.lit(0.0),
         lambda acc, g: acc
-        + F.coalesce(
-            F.element_at(F.col("lam"), _bucket(g, n_buckets)), F.col("lam_oov")
+        + F.element_at(
+            F.col("lam"), (_bucket(g, n_buckets) + 1).cast("int")
         ),
     )
 
@@ -306,9 +340,20 @@ def bm25_score(
         .withColumn("__t", tokens(F.col(text_col)))
         .withColumn("__dl", F.size("__t"))
     )
+    scored = d.crossJoin(F.broadcast(_bm25_stats(d, terms)))
+    return scored.select(
+        F.col(id_col), _bm25_score_expr(terms, k1, b).alias("score")
+    )
+
+
+def _bm25_stats(d_tok: DataFrame, terms: list[str]) -> DataFrame:
+    """ONE row ``(N, avgdl, dfs map<string,bigint>)`` over a frame that
+    already carries ``__t`` (tokens) and ``__dl`` (doc length) — the
+    broadcastable corpus statistics BM25 needs. Shared by the batch
+    scorer and the streaming index builder
+    (`streaming.ingest.build_bm25_index`)."""
     term_arr = F.array(*[F.lit(t) for t in terms])
-    # per-term document frequencies + N + avgdl in one pass, one tiny row
-    stats = d.select(
+    return d_tok.select(
         F.col("__dl"),
         *[
             F.array_contains("__t", t).cast("long").alias(f"__df{i}")
@@ -322,7 +367,14 @@ def bm25_score(
             F.array(*[F.sum(f"__df{i}") for i in range(len(terms))]),
         ).alias("dfs"),
     )
-    scored = d.crossJoin(F.broadcast(stats))
+
+
+def _bm25_score_expr(terms: list[str], k1: float, b: float) -> F.Column:
+    """The row-local BM25 sum with ``__t``/``__dl`` and the stats row's
+    ``N``/``avgdl``/``dfs`` in scope. Shared by the batch scorer and the
+    streaming scorer (`streaming.ingest.bm25_score_stream`), so
+    stream == batch is a structural fact."""
+    term_arr = F.array(*[F.lit(t) for t in terms])
     per_term = F.transform(
         term_arr,
         lambda t: (
@@ -339,8 +391,7 @@ def bm25_score(
             )
         ),
     )
-    score = F.aggregate(per_term, F.lit(0.0), lambda acc, s: acc + s)
-    return scored.select(F.col(id_col), score.alias("score"))
+    return F.aggregate(per_term, F.lit(0.0), lambda acc, s: acc + s)
 
 
 def bm25_topk(

@@ -240,7 +240,7 @@ def build_dsir_index(
     n_buckets: int = 10_000,
 ) -> DataFrame:
     """The DSIR model for streaming selection: ONE row
-    ``(lam map<bigint,double>, lam_oov double)`` — the add-1-smoothed
+    ``(lam array<double> dense-by-bucket, lam_oov double)`` — the add-1-smoothed
     per-bucket importance log-ratios of a target corpus vs the raw
     corpus (`functions.selection._log_ratio_row`). Batch; persist it and
     hand it to :func:`dsir_score_stream`. Like the decon index, the
@@ -278,10 +278,65 @@ def dsir_score_stream(
 
     d = (
         new_docs.where(F.col(text_col).isNotNull())
-        .withColumn("__g", _grams(text_col))
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .withColumn("__g", _grams(F.col("__tk")))
         .crossJoin(F.broadcast(index))
     )
     return d.select(F.col(id_col), _fold_weight(n_buckets).alias("log_w"))
+
+
+def build_bm25_index(
+    corpus: DataFrame,
+    terms: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frozen BM25 corpus statistics for streaming retrieval scoring: the
+    ONE-row ``(N, avgdl, dfs map<string,bigint>)`` frame the batch scorer
+    folds (`functions.selection.bm25_score`). Batch; persist per corpus
+    snapshot."""
+    from wingfoil_spark.functions.selection import _bm25_stats
+
+    terms = [t.lower() for t in terms]
+    d = (
+        corpus.where(F.col(text_col).isNotNull())
+        .withColumn("__t", tokens(F.col(text_col)))
+        .withColumn("__dl", F.size("__t"))
+    )
+    return _bm25_stats(d, terms)
+
+
+def bm25_score_stream(
+    new_docs: DataFrame,
+    index: DataFrame,
+    terms: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 scores for ARRIVING docs against the frozen corpus
+    statistics — the serving shape of `selection.bm25_score` (e.g.
+    routing crawl docs by topical relevance as they land).
+
+    ``new_docs`` may be a streaming frame; ``index`` is the static
+    one-row :func:`build_bm25_index` frame. Per micro-batch: broadcast
+    cross join of the single stats row + a row-local JVM projection —
+    zero shuffles, zero Python, no standing state. Scoring arithmetic is
+    IDENTICAL to the batch scorer (same expression shapes), so
+    stream == batch for docs whose stats snapshot matches — pinned by
+    the differential in tests/test_streaming_ingest.py."""
+    from wingfoil_spark.functions.selection import _bm25_score_expr
+
+    terms = [t.lower() for t in terms]
+    d = (
+        new_docs.where(F.col(text_col).isNotNull())
+        .withColumn("__t", tokens(F.col(text_col)))
+        .withColumn("__dl", F.size("__t"))
+        .crossJoin(F.broadcast(index))
+    )
+    return d.select(
+        F.col(id_col), _bm25_score_expr(terms, k1, b).alias("score")
+    )
 
 
 def build_ann_index(
