@@ -55,6 +55,8 @@ def _py_bm25(docs, terms, k1=1.2, b=0.75):
     toks = {i: _py_tokens(t) for i, t in docs.items()}
     N = len(docs)
     avgdl = sum(len(t) for t in toks.values()) / N
+    if avgdl == 0:  # token-less corpus: every tf is 0 -> all scores 0
+        return {i: 0.0 for i in docs}
     df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
     out = {}
     for i, tk in toks.items():
@@ -371,3 +373,51 @@ def test_dsir_lambda_is_dense_array(spark, docs_df):
     for b in range(NB):
         if b not in seen:
             assert row["lam"][b] == row["lam_oov"], b
+
+
+# ---------- hypothesis differentials ----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "x", ""]),
+    min_size=0, max_size=12,
+).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_words, min_size=1, max_size=8),
+    st.sets(st.integers(min_value=0, max_value=7), min_size=0, max_size=4),
+)
+def test_dsir_differential(spark, texts, target_idx):
+    docs = {i: t for i, t in enumerate(texts)}
+    target_ids = {i for i in target_idx if i < len(texts)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["log_w"]
+        for r in S.dsir_weights_subset(
+            df, F.col("doc_id").isin([int(i) for i in target_ids] or [-1]),
+            n_buckets=32,
+        ).collect()
+    }
+    want = _py_dsir_weights(docs, target_ids, 32)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9), (i, docs)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_words, min_size=1, max_size=8),
+    st.lists(st.sampled_from(["aa", "bb", "zz"]), min_size=1, max_size=3,
+             unique=True),
+)
+def test_bm25_differential(spark, texts, terms):
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in S.bm25_score(df, terms).collect()}
+    want = _py_bm25(docs, terms)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9), (i, docs, terms)

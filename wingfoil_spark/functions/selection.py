@@ -391,7 +391,11 @@ def _bm25_score_expr(terms: list[str], k1: float, b: float) -> F.Column:
             )
         ),
     )
-    return F.aggregate(per_term, F.lit(0.0), lambda acc, s: acc + s)
+    # degenerate token-less corpus: avgdl = 0 would put 0/0 = NaN through
+    # the length normalization; every tf is 0 there, so the score IS 0
+    return F.when(F.col("avgdl") == 0.0, F.lit(0.0)).otherwise(
+        F.aggregate(per_term, F.lit(0.0), lambda acc, s: acc + s)
+    )
 
 
 def bm25_topk(
