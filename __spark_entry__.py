@@ -137,6 +137,7 @@ SEL_BUCKETS = 10000  # DSIR hashed-feature buckets (the paper's default)
 SEL_TOP = 32         # Gumbel-top-n resample size in the graded query
 SEL_TERMS = ("spark", "join", "window")  # BM25 query over the synthetic vocab
 SEL_BM25_K = 20      # BM25 top-k in the graded query
+LM_KN_D = 0.75       # Kneser-Ney discount for the graded KN branch
 
 
 def q_curation(spark, sf_dir):
@@ -840,7 +841,17 @@ def q_lm_packing(spark, sf_dir):
         F.col("seq_id").alias("grp"),
         F.col("seq_fill").cast("double").alias("v"),
     )
-    return ppl.unionByName(pack)
+    # r6: interpolated Kneser-Ney on the same reference slice —
+    # part='kn' grades the continuation-count smoothing family
+    # (functions/lm.py fit_kn_lm/kn_perplexity; closed-form from counts,
+    # so the oracle replays discount/λ/continuation arithmetic exactly)
+    knm = lm.fit_kn_lm(ref, discount=LM_KN_D)
+    kn = lm.kn_perplexity(docs, knm).select(
+        F.lit("kn").alias("part"), "doc_id",
+        F.col("n_bigrams").cast("string").alias("grp"),
+        F.round("logprob_per_token", 6).alias("v"),
+    )
+    return ppl.unionByName(pack).unionByName(kn)
 
 
 # -------------------------------------------------------------------- market
@@ -2153,7 +2164,27 @@ UNION ALL
 SELECT 'pack', doc_id,
   CAST(shard AS VARCHAR) || ':' || CAST(seq_idx AS VARCHAR) AS grp,
   fill::DOUBLE AS v
-FROM pwalk"""
+FROM pwalk
+UNION ALL
+SELECT 'kn', d.doc_id, CAST(COALESCE(p.nb, 0) AS VARCHAR), round(p.mlp, 6)
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS nb, avg(lp) AS mlp FROM (
+    SELECT pos.doc_id,
+      CASE WHEN c1 IS NULL OR COALESCE(n1p, 0) = 0
+        THEN ln((COALESCE(n1b, 0) + 1.0) / (knc.b + vv.v + 1))
+        ELSE ln(greatest(COALESCE(c12, 0) - {LM_KN_D}, 0.0) / c1
+                + (({LM_KN_D} * n1p) / c1)
+                  * ((COALESCE(n1b, 0) + 1.0) / (knc.b + vv.v + 1)))
+      END AS lp
+    FROM pos
+    LEFT JOIN big USING (w1, w2)
+    LEFT JOIN uni USING (w1)
+    LEFT JOIN (SELECT w1, count(*) AS n1p FROM big GROUP BY 1) USING (w1)
+    LEFT JOIN (SELECT w2, count(*) AS n1b FROM big GROUP BY 1) USING (w2)
+    CROSS JOIN vv
+    CROSS JOIN (SELECT count(*) AS b FROM big) knc
+  ) GROUP BY 1
+) p USING (doc_id)"""
 
     trade_pv = ("CAST(CAST(value AS DECIMAL(18,9)) * CAST(1 + event_id % 100 AS DECIMAL(18,4)) "
                 "AS DECIMAL(38,13))")

@@ -238,3 +238,125 @@ def test_pack_guard(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         cu.pack_sequences(docs, seq_len=0)
+
+
+# ------------------------------------------------------------- kneser-ney
+
+
+def ref_kn_scores(ref_texts, texts, D=0.75):
+    toks = [t.lower().split() for t in ref_texts]
+    uni: Counter = Counter(w for tk in toks for w in tk)
+    big: Counter = Counter(
+        (tk[i], tk[i + 1]) for tk in toks for i in range(len(tk) - 1)
+    )
+    v, b_types = len(uni), len(big)
+    denom_c = b_types + v + 1
+    n1p_fwd: Counter = Counter(a for (a, _b) in big)
+    n1b: Counter = Counter(b for (_a, b) in big)
+    out = {}
+    for i, t in texts.items():
+        tk = t.lower().split()
+        if len(tk) < 2:
+            out[i] = (0, None, None)
+            continue
+        lps = []
+        for a, b in zip(tk, tk[1:]):
+            pc = (n1b.get(b, 0) + 1.0) / denom_c
+            if a in uni and n1p_fwd.get(a, 0) > 0:
+                c1 = uni[a]
+                lam = D * n1p_fwd[a] / c1
+                p = max(big.get((a, b), 0) - D, 0.0) / c1 + lam * pc
+            else:
+                # unseen history OR a history with no observed
+                # continuations (doc-final-only word): continuation prior
+                p = pc
+            lps.append(math.log(p))
+        mean = sum(lps) / len(lps)
+        out[i] = (len(lps), mean, math.exp(-mean))
+    return out
+
+
+def spark_kn_scores(spark, ref_texts, texts, D=0.75):
+    ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    model = lm.fit_kn_lm(ref, discount=D)
+    rows = lm.kn_perplexity(docs, model).collect()
+    return {
+        r.doc_id: (r.n_bigrams, r.logprob_per_token, r.perplexity) for r in rows
+    }
+
+
+def test_kn_hand_checked(spark):
+    # ref "a b a b a c": uni a3 b2 c1 (V=3); bigrams ab:2 ba:2 ac:1 (B=3)
+    # n1p_fwd: a->2, b->1; n1b: b->1, a->1, c->1; denom_c = 3+3+1 = 7
+    # p(b|a) = (2-.75)/3 + (.75*2/3)*((1+1)/7) = 1.25/3 + .5*2/7
+    want = 1.25 / 3 + 0.5 * (2 / 7)
+    got = spark_kn_scores(spark, ["a b a b a c"], {1: "a b"}, D=0.75)
+    n, lp, ppl = got[1]
+    assert n == 1
+    assert lp == pytest.approx(math.log(want), rel=1e-12)
+
+
+def test_kn_continuation_insight(spark):
+    # "francisco" only ever follows "san"; "the" follows many words.
+    # Raw counts equal-ish, but p_cont(the) >> p_cont(francisco): scoring
+    # them after an UNSEEN history must rank "the" higher - the defining
+    # KN property that add-k cannot express.
+    ref = ["san francisco "*3 + "a the b the c the d the"]
+    got = spark_kn_scores(spark, ref, {1: "zz the", 2: "zz francisco"})
+    assert got[1][1] > got[2][1]
+
+
+def test_kn_oov_and_unseen_history(spark):
+    ref = ["a b a b"]
+    # V=2 {a,b}, bigrams ab:2 ba:1 -> B=2, denom_c=5; n1b: b->1, a->1
+    # unseen history z: p = pc(w2); pc(q unseen) = 1/5, pc(a) = 2/5
+    got = spark_kn_scores(spark, ref, {1: "z q", 2: "z a"})
+    assert got[1][1] == pytest.approx(math.log(1 / 5), rel=1e-12)
+    assert got[2][1] == pytest.approx(math.log(2 / 5), rel=1e-12)
+
+
+def test_kn_guards(spark):
+    ref = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError):
+        lm.fit_kn_lm(ref, discount=0.0)
+    with pytest.raises(ValueError):
+        lm.fit_kn_lm(ref, discount=1.0)
+    empty = spark.createDataFrame([("",)], "text string")
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        lm.fit_kn_lm(empty)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=15).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_kn_differential(spark, ref_texts, score_texts):
+    texts = dict(enumerate(score_texts))
+    if not any(t.split() for t in ref_texts):
+        with pytest.raises(ValueError, match="empty vocabulary"):
+            spark_kn_scores(spark, ref_texts, texts)
+        return
+    got = spark_kn_scores(spark, ref_texts, texts)
+    want = ref_kn_scores(ref_texts, texts)
+    assert set(got) == set(want)
+    for i in got:
+        gn, glp, gp = got[i]
+        wn, wlp, wp = want[i]
+        assert gn == wn
+        if wlp is None:
+            assert glp is None and gp is None
+        else:
+            assert glp == pytest.approx(wlp, abs=1e-9)
+            assert gp == pytest.approx(wp, rel=1e-9)

@@ -185,3 +185,159 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def fit_kn_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> dict[str, DataFrame]:
+    """Fit an INTERPOLATED KNESER-NEY bigram model — the smoothing family
+    production n-gram filters (KenLM, the actual CCNet scorer) use, where
+    add-k is the teaching tier (:func:`fit_bigram_lm`).
+
+    ``p(w2|w1) = max(c12 − D, 0)/c1 + λ(w1)·p_cont(w2)`` with
+    ``λ(w1) = D·N1+(w1,·)/c1`` (the discount mass redistributed) and the
+    continuation probability ``p_cont(w2) ∝ N1+(·,w2)`` — "how many
+    contexts has w2 completed", the insight that makes KN rank
+    "Francisco" low despite high raw frequency. For totality over
+    unseen words, the continuation distribution is add-1 smoothed over
+    the (V+1)-way vocab-plus-OOV space (documented deviation — exact KN
+    leaves unseen-continuation mass undefined):
+    ``p*_cont(w2) = (N1+(·,w2) + 1)/(B + V + 1)`` with B = distinct
+    bigram types. An unseen HISTORY backs off to ``p*_cont(w2)`` alone —
+    as does a history with NO observed continuations (a word seen only
+    document-final: λ = 0 leaves zero mass otherwise).
+
+    Returns frames: ``bigrams`` (w1, w2, c12), ``histories``
+    (w1, c1, lam), ``cont`` (w2, pc), ``consts`` (v, b_types, pc_oov,
+    discount). All plain counts/closed-form doubles — deterministic and
+    reproducible in ANSI SQL (the lm_packing part='kn' oracle).
+
+    100 TB shape: fit is the same ONE bigram shuffle as add-k (plus two
+    bounded groupBys over the bigram-type table, itself vocabulary- not
+    corpus-sized); scoring is three joins (on (w1,w2), w1, w2) that AQE
+    broadcast-decides when the model is small. No driver-side model, no
+    Python stage.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = ref_docs.select(tokens(F.col(text_col)).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "if(size(__t) < 2, array(), transform(sequence(1, size(__t) - 1), "
+                    "i -> struct(__t[i-1] AS w1, __t[i] AS w2)))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    v = uni.count()
+    if v == 0:
+        raise ValueError(
+            "fit_kn_lm: reference corpus has empty vocabulary "
+            "(no tokens after tokenization)"
+        )
+    # bigram-TYPE statistics (vocabulary-sized, not corpus-sized)
+    b_types = big.count()
+    n1p_fwd = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1p"))
+    n1p_bwd = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    denom_c = float(b_types + v + 1)
+    histories = uni.join(n1p_fwd, "w1", "left").select(
+        "w1",
+        "c1",
+        (
+            F.lit(discount)
+            * F.coalesce(F.col("n1p"), F.lit(0)).cast("double")
+            / F.col("c1").cast("double")
+        ).alias("lam"),
+    )
+    cont = n1p_bwd.select(
+        "w2",
+        ((F.col("n1b") + 1.0) / F.lit(denom_c)).alias("pc"),
+    )
+    consts = ref_docs.sparkSession.range(1).select(
+        F.lit(v).alias("v"),
+        F.lit(b_types).alias("b_types"),
+        (F.lit(1.0) / F.lit(denom_c)).alias("pc_oov"),
+        F.lit(discount).alias("discount"),
+    )
+    return {
+        "bigrams": big,
+        "histories": histories,
+        "cont": cont,
+        "consts": consts,
+    }
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under the fitted Kneser-Ney model
+    (:func:`fit_kn_lm`): mean bigram log-prob + perplexity, the
+    lm_perplexity output contract (NULL for < 2-token docs).
+
+    Per position: observed history → ``max(c12−D,0)/c1 + λ(w1)·p*_cont``;
+    unseen history → ``p*_cont(w2)`` (pc_oov when w2 is also unseen as a
+    continuation). Every probability is > 0 by construction, so the log
+    is total — no ANSI aborts on any input."""
+    pos = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "if(size(__t) < 2, array(), transform(sequence(1, size(__t) - 1), "
+                "i -> struct(__t[i-1] AS w1, __t[i] AS w2)))"
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    pc = F.coalesce(F.col("pc"), F.col("pc_oov"))
+    # a history with NO observed continuations (a word that only ever
+    # ends documents: c1 > 0 but N1+(w1,·) = 0, so λ = 0) has zero
+    # discounted mass AND zero redistribution — p would be 0 and log
+    # undefined (hypothesis-found). No continuation evidence → back off
+    # to the continuation prior, exactly like an unseen history.
+    p = F.when(
+        F.col("c1").isNull() | (F.col("lam") == 0.0), pc
+    ).otherwise(
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - F.col("discount"),
+            F.lit(0.0),
+        )
+        / F.col("c1").cast("double")
+        + F.col("lam") * pc
+    )
+    scored = (
+        pos.join(lm["bigrams"], ["w1", "w2"], "left")
+        .join(lm["histories"], ["w1"], "left")
+        .join(lm["cont"], ["w2"], "left")
+        .crossJoin(F.broadcast(lm["consts"]))
+        .select(id_col, F.log(p).alias("__lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("__lp").alias("logprob_per_token"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "logprob_per_token",
+            F.exp(-F.col("logprob_per_token")).alias("perplexity"),
+        )
+    )
