@@ -520,3 +520,36 @@ def test_bm25_score_stream_equals_batch(spark, docs):
     assert set(got) == set(batch)
     for i, v in got.items():
         assert v == pytest.approx(batch[i], abs=1e-12), i
+
+
+def test_lm_score_stream_equals_batch(spark, docs):
+    """Streaming LM scoring == batch lm_perplexity (docs with >=1 bigram)
+    against the frozen model frames, across micro-batch boundaries."""
+    from wingfoil_spark.functions import lm
+
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    model = lm.fit_bigram_lm(ref, k=0.1)
+    model = {k: v.localCheckpoint() for k, v in model.items()}
+    batch = {
+        r.doc_id: (r.n_bigrams, r.logprob_per_token)
+        for r in lm.lm_perplexity(docs, model).collect()
+        if r.n_bigrams > 0
+    }
+    assert batch
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    stream, src_dir = _stream_chunks(spark, pdf)
+    try:
+        scored = _run_to_memory(
+            ingest.lm_score_stream(stream, model),
+            "ingest_lm",
+        )
+        got = {r.doc_id: (r.n_bigrams, r.logprob_per_token)
+               for r in scored.collect()}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert set(got) == set(batch)
+    for i, (n, lp) in got.items():
+        bn, blp = batch[i]
+        assert n == bn, i
+        assert lp == pytest.approx(blp, abs=1e-12), i

@@ -28,6 +28,23 @@ from pyspark.sql import DataFrame, functions as F
 from wingfoil_spark.functions.text import tokens
 
 
+def _bigram_pos(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) bigram positions of each doc — row-local explode,
+    shared by both batch scorers and the streaming scorer so the gram
+    stream is structurally identical everywhere."""
+    return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "if(size(__t) < 2, array(), transform(sequence(1, size(__t) - 1), "
+                "i -> struct(__t[i-1] AS w1, __t[i] AS w2)))"
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+
+
 def fit_bigram_lm(
     ref_docs: DataFrame,
     text_col: str = "text",
@@ -112,17 +129,7 @@ def lm_perplexity(
 
     Returns ``(id_col, n_bigrams, logprob_per_token, perplexity)``.
     """
-    pos = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
-    ).select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "if(size(__t) < 2, array(), transform(sequence(1, size(__t) - 1), "
-                "i -> struct(__t[i-1] AS w1, __t[i] AS w2)))"
-            )
-        ).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
+    pos = _bigram_pos(docs, text_col, id_col)
     scored = (
         pos.join(lm["bigrams"], ["w1", "w2"], "left")
         .join(lm["histories"], ["w1"], "left")
@@ -293,17 +300,7 @@ def kn_perplexity(
     unseen history → ``p*_cont(w2)`` (pc_oov when w2 is also unseen as a
     continuation). Every probability is > 0 by construction, so the log
     is total — no ANSI aborts on any input."""
-    pos = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
-    ).select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "if(size(__t) < 2, array(), transform(sequence(1, size(__t) - 1), "
-                "i -> struct(__t[i-1] AS w1, __t[i] AS w2)))"
-            )
-        ).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
+    pos = _bigram_pos(docs, text_col, id_col)
     pc = F.coalesce(F.col("pc"), F.col("pc_oov"))
     # a history with NO observed continuations (a word that only ever
     # ends documents: c1 > 0 but N1+(w1,·) = 0, so λ = 0) has zero

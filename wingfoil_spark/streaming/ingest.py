@@ -339,6 +339,80 @@ def bm25_score_stream(
     )
 
 
+def lm_score_stream(
+    new_docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-shape LM perplexity for ARRIVING docs against a frozen
+    add-k model (`functions.lm.fit_bigram_lm` — persist the model frames
+    per corpus refresh, like every index here).
+
+    Per micro-batch: the row-local bigram explode (`lm._bigram_pos`,
+    shared with the batch scorer), stream-static left joins against the
+    model frames (AQE broadcast-decides), then per-doc (count, mean) via
+    repartition(id) + mapInPandas with a RUNNING merge across Arrow
+    batches — a doc's rows colocate in one partition but may span
+    batches (the pq_topk batch-invariance lesson); (n, Σlp) merging is
+    associative, so the emission at iterator exhaustion is exact and the
+    state is O(docs-in-partition). Zero standing state across batches —
+    a doc lives in exactly one micro-batch.
+
+    Emits only docs with ≥ 1 bigram (the flagged-only convention: token-
+    poor docs carry no LM evidence; the batch scorer reports them as
+    NULL). Output: (id, n_bigrams, logprob_per_token, perplexity)."""
+    import pandas as pd
+
+    from wingfoil_spark.functions.lm import _bigram_pos
+
+    pos = _bigram_pos(
+        new_docs.where(F.col(text_col).isNotNull()), text_col, id_col
+    )
+    scored = (
+        pos.join(model["bigrams"], ["w1", "w2"], "left")
+        .join(model["histories"], ["w1"], "left")
+        .crossJoin(F.broadcast(model["consts"]))
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("logp"), F.col("logp_unseen"), F.col("logp_oov")
+            ).alias("__lp"),
+        )
+    )
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_bigrams long, "
+        "logprob_per_token double, perplexity double"
+    )
+
+    def per_doc(batches):
+        acc: dict = {}  # id -> [n, lp_sum]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            g = pdf.groupby(id_col, sort=False)["__lp"].agg(["count", "sum"])
+            for i, row in g.iterrows():
+                st = acc.setdefault(i, [0, 0.0])
+                st[0] += int(row["count"])
+                st[1] += float(row["sum"])
+        if acc:
+            import math
+
+            out = pd.DataFrame(
+                [
+                    (i, n, s / n, math.exp(-(s / n)))
+                    for i, (n, s) in acc.items()
+                ],
+                columns=[
+                    id_col, "n_bigrams", "logprob_per_token", "perplexity"
+                ],
+            )
+            yield out
+
+    return scored.repartition(id_col).mapInPandas(per_doc, schema)
+
+
 def build_ann_index(
     corpus,
     emb_col: str = "embedding",
