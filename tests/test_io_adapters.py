@@ -418,3 +418,64 @@ def test_fluvio_sub_rejects_negative_offset(spark):
     assert "fluvio_sub" in msg and "non-negative" in msg
     with pytest.raises(ValueError, match="partition must be non-negative"):
         fluvio_sub(spark, "127.0.0.1:9003", "topic", -2, start_offset=5)
+
+
+# ---------------------------------------------------------------- jsonl
+
+
+def test_jsonl_roundtrip_and_corrupt_audit(spark, tmp_path):
+    """JSONL read/write roundtrip + the corrupt-line audit contract:
+    malformed lines land in _corrupt_record with the raw text, valid
+    rows parse, nothing is dropped and nothing aborts."""
+    import json as _json
+
+    from wingfoil_spark.sources.io import jsonl_read, jsonl_write
+
+    src = tmp_path / "docs.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "hello world", "lang": "en"}),
+        "{ this is not json",
+        _json.dumps({"doc_id": 2, "text": "bonjour", "lang": "fr"}),
+    ]
+    src.write_text("\n".join(lines) + "\n")
+
+    df = jsonl_read(spark, str(src), "doc_id long, text string, lang string",
+                    audit_corrupt=True)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].text == "hello world" and rows[1]._corrupt_record is None
+    assert rows[2].lang == "fr"
+    bad = [r for r in rows.values() if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0]._corrupt_record.startswith("{ this")
+
+    # roundtrip (clean rows only) through the compressed sink
+    out = tmp_path / "out"
+    clean = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    jsonl_write(clean, str(out), partition_by=("lang",))
+    back = jsonl_read(spark, str(out), "doc_id long, text string")
+    got = sorted((r.doc_id, r.text) for r in back.collect())
+    assert got == [(1, "hello world"), (2, "bonjour")]
+    import glob
+
+    assert glob.glob(str(out / "lang=en" / "*.gz")), "partitioned+gzip shards"
+
+
+def test_jsonl_streaming_binds(spark, tmp_path):
+    """streaming=True binds the same schema to readStream (run-mode
+    duality) and an availableNow pass delivers the rows."""
+    import json as _json
+
+    from wingfoil_spark.sources.io import jsonl_read
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        _json.dumps({"doc_id": 7, "text": "streamed"}) + "\n"
+    )
+    sdf = jsonl_read(spark, str(src), "doc_id long, text string",
+                     streaming=True)
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("jsonl_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from jsonl_stream").collect()
+    assert [(r.doc_id, r.text) for r in rows] == [(7, "streamed")]

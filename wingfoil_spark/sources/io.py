@@ -637,3 +637,61 @@ def load_stream(spark: SparkSession, path: str) -> Stream:
         stream.close()
     df = spark.read.parquet(path)
     return Stream(df, ts=meta["ts"], seq=meta["seq"], keys=tuple(meta["keys"]))
+
+
+def jsonl_read(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    streaming: bool = False,
+    audit_corrupt: bool = False,
+    **options,
+):
+    """JSON-Lines corpus source — the interchange format LLM training
+    corpora actually ship in (one JSON doc per line, optionally .gz/.zst
+    compressed; Spark's text-based json reader handles codecs by file
+    extension).
+
+    100 TB discipline, enforced not suggested:
+
+    - ``schema`` is REQUIRED. ``inferSchema`` on json is a full extra
+      pass over the corpus before the real one — at 100 TB that is the
+      difference between one scan and two. (It also type-drifts: a
+      doc_id column that happens to be all-numeric in one shard and
+      mixed in another infers differently per run.)
+    - PERMISSIVE corrupt handling with an explicit audit: malformed
+      lines must neither kill a week-long ingest (FAILFAST) nor vanish
+      silently (DROPMALFORMED). With ``audit_corrupt=True`` the
+      returned frame carries a ``_corrupt_record`` column holding the
+      raw line for malformed rows (NULL otherwise) — filter on it to
+      route rejects to a quarantine sink; without it they surface as
+      all-NULL rows.
+
+    ``streaming=True`` binds the same schema to ``readStream`` (the
+    run-mode duality every adapter here follows). Returns a DataFrame
+    (corpus tables are unkeyed/untimed — wrap in a Stream downstream if
+    event semantics apply)."""
+    full_schema = schema
+    if audit_corrupt:
+        full_schema = schema.rstrip() + ", _corrupt_record string"
+        options.setdefault("columnNameOfCorruptRecord", "_corrupt_record")
+    options.setdefault("mode", "PERMISSIVE")
+    reader = spark.readStream if streaming else spark.read
+    return reader.schema(full_schema).options(**options).json(path)
+
+
+def jsonl_write(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """JSON-Lines corpus sink (one doc per line, compressed shards —
+    the publishing format). Partition by e.g. ``lang``/``source`` so
+    downstream readers partition-prune; shard count = upstream
+    partitioning (repartition first to set shard size)."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
