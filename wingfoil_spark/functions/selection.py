@@ -512,3 +512,121 @@ def semdedup(
             F.coalesce(~F.col("__pruned"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def fit_quality_classifier(
+    docs: DataFrame,
+    label_cond: F.Column,
+    text_col: str = "text",
+    n_features: int = 1 << 16,
+    max_iter: int = 50,
+    reg_param: float = 1e-3,
+) -> DataFrame:
+    """Train a fasttext-style QUALITY CLASSIFIER — the trained-filter
+    tier of a curation pipeline (CCNet / GPT-3 style: a linear model
+    over hashed n-gram counts separating a high-quality slice from raw
+    crawl), beside the heuristic tier (`text.gopher_quality_flags`) and
+    the importance tier (:func:`dsir_weights`).
+
+    ``label_cond`` marks the POSITIVE (high-quality) examples inside
+    ``docs``. Features are hashed unigram+bigram counts bucketed by the
+    SAME Catalyst expression scoring uses (:func:`_hash_bucket` —
+    ``F.hash`` nonNegativeMod; NOT ``HashingTF``, whose Murmur3 tail
+    variant differs from SQL ``hash()``, so its buckets cannot be
+    reproduced row-locally at scoring time). The fit is MLlib logistic
+    regression (L2, ``max_iter`` L-BFGS steps) — the distributed
+    gradient passes ARE the corpus scans, nothing collects but the
+    coefficient vector. The sparse feature vectors are assembled by a
+    per-row UDF — acceptable here and only here: LABELED training sets
+    are bounded (10⁴–10⁶ docs), unlike the corpus being scored.
+
+    Returns the MODEL AS DATA: one row ``(coefs array<double> dense by
+    bucket, intercept double, n_features int)`` — persist it like the
+    DSIR λ row / BM25 stats row; scoring never touches MLlib again.
+    """
+    from collections import Counter
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    d = (
+        ensure_parallelism(docs)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            label_cond.cast("double").alias("label"),
+            tokens(F.col(text_col)).alias("__tk"),
+        )
+        .select(
+            "label",
+            F.transform(
+                _grams(F.col("__tk")), lambda g: _hash_bucket(g, n_features)
+            ).alias("__bk"),
+        )
+    )
+
+    @F.udf(returnType=VectorUDT())
+    def to_vec(bk):
+        c = Counter(bk)
+        idx = sorted(c)
+        return SparseVector(n_features, idx, [float(c[i]) for i in idx])
+
+    feat = d.select("label", to_vec("__bk").alias("features"))
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param,
+                            featuresCol="features", labelCol="label")
+    model = lr.fit(feat)
+    coefs = [float(x) for x in model.coefficients.toArray()]
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(coefs, float(model.intercept), n_features)],
+        "coefs array<double>, intercept double, n_features int",
+    )
+
+
+def _hash_bucket(col: F.Column, n_features: int) -> F.Column:
+    """Feature bucket in pure Catalyst: ``F.hash`` (Murmur3 seed 42)
+    non-negative-mod n_features. Used identically at TRAIN and SCORE
+    time — the self-consistency that lets the trained model run as a
+    row-local fold (train/score bucket agreement pinned by
+    test_quality_train_score_bucket_agree)."""
+    h = F.hash(col)
+    return ((h % n_features) + n_features) % n_features
+
+
+def quality_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a :func:`fit_quality_classifier` model:
+    ``(id, logit, quality)`` with quality = σ(logit) ∈ (0,1), higher =
+    more like the positive slice.
+
+    Plan shape: the coefficient row broadcasts; the logit is a row-local
+    JVM fold over the doc's grams (O(1) dense-array indexing — the DSIR
+    λ lesson); sigmoid is a projection. Zero corpus shuffles, zero
+    Python — the trained filter costs one scan at any corpus size, and
+    is legal on a streaming frame as-is (stateless row-local)."""
+    first = model.select(
+        "coefs", "intercept", F.col("n_features").alias("__nf")
+    )
+    d = (
+        docs.where(F.col(text_col).isNotNull())
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .withColumn("__g", _grams(F.col("__tk")))
+        .crossJoin(F.broadcast(first))
+    )
+    logit = F.col("intercept") + F.aggregate(
+        F.col("__g"),
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(
+            F.col("coefs"),
+            (((F.hash(g) % F.col("__nf")) + F.col("__nf")) % F.col("__nf") + 1).cast("int"),
+        ),
+    )
+    return d.select(F.col(id_col), logit.alias("logit")).select(
+        id_col,
+        "logit",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))).alias("quality"),
+    )
