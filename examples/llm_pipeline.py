@@ -99,6 +99,23 @@ top = sel.bm25_topk(docs, ["spark", "plans"], k=1).collect()
 print("bm25 top:", top[0].doc_id)
 assert top[0].doc_id == 3, "the spark-plans doc wins the retrieval query"
 
+# 5c. trained quality classifier (fasttext-style): fit on the ORIGINAL
+# labeled corpus (wiki = positive), score the survivors row-locally
+labeled = spark.createDataFrame(
+    [
+        (0, "spark plans and data engines compose cleanly", 1),
+        (1, "catalyst optimizes the logical plan well", 1),
+        (2, "buy buy buy click click spam spam now", 0),
+        (3, "zzz win free click now buy spam zzz", 0),
+    ],
+    "doc_id long, text string, lbl int",
+)
+clf = sel.fit_quality_classifier(labeled, F.col("lbl") == 1,
+                                 n_features=1 << 12, max_iter=20)
+q = {r.doc_id: r.quality for r in sel.quality_scores(docs, clf).collect()}
+print("quality:", {k: round(v, 3) for k, v in sorted(q.items())})
+assert q[3] > 0.5, "the spark-plans doc scores as high quality"
+
 # 6. deterministic domain mixing + token-budget sharding + packing
 mixed = cu.weighted_mix(docs, {"web": 1.0, "wiki": 1.0})
 shards = cu.token_budget_shards(mixed, budget=16)

@@ -553,3 +553,27 @@ def test_lm_score_stream_equals_batch(spark, docs):
         bn, blp = batch[i]
         assert n == bn, i
         assert lp == pytest.approx(blp, abs=1e-12), i
+
+
+def test_quality_scores_stream_legal(spark, docs):
+    """quality_scores is stateless row-local -> legal on a streaming
+    frame AS-IS (no twin needed), and stream == batch."""
+    from wingfoil_spark.functions import selection as sel
+
+    model = sel.fit_quality_classifier(
+        docs, F.col("lang") == "en", n_features=1 << 12, max_iter=10
+    ).localCheckpoint()
+    batch = {r.doc_id: r.quality
+             for r in sel.quality_scores(docs, model).collect()}
+    pdf = docs.toPandas().sort_values("doc_id")
+    stream, src_dir = _stream_chunks(spark, pdf)
+    try:
+        scored = _run_to_memory(
+            sel.quality_scores(stream, model), "ingest_quality"
+        )
+        got = {r.doc_id: r.quality for r in scored.collect()}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert set(got) == set(batch)
+    for i, v in got.items():
+        assert v == pytest.approx(batch[i], abs=1e-12), i

@@ -45,10 +45,13 @@ from wingfoil_spark.functions.text import tokens
 __all__ = [
     "dsir_profile",
     "dsir_weights",
+    "dsir_weights_subset",
     "dsir_sample",
     "bm25_score",
     "bm25_topk",
     "semdedup",
+    "fit_quality_classifier",
+    "quality_scores",
 ]
 
 #: 2^60 — _md5_int yields 60-bit non-negative ints; u = (h+1)/(2^60+1)
