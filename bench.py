@@ -229,7 +229,8 @@ def main() -> None:
                 # lm_packing is the r6-graded LM+packing union.
                 "scope_note_r6": (
                     "ann 3->5 branches (pq, ivfpq); dedup_exact ->"
-                    " selection 4-branch union; lm_packing new"
+                    " selection 4-branch union; lm_packing new +"
+                    " part='kn' (Kneser-Ney)"
                 ),
             }
         )

@@ -48,7 +48,8 @@ SLACK = 1.6  # parallel slack: ratio <= REPL * SLACK counts as linear
 #: and the two-phase distributed prefix sum.
 BIG30 = os.environ.get("SPARK_GRAFT_SCALE30_DIR", "/tmp/wingfoil_scale_sf3eq")
 REPL30 = 30
-QUERIES_30X = ["stats_tw_kernel", "book_feed", "text_stats", "curation"]
+QUERIES_30X = ["stats_tw_kernel", "book_feed", "text_stats", "curation",
+               "selection"]  # r6: the DSIR/BM25 union joins the 30x tier
 # (+ ann_fixed, added in main())
 
 #: third tier (r5): the LLM-pipeline queries pushed to 100× (sf10-eq,

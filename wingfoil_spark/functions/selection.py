@@ -1,7 +1,8 @@
 """Training-data SELECTION: DSIR importance resampling, BM25 retrieval
-scoring, SemDeDup semantic deduplication.
+scoring, SemDeDup semantic deduplication, and a trained fasttext-style
+quality classifier.
 
-All three are published large-scale data-curation recipes re-expressed as
+All are published large-scale data-curation recipes re-expressed as
 Spark plans (no reference-engine counterpart — this tier extends the
 engine for LLM-corpus work, like functions/dedup.py and functions/lm.py):
 
@@ -10,6 +11,9 @@ engine for LLM-corpus work, like functions/dedup.py and functions/lm.py):
 - BM25 — Robertson & Zaragoza 2009 (the Okapi BM25 ranking function).
 - SemDeDup — Abbas et al. 2023, "SemDeDup: Data-efficient learning at
   web-scale through semantic deduplication".
+- Quality classifier — the CCNet / GPT-3 linear-filter tier (logistic
+  regression over hashed n-gram counts; Joulin et al. 2016's fastText
+  shape, hashing-trick variant).
 
 100 TB shape (the design constraint for every function here):
 
