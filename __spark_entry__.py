@@ -138,6 +138,13 @@ SEL_TOP = 32         # Gumbel-top-n resample size in the graded query
 SEL_TERMS = ("spark", "join", "window")  # BM25 query over the synthetic vocab
 SEL_BM25_K = 20      # BM25 top-k in the graded query
 LM_KN_D = 0.75       # Kneser-Ney discount for the graded KN branch
+SD_THRESH = 0.35     # semdedup prune threshold (synthetic embeddings are
+                     # near-random: within-cluster cosine tops out ~0.5, so
+                     # 0.35 prunes a real set at sf0.01 AND sf0.1)
+SD_CAP = 512         # semdedup max_cluster_size in the graded query — the
+                     # r7 enforced bound; oracle replays the md5 sub-shards
+QC_NF = 512          # frozen quality-classifier feature buckets (graded)
+QC_B0 = -0.25        # frozen intercept (binary-exact double)
 
 
 def q_curation(spark, sf_dir):
@@ -1027,9 +1034,20 @@ def q_selection(spark, sf_dir):
     - part='bm25': top-K docs by Okapi BM25 for a fixed query
       (v = round(score, 6); same-order term sum both engines).
 
-    SemDeDup (selection.semdedup) stays unit-tier: its k-means fit is
-    not SQL-expressible (tests/test_selection.py pins it, incl. a
-    brute-force replay), mirroring how PQ/IVF-PQ are graded."""
+    r7 adds part='clf' (VERDICT r6 Next #1): the trained-quality-
+    classifier SCORING path (selection.quality_scores) under a FROZEN
+    coefficient row — the production serving shape (the MLlib fit runs
+    per corpus refresh and persists the model as data; scoring is the
+    100 TB-scale path, and it is deterministic + SQL-expressible exactly
+    like the DSIR λ row). The frozen model is derived, not trained:
+    coefs[b] = (md5_int('qc:'||b) % 2001 − 1000)/1000, intercept −0.25 —
+    both engines rebuild it from the same formula, so the graded row
+    exercises the real scoring plan (broadcast coefs row + md5-bucket
+    gram fold + sigmoid) end to end. v = round(logit, 6) (fold-vs-SQL
+    sum order ~1e-15, absorbed like the dsir branch). The k-means fit of
+    SemDeDup is graded separately (ann part='semdedup', fit='take');
+    the MLlib LR FIT itself stays unit-tier (not SQL-expressible) —
+    tests/test_selection.py pins holdout separation."""
     from wingfoil_spark.functions import selection as sel
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1058,7 +1076,25 @@ def q_selection(spark, sf_dir):
         F.lit("bm25").alias("part"), F.lit(None).cast("string").alias("k"),
         F.col("doc_id").alias("id"), F.round("score", 6).alias("v"),
     )
-    return ex.unionByName(dsir).unionByName(top).unionByName(bm)
+    qc_model = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(QC_NF - 1)),
+            lambda b: (
+                dd._md5_int(F.concat(F.lit("qc:"), b.cast("string"))) % 2001
+                - 1000
+            )
+            / 1000.0,
+        ).alias("coefs"),
+        F.lit(QC_B0).alias("intercept"),
+        F.lit(QC_NF).alias("n_features"),
+    )
+    clf = sel.quality_scores(docs, qc_model).select(
+        F.lit("clf").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("logit", 6).alias("v"),
+    )
+    return (
+        ex.unionByName(dsir).unionByName(top).unionByName(bm).unionByName(clf)
+    )
 
 
 def q_minhash(spark, sf_dir):
@@ -1110,7 +1146,18 @@ def q_ann(spark, sf_dir):
     gather, reported as cosine = 1 − adc/2 (exact on L2-normalized
     vectors). Every branch is deterministic so the DuckDB twin reproduces
     all four exactly (PQ: same argmin/rank tie-breaks; 9dp on the ADC
-    total then 6dp absorb the numpy-vs-SQL accumulation order)."""
+    total then 6dp absorb the numpy-vs-SQL accumulation order).
+
+    r7 adds method='semdedup' — SemDeDup (selection.semdedup) with
+    fit='take' driver-graded for the first time (VERDICT r6 Next #1):
+    the same take-centroids/nprobe=1 assignment as the ivf branch, the
+    paper's keep-lowest-centroid-sim prune at threshold SD_THRESH, and
+    the r7 ENFORCED cluster cap (max_cluster_size=SD_CAP; the oracle
+    replays the md5 sub-shard split exactly, so the branch stays graded
+    even when a scale tier trips the cap). Row shape: probe_id=vec_id,
+    neighbor_id=cid, cosine=round(centroid_sim,6), rank=keep?1:0."""
+    from wingfoil_spark.functions import selection as sel
+
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") % 50 == 0)
     books = sim.pq_train(e, m=8, k=16, fit="take")
@@ -1135,12 +1182,22 @@ def q_ann(spark, sf_dir):
         F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),
         "rank",
     ).withColumn("method", F.lit("ivfpq"))
+    sd = sel.semdedup(
+        e, n_clusters=16, threshold=SD_THRESH, fit="take",
+        max_cluster_size=SD_CAP,
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("cid").cast("long").alias("neighbor_id"),
+        F.round("centroid_sim", 6).alias("cosine"),
+        F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0)).alias("rank"),
+    ).withColumn("method", F.lit("semdedup"))
     parts = [
         sim.cosine_topk(e, probes, k=5).withColumn("method", F.lit("exact")),
         sim.lsh_bucketed_topk(e, probes, k=5).withColumn("method", F.lit("lsh")),
         sim.ivf_topk(e, probes, k=5, n_centroids=16, nprobe=4, fit="take").withColumn("method", F.lit("ivf")),
         pq,
         ipq,
+        sd,
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2369,7 +2426,13 @@ gk AS (SELECT doc_id, log_w / 1.0
            / 1152921504606846977.0)) AS gumbel_key FROM w),
 bt AS (SELECT doc_id, t, len(t) AS dl FROM toks),
 bs AS (SELECT count(*) AS N, avg(dl) AS avgdl, {bm_dfs} FROM bt),
-bscore AS (SELECT doc_id, 0.0 + {bm_terms} AS score FROM bt CROSS JOIN bs)
+bscore AS (SELECT doc_id, 0.0 + {bm_terms} AS score FROM bt CROSS JOIN bs),
+qcb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {QC_NF} AS b
+        FROM grams),
+qcs AS (SELECT doc_id,
+    sum(((('0x' || substr(md5('qc:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+          % 2001) - 1000) / 1000.0) AS s
+  FROM qcb GROUP BY 1)
 SELECT 'exact' AS part, fp AS k, keep_id AS id, n_dups::DOUBLE AS v FROM (
   SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
     min(doc_id) AS keep_id, count(*) AS n_dups
@@ -2381,7 +2444,11 @@ SELECT 'dsir_top', CAST(NULL AS VARCHAR), doc_id, round(gumbel_key, 6) FROM (
   SELECT doc_id, gumbel_key FROM gk ORDER BY gumbel_key DESC, doc_id LIMIT {SEL_TOP})
 UNION ALL
 SELECT 'bm25', CAST(NULL AS VARCHAR), doc_id, round(score, 6) FROM (
-  SELECT doc_id, score FROM bscore ORDER BY score DESC, doc_id LIMIT {SEL_BM25_K})"""
+  SELECT doc_id, score FROM bscore ORDER BY score DESC, doc_id LIMIT {SEL_BM25_K})
+UNION ALL
+SELECT 'clf', CAST(NULL AS VARCHAR), toks.doc_id,
+  round({QC_B0!r} + COALESCE(qcs.s, 0.0), 6)
+FROM toks LEFT JOIN qcs USING (doc_id)"""
 
     mh = ", ".join(
         "list_min(list_transform(base, h -> (h * {a} + {b}) % {p})) AS mh{j}".format(
@@ -2474,7 +2541,7 @@ FROM f"""
     # sequential projection fold; ivf replicates take-based centroids
     # (16 lowest ids), nearest-centroid assignment (nprobe=1 corpus /
     # nprobe=4 probes) and in-bucket ranking.
-    o["ann"] = """
+    o["ann"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
 p AS (SELECT * FROM n WHERE vec_id % 50 = 0),
@@ -2516,8 +2583,9 @@ cents AS (
   FROM (SELECT vec_id, emb FROM n ORDER BY vec_id LIMIT 16)
 ),
 cassign AS (
-  SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, cs FROM (
     SELECT n.vec_id, c.cid,
+      list_dot_product(n.emb, c.cvec) / (n.nrm * c.cnorm) AS cs,
       row_number() OVER (PARTITION BY n.vec_id
         ORDER BY list_dot_product(n.emb, c.cvec) / (n.nrm * c.cnorm) DESC, c.cid ASC) AS rn
     FROM n, cents c
@@ -2587,7 +2655,21 @@ ivfpq_ranked AS (SELECT probe_id, neighbor_id,
   round(1.0 - round(total, 9) / 2.0, 6) AS cosine,
   CAST(row_number() OVER (PARTITION BY probe_id
     ORDER BY total, neighbor_id) AS BIGINT) AS rank
-  FROM ivfpq_cand)
+  FROM ivfpq_cand),
+sdsz AS (SELECT cid, count(*) AS csz FROM cassign GROUP BY 1),
+sda AS (
+  SELECT ca.vec_id, ca.cid, ca.cs,
+    ('0x' || substr(md5(CAST(ca.vec_id AS VARCHAR)), 1, 15))::BIGINT
+      % CAST(ceil(csz::DOUBLE / {SD_CAP}) AS BIGINT) AS sub
+  FROM cassign ca JOIN sdsz USING (cid)
+),
+sdpruned AS (
+  SELECT DISTINCT a.vec_id
+  FROM sda a JOIN sda b ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id != b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id))
+    AND list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) > {SD_THRESH!r}
+)
 SELECT 'exact' AS method, probe_id, neighbor_id, cosine, rank FROM exact_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'lsh', probe_id, neighbor_id, cosine, rank FROM lsh_ranked WHERE rank <= 5
@@ -2596,7 +2678,11 @@ SELECT 'ivf', probe_id, neighbor_id, cosine, rank FROM ivf_ranked WHERE rank <= 
 UNION ALL
 SELECT 'pq', probe_id, neighbor_id, cosine, rank FROM pq_ranked WHERE rank <= 5
 UNION ALL
-SELECT 'ivfpq', probe_id, neighbor_id, cosine, rank FROM ivfpq_ranked WHERE rank <= 5"""
+SELECT 'ivfpq', probe_id, neighbor_id, cosine, rank FROM ivfpq_ranked WHERE rank <= 5
+UNION ALL
+SELECT 'semdedup', ca.vec_id, CAST(ca.cid AS BIGINT), round(ca.cs, 6),
+  CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+FROM cassign ca LEFT JOIN sdpruned p USING (vec_id)"""
     # Hyperplane buckets + Hamming-1 probing, exactly dedup.cosine_near_dups:
     # the probe side expands each vector's bucket with its 8 one-bit flips;
     # a pair (a<b) matches iff hamming(bucket_a, bucket_b) <= 1 (symmetric,
