@@ -145,6 +145,24 @@ SD_CAP = 512         # semdedup max_cluster_size in the graded query — the
                      # r7 enforced bound; oracle replays the md5 sub-shards
 QC_NF = 512          # frozen quality-classifier feature buckets (graded)
 QC_B0 = -0.25        # frozen intercept (binary-exact double)
+# Frozen BPE merge vocabulary for the graded part='bpe' branch: the artifact
+# of functions.bpe.train_bpe(documents@sf0.01, n_merges=48), shipped as data
+# (the production contract — merges_table persists next to the corpus and
+# encode never retrains). Frozen so the DuckDB oracle can replay the greedy
+# lowest-rank-first per-word walk as a recursive CTE at ANY sf.
+BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er</w>"),
+    ("a", "l"), ("al", "l"), ("all", "</w>"), ("m", "all</w>"),
+]
 
 
 def q_curation(spark, sf_dir):
@@ -734,16 +752,25 @@ def q_cosine_near_dups(spark, sf_dir):
 
 
 def q_decon_stream(spark, sf_dir):
-    """Streaming benchmark decontamination graded END TO END through a
-    REAL Structured Streaming run (VERDICT r4 task 7 — the streaming tier
-    was previously pinned only by pytest duality). The corpus is
-    re-chunked into 4 files and consumed with maxFilesPerTrigger=1, so
-    the availableNow pass spans multiple micro-batches; the production
-    path is streaming/ingest.decontaminate_stream (row-local gram
-    explode → broadcast semi-join against the persisted eval-gram index →
-    keyed dedup state). The flagged SET is content-determined, hence
-    arrival-order- and batching-invariant — exactly what makes a
-    streaming query oracle-gradable."""
+    """The STREAMING-INGEST tier graded END TO END through a REAL
+    Structured Streaming run (VERDICT r4 task 7; widened r7 per VERDICT
+    r6 Next #3). The corpus is re-chunked into 4 files and consumed with
+    maxFilesPerTrigger=1, so the availableNow pass spans multiple
+    micro-batches. Two production scorers ride ONE streaming query as a
+    tagged union:
+
+    - part='decon' (v=1.0): streaming/ingest.decontaminate_stream —
+      row-local gram explode → broadcast semi-join against the persisted
+      eval-gram index → keyed dedup state;
+    - part='dsir' (v=round(log_w,6)): streaming/ingest.dsir_score_stream
+      — the frozen one-row λ index (build_dsir_index on the lang='en'
+      target vs the full corpus, the same model the batch selection
+      query grades) broadcast-crossed into a stateless row-local JVM
+      weight fold, per micro-batch.
+
+    Both outputs are content-determined per doc, hence arrival-order-
+    and batching-invariant — exactly what makes a multi-micro-batch
+    streaming run oracle-gradable against batch SQL."""
     import os
     import shutil
     import tempfile
@@ -754,6 +781,10 @@ def q_decon_stream(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     index = ingest.build_decon_index(bench, n=CURATION_DECON_N)
+    # frozen DSIR model snapshot (batch), broadcast into every micro-batch
+    lam = ingest.build_dsir_index(
+        docs.where(F.col("lang") == "en"), docs, n_buckets=SEL_BUCKETS
+    ).localCheckpoint(eager=True)
 
     run = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix=f"wf_decon_stream_{run}_")
@@ -768,8 +799,19 @@ def q_decon_stream(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        decon = ingest.decontaminate_stream(
+            stream, index, n=CURATION_DECON_N
+        ).select(
+            F.lit("decon").alias("part"), "doc_id", F.lit(1.0).alias("v")
+        )
+        dsir = ingest.dsir_score_stream(
+            stream, lam, n_buckets=SEL_BUCKETS
+        ).select(
+            F.lit("dsir").alias("part"), "doc_id",
+            F.round("log_w", 6).alias("v"),
+        )
         q = (
-            ingest.decontaminate_stream(stream, index, n=CURATION_DECON_N)
+            decon.unionByName(dsir)
             .writeStream.format("memory").queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -858,7 +900,22 @@ def q_lm_packing(spark, sf_dir):
         F.col("n_bigrams").cast("string").alias("grp"),
         F.round("logprob_per_token", 6).alias("v"),
     )
-    return ppl.unionByName(pack).unionByName(kn)
+    # r7: the tokenizer ENCODE path under the frozen BPE_MERGES artifact
+    # (VERDICT r6 Next #2). part='bpe' hash-grades the full per-doc
+    # segmentation — grp = md5 of the space-joined subword stream (the
+    # LAYOUT, not just counts), v = the bpe_token_count budgeting number.
+    # The oracle replays the greedy lowest-rank-leftmost merge walk as a
+    # per-word recursive CTE over |-bounded symbol strings, then
+    # reassembles docs in token order.
+    from wingfoil_spark.functions import bpe as bpe_mod
+
+    enc = bpe_mod.bpe_encode(docs.where(F.col("text").isNotNull()), BPE_MERGES)
+    bpe_rows = enc.select(
+        F.lit("bpe").alias("part"), "doc_id",
+        F.md5(F.concat_ws(" ", F.col("bpe_tokens"))).alias("grp"),
+        F.size("bpe_tokens").cast("double").alias("v"),
+    )
+    return ppl.unionByName(pack).unionByName(kn).unionByName(bpe_rows)
 
 
 # -------------------------------------------------------------------- market
@@ -2040,26 +2097,49 @@ SELECT mado.user_id, mado.ts_us, mado.event_id,
 FROM mado
 JOIN cp USING (user_id, ts_us, event_id)
 JOIN fc USING (user_id, ts_us, event_id)"""
-    # decon_stream: the streaming scrub's flagged SET — every doc sharing
-    # any word 4-gram with the doc_id%97 eval slice (min_hits=1, no
-    # counts: a cross-batch per-doc count would be unbounded keyed state)
+    # decon_stream: the streaming-ingest union. part='decon' is the scrub's
+    # flagged SET — every doc sharing any word 4-gram with the doc_id%97
+    # eval slice (min_hits=1, no counts: a cross-batch per-doc count would
+    # be unbounded keyed state). part='dsir' (r7) replays the frozen-λ
+    # stream scorer as the batch DSIR weight SQL — content-determined, so
+    # the multi-micro-batch run must reproduce it exactly.
+    _sg_sql = "list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))"
     o["decon_stream"] = f"""
-SELECT DISTINCT cg.doc_id, TRUE AS contaminated
+WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t
+              FROM documents WHERE text IS NOT NULL),
+grams AS (SELECT doc_id, lang, unnest({_sg_sql}) AS g FROM toks),
+gb AS (SELECT doc_id, lang,
+       ('0x' || substr(md5(g), 1, 15))::BIGINT % {SEL_BUCKETS} AS b FROM grams),
+rawp AS (SELECT b, count(*) AS rn FROM gb GROUP BY 1),
+tgtp AS (SELECT b, count(*) AS tn FROM gb WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT sum(tn) FROM tgtp) AS T, (SELECT sum(rn) FROM rawp) AS R),
+lam AS (SELECT b,
+    ln((COALESCE(tn, 0) + 1.0) / (T + {float(SEL_BUCKETS)!r}))
+  - ln((rn + 1.0) / (R + {float(SEL_BUCKETS)!r})) AS lam
+  FROM rawp LEFT JOIN tgtp USING (b) CROSS JOIN tot),
+wsum AS (SELECT doc_id, sum(lam) AS log_w FROM gb JOIN lam USING (b) GROUP BY 1),
+w AS (SELECT toks.doc_id, COALESCE(wsum.log_w, 0.0) AS log_w
+      FROM toks LEFT JOIN wsum ON toks.doc_id = wsum.doc_id)
+SELECT 'decon' AS part, cg.doc_id, 1.0 AS v
 FROM (
-  SELECT doc_id,
-    ('0x' || substr(md5(array_to_string(toks[i:i+{CURATION_DECON_N - 1}], ' ')), 1, 15))::BIGINT AS gh
-  FROM (SELECT doc_id, toks,
-          unnest(range(1, greatest(len(toks) - {CURATION_DECON_N - 1}, 0) + 1)) AS i
-        FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL))
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+      ('0x' || substr(md5(array_to_string(toks[i:i+{CURATION_DECON_N - 1}], ' ')), 1, 15))::BIGINT AS gh
+    FROM (SELECT doc_id, toks,
+            unnest(range(1, greatest(len(toks) - {CURATION_DECON_N - 1}, 0) + 1)) AS i
+          FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL))
+  ) g
+  JOIN (
+    SELECT DISTINCT gh FROM (
+      SELECT ('0x' || substr(md5(array_to_string(toks[i:i+{CURATION_DECON_N - 1}], ' ')), 1, 15))::BIGINT AS gh
+      FROM (SELECT toks, unnest(range(1, greatest(len(toks) - {CURATION_DECON_N - 1}, 0) + 1)) AS i
+            FROM (SELECT {TOKS_SQL} AS toks FROM documents
+                  WHERE doc_id % 97 = 0 AND text IS NOT NULL))
+    )
+  ) bg USING (gh)
 ) cg
-JOIN (
-  SELECT DISTINCT gh FROM (
-    SELECT ('0x' || substr(md5(array_to_string(toks[i:i+{CURATION_DECON_N - 1}], ' ')), 1, 15))::BIGINT AS gh
-    FROM (SELECT toks, unnest(range(1, greatest(len(toks) - {CURATION_DECON_N - 1}, 0) + 1)) AS i
-          FROM (SELECT {TOKS_SQL} AS toks FROM documents
-                WHERE doc_id % 97 = 0 AND text IS NOT NULL))
-  )
-) bg USING (gh)"""
+UNION ALL
+SELECT 'dsir', doc_id, round(log_w, 6) FROM w"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the
@@ -2174,8 +2254,46 @@ FROM border b LEFT JOIN comp c ON c.node = b.cn"""
 
     # lm_packing: the CCNet add-k bigram LM (exact joins + ln, 6dp) and
     # the greedy packing walk replayed as a recursive CTE per shard.
+    bpe_vals = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(BPE_MERGES)
+    )
     o["lm_packing"] = f"""
 WITH RECURSIVE toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+bm(rank, l, r) AS (VALUES {bpe_vals}),
+bwords AS (SELECT DISTINCT unnest(t) AS w FROM toks WHERE t IS NOT NULL),
+benc AS (
+  SELECT w, '|' || array_to_string(list_append(
+      list_transform(range(1, length(w)+1), i -> substr(w, i, 1)), '</w>'),
+      '|') || '|' AS s
+  FROM bwords
+  UNION ALL
+  SELECT w,
+    substr(s, 1, strpos(s, '|' || bm.l || '|' || bm.r || '|') - 1)
+      || '|' || bm.l || bm.r || '|'
+      || substr(s, strpos(s, '|' || bm.l || '|' || bm.r || '|')
+                   + length('|' || bm.l || '|' || bm.r || '|'))
+  FROM (
+    SELECT w, s,
+      (SELECT min(rank) FROM bm
+       WHERE strpos(s, '|' || bm.l || '|' || bm.r || '|') > 0) AS br
+    FROM benc
+  ) x JOIN bm ON bm.rank = x.br
+),
+bfin AS (
+  SELECT w, trim(replace(s, '|', ' ')) AS pieces FROM benc
+  WHERE (SELECT min(rank) FROM bm
+         WHERE strpos(s, '|' || bm.l || '|' || bm.r || '|') > 0) IS NULL
+),
+bdw AS (SELECT doc_id, i, t[i] AS w
+        FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i
+              FROM toks WHERE t IS NOT NULL)),
+bdoc AS (
+  SELECT bdw.doc_id,
+    md5(string_agg(f.pieces, ' ' ORDER BY bdw.i)) AS fp,
+    sum(len(string_split(f.pieces, ' '))) AS n
+  FROM bdw JOIN bfin f ON f.w = bdw.w
+  GROUP BY 1
+),
 ref AS (SELECT t FROM toks WHERE doc_id % {LM_REF_MOD} = 0),
 uni AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(t) AS w1 FROM ref) GROUP BY 1),
 big AS (
@@ -2222,6 +2340,11 @@ SELECT 'pack', doc_id,
   CAST(shard AS VARCHAR) || ':' || CAST(seq_idx AS VARCHAR) AS grp,
   fill::DOUBLE AS v
 FROM pwalk
+UNION ALL
+SELECT 'bpe', tk.doc_id, COALESCE(b.fp, md5('')) AS grp,
+  COALESCE(b.n, 0)::DOUBLE AS v
+FROM (SELECT doc_id FROM toks WHERE t IS NOT NULL) tk
+LEFT JOIN bdoc b USING (doc_id)
 UNION ALL
 SELECT 'kn', d.doc_id, CAST(COALESCE(p.nb, 0) AS VARCHAR), round(p.mlp, 6)
 FROM documents d LEFT JOIN (
