@@ -65,6 +65,7 @@ REPL100 = 100
 QUERIES_100X = [
     "text_stats", "curation", "minhash",
     "jaccard_pairs", "dynamic_membership", "lm_packing",
+    "selection",  # r7 (VERDICT r6 Next #5): worst 10x ratio in the tier
 ]  # + ann_fixed
 
 #: linear-expected graded queries exercised at both scales
@@ -175,6 +176,77 @@ def build_big(spark, big: str = BIG, repl: int = REPL,
     open(marker, "w").write(",".join(sorted(have | set(tables))))
 
 
+def selection_branches(spark):
+    """Branch attribution for the selection union (VERDICT r6 Next #5):
+    time each part standalone at SMALL and the 10x tier. Measured
+    r7 findings, pinned here so the note survives in SCALE_r07:
+    dsir is ~72% of the union (5.94s of 8.20s at 10x; exact 0.49s,
+    bm25 0.87s, clf 1.22s) — the cost is the gram explode + md5 bucket
+    hash run once per fit pass and once per score pass. Both suggested
+    materializations were measured SLOWER than the two streaming scans
+    (shared-token checkpoint 6.26s; shared-bucket-array checkpoint
+    9.56s vs 5.94s baseline): at this row size the checkpoint write
+    costs more than the recomputed hashes, so the production shape —
+    two map-side-combined corpus scans, zero corpus shuffles — stands."""
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.functions import dedup as dd
+    from wingfoil_spark.functions import selection as sel
+    from wingfoil_spark.sources.tables import load_table
+
+    def b_exact(spark, sf):
+        return dd.exact_dedup(load_table(spark, sf, "documents"))
+
+    def b_dsir(spark, sf):
+        return sel.dsir_weights_subset(
+            load_table(spark, sf, "documents"), F.col("lang") == "en",
+            n_buckets=entry.SEL_BUCKETS,
+        )
+
+    def b_dsir_top(spark, sf):
+        w = sel.dsir_weights_subset(
+            load_table(spark, sf, "documents"), F.col("lang") == "en",
+            n_buckets=entry.SEL_BUCKETS,
+        )
+        return sel.dsir_sample(w, entry.SEL_TOP)
+
+    def b_bm25(spark, sf):
+        return sel.bm25_topk(
+            load_table(spark, sf, "documents"), list(entry.SEL_TERMS),
+            k=entry.SEL_BM25_K,
+        )
+
+    def b_clf(spark, sf):
+        m = spark.range(1).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(entry.QC_NF - 1)),
+                lambda b: (
+                    dd._md5_int(F.concat(F.lit("qc:"), b.cast("string")))
+                    % 2001 - 1000
+                ) / 1000.0,
+            ).alias("coefs"),
+            F.lit(entry.QC_B0).alias("intercept"),
+            F.lit(entry.QC_NF).alias("n_features"),
+        )
+        return sel.quality_scores(load_table(spark, sf, "documents"), m)
+
+    out = {}
+    for name, fn in [
+        ("exact", b_exact), ("dsir", b_dsir), ("dsir_top", b_dsir_top),
+        ("bm25", b_bm25), ("clf", b_clf),
+    ]:
+        t_small = timed(fn, spark, SMALL)
+        t_big = timed(fn, spark, BIG)
+        out[name] = {
+            "t_small": round(t_small, 3),
+            "t_big": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+        }
+        print(f"# selection[{name}]: {t_small:.2f}s -> {t_big:.2f}s "
+              f"({t_big / t_small:.1f}x)", file=sys.stderr)
+    return out
+
+
 def ann_fixed_probes(spark, sf_dir):
     """ANN with a scale-FIXED probe set (40 probes from the original id
     range at both scales): exact + IVF tiers, corpus-linear cost."""
@@ -273,6 +345,14 @@ def main() -> None:
         "replication_30x": REPL30,
         "queries_30x": out30,
         "superlinear": superlinear,
+        "selection_branches": selection_branches(spark),
+        "selection_note_r7": (
+            "dsir dominates the union (~72% at 10x); measured "
+            "alternatives both SLOWER: shared-token checkpoint 6.26s, "
+            "shared-bucket-array checkpoint 9.56s vs 5.94s two-scan "
+            "baseline - the fit+score passes are each one map-side-"
+            "combined scan and stay (see selection_branches ratios)"
+        ),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALE100") == "1":
