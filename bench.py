@@ -102,6 +102,13 @@ def _steal_jiffies() -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # re-pin knobs (the 10x-minima protocol, COVERAGE.md r4/r5 notes):
+    # SPARK_GRAFT_BEST_OF=10 takes the minimum of 10 runs per query;
+    # SPARK_GRAFT_ONLY=a,b,c restricts to the drifted subset so a re-pin
+    # doesn't pay for the whole suite.
+    best_of = int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))
+    only = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
+    headline = [q for q in HEADLINE if not only or q in only]
     # isolation guard: another Spark JVM shares the 32 cores and inflates
     # timings 4-40x. Wait for it to drain rather than refusing (numbers must
     # flow), but flag the contamination in the output JSON.
@@ -127,19 +134,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     steal_start = _steal_jiffies()
+    wall_start = time.perf_counter()
     discarded = 0
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         best = fallback = None
         runs = stolen_retries = 0
-        # best-of-3 (criterion-style minimum): run 1 pays one-time JIT/
-        # codegen for the query shape, and the sandbox host shows
-        # intermittent CPU steal that can inflate any single run 2-5x —
-        # the minimum is the only steal-robust estimator of the code's
-        # actual cost on this hardware. A steal BURST can cover the whole
-        # 3-run window, so a run during which the hypervisor steal counter
-        # advanced does not count toward the 3 (bounded: ≤4 extra runs).
-        while runs < 3 and stolen_retries <= 4:
+        # best-of-N (criterion-style minimum, N=3 default): run 1 pays
+        # one-time JIT/codegen for the query shape, and the sandbox host
+        # shows intermittent CPU steal that can inflate any single run
+        # 2-5x — the minimum is the only steal-robust estimator of the
+        # code's actual cost on this hardware. A steal BURST can cover the
+        # whole window, so a run during which the hypervisor steal counter
+        # advanced does not count toward the N (bounded: ≤4 extra runs).
+        while runs < best_of and stolen_retries <= 4:
             s0 = _steal_jiffies()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -148,9 +156,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             stolen = _steal_jiffies() - s0
-            # discard only a materially stolen window: >5% of the run's
-            # whole-machine capacity (jiffies = 10 ms x 32 cpus -> dt*3200)
-            if stolen > max(3, 160 * dt) and (best is None or dt > best):
+            # discard a materially stolen window: >1.5% of the run's
+            # whole-machine capacity (jiffies = 10 ms x 32 cpus -> dt*3200).
+            # The r7 lesson: a 5% per-run bar let a 4,295-jiffy suite
+            # (steal spread as ~2-4% per run, never tripping any single
+            # gate) inflate every untouched query 15-40% while reporting
+            # contaminated:false — low-grade diffuse steal compounds, so
+            # the per-run bar must sit well under the drift it causes.
+            if stolen > max(2, 48 * dt) and (best is None or dt > best):
                 stolen_retries += 1
                 discarded += 1
                 fallback = dt if fallback is None or dt < fallback else fallback
@@ -164,6 +177,19 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
+    # SUITE-level steal gate (r8, VERDICT r7 "What's wrong" #1): diffuse
+    # steal that never trips the per-run bar still compounds into 15-40%
+    # drift across the suite (r7: 4,295 jiffies over ~250s wall reported
+    # contaminated:false). Flag the whole run once total steal exceeds
+    # 0.25% of the suite's whole-machine capacity (8 jiffies/sec at 32
+    # cpus) — r7 would have tripped this at 2,000; r6's 38 is 50x under.
+    suite_steal = _steal_jiffies() - steal_start
+    suite_wall = time.perf_counter() - wall_start
+    if suite_steal > max(50, 8 * suite_wall):
+        contaminated = True
+        print(f"# WARNING: suite-level steal {suite_steal} jiffies over "
+              f"{suite_wall:.0f}s wall exceeds the 0.25%-capacity bar; "
+              "flagging the run contaminated", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -177,7 +203,7 @@ def main() -> None:
                 # over the whole bench (jiffies, all cpus) + runs discarded
                 # as materially stolen. High values mean the wall-clock
                 # numbers above are an upper bound on the code's cost.
-                "steal_jiffies_total": _steal_jiffies() - steal_start,
+                "steal_jiffies_total": suite_steal,
                 "stolen_runs_discarded": discarded,
                 # like-for-like with BASELINE.md's only comparable figure
                 # (order-book replay ~0.9M msg/s single-core): the pure
