@@ -1112,27 +1112,6 @@ def q_selection(spark, sf_dir):
         F.lit("exact").alias("part"), F.col("fp").alias("k"),
         F.col("keep_id").alias("id"), F.col("n_dups").cast("double").alias("v"),
     )
-    # subset-target form: ONE gram pass builds both bucket profiles
-    # (count + conditional count) and the weight scan rides the same
-    # action via the broadcast λ row — the whole DSIR fit+score is one
-    # job. Checkpointed because BOTH the weight branch and the resample
-    # read it. (dsir_weights_subset == dsir_weights exactly; pinned by
-    # tests/test_selection.py.)
-    w = sel.dsir_weights_subset(
-        docs, F.col("lang") == "en", n_buckets=SEL_BUCKETS
-    ).localCheckpoint(eager=True)
-    dsir = w.select(
-        F.lit("dsir").alias("part"), F.lit(None).cast("string").alias("k"),
-        F.col("doc_id").alias("id"), F.round("log_w", 6).alias("v"),
-    )
-    top = sel.dsir_sample(w, SEL_TOP).select(
-        F.lit("dsir_top").alias("part"), F.lit(None).cast("string").alias("k"),
-        F.col("doc_id").alias("id"), F.round("gumbel_key", 6).alias("v"),
-    )
-    bm = sel.bm25_topk(docs, list(SEL_TERMS), k=SEL_BM25_K).select(
-        F.lit("bm25").alias("part"), F.lit(None).cast("string").alias("k"),
-        F.col("doc_id").alias("id"), F.round("score", 6).alias("v"),
-    )
     qc_model = spark.range(1).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(QC_NF - 1)),
@@ -1145,7 +1124,37 @@ def q_selection(spark, sf_dir):
         F.lit(QC_B0).alias("intercept"),
         F.lit(QC_NF).alias("n_features"),
     )
-    clf = sel.quality_scores(docs, qc_model).select(
+    # r8 (VERDICT r7 Next #3): ONE-PASS scoring — dsir log-w, bm25 score
+    # and clf logit are all row-local folds over the same token/gram
+    # arrays, so selection_scores emits all three in a single corpus scan
+    # (one tokenize, one md5 per gram shared by the dsir and clf folds)
+    # instead of three. Checkpointed because FOUR branches read it (the
+    # score frame is 4 scalars/doc — tiny, unlike the token-level
+    # checkpoints measured slower in r7); bitwise-identical per-signal
+    # values pinned by tests/test_selection.py, hashes unchanged in
+    # CORRECTNESS_r08. A/B vs the r7 per-signal composition is recorded
+    # in SCALE_r08.json (selection_onepass_ab).
+    sc = sel.selection_scores(
+        docs, F.col("lang") == "en", list(SEL_TERMS), qc_model,
+        n_buckets=SEL_BUCKETS,
+    ).localCheckpoint(eager=True)
+    dsir = sc.select(
+        F.lit("dsir").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("log_w", 6).alias("v"),
+    )
+    top = sel.dsir_sample(sc.select("doc_id", "log_w"), SEL_TOP).select(
+        F.lit("dsir_top").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("gumbel_key", 6).alias("v"),
+    )
+    bm = (
+        sc.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(SEL_BM25_K)
+        .select(
+            F.lit("bm25").alias("part"), F.lit(None).cast("string").alias("k"),
+            F.col("doc_id").alias("id"), F.round("score", 6).alias("v"),
+        )
+    )
+    clf = sc.select(
         F.lit("clf").alias("part"), F.lit(None).cast("string").alias("k"),
         F.col("doc_id").alias("id"), F.round("logit", 6).alias("v"),
     )

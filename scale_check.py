@@ -178,16 +178,13 @@ def build_big(spark, big: str = BIG, repl: int = REPL,
 
 def selection_branches(spark):
     """Branch attribution for the selection union (VERDICT r6 Next #5):
-    time each part standalone at SMALL and the 10x tier. Measured
-    r7 findings, pinned here so the note survives in SCALE_r07:
-    dsir is ~72% of the union (5.94s of 8.20s at 10x; exact 0.49s,
-    bm25 0.87s, clf 1.22s) — the cost is the gram explode + md5 bucket
-    hash run once per fit pass and once per score pass. Both suggested
-    materializations were measured SLOWER than the two streaming scans
-    (shared-token checkpoint 6.26s; shared-bucket-array checkpoint
-    9.56s vs 5.94s baseline): at this row size the checkpoint write
-    costs more than the recomputed hashes, so the production shape —
-    two map-side-combined corpus scans, zero corpus shuffles — stands."""
+    time each part standalone at SMALL and the 10x tier. r7 measured
+    dsir at ~72% of the union and two token/bucket-level checkpoints
+    SLOWER than recomputed hashes (6.26s / 9.56s vs 5.94s) — that
+    conclusion was about materializing the WIDE intermediate arrays. r8
+    (VERDICT r7 Next #3) took the third option: one scan emitting all
+    three SCORE scalars (selection_scores — shared tokenize, one md5 per
+    gram, tiny 4-column checkpoint), measured in selection_onepass_ab."""
     from pyspark.sql import functions as F
 
     from wingfoil_spark.functions import dedup as dd
@@ -244,6 +241,76 @@ def selection_branches(spark):
         }
         print(f"# selection[{name}]: {t_small:.2f}s -> {t_big:.2f}s "
               f"({t_big / t_small:.1f}x)", file=sys.stderr)
+    return out
+
+
+def selection_union_legacy(spark, sf_dir):
+    """The r7 per-signal composition of the selection union (each signal
+    its own corpus scan), kept as the A/B baseline for the r8 one-pass
+    selection_scores swap — same output, different plan."""
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.functions import dedup as dd
+    from wingfoil_spark.functions import selection as sel
+    from wingfoil_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dd.exact_dedup(docs).select(
+        F.lit("exact").alias("part"), F.col("fp").alias("k"),
+        F.col("keep_id").alias("id"),
+        F.col("n_dups").cast("double").alias("v"),
+    )
+    w = sel.dsir_weights_subset(
+        docs, F.col("lang") == "en", n_buckets=entry.SEL_BUCKETS
+    ).localCheckpoint(eager=True)
+    dsir = w.select(
+        F.lit("dsir").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("log_w", 6).alias("v"),
+    )
+    top = sel.dsir_sample(w, entry.SEL_TOP).select(
+        F.lit("dsir_top").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("gumbel_key", 6).alias("v"),
+    )
+    bm = sel.bm25_topk(
+        docs, list(entry.SEL_TERMS), k=entry.SEL_BM25_K
+    ).select(
+        F.lit("bm25").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("score", 6).alias("v"),
+    )
+    qc = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(entry.QC_NF - 1)),
+            lambda b: (
+                dd._md5_int(F.concat(F.lit("qc:"), b.cast("string")))
+                % 2001 - 1000
+            ) / 1000.0,
+        ).alias("coefs"),
+        F.lit(entry.QC_B0).alias("intercept"),
+        F.lit(entry.QC_NF).alias("n_features"),
+    )
+    clf = sel.quality_scores(docs, qc).select(
+        F.lit("clf").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("doc_id").alias("id"), F.round("logit", 6).alias("v"),
+    )
+    return (
+        ex.unionByName(dsir).unionByName(top).unionByName(bm)
+        .unionByName(clf)
+    )
+
+
+def selection_onepass_ab(spark, qs):
+    """A/B the graded one-pass selection union against the r7 per-signal
+    composition at SMALL and the 10x tier (VERDICT r7 Next #3 'Done'
+    criterion: same hashes — pinned by the oracle gate — plus a measured
+    number in the artifact)."""
+    out = {}
+    for name, fn in [("onepass", qs["selection"]),
+                     ("legacy", selection_union_legacy)]:
+        t_small = timed(fn, spark, SMALL)
+        t_big = timed(fn, spark, BIG)
+        out[name] = {"t_small": round(t_small, 3), "t_big": round(t_big, 3)}
+        print(f"# selection_ab[{name}]: {t_small:.2f}s small, "
+              f"{t_big:.2f}s @10x", file=sys.stderr)
     return out
 
 
@@ -346,12 +413,16 @@ def main() -> None:
         "queries_30x": out30,
         "superlinear": superlinear,
         "selection_branches": selection_branches(spark),
-        "selection_note_r7": (
-            "dsir dominates the union (~72% at 10x); measured "
-            "alternatives both SLOWER: shared-token checkpoint 6.26s, "
-            "shared-bucket-array checkpoint 9.56s vs 5.94s two-scan "
-            "baseline - the fit+score passes are each one map-side-"
-            "combined scan and stay (see selection_branches ratios)"
+        "selection_onepass_ab": selection_onepass_ab(spark, qs),
+        "selection_note_r8": (
+            "r8 swaps the graded union onto selection_scores (one corpus "
+            "scan emits dsir log-w + bm25 score + clf logit; shared "
+            "tokenize, one md5 per gram, 4-scalar checkpoint) - hashes "
+            "unchanged (oracle gate), A/B vs the r7 per-signal "
+            "composition in selection_onepass_ab. r7's token/bucket-"
+            "level checkpoints measured slower (6.26s/9.56s vs 5.94s) "
+            "because they materialized WIDE arrays; the score-level "
+            "share avoids that."
         ),
     }
 

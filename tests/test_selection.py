@@ -427,6 +427,64 @@ def test_dsir_weights_subset_equals_two_profile(spark, docs_df):
     assert a == b
 
 
+def test_selection_scores_onepass_matches(spark, docs_df):
+    """The one-pass battery (selection_scores — r8, one corpus scan for
+    all three signals) must be BITWISE-identical per signal to the
+    single-signal APIs: same fold order, same md5 values, same
+    element_at indices — so swapping it into the graded query cannot
+    move a hash."""
+    cond = F.col("doc_id").isin(list(TARGET_IDS))
+    terms = ["spark", "data"]
+    nf = 1 << 8
+    model = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nf - 1)),
+            lambda b: (
+                S._md5_int(F.concat(F.lit("qc:"), b.cast("string"))) % 2001
+                - 1000
+            )
+            / 1000.0,
+        ).alias("coefs"),
+        F.lit(-0.25).alias("intercept"),
+        F.lit(nf).alias("n_features"),
+    )
+    got = {
+        r["doc_id"]: (r["log_w"], r["score"], r["logit"])
+        for r in S.selection_scores(
+            docs_df, cond, terms, model, n_buckets=NB
+        ).collect()
+    }
+    w = {r["doc_id"]: r["log_w"]
+         for r in S.dsir_weights_subset(docs_df, cond, n_buckets=NB).collect()}
+    bm = {r["doc_id"]: r["score"]
+          for r in S.bm25_score(docs_df, terms).collect()}
+    qc = {r["doc_id"]: r["logit"]
+          for r in S.quality_scores(docs_df, model).collect()}
+    assert set(got) == set(w) == set(bm) == set(qc)
+    for i in got:
+        assert got[i] == (w[i], bm[i], qc[i]), i
+
+
+def test_selection_scores_plan_one_scan(spark, docs_df):
+    """The battery's physical plan must read the corpus ONCE on the
+    scoring path: no shuffle of the corpus (broadcast joins only) and no
+    Python stage; the executed-plan scan count stays at the model passes
+    + one scoring scan."""
+    from wingfoil_spark.plans.audit import plan_summary
+
+    cond = F.col("doc_id").isin(list(TARGET_IDS))
+    model = spark.range(1).select(
+        F.array(*[F.lit(0.1)] * 16).alias("coefs"),
+        F.lit(0.0).alias("intercept"),
+        F.lit(16).alias("n_features"),
+    )
+    df = S.selection_scores(docs_df, cond, ["spark"], model, n_buckets=NB)
+    s = plan_summary(df)
+    assert s["python_stages"] == 0, s
+    # broadcast model rows: every join in the plan must be broadcast
+    assert s.get("sort_merge_joins", 0) == 0, s
+
+
 def test_dsir_lambda_is_dense_array(spark, docs_df):
     """Scale gate: the broadcast λ row must be a DENSE array<double>
     (O(1) bucket indexing in the weight fold) — a MapType λ linear-scans
