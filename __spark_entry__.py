@@ -768,23 +768,46 @@ def q_decon_stream(spark, sf_dir):
       query grades) broadcast-crossed into a stateless row-local JVM
       weight fold, per micro-batch.
 
-    Both outputs are content-determined per doc, hence arrival-order-
-    and batching-invariant — exactly what makes a multi-micro-batch
-    streaming run oracle-gradable against batch SQL."""
+    r8 widens to FOUR parts (VERDICT r7 Next #4 — the last two
+    streaming scorers, previously differential-only):
+
+    - part='bm25' (v=round(score,6)): streaming/ingest.bm25_score_stream
+      under the frozen build_bm25_index stats row (N/avgdl/dfs over the
+      corpus snapshot, SEL_TERMS) — broadcast-crossed stateless row-local
+      JVM projection per micro-batch;
+    - part='lm' (v=round(logprob_per_token,6)): streaming/ingest.
+      lm_score_stream under the frozen fit_bigram_lm model frames
+      (doc_id % LM_REF_MOD reference slice, add-k LM_K — the same model
+      lm_packing grades in batch): stream-static model joins + the
+      per-doc running (n, Σlp) merge; emits only docs with ≥1 bigram.
+
+    All four outputs are content-determined per doc, hence arrival-
+    order- and batching-invariant — exactly what makes a multi-micro-
+    batch streaming run oracle-gradable against batch SQL."""
     import os
     import shutil
     import tempfile
     import uuid
 
+    from wingfoil_spark.functions import lm as lm_mod
     from wingfoil_spark.streaming import ingest
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     index = ingest.build_decon_index(bench, n=CURATION_DECON_N)
-    # frozen DSIR model snapshot (batch), broadcast into every micro-batch
+    # frozen model snapshots (batch), broadcast into every micro-batch
     lam = ingest.build_dsir_index(
         docs.where(F.col("lang") == "en"), docs, n_buckets=SEL_BUCKETS
     ).localCheckpoint(eager=True)
+    bmidx = ingest.build_bm25_index(docs, list(SEL_TERMS)).localCheckpoint(
+        eager=True
+    )
+    lmm = {
+        k: v.localCheckpoint(eager=True)
+        for k, v in lm_mod.fit_bigram_lm(
+            docs.where(F.col("doc_id") % LM_REF_MOD == 0), k=LM_K
+        ).items()
+    }
 
     run = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix=f"wf_decon_stream_{run}_")
@@ -810,8 +833,18 @@ def q_decon_stream(spark, sf_dir):
             F.lit("dsir").alias("part"), "doc_id",
             F.round("log_w", 6).alias("v"),
         )
+        bm = ingest.bm25_score_stream(
+            stream, bmidx, list(SEL_TERMS)
+        ).select(
+            F.lit("bm25").alias("part"), "doc_id",
+            F.round("score", 6).alias("v"),
+        )
+        lmsc = ingest.lm_score_stream(stream, lmm).select(
+            F.lit("lm").alias("part"), "doc_id",
+            F.round("logprob_per_token", 6).alias("v"),
+        )
         q = (
-            decon.unionByName(dsir)
+            decon.unionByName(dsir).unionByName(bm).unionByName(lmsc)
             .writeStream.format("memory").queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -2113,6 +2146,25 @@ JOIN fc USING (user_id, ts_us, event_id)"""
     # stream scorer as the batch DSIR weight SQL — content-determined, so
     # the multi-micro-batch run must reproduce it exactly.
     _sg_sql = "list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))"
+
+    # BM25 SQL fragments — shared by the selection oracle (batch scorer)
+    # and, since r8, the decon_stream oracle (the streaming scorer is the
+    # same arithmetic under a frozen stats row). Term sum written in the
+    # Spark fold's exact order.
+    def _bm25_term_sql(t: str) -> str:
+        tf = f"len(list_filter(t, x -> x = '{t}'))"
+        return (
+            f"ln(1.0 + ((N - df_{t}) + 0.5) / (df_{t} + 0.5))"
+            f" * ({tf} * {K1 + 1.0!r})"
+            f" / ({tf} + {K1!r} * ({1.0 - B_b!r} + ({B_b!r} * dl) / avgdl))"
+        )
+
+    K1, B_b = 1.2, 0.75
+    bm_terms = " + ".join(_bm25_term_sql(t) for t in SEL_TERMS)
+    bm_dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        for t in SEL_TERMS
+    )
     o["decon_stream"] = f"""
 WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t
               FROM documents WHERE text IS NOT NULL),
@@ -2128,7 +2180,28 @@ lam AS (SELECT b,
   FROM rawp LEFT JOIN tgtp USING (b) CROSS JOIN tot),
 wsum AS (SELECT doc_id, sum(lam) AS log_w FROM gb JOIN lam USING (b) GROUP BY 1),
 w AS (SELECT toks.doc_id, COALESCE(wsum.log_w, 0.0) AS log_w
-      FROM toks LEFT JOIN wsum ON toks.doc_id = wsum.doc_id)
+      FROM toks LEFT JOIN wsum ON toks.doc_id = wsum.doc_id),
+bt AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+bs AS (SELECT count(*) AS N, avg(dl) AS avgdl, {bm_dfs} FROM bt),
+bscore AS (SELECT doc_id, 0.0 + {bm_terms} AS score FROM bt CROSS JOIN bs),
+lref AS (SELECT t FROM toks WHERE doc_id % {LM_REF_MOD} = 0),
+luni AS (SELECT w1, count(*) AS c1
+         FROM (SELECT unnest(t) AS w1 FROM lref) GROUP BY 1),
+lbig AS (SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+         FROM (SELECT t, unnest(range(1, len(t))) AS i FROM lref)
+         GROUP BY 1, 2),
+lvv AS (SELECT count(*) AS v FROM luni),
+lpos AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+lsc AS (SELECT doc_id,
+    CASE WHEN c12 IS NOT NULL THEN ln((c12 + {LM_K}) / (c1 + {LM_K} * v))
+         WHEN c1  IS NOT NULL THEN ln({LM_K} / (c1 + {LM_K} * v))
+         ELSE ln(1.0 / v) END AS lp
+  FROM lpos
+  LEFT JOIN lbig USING (w1, w2)
+  LEFT JOIN luni USING (w1)
+  CROSS JOIN lvv),
+lperdoc AS (SELECT doc_id, avg(lp) AS mlp FROM lsc GROUP BY 1)
 SELECT 'decon' AS part, cg.doc_id, 1.0 AS v
 FROM (
   SELECT DISTINCT doc_id FROM (
@@ -2148,7 +2221,11 @@ FROM (
   ) bg USING (gh)
 ) cg
 UNION ALL
-SELECT 'dsir', doc_id, round(log_w, 6) FROM w"""
+SELECT 'dsir', doc_id, round(log_w, 6) FROM w
+UNION ALL
+SELECT 'bm25', doc_id, round(score, 6) FROM bscore
+UNION ALL
+SELECT 'lm', doc_id, round(mlp, 6) FROM lperdoc"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the
@@ -2519,24 +2596,9 @@ FROM d JOIN simhash ON simhash.doc_id = d.doc_id"""
     # selection: exact-dedup keep-set + DSIR weights/resample + BM25, the
     # r6 data-selection tier. DSIR buckets via the shared md5 idiom; the
     # Gumbel uniform divides by 2^60+1 (not representable — both engines
-    # round the literal to 2^60, same double). BM25 term sum written in
-    # the Spark fold's exact order.
+    # round the literal to 2^60, same double). BM25 fragments (bm_terms,
+    # bm_dfs) are defined above decon_stream and shared with it.
     _g_sql = "list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))"
-
-    def _bm25_term_sql(t: str) -> str:
-        tf = f"len(list_filter(t, x -> x = '{t}'))"
-        return (
-            f"ln(1.0 + ((N - df_{t}) + 0.5) / (df_{t} + 0.5))"
-            f" * ({tf} * {K1 + 1.0!r})"
-            f" / ({tf} + {K1!r} * ({1.0 - B_b!r} + ({B_b!r} * dl) / avgdl))"
-        )
-
-    K1, B_b = 1.2, 0.75
-    bm_terms = " + ".join(_bm25_term_sql(t) for t in SEL_TERMS)
-    bm_dfs = ", ".join(
-        f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
-        for t in SEL_TERMS
-    )
     o["selection"] = f"""
 WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t
               FROM documents WHERE text IS NOT NULL),
