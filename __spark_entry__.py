@@ -143,6 +143,10 @@ SD_THRESH = 0.35     # semdedup prune threshold (synthetic embeddings are
                      # 0.35 prunes a real set at sf0.01 AND sf0.1)
 SD_CAP = 512         # semdedup max_cluster_size in the graded query — the
                      # r7 enforced bound; oracle replays the md5 sub-shards
+SD_CAP_TIGHT = 12    # r8 (VERDICT r7 Next #5): a cap that DEMONSTRABLY
+                     # splits at grading SF (sf0.01: ~31 vectors/cluster →
+                     # 3 md5 sub-shards) so the capped code path — not just
+                     # the split-factor-1 noop — is hash-graded every round
 QC_NF = 512          # frozen quality-classifier feature buckets (graded)
 QC_B0 = -0.25        # frozen intercept (binary-exact double)
 # Frozen BPE merge vocabulary for the graded part='bpe' branch: the artifact
@@ -1254,7 +1258,15 @@ def q_ann(spark, sf_dir):
     the r7 ENFORCED cluster cap (max_cluster_size=SD_CAP; the oracle
     replays the md5 sub-shard split exactly, so the branch stays graded
     even when a scale tier trips the cap). Row shape: probe_id=vec_id,
-    neighbor_id=cid, cosine=round(centroid_sim,6), rank=keep?1:0."""
+    neighbor_id=cid, cosine=round(centroid_sim,6), rank=keep?1:0.
+
+    r8 adds method='semdedup_cap' (VERDICT r7 Next #5): the same prune
+    under SD_CAP_TIGHT, a cap that actually SPLITS at grading SF (≥3
+    sub-shards per cluster at sf0.01) — so the enforced-cap code path
+    and its oracle replay are exercised every round, not just the
+    split-factor-1 noop. Containment vs the uncapped prune set is
+    pinned by tests/test_selection.py::test_semdedup_tight_cap_splits_
+    real_corpus."""
     from wingfoil_spark.functions import selection as sel
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1290,6 +1302,21 @@ def q_ann(spark, sf_dir):
         F.round("centroid_sim", 6).alias("cosine"),
         F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0)).alias("rank"),
     ).withColumn("method", F.lit("semdedup"))
+    # r8 (VERDICT r7 Next #5): the ENFORCED-cap path under a cap that
+    # actually splits at grading SF (SD_CAP=512 is a noop below ~8k
+    # vectors/cluster, so the r7 ⊕ only ever exercised split factor 1).
+    # SD_CAP_TIGHT=12 forces ≥3 md5 sub-shards per cluster at sf0.01 —
+    # the (cid, sub) pair join, the cross-shard recall trade, and the
+    # oracle's replay of the split are all hash-graded now.
+    sdc = sel.semdedup(
+        e, n_clusters=16, threshold=SD_THRESH, fit="take",
+        max_cluster_size=SD_CAP_TIGHT,
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("cid").cast("long").alias("neighbor_id"),
+        F.round("centroid_sim", 6).alias("cosine"),
+        F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0)).alias("rank"),
+    ).withColumn("method", F.lit("semdedup_cap"))
     parts = [
         sim.cosine_topk(e, probes, k=5).withColumn("method", F.lit("exact")),
         sim.lsh_bucketed_topk(e, probes, k=5).withColumn("method", F.lit("lsh")),
@@ -1297,6 +1324,7 @@ def q_ann(spark, sf_dir):
         pq,
         ipq,
         sd,
+        sdc,
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2863,6 +2891,19 @@ sdpruned AS (
   JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
   WHERE (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id))
     AND list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) > {SD_THRESH!r}
+),
+sdat AS (
+  SELECT ca.vec_id, ca.cid, ca.cs,
+    ('0x' || substr(md5(CAST(ca.vec_id AS VARCHAR)), 1, 15))::BIGINT
+      % CAST(ceil(csz::DOUBLE / {SD_CAP_TIGHT}) AS BIGINT) AS sub
+  FROM cassign ca JOIN sdsz USING (cid)
+),
+sdprunedt AS (
+  SELECT DISTINCT a.vec_id
+  FROM sdat a JOIN sdat b ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id != b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id))
+    AND list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) > {SD_THRESH!r}
 )
 SELECT 'exact' AS method, probe_id, neighbor_id, cosine, rank FROM exact_ranked WHERE rank <= 5
 UNION ALL
@@ -2876,7 +2917,11 @@ SELECT 'ivfpq', probe_id, neighbor_id, cosine, rank FROM ivfpq_ranked WHERE rank
 UNION ALL
 SELECT 'semdedup', ca.vec_id, CAST(ca.cid AS BIGINT), round(ca.cs, 6),
   CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
-FROM cassign ca LEFT JOIN sdpruned p USING (vec_id)"""
+FROM cassign ca LEFT JOIN sdpruned p USING (vec_id)
+UNION ALL
+SELECT 'semdedup_cap', ca.vec_id, CAST(ca.cid AS BIGINT), round(ca.cs, 6),
+  CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+FROM cassign ca LEFT JOIN sdprunedt p USING (vec_id)"""
     # Hyperplane buckets + Hamming-1 probing, exactly dedup.cosine_near_dups:
     # the probe side expands each vector's bucket with its 8 one-bit flips;
     # a pair (a<b) matches iff hamming(bucket_a, bucket_b) <= 1 (symmetric,
