@@ -1293,9 +1293,15 @@ def q_ann(spark, sf_dir):
         F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),
         "rank",
     ).withColumn("method", F.lit("ivfpq"))
-    sd = sel.semdedup(
-        e, n_clusters=16, threshold=SD_THRESH, fit="take",
-        max_cluster_size=SD_CAP,
+    # BOTH semdedup branches run the identical fit='take' 16-centroid
+    # assignment — assign ONCE, checkpoint (5 small columns/vector), and
+    # prune per cap. The two prune joins and the self-join sides all read
+    # the cached assignment instead of re-fitting + re-scanning.
+    asg = sel.semdedup_assign(
+        e, n_clusters=16, fit="take"
+    ).localCheckpoint(eager=True)
+    sd = sel.semdedup_prune(
+        asg, threshold=SD_THRESH, max_cluster_size=SD_CAP
     ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("cid").cast("long").alias("neighbor_id"),
@@ -1308,9 +1314,8 @@ def q_ann(spark, sf_dir):
     # SD_CAP_TIGHT=12 forces ≥3 md5 sub-shards per cluster at sf0.01 —
     # the (cid, sub) pair join, the cross-shard recall trade, and the
     # oracle's replay of the split are all hash-graded now.
-    sdc = sel.semdedup(
-        e, n_clusters=16, threshold=SD_THRESH, fit="take",
-        max_cluster_size=SD_CAP_TIGHT,
+    sdc = sel.semdedup_prune(
+        asg, threshold=SD_THRESH, max_cluster_size=SD_CAP_TIGHT
     ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("cid").cast("long").alias("neighbor_id"),

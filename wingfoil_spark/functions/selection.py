@@ -55,6 +55,8 @@ __all__ = [
     "bm25_score",
     "bm25_topk",
     "semdedup",
+    "semdedup_assign",
+    "semdedup_prune",
     "fit_quality_classifier",
     "quality_scores",
 ]
@@ -570,7 +572,34 @@ def semdedup(
     hard cost ceiling (the paper's own answer is "raise n_clusters";
     the cap is the guard-rail for when the fit misbehaves anyway). Pass
     ``None`` to disable. Output column set is identical either way.
+
+    Composition (r8): this is ``semdedup_prune(semdedup_assign(...))`` —
+    callers sweeping several thresholds/caps over one corpus (threshold
+    tuning, the graded cap A/B) should assign ONCE, checkpoint the
+    assignment, and prune per setting.
     """
+    return semdedup_prune(
+        semdedup_assign(embeddings, n_clusters, emb_col, id_col, fit=fit),
+        threshold=threshold,
+        emb_col=emb_col,
+        id_col=id_col,
+        max_cluster_size=max_cluster_size,
+    )
+
+
+def semdedup_assign(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit: str = "kmeans",
+) -> DataFrame:
+    """The SemDeDup assignment stage: fit/take centroids, assign every
+    vector to its nearest cluster, and carry what the prune stage needs
+    — ``(id, cid, emb, __nrm, centroid_sim)``. Deterministic given
+    (corpus, fit). Checkpoint the result when pruning more than once
+    (several thresholds or cluster caps over one corpus): the fit and
+    the assignment scan then run a single time."""
     from wingfoil_spark.functions.similarity import ivf_assign, ivf_centroids
 
     cents = ivf_centroids(embeddings, n_clusters, emb_col, id_col, fit=fit)
@@ -587,13 +616,26 @@ def semdedup(
             F.col(emb_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
         )
     )
-    assigned = (
+    return (
         ivf_assign(embeddings, cents, nprobe=1, emb_col=emb_col, id_col=id_col)
         .join(F.broadcast(cents), "cid")
         .withColumn("__nrm", nrm)
         .withColumn("centroid_sim", dot / (F.col("__nrm") * F.col("cnorm")))
         .select(id_col, "cid", emb_col, "__nrm", "centroid_sim")
     )
+
+
+def semdedup_prune(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """The SemDeDup prune stage over a :func:`semdedup_assign` frame:
+    the within-cluster (optionally md5-sub-sharded) pairwise-cosine
+    sweep and the keep-the-outlier decision. See :func:`semdedup` for
+    the full contract; arithmetic is identical to the fused form."""
     if max_cluster_size is not None:
         # enforce the cluster-size bound: ≤ n_clusters size rows (tiny →
         # broadcast), then a deterministic md5(id) shard within any
