@@ -360,3 +360,39 @@ def test_kn_differential(spark, ref_texts, score_texts):
         else:
             assert glp == pytest.approx(wlp, abs=1e-9)
             assert gp == pytest.approx(wp, rel=1e-9)
+
+
+def test_dual_perplexity_matches_separate_scorers(spark, sf_dir):
+    """The one-pipeline dual scorer (r8: one explode + one join chain
+    for BOTH smoothings) must equal the two single-model scorers
+    EXACTLY — identical per-position expressions over identical counts,
+    so the doubles match bitwise, not just approximately. Run on the
+    real documents table with the graded query's parameters."""
+    from wingfoil_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    k, d = 0.1, 0.75
+    counts = lm.fit_bigram_counts(ref)
+    dual = {
+        r.doc_id: r
+        for r in lm.dual_perplexity(docs, counts, k=k, discount=d).collect()
+    }
+    addk = {
+        r.doc_id: r
+        for r in lm.lm_perplexity(docs, lm.fit_bigram_lm(ref, k=k)).collect()
+    }
+    kn = {
+        r.doc_id: r
+        for r in lm.kn_perplexity(
+            docs, lm.fit_kn_lm(ref, discount=d)
+        ).collect()
+    }
+    assert set(dual) == set(addk) == set(kn)
+    for i, r in dual.items():
+        a, n = addk[i], kn[i]
+        assert r.n_bigrams == a.n_bigrams == n.n_bigrams, i
+        assert r.logprob_addk == a.logprob_per_token, i
+        assert r.perplexity_addk == a.perplexity, i
+        assert r.logprob_kn == n.logprob_per_token, i
+        assert r.perplexity_kn == n.perplexity, i

@@ -338,3 +338,141 @@ def kn_perplexity(
             F.exp(-F.col("logprob_per_token")).alias("perplexity"),
         )
     )
+
+
+def fit_bigram_counts(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+) -> dict:
+    """The COUNT statistics both smoothing families derive from — fit
+    once, score under add-k AND Kneser-Ney without re-aggregating the
+    reference corpus (:func:`fit_bigram_lm` and :func:`fit_kn_lm` each
+    run their own unigram/bigram groupBys plus count() actions; a
+    pipeline scoring both smoothings pays that twice for identical
+    counts).
+
+    Returns ``uni`` (w1, c1), ``big`` (w1, w2, c12), ``n1p_fwd``
+    (w1, n1p), ``n1p_bwd`` (w2, n1b) — all vocabulary-sized, eagerly
+    checkpointed so the ref-corpus explode runs ONCE — plus the scalars
+    ``v`` (vocab size) and ``b_types`` (distinct bigram types).
+    """
+    toks = ref_docs.select(tokens(F.col(text_col)).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "if(size(__t) < 2, array(), transform(sequence(1, size(__t) - 1), "
+                    "i -> struct(__t[i-1] AS w1, __t[i] AS w2)))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    v = uni.count()
+    if v == 0:
+        raise ValueError(
+            "fit_bigram_counts: reference corpus has empty vocabulary "
+            "(no tokens after tokenization)"
+        )
+    b_types = big.count()
+    n1p_fwd = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1p"))
+    n1p_bwd = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    return {
+        "uni": uni,
+        "big": big,
+        "n1p_fwd": n1p_fwd,
+        "n1p_bwd": n1p_bwd,
+        "v": v,
+        "b_types": b_types,
+    }
+
+
+def dual_perplexity(
+    docs: DataFrame,
+    counts: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.1,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score every document under add-k AND interpolated Kneser-Ney in
+    ONE pipeline over a :func:`fit_bigram_counts` fit: one bigram
+    explode, one join chain (on (w1,w2), w1, w1→n1p, w2), one per-doc
+    aggregation — where scoring the two models separately explodes and
+    joins the corpus twice for the same positions.
+
+    Per-position formulas are the EXACT expressions of
+    :func:`lm_perplexity` (add-k: the logp/logp_unseen/logp_oov cases
+    inlined — same doubles, the frame-side ln just moves to the
+    position) and :func:`kn_perplexity` (verbatim, including the
+    λ=0-history backoff) — differentially pinned exact-equal by
+    tests/test_lm_packing.py.
+
+    Output: ``(id, n_bigrams, logprob_addk, perplexity_addk,
+    logprob_kn, perplexity_kn)`` with the lm_perplexity NULL contract
+    (< 2-token docs: n_bigrams 0, NULL scores).
+    """
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    v = counts["v"]
+    b_types = counts["b_types"]
+    denom_c = float(b_types + v + 1)
+    pos = _bigram_pos(docs, text_col, id_col)
+    j = (
+        pos.join(counts["big"], ["w1", "w2"], "left")
+        .join(counts["uni"], ["w1"], "left")
+        .join(counts["n1p_fwd"], ["w1"], "left")
+        .join(counts["n1p_bwd"], ["w2"], "left")
+    )
+    denom = F.col("c1") + F.lit(k) * F.lit(float(v))
+    lp_addk = (
+        F.when(F.col("c12").isNotNull(), F.log((F.col("c12") + F.lit(k)) / denom))
+        .when(F.col("c1").isNotNull(), F.log(F.lit(k) / denom))
+        .otherwise(F.log(F.lit(1.0) / F.lit(float(v))))
+    )
+    lam = (
+        F.lit(discount)
+        * F.coalesce(F.col("n1p"), F.lit(0)).cast("double")
+        / F.col("c1").cast("double")
+    )
+    pc = F.coalesce(
+        (F.col("n1b") + 1.0) / F.lit(denom_c), F.lit(1.0) / F.lit(denom_c)
+    )
+    p_kn = F.when(F.col("c1").isNull() | (lam == 0.0), pc).otherwise(
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - F.lit(discount),
+            F.lit(0.0),
+        )
+        / F.col("c1").cast("double")
+        + lam * pc
+    )
+    per_doc = j.select(
+        id_col, lp_addk.alias("__lpa"), F.log(p_kn).alias("__lpk")
+    ).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("__lpa").alias("logprob_addk"),
+        F.avg("__lpk").alias("logprob_kn"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "logprob_addk",
+            F.exp(-F.col("logprob_addk")).alias("perplexity_addk"),
+            "logprob_kn",
+            F.exp(-F.col("logprob_kn")).alias("perplexity_kn"),
+        )
+    )
