@@ -112,9 +112,22 @@ labeled = spark.createDataFrame(
 )
 clf = sel.fit_quality_classifier(labeled, F.col("lbl") == 1,
                                  n_features=1 << 12, max_iter=20)
-q = {r.doc_id: r.quality for r in sel.quality_scores(docs, clf).collect()}
-print("quality:", {k: round(v, 3) for k, v in sorted(q.items())})
-assert q[3] > 0.5, "the spark-plans doc scores as high quality"
+qrows = {r.doc_id: r for r in sel.quality_scores(docs, clf).collect()}
+print("quality:", {k: round(r.quality, 3) for k, r in sorted(qrows.items())})
+assert qrows[3].quality > 0.5, "the spark-plans doc scores as high quality"
+
+# 5d. or score EVERYTHING in one corpus scan: selection_scores emits the
+# DSIR log-weight, the BM25 score and the classifier logit together
+# (shared tokenize, one md5 per gram) — the production shape when a
+# pipeline keeps several signals per document. Values are bitwise-equal
+# to the single-signal calls above.
+battery = sel.selection_scores(
+    docs, F.col("source") == "wiki", ["spark", "plans"], clf, n_buckets=256
+)
+b = {r.doc_id: r for r in battery.collect()}
+assert max(b, key=lambda i: b[i].log_w) == 3
+assert max(b, key=lambda i: b[i].score) == 3
+assert b[3].logit == qrows[3].logit, "one-pass logit == single-signal logit"
 
 # 6. deterministic domain mixing + token-budget sharding + packing
 mixed = cu.weighted_mix(docs, {"web": 1.0, "wiki": 1.0})
