@@ -67,6 +67,32 @@ HEADLINE = [
 ]
 
 
+#: Clean per-query floors measured r8 (10-run minima / clean best-of-3 on
+#: a quiet host, steal <= 47 jiffies, sf0.1). These are measurement
+#: PRIORS, not caps: the host shows degraded patches the steal counter
+#: cannot see (observed: curation 2.18s floor measured 5.04s in a full
+#: suite at 40 total steal jiffies), and a whole best-of-N window can
+#: land inside one. When a query's best exceeds 1.4x its floor, the
+#: harness takes up to 3 extra runs and keeps the minimum; queries still
+#: inflated after that are listed in `inflated_vs_floor` so a reader
+#: knows which numbers carry host noise vs which moved for real. A
+#: legitimately slower plan (new scope) just pays 3 extra runs once and
+#: shows up in the list — update the floor when the change is intended.
+R8_FLOORS = {
+    "q1_pricing_summary": 0.973, "q3_shipping_priority": 0.729,
+    "q5_revenue_by_nation": 0.764, "q6_forecast_revenue": 0.252,
+    "topk_customers": 0.446, "sessionize": 0.419, "folds": 0.434,
+    "curation": 2.179, "stats_matrix": 1.016, "stats_tw": 2.188,
+    "stats_tw_kernel": 0.924, "combine_latest": 0.363, "ewma": 0.424,
+    "tumbling_1h": 0.363, "dynamic_group_sum": 0.677, "text_stats": 0.825,
+    "selection": 1.704, "minhash": 0.944, "jaccard_pairs": 2.054,
+    "ann": 4.029, "cosine_near_dups": 1.128, "vwap_suite": 0.728,
+    "order_book_top": 0.477, "book_feed": 0.602, "analysis_scores": 1.104,
+    "dynamic_membership": 1.329, "media_frames": 0.238, "media_doc": 0.608,
+    "join3": 0.569, "delay_with_reset": 0.401, "lm_packing": 2.904,
+}
+
+
 def _other_spark_jvms() -> list[int]:
     """PIDs of live Spark JVMs not belonging to this process tree. A second
     local[32] session wrecks timings 4-40x (round-1 lesson), so bench runs
@@ -136,6 +162,7 @@ def main() -> None:
     steal_start = _steal_jiffies()
     wall_start = time.perf_counter()
     discarded = 0
+    inflated: list[str] = []
     for name in headline:
         fn = queries[name]
         best = fallback = None
@@ -174,6 +201,22 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         if best is None:  # every window was stolen: keep the fastest anyway
             best = fallback
+        # floor challenge (r8): a degraded host patch can cover a whole
+        # best-of-N window without advancing the steal counter — if this
+        # query's best sits far above its measured clean floor, take up
+        # to 3 extra runs and keep the minimum (sf0.1 floors only).
+        floor = R8_FLOORS.get(name) if sf == "0.1" else None
+        if floor is not None and best > 1.4 * floor:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                if best <= 1.4 * floor:
+                    break
+            if best > 1.4 * floor:
+                inflated.append(name)
+                print(f"# {name}: still {best:.3f}s vs {floor:.3f}s floor "
+                      "after re-runs", file=sys.stderr)
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
@@ -205,6 +248,10 @@ def main() -> None:
                 # numbers above are an upper bound on the code's cost.
                 "steal_jiffies_total": suite_steal,
                 "stolen_runs_discarded": discarded,
+                # queries whose best stayed >1.4x their measured clean
+                # floor even after floor-challenge re-runs: read those
+                # numbers as host noise unless the code actually changed
+                "inflated_vs_floor": inflated,
                 # like-for-like with BASELINE.md's only comparable figure
                 # (order-book replay ~0.9M msg/s single-core): the pure
                 # fold, one core, no Spark overhead — the cluster runs this
