@@ -314,6 +314,64 @@ def selection_onepass_ab(spark, qs):
     return out
 
 
+def semdedup_cap_10x(spark):
+    """The ENFORCED semdedup cap exercised at the 10x tier with the
+    PRODUCTION cap (VERDICT r7 Next #5): sf1-eq embeddings (20k vectors
+    / 16 take-centroids) put ~1.25k vectors in every cluster, so
+    SD_CAP=512 splits each into ≥3 md5 sub-shards — the capped (cid,sub)
+    join at scale, not the split-factor-1 noop the small SFs exercise
+    under this cap. Also re-checks the containment invariant at scale:
+    the capped prune set must sit inside the uncapped one."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.functions import selection as sel
+    from wingfoil_spark.sources.tables import load_table
+
+    e = load_table(spark, BIG, "embeddings")
+    asg = sel.semdedup_assign(e, n_clusters=16, fit="take").localCheckpoint(
+        eager=True
+    )
+    biggest = asg.groupBy("cid").count().agg(
+        F.max("count").alias("m")
+    ).collect()[0]["m"]
+    split = math.ceil(biggest / entry.SD_CAP)
+
+    def run(cap):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sel.semdedup_prune(
+                asg, threshold=entry.SD_THRESH, max_cluster_size=cap
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    t_capped = run(entry.SD_CAP)
+    t_uncapped = run(None)
+    pc = sel.semdedup_prune(
+        asg, threshold=entry.SD_THRESH, max_cluster_size=entry.SD_CAP
+    ).where(~F.col("keep")).select("vec_id")
+    pu = sel.semdedup_prune(
+        asg, threshold=entry.SD_THRESH, max_cluster_size=None
+    ).where(~F.col("keep")).select("vec_id")
+    extra = pc.join(pu, "vec_id", "left_anti").count()
+    out = {
+        "biggest_cluster": int(biggest),
+        "cap": entry.SD_CAP,
+        "split_factor": int(split),
+        "t_capped": round(t_capped, 3),
+        "t_uncapped": round(t_uncapped, 3),
+        "capped_prunes_outside_uncapped": int(extra),
+    }
+    print(f"# semdedup_cap@10x: biggest cluster {biggest}, split x{split}, "
+          f"capped {t_capped:.2f}s vs uncapped {t_uncapped:.2f}s, "
+          f"containment violations {extra}", file=sys.stderr)
+    return out
+
+
 def ann_fixed_probes(spark, sf_dir):
     """ANN with a scale-FIXED probe set (40 probes from the original id
     range at both scales): exact + IVF tiers, corpus-linear cost."""
@@ -414,6 +472,7 @@ def main() -> None:
         "superlinear": superlinear,
         "selection_branches": selection_branches(spark),
         "selection_onepass_ab": selection_onepass_ab(spark, qs),
+        "semdedup_cap_10x": semdedup_cap_10x(spark),
         "selection_note_r8": (
             "r8 swaps the graded union onto selection_scores (one corpus "
             "scan emits dsir log-w + bm25 score + clf logit; shared "
