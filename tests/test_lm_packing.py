@@ -396,3 +396,18 @@ def test_dual_perplexity_matches_separate_scorers(spark, sf_dir):
         assert r.perplexity_addk == a.perplexity, i
         assert r.logprob_kn == n.logprob_per_token, i
         assert r.perplexity_kn == n.perplexity, i
+
+
+def test_dual_perplexity_plan_jvm_only(spark, sf_dir):
+    """The dual scorer's batch plan must stay JVM-side: no Python
+    stages (the explode, joins, and per-doc aggregation are all
+    Catalyst), so the one-pipeline share is also whole-stage-codegen
+    friendly at scale."""
+    from wingfoil_spark.plans.audit import plan_summary
+    from wingfoil_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = lm.fit_bigram_counts(docs.where(F.col("doc_id") % 7 == 0))
+    s = plan_summary(lm.dual_perplexity(docs, counts))
+    assert s["python_stages"] == 0, s
+    assert s.get("cartesian_products", 0) == 0, s
