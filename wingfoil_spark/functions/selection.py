@@ -593,16 +593,28 @@ def semdedup_assign(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     fit: str = "kmeans",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """The SemDeDup assignment stage: fit/take centroids, assign every
     vector to its nearest cluster, and carry what the prune stage needs
-    — ``(id, cid, emb, __nrm, centroid_sim)``. Deterministic given
+    — ``(id, cid, emb, __nrm, centroid_sim)``. ``__nrm`` (the vector's
+    L2 norm, the same left-to-right double fold as
+    ``similarity.with_norm``) is PART OF THE CONTRACT, not an
+    implementation detail: :func:`semdedup_prune` consumes it, and
+    ``similarity.ivf_topk(corpus_assign=...)`` reuses it — callers that
+    checkpoint/project this frame must keep it. Deterministic given
     (corpus, fit). Checkpoint the result when pruning more than once
     (several thresholds or cluster caps over one corpus): the fit and
-    the assignment scan then run a single time."""
+    the assignment scan then run a single time. Pass ``centroids=`` (an
+    ``ivf_centroids``-shaped (cid, cvec, cnorm) frame) to share one fit
+    across semdedup and the ivf/ivfpq searches too."""
     from wingfoil_spark.functions.similarity import ivf_assign, ivf_centroids
 
-    cents = ivf_centroids(embeddings, n_clusters, emb_col, id_col, fit=fit)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_clusters, emb_col, id_col, fit=fit)
+    )
     # keep centroid similarity: re-derive it (ivf_assign drops its score)
     dot = F.aggregate(
         F.zip_with(
@@ -635,7 +647,22 @@ def semdedup_prune(
     """The SemDeDup prune stage over a :func:`semdedup_assign` frame:
     the within-cluster (optionally md5-sub-sharded) pairwise-cosine
     sweep and the keep-the-outlier decision. See :func:`semdedup` for
-    the full contract; arithmetic is identical to the fused form."""
+    the full contract; arithmetic is identical to the fused form.
+
+    ``assigned`` must carry the full ``semdedup_assign`` layout —
+    ``(id_col, cid, emb_col, __nrm, centroid_sim)``. ``__nrm`` and
+    ``centroid_sim`` are cross-function API (documented on the assign
+    side); a projected frame that dropped them is rejected here with a
+    named-column error instead of an opaque resolution failure."""
+    required = {id_col, "cid", emb_col, "__nrm", "centroid_sim"}
+    missing = sorted(required - set(assigned.columns))
+    if missing:
+        raise ValueError(
+            "semdedup_prune: `assigned` is missing column(s) "
+            f"{missing} — pass the unprojected semdedup_assign() output "
+            f"(id, cid, {emb_col}, __nrm, centroid_sim); __nrm and "
+            "centroid_sim are part of the assign/prune contract."
+        )
     if max_cluster_size is not None:
         # enforce the cluster-size bound: ≤ n_clusters size rows (tiny →
         # broadcast), then a deterministic md5(id) shard within any

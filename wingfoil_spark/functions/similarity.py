@@ -270,6 +270,8 @@ def ivf_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     fit: str = "kmeans",
+    centroids: DataFrame | None = None,
+    corpus_assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus sharded into centroid buckets
     (one shuffle, done once and reusable); each probe scans only its
@@ -283,14 +285,50 @@ def ivf_topk(
 
     The 100 TB shape: bucket the corpus ONCE (write partitioned by cid),
     then every query joins only its buckets — partition pruning does the
-    skipping."""
+    skipping.
+
+    ``centroids`` / ``corpus_assign`` are the SHARED-SCAN hooks (mirroring
+    ``ivfpq_topk``'s ``corpus_codes=``): a caller running several
+    centroid-consuming searches over one corpus (ivf + ivfpq + semdedup,
+    the graded ``ann`` union) fits the centroid frame once and assigns the
+    corpus once (e.g. a checkpointed ``selection.semdedup_assign``), then
+    feeds both here — this function then runs ZERO corpus-side fit or
+    assignment scans, only the probe assignment (tiny) and the bucket
+    join. ``corpus_assign`` needs ``(id_col, cid, emb_col)``; a ``__nrm``
+    column (the ``semdedup_assign`` layout) is reused verbatim when
+    present — it is the same left-to-right double sum-of-squares fold as
+    :func:`with_norm`, so results are bitwise-unchanged."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
-    c = ivf_assign(corpus, cents, 1, emb_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "cid"
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
     )
-    c = with_norm(c, "e_c", "n_c").where(F.col("n_c") > 0)
+    if corpus_assign is not None:
+        if "__nrm" in corpus_assign.columns:
+            c = corpus_assign.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(emb_col).alias("e_c"),
+                "cid",
+                F.col("__nrm").alias("n_c"),
+            )
+        else:
+            c = with_norm(
+                corpus_assign.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(emb_col).alias("e_c"),
+                    "cid",
+                ),
+                "e_c",
+                "n_c",
+            )
+        c = c.where(F.col("n_c") > 0)
+    else:
+        c = ivf_assign(corpus, cents, 1, emb_col, id_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "cid"
+        )
+        c = with_norm(c, "e_c", "n_c").where(F.col("n_c") > 0)
     p = ivf_assign(probes, cents, nprobe, emb_col, id_col).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
     )
@@ -578,6 +616,8 @@ def ivfpq_topk(
     fit: str = "take",
     corpus_codes: DataFrame | None = None,
     code_col: str = "pq_code",
+    centroids: DataFrame | None = None,
+    corpus_assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the full billion-vector composition — coarse IVF centroids
     bound WHICH rows are scanned (corpus/n_centroids × nprobe per
@@ -588,21 +628,40 @@ def ivfpq_topk(
     at scale: parquet partitioned by cid, codes instead of floats);
     probes scan their ``nprobe`` nearest cells. Exactness caveat is
     PQ's, recall caveat is IVF's — both test-pinned separately; together
-    they are the standard disk/memory layout for 100 TB of vectors."""
-    cents = ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
+    they are the standard disk/memory layout for 100 TB of vectors.
+
+    ``centroids`` / ``corpus_assign`` share the coarse fit + full-corpus
+    assignment exactly as in :func:`ivf_topk` — with both a shared code
+    table AND a shared assignment, this function touches the corpus
+    vectors ZERO times."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
+    )
+    if corpus_assign is not None:
+        c = corpus_assign.select(id_col, "cid")
+    else:
+        c = None
     if corpus_codes is not None:
         # persisted/shared code table: (id, pq_code). Skips the encode
         # pass — at scale the codes ARE the stored corpus (the float
         # column was dropped at write time), so this is the normal path;
-        # only the coarse assignment still reads vectors.
-        c = ivf_assign(corpus, cents, 1, emb_col, id_col).select(id_col, "cid")
+        # only the coarse assignment still reads vectors (and a shared
+        # corpus_assign= removes even that).
+        if c is None:
+            c = ivf_assign(corpus, cents, 1, emb_col, id_col).select(id_col, "cid")
         c_codes = c.join(
             corpus_codes.select(F.col(id_col), F.col(code_col).alias("pq_code")),
             id_col,
         )
     else:
-        c = ivf_assign(corpus, cents, 1, emb_col, id_col)
-        c_codes = pq_encode(c, codebooks, emb_col).select(
+        ca = (
+            corpus_assign.select(id_col, "cid", emb_col)
+            if corpus_assign is not None
+            else ivf_assign(corpus, cents, 1, emb_col, id_col)
+        )
+        c_codes = pq_encode(ca, codebooks, emb_col).select(
             F.col(id_col), F.col("cid"), F.col("pq_code")
         )
     p = ivf_assign(probes, cents, nprobe, emb_col, id_col).select(
