@@ -174,7 +174,11 @@ def q_curation(spark, sf_dir):
     deterministic stratified sampling (exactly-n per lang), md5-keyed
     weighted domain mixing, and token-budget sharding via the two-phase
     distributed prefix sum. All md5-keyed → the DuckDB twin reproduces
-    every draw exactly."""
+    every draw exactly.
+
+    r9 widens to SEVEN parts: part='lines' grades C4 line-level dedup
+    (the last dedup family without a hash grade — VERDICT r8 Next #2),
+    with the rebuilt-text md5 as the graded key."""
     docs = load_table(spark, sf_dir, "documents")
     strat = cu.stratified_take(
         docs, CURATION_STRAT_N, group_col="lang", tag="strat"
@@ -220,9 +224,20 @@ def q_curation(spark, sf_dir):
                     F.col("span_end").cast("string")).alias("grp"),
         F.col("span_tokens").cast("long").alias("v"),
     )
+    # r9 (VERDICT r8 Next #2): C4 line-level dedup (functions/dedup.py
+    # dedup_lines) — the last dedup family without a hash grade. Any
+    # trimmed line occurring >1× corpus-wide keeps only its first
+    # (doc_id, pos) occurrence; docs are rebuilt from surviving lines.
+    # grp carries md5 of the REBUILT text so the rebuild itself is
+    # graded, not just the removal count; v = n_lines_removed.
+    lines = dd.dedup_lines(docs.select("doc_id", "text")).select(
+        F.lit("lines").alias("part"), "doc_id",
+        F.md5(F.col("text")).alias("grp"),
+        F.col("n_lines_removed").alias("v"),
+    )
     return (
         strat.unionByName(mix).unionByName(shard).unionByName(chunk)
-        .unionByName(decon).unionByName(dupspan)
+        .unionByName(decon).unionByName(dupspan).unionByName(lines)
     )
 
 
@@ -1637,7 +1652,30 @@ FROM (
     )
   )
   GROUP BY doc_id, sgrp
-)"""
+)
+UNION ALL
+SELECT 'lines' AS part, d.doc_id, md5(COALESCE(reb.new_text, '')) AS grp,
+  CAST(COALESCE(len(string_split(d.text, chr(10))) - reb.n_kept,
+                len(string_split(d.text, chr(10))), 0) AS BIGINT) AS v
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS new_text,
+    count(*) AS n_kept
+  FROM (
+    SELECT doc_id, pos, line, t,
+      CASE WHEN len(t) >= 1 THEN count(*) OVER (PARTITION BY t) ELSE 1 END AS c,
+      CASE WHEN len(t) >= 1
+           THEN row_number() OVER (PARTITION BY t ORDER BY doc_id, pos)
+           ELSE 1 END AS rn
+    FROM (
+      SELECT doc_id, pos, ls[pos+1] AS line, trim(ls[pos+1]) AS t
+      FROM (
+        SELECT doc_id, ls, unnest(range(0, len(ls))) AS pos
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+      )
+    )
+  ) WHERE c = 1 OR rn = 1
+  GROUP BY doc_id
+) reb USING (doc_id)"""
     o["difference"] = (
         f"WITH ev AS ({EV_SQL}), d AS ("
         "SELECT event_id, ts_us, user_id, "
