@@ -800,7 +800,18 @@ def q_decon_stream(spark, sf_dir):
       lm_packing grades in batch): stream-static model joins + the
       per-doc running (n, Σlp) merge; emits only docs with ≥1 bigram.
 
-    All four outputs are content-determined per doc, hence arrival-
+    r9 widens to FIVE parts and a SECOND streaming source (VERDICT r8
+    Next #3 — ann_topk_stream was the last streaming op with no driver
+    row): part='ann' streams the probe EMBEDDINGS (vec_id % 50, re-chunked
+    into 4 files, maxFilesPerTrigger=1) against the frozen
+    build_ann_index hyperplane-bucketed corpus index — stream-static
+    bucket join + per-batch exact top-5, zero standing state. Rows are
+    (part='ann', doc_id=probe_id, aux=neighbor_id, v=cosine); the other
+    four parts carry aux=0. Per-probe top-k is batching-invariant (a
+    probe lives in exactly one micro-batch; the index is static), so the
+    DuckDB twin replays it as the batch LSH ranking.
+
+    All five outputs are content-determined per doc/probe, hence arrival-
     order- and batching-invariant — exactly what makes a multi-micro-
     batch streaming run oracle-gradable against batch SQL."""
     import os
@@ -827,43 +838,65 @@ def q_decon_stream(spark, sf_dir):
             docs.where(F.col("doc_id") % LM_REF_MOD == 0), k=LM_K
         ).items()
     }
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the frozen corpus-side ANN index (hyperplane-bucketed, norm-
+    # annotated) — checkpointed so the stream-static join reads a pinned
+    # frame instead of re-scanning the parquet every micro-batch
+    annidx = ingest.build_ann_index(emb).localCheckpoint(eager=True)
 
+    zero = F.lit(0).cast("long").alias("aux")
     run = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix=f"wf_decon_stream_{run}_")
     src = os.path.join(tmp, "src")
+    psrc = os.path.join(tmp, "probes")
     ckpt = os.path.join(tmp, "ckpt")
     name = f"decon_stream_{run}"
     try:
         docs.select("doc_id", "text").repartition(4) \
             .write.mode("overwrite").parquet(src)
+        emb.where(F.col("vec_id") % 50 == 0).select("vec_id", "embedding") \
+            .repartition(4).write.mode("overwrite").parquet(psrc)
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        estream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(psrc)
+        )
         decon = ingest.decontaminate_stream(
             stream, index, n=CURATION_DECON_N
         ).select(
-            F.lit("decon").alias("part"), "doc_id", F.lit(1.0).alias("v")
+            F.lit("decon").alias("part"), "doc_id", zero,
+            F.lit(1.0).alias("v"),
         )
         dsir = ingest.dsir_score_stream(
             stream, lam, n_buckets=SEL_BUCKETS
         ).select(
-            F.lit("dsir").alias("part"), "doc_id",
+            F.lit("dsir").alias("part"), "doc_id", zero,
             F.round("log_w", 6).alias("v"),
         )
         bm = ingest.bm25_score_stream(
             stream, bmidx, list(SEL_TERMS)
         ).select(
-            F.lit("bm25").alias("part"), "doc_id",
+            F.lit("bm25").alias("part"), "doc_id", zero,
             F.round("score", 6).alias("v"),
         )
         lmsc = ingest.lm_score_stream(stream, lmm).select(
-            F.lit("lm").alias("part"), "doc_id",
+            F.lit("lm").alias("part"), "doc_id", zero,
             F.round("logprob_per_token", 6).alias("v"),
+        )
+        ann = ingest.ann_topk_stream(estream, annidx, k=5).select(
+            F.lit("ann").alias("part"),
+            F.col("probe_id").alias("doc_id"),
+            F.col("neighbor_id").alias("aux"),
+            F.col("cosine").alias("v"),
         )
         q = (
             decon.unionByName(dsir).unionByName(bm).unionByName(lmsc)
+            .unionByName(ann)
             .writeStream.format("memory").queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -2310,8 +2343,39 @@ lsc AS (SELECT doc_id,
   LEFT JOIN lbig USING (w1, w2)
   LEFT JOIN luni USING (w1)
   CROSS JOIN lvv),
-lperdoc AS (SELECT doc_id, avg(lp) AS mlp FROM lsc GROUP BY 1)
-SELECT 'decon' AS part, cg.doc_id, 1.0 AS v
+lperdoc AS (SELECT doc_id,
+    sum(CAST(round(lp * 1000000000, 0) AS BIGINT)) / 1e9 / count(*) AS mlp
+  FROM lsc GROUP BY 1),
+aev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+aen AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        FROM aev WHERE sqrt(list_dot_product(emb, emb)) > 0),
+aep AS (SELECT * FROM aen WHERE vec_id % 50 = 0),
+aplanes AS (
+  SELECT pp AS plane, list(coef ORDER BY dd) AS coefs FROM (
+    SELECT pl.pl AS pp, dm.dm AS dd,
+      ((('0x' || substr(md5('hp' || pl.pl || ':' || dm.dm), 1, 15))::BIGINT % 2001 - 1000) / 1000.0) AS coef
+    FROM (SELECT unnest(range(0, 8)) AS pl) pl, (SELECT unnest(range(0, 64)) AS dm) dm
+  ) GROUP BY pp
+),
+aprojs AS (
+  SELECT aen.vec_id, pl.plane,
+    list_reduce(list_transform(range(1, 65), i -> aen.emb[i] * pl.coefs[i]), (a, x) -> a + x) AS proj
+  FROM aen, aplanes pl
+),
+abuckets AS (
+  SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(plane AS INT)) ELSE 0 END) AS bucket
+  FROM aprojs GROUP BY vec_id
+),
+ann_scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm), 6) AS cosine
+  FROM aep p JOIN abuckets bp ON bp.vec_id = p.vec_id
+  JOIN abuckets bc ON bc.bucket = bp.bucket
+  JOIN aen c ON c.vec_id = bc.vec_id AND c.vec_id != p.vec_id
+),
+ann_ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+  ORDER BY cosine DESC, neighbor_id) AS rank FROM ann_scored)
+SELECT 'decon' AS part, cg.doc_id, CAST(0 AS BIGINT) AS aux, 1.0 AS v
 FROM (
   SELECT DISTINCT doc_id FROM (
     SELECT doc_id,
@@ -2330,11 +2394,13 @@ FROM (
   ) bg USING (gh)
 ) cg
 UNION ALL
-SELECT 'dsir', doc_id, round(log_w, 6) FROM w
+SELECT 'dsir', doc_id, CAST(0 AS BIGINT), round(log_w, 6) FROM w
 UNION ALL
-SELECT 'bm25', doc_id, round(score, 6) FROM bscore
+SELECT 'bm25', doc_id, CAST(0 AS BIGINT), round(score, 6) FROM bscore
 UNION ALL
-SELECT 'lm', doc_id, round(mlp, 6) FROM lperdoc"""
+SELECT 'lm', doc_id, CAST(0 AS BIGINT), round(mlp, 6) FROM lperdoc
+UNION ALL
+SELECT 'ann', probe_id, neighbor_id, cosine FROM ann_ranked WHERE rank <= 5"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the

@@ -549,10 +549,13 @@ def test_lm_score_stream_equals_batch(spark, docs):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
     assert set(got) == set(batch)
+    # 1e-9: the stream scorer quantizes per-bigram logprobs to 1e-9
+    # integers before the per-doc sum (order-free determinism, ADVICE
+    # r8), so it differs from batch avg() by < 5e-10 per doc by design.
     for i, (n, lp) in got.items():
         bn, blp = batch[i]
         assert n == bn, i
-        assert lp == pytest.approx(blp, abs=1e-12), i
+        assert lp == pytest.approx(blp, abs=1e-9), i
 
 
 def test_quality_scores_stream_legal(spark, docs):

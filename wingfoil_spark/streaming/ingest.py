@@ -359,6 +359,15 @@ def lm_score_stream(
     state is O(docs-in-partition). Zero standing state across batches —
     a doc lives in exactly one micro-batch.
 
+    Determinism (ADVICE r8): per-bigram logprobs are quantized JVM-side
+    to 1e-9 integers (round(lp·1e9) as long) BEFORE the per-doc sum, so
+    Σlp is exact integer arithmetic — identical under ANY summation
+    order, Arrow batching, arrival order, or engine. The reported
+    logprob_per_token = Σ/1e9/n differs from the unquantized mean by
+    < 5e-10 (the batch scorer's double `avg` is engine-order-dependent
+    at ~1e-13 anyway); the stream-vs-batch differential pin holds at
+    1e-9.
+
     Emits only docs with ≥ 1 bigram (the flagged-only convention: token-
     poor docs carry no LM evidence; the batch scorer reports them as
     NULL). Output: (id, n_bigrams, logprob_per_token, perplexity)."""
@@ -375,9 +384,14 @@ def lm_score_stream(
         .crossJoin(F.broadcast(model["consts"]))
         .select(
             id_col,
-            F.coalesce(
-                F.col("logp"), F.col("logp_unseen"), F.col("logp_oov")
-            ).alias("__lp"),
+            F.round(
+                F.coalesce(
+                    F.col("logp"), F.col("logp_unseen"), F.col("logp_oov")
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__lpq"),
         )
     )
     id_type = new_docs.schema[id_col].dataType.simpleString()
@@ -387,21 +401,21 @@ def lm_score_stream(
     )
 
     def per_doc(batches):
-        acc: dict = {}  # id -> [n, lp_sum]
+        acc: dict = {}  # id -> [n, lp_quantized_int_sum]
         for pdf in batches:
             if not len(pdf):
                 continue
-            g = pdf.groupby(id_col, sort=False)["__lp"].agg(["count", "sum"])
+            g = pdf.groupby(id_col, sort=False)["__lpq"].agg(["count", "sum"])
             for i, row in g.iterrows():
-                st = acc.setdefault(i, [0, 0.0])
+                st = acc.setdefault(i, [0, 0])
                 st[0] += int(row["count"])
-                st[1] += float(row["sum"])
+                st[1] += int(row["sum"])
         if acc:
             import math
 
             out = pd.DataFrame(
                 [
-                    (i, n, s / n, math.exp(-(s / n)))
+                    (i, n, s / 1e9 / n, math.exp(-(s / 1e9 / n)))
                     for i, (n, s) in acc.items()
                 ],
                 columns=[
