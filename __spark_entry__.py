@@ -176,9 +176,12 @@ def q_curation(spark, sf_dir):
     distributed prefix sum. All md5-keyed → the DuckDB twin reproduces
     every draw exactly.
 
-    r9 widens to SEVEN parts: part='lines' grades C4 line-level dedup
+    r9 widens to EIGHT parts: part='lines' grades C4 line-level dedup
     (the last dedup family without a hash grade — VERDICT r8 Next #2),
-    with the rebuilt-text md5 as the graded key."""
+    with the rebuilt-text md5 as the graded key; part='describe' grades
+    the describe_corpus observability aggregation (metrics as exact
+    scaled longs; the approx-percentile sketch column is the documented
+    not-graded field)."""
     docs = load_table(spark, sf_dir, "documents")
     strat = cu.stratified_take(
         docs, CURATION_STRAT_N, group_col="lang", tag="strat"
@@ -235,9 +238,30 @@ def q_curation(spark, sf_dir):
         F.md5(F.col("text")).alias("grp"),
         F.col("n_lines_removed").alias("v"),
     )
+    # r9 (VERDICT r8 Next #7): corpus observability summary graded — the
+    # describe_corpus per-(lang,source) aggregation, exploded into one
+    # row per deterministic metric (doc_id = metric index): 0=n_docs,
+    # 1=total_tokens, 2=mean_tokens×100, 3=mean_quality×10000 (the two
+    # rounded means carried as exact scaled longs — no float columns in
+    # the grade). The approx-percentile sketch column is the one field
+    # NOT graded (t-digest internals are engine-specific by design;
+    # documented in COVERAGE.md).
+    desc = cu.describe_corpus(docs).select(
+        F.lit("describe").alias("part"),
+        F.concat_ws(":", "lang", "source").alias("grp"),
+        F.posexplode(
+            F.array(
+                F.col("n_docs").cast("long"),
+                F.col("total_tokens").cast("long"),
+                F.round(F.col("mean_tokens") * 100).cast("long"),
+                F.round(F.col("mean_quality") * 10000).cast("long"),
+            )
+        ).alias("doc_id", "v"),
+    ).select("part", F.col("doc_id").cast("long").alias("doc_id"), "grp", "v")
     return (
         strat.unionByName(mix).unionByName(shard).unionByName(chunk)
         .unionByName(decon).unionByName(dupspan).unionByName(lines)
+        .unionByName(desc)
     )
 
 
@@ -1135,7 +1159,15 @@ def q_text_stats(spark, sf_dir):
     row-local projection — the previous doc_id self-join of two
     projections of the same corpus was a full-corpus shuffle for nothing
     at data scale (plan-gated to zero data shuffles now). Token-less docs
-    are filtered in the same pass (the oracle's inner-join semantics)."""
+    are filtered in the same pass (the oracle's inner-join semantics).
+
+    r9 adds pii_fp (VERDICT r8 Next #7): md5 of scrub_pii over the doc
+    text DECORATED with deterministic doc_id-derived email/IP/phone
+    shapes — the synthetic corpus contains zero PII shapes (checked), so
+    scrubbing the raw text would grade an identity map; the injected
+    suffix makes all three masking regexes and their application order
+    load-bearing in the hash. Both engines build the identical decorated
+    string, so the grade isolates exactly the masking semantics."""
     d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     # tokenize ONCE into a projection alias and feed every token stat the
@@ -1161,6 +1193,20 @@ def q_text_stats(spark, sf_dir):
             tx.duplicate_line_ratio(t).alias("dup_line_ratio"),
             tx.top_token_ratio(t, toks=tk).alias("top_token_ratio"),
             dd.simhash32_expr("text", toks=tk).alias("simhash"),
+            F.md5(
+                tx.scrub_pii(
+                    F.concat(
+                        t,
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@mail.example.org, ip 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".7, tel +1 (202) 555-01"),
+                        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                        F.lit("."),
+                    )
+                )
+            ).alias("pii_fp"),
         )
     )
 
@@ -1610,6 +1656,17 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN source = '{dom}' THEN {int(rate * cu.HASH_SPACE)}"
         for dom, rate in sorted(CURATION_RATES.items())
     )
+    # quality_score twin over a `dtoks`/`text` projection (same formula as
+    # the text_stats oracle; duplicated here because the describe part
+    # aggregates it per (lang, source) group)
+    _desc_stop = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+    _desc_q = (
+        f"0.4 * ((len(list_filter(dtoks, x -> x IN ({_desc_stop}))))::DOUBLE"
+        " / (len(dtoks))::DOUBLE)"
+        " + 0.3 * least(1.0, (len(dtoks))::DOUBLE / 100.0)"
+        " + 0.3 * (1.0 - (length(text) - length(regexp_replace(text,"
+        " '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / (length(text))::DOUBLE)"
+    )
     o["curation"] = f"""
 WITH strat AS (
   SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY
@@ -1708,7 +1765,23 @@ FROM documents d LEFT JOIN (
     )
   ) WHERE c = 1 OR rn = 1
   GROUP BY doc_id
-) reb USING (doc_id)"""
+) reb USING (doc_id)
+UNION ALL
+SELECT 'describe' AS part, CAST(u.i AS BIGINT) AS doc_id,
+  lang || ':' || source AS grp,
+  CASE u.i WHEN 0 THEN n_docs WHEN 1 THEN total_tokens
+           WHEN 2 THEN CAST(round(mean_tokens * 100, 0) AS BIGINT)
+           ELSE CAST(round(mean_quality * 10000, 0) AS BIGINT) END AS v
+FROM (
+  SELECT lang, source, count(*) AS n_docs, sum(ntok) AS total_tokens,
+    round(avg(ntok), 2) AS mean_tokens, round(avg(q), 4) AS mean_quality
+  FROM (
+    SELECT lang, source,
+      COALESCE(CAST(len(dtoks) AS BIGINT), 0) AS ntok, {_desc_q} AS q
+    FROM (SELECT lang, source, text, {TOKS_SQL} AS dtoks FROM documents)
+  )
+  GROUP BY 1, 2
+) g, (SELECT unnest(range(0, 4)) AS i) u"""
     o["difference"] = (
         f"WITH ev AS ({EV_SQL}), d AS ("
         "SELECT event_id, ts_us, user_id, "
@@ -2766,7 +2839,14 @@ SELECT d.doc_id,
        ELSE list_max(list_transform(list_distinct(toks),
               d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks)::DOUBLE
   END AS top_token_ratio,
-  simhash.simhash AS simhash
+  simhash.simhash AS simhash,
+  md5(regexp_replace(regexp_replace(regexp_replace(
+    text || ' contact user' || CAST(d.doc_id AS VARCHAR)
+      || '@mail.example.org, ip 10.0.' || CAST(d.doc_id % 256 AS VARCHAR)
+      || '.7, tel +1 (202) 555-01' || lpad(CAST(d.doc_id % 100 AS VARCHAR), 2, '0') || '.',
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+    '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g'),
+    '\\+?[0-9][0-9()\\- ]{{5,}}[0-9]', '<PHONE>', 'g')) AS pii_fp
 FROM d JOIN simhash ON simhash.doc_id = d.doc_id"""
     # selection: exact-dedup keep-set + DSIR weights/resample + BM25, the
     # r6 data-selection tier. DSIR buckets via the shared md5 idiom; the
