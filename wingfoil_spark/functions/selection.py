@@ -297,21 +297,43 @@ def dsir_weights_subset(
     return d.select(F.col(id_col), _fold_weight(n_buckets).alias("log_w"))
 
 
-def _fold_weight(n_buckets: int) -> F.Column:
-    """The row-local weight fold: Σ λ[bucket(g)] over the ``__g`` gram
-    array, with the DENSE ``lam`` array in scope (O(1) indexing; bucket
-    ∈ [0, n_buckets) by construction, so the +1 index is always valid
-    under ANSI). Shared by the batch scorer above and the streaming
-    scorer (:func:`wingfoil_spark.streaming.ingest.dsir_score_stream`),
-    so stream == batch is a structural fact."""
+def _gram_table_fold(
+    items: str,
+    table: str,
+    modulus,
+    hashed: bool = False,
+) -> F.Column:
+    """THE per-gram lookup fold: ``Σ table[(md5int(g) % modulus) + 1]``
+    over a gram array — the one expression behind DSIR log-weights
+    (table = dense λ), classifier logits (table = coefs), and both folds
+    of the one-pass :func:`selection_scores` battery. ``hashed=True``
+    means the array already holds md5 ints (selection_scores
+    materializes ``__h`` once so the two folds share the hash);
+    otherwise elements are hashed inline. Every caller goes through this
+    single helper, so the bitwise equality between the single-signal
+    APIs and selection_scores is STRUCTURAL, not merely test-pinned
+    (ADVICE r8). Indexing is O(1) dense-array element_at; the +1 index
+    is always valid under ANSI because the modulus bounds the bucket."""
+    mod = modulus if isinstance(modulus, F.Column) else F.lit(modulus)
     return F.aggregate(
-        F.col("__g"),
+        F.col(items),
         F.lit(0.0),
-        lambda acc, g: acc
+        lambda acc, x: acc
         + F.element_at(
-            F.col("lam"), (_bucket(g, n_buckets) + 1).cast("int")
+            F.col(table),
+            ((x if hashed else _md5_int(x)) % mod + 1).cast("int"),
         ),
     )
+
+
+def _fold_weight(n_buckets: int) -> F.Column:
+    """The row-local DSIR weight fold: Σ λ[bucket(g)] over the ``__g``
+    gram array, with the DENSE ``lam`` array in scope. Shared by the
+    batch scorer above, the streaming scorer (:func:`wingfoil_spark.
+    streaming.ingest.dsir_score_stream`), and (via
+    :func:`_gram_table_fold`) the one-pass battery — so stream == batch
+    == one-pass is a structural fact."""
+    return _gram_table_fold("__g", "lam", n_buckets)
 
 
 def selection_scores(
@@ -364,21 +386,9 @@ def selection_scores(
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(first))
     )
-    log_w = F.aggregate(
-        F.col("__h"),
-        F.lit(0.0),
-        lambda acc, h: acc
-        + F.element_at(
-            F.col("lam"), (h % F.lit(n_buckets) + 1).cast("int")
-        ),
-    )
-    logit = F.col("intercept") + F.aggregate(
-        F.col("__h"),
-        F.lit(0.0),
-        lambda acc, h: acc
-        + F.element_at(
-            F.col("coefs"), (h % F.col("__nf") + 1).cast("int")
-        ),
+    log_w = _gram_table_fold("__h", "lam", n_buckets, hashed=True)
+    logit = F.col("intercept") + _gram_table_fold(
+        "__h", "coefs", F.col("__nf"), hashed=True
     )
     return d.select(
         F.col(id_col),
@@ -835,14 +845,8 @@ def quality_scores(
         .withColumn("__g", _grams(F.col("__tk")))
         .crossJoin(F.broadcast(first))
     )
-    logit = F.col("intercept") + F.aggregate(
-        F.col("__g"),
-        F.lit(0.0),
-        lambda acc, g: acc
-        + F.element_at(
-            F.col("coefs"),
-            (_md5_int(g) % F.col("__nf") + 1).cast("int"),
-        ),
+    logit = F.col("intercept") + _gram_table_fold(
+        "__g", "coefs", F.col("__nf")
     )
     return d.select(F.col(id_col), logit.alias("logit")).select(
         id_col,
