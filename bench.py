@@ -67,30 +67,51 @@ HEADLINE = [
 ]
 
 
-#: Clean per-query floors measured r8 (10-run minima / clean best-of-3 on
-#: a quiet host, steal <= 47 jiffies, sf0.1). These are measurement
-#: PRIORS, not caps: the host shows degraded patches the steal counter
-#: cannot see (observed: curation 2.18s floor measured 5.04s in a full
-#: suite at 40 total steal jiffies), and a whole best-of-N window can
-#: land inside one. When a query's best exceeds 1.4x its floor, the
-#: harness takes up to 3 extra runs and keeps the minimum; queries still
-#: inflated after that are listed in `inflated_vs_floor` so a reader
-#: knows which numbers carry host noise vs which moved for real. A
-#: legitimately slower plan (new scope) just pays 3 extra runs once and
-#: shows up in the list — update the floor when the change is intended.
-R8_FLOORS = {
-    "q1_pricing_summary": 0.973, "q3_shipping_priority": 0.729,
-    "q5_revenue_by_nation": 0.764, "q6_forecast_revenue": 0.252,
-    "topk_customers": 0.446, "sessionize": 0.419, "folds": 0.434,
-    "curation": 2.179, "stats_matrix": 1.016, "stats_tw": 2.188,
-    "stats_tw_kernel": 0.924, "combine_latest": 0.363, "ewma": 0.424,
-    "tumbling_1h": 0.363, "dynamic_group_sum": 0.677, "text_stats": 0.825,
-    "selection": 1.704, "minhash": 0.944, "jaccard_pairs": 2.054,
-    "ann": 4.029, "cosine_near_dups": 1.128, "vwap_suite": 0.728,
-    "order_book_top": 0.477, "book_feed": 0.602, "analysis_scores": 1.104,
-    "dynamic_membership": 1.329, "media_frames": 0.238, "media_doc": 0.608,
-    "join3": 0.569, "delay_with_reset": 0.401, "lm_packing": 2.904,
-}
+#: Clean per-query floors (10-run minima / clean best-of-N on a quiet
+#: host, sf0.1) now live in the COMMITTED artifact bench_floors.json
+#: (VERDICT r8 Next #6 — a hand-edited constant rots as plans
+#: legitimately change; the artifact is maintained by the re-pin runs
+#: themselves). These are measurement PRIORS, not caps: the host shows
+#: degraded patches the steal counter cannot see (observed: curation
+#: 2.18s floor measured 5.04s in a full suite at 40 total steal
+#: jiffies), and a whole best-of-N window can land inside one. When a
+#: query's best exceeds 1.4x its floor, the harness takes up to 3 extra
+#: runs and keeps the minimum; queries still inflated after that are
+#: listed in `inflated_vs_floor` so a reader knows which numbers carry
+#: host noise vs which moved for real.
+#:
+#: Maintenance protocol (how the artifact stays honest):
+#: - SPARK_GRAFT_UPDATE_FLOORS=1 on a CLEAN sf0.1 run lowers floors to
+#:   any new measured minima and adds floors for newly-benched queries
+#:   (a floor can only tighten this way — host noise can't raise it);
+#: - SPARK_GRAFT_RESET_FLOORS=a,b (or 'all') replaces those entries
+#:   with the run's best EVEN IF HIGHER — the explicit intended-plan-
+#:   change path (new union branch, new scope), recorded in git.
+FLOORS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_floors.json"
+)
+
+
+def _load_floors() -> dict[str, float]:
+    try:
+        with open(FLOORS_PATH) as f:
+            doc = json.load(f)
+        return {k: float(v) for k, v in doc.get("floors", {}).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_floors(floors: dict[str, float], note: str) -> None:
+    try:
+        with open(FLOORS_PATH) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {"sf": "0.1"}
+    doc["floors"] = {k: round(float(v), 3) for k, v in sorted(floors.items())}
+    doc["updated"] = note
+    with open(FLOORS_PATH, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 def _other_spark_jvms() -> list[int]:
@@ -135,6 +156,13 @@ def main() -> None:
     best_of = int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))
     only = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
     headline = [q for q in HEADLINE if not only or q in only]
+    floors = _load_floors()
+    update_floors = os.environ.get("SPARK_GRAFT_UPDATE_FLOORS", "") == "1"
+    reset_raw = os.environ.get("SPARK_GRAFT_RESET_FLOORS", "")
+    reset_floors = (
+        set(HEADLINE) if reset_raw == "all"
+        else {q for q in reset_raw.split(",") if q}
+    )
     # isolation guard: another Spark JVM shares the 32 cores and inflates
     # timings 4-40x. Wait for it to drain rather than refusing (numbers must
     # flow), but flag the contamination in the output JSON.
@@ -205,7 +233,9 @@ def main() -> None:
         # best-of-N window without advancing the steal counter — if this
         # query's best sits far above its measured clean floor, take up
         # to 3 extra runs and keep the minimum (sf0.1 floors only).
-        floor = R8_FLOORS.get(name) if sf == "0.1" else None
+        floor = floors.get(name) if sf == "0.1" else None
+        if name in reset_floors:
+            floor = None  # intended plan change: don't chase the old floor
         if floor is not None and best > 1.4 * floor:
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -233,6 +263,26 @@ def main() -> None:
         print(f"# WARNING: suite-level steal {suite_steal} jiffies over "
               f"{suite_wall:.0f}s wall exceeds the 0.25%-capacity bar; "
               "flagging the run contaminated", file=sys.stderr)
+    # floor-artifact maintenance (sf0.1, clean runs only — a contaminated
+    # run must never move a floor in either direction)
+    if sf == "0.1" and not contaminated and (update_floors or reset_floors):
+        changed = []
+        for name, t in timings.items():
+            if name in reset_floors:
+                if floors.get(name) != t:
+                    changed.append(f"{name} reset {floors.get(name)}->{t}")
+                    floors[name] = t
+            elif update_floors and name not in inflated and (
+                name not in floors or t < floors[name]
+            ):
+                changed.append(f"{name} {floors.get(name)}->{t}")
+                floors[name] = t
+        if changed:
+            _save_floors(
+                floors,
+                "bench.py floor maintenance: " + "; ".join(changed),
+            )
+            print(f"# floors updated: {', '.join(changed)}", file=sys.stderr)
     print(
         json.dumps(
             {
