@@ -105,6 +105,7 @@ def token_budget_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Contiguous token-range sharding: order the corpus by id, take the
     running token count, and assign each doc the shard holding its FIRST
@@ -130,6 +131,10 @@ def token_budget_shards(
     Wall-clock scales as a hash shuffle of (id, n_tokens) — 16 B/row —
     never as a single-task sort. Bucket skew follows id clustering;
     dense ids (the normal case for a curated corpus) balance evenly.
+
+    ``toks_col`` points at a precomputed token array (a pipeline that
+    tokenizes the corpus once and feeds several curation steps); counts
+    are identical to tokenizing ``text_col`` here.
     """
     spark = df.sparkSession
     toks = df.select(
@@ -138,7 +143,11 @@ def token_budget_shards(
         # downstream cumulative sum) — the doc still occupies a row so
         # shard assignment covers the whole corpus
         F.coalesce(
-            token_count(F.col(text_col)).cast("long"), F.lit(0).cast("long")
+            token_count(
+                F.col(text_col),
+                toks=F.col(toks_col) if toks_col else None,
+            ).cast("long"),
+            F.lit(0).cast("long"),
         ).alias("n_tokens"),
     )
     lo_hi = toks.agg(
@@ -215,6 +224,7 @@ def describe_corpus(
     df: DataFrame,
     text_col: str = "text",
     group_cols: tuple = ("lang", "source"),
+    toks_col: str | None = None,
 ) -> DataFrame:
     """One-pass corpus observability summary, per group: doc count, token
     totals, mean quality, and approximate token quantiles — the report a
@@ -228,8 +238,12 @@ def describe_corpus(
     """
     from wingfoil_spark.functions.text import quality_score
 
-    ntok = F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0).cast("long"))
-    q = quality_score(F.col(text_col))
+    tk = F.col(toks_col) if toks_col else None
+    ntok = F.coalesce(
+        token_count(F.col(text_col), toks=tk).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    q = quality_score(F.col(text_col), toks=tk)
     return df.groupBy(*group_cols).agg(
         F.count("*").alias("n_docs"),
         F.sum(ntok).alias("total_tokens"),

@@ -477,6 +477,7 @@ def decontaminate(
     id_col: str = "doc_id",
     min_hits: int = 1,
     report_clean: bool = False,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination for training corpora: flag every corpus
     document sharing at least ``min_hits`` distinct word ``n``-grams with
@@ -511,9 +512,16 @@ def decontaminate(
         .select(gram_h.alias("gh"))
         .distinct()
     )
+    # toks_col: a precomputed CORPUS token array (one tokenize shared
+    # across curation steps); the tiny bench side always tokenizes here
     corpus_units = (
         ensure_parallelism(corpus)
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            (F.col(toks_col) if toks_col else tokens(F.col(text_col))).alias(
+                "__toks"
+            ),
+        )
         .select(id_col, gram_h.alias("gh"))
     )
     hits = (
@@ -660,6 +668,7 @@ def duplicate_spans(
     min_len: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Substring-level (passage) deduplication: every maximal token span of
     at least ``min_len`` tokens whose text occurs MORE THAN ONCE anywhere
@@ -700,7 +709,10 @@ def duplicate_spans(
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     L = min_len
     toks = ensure_parallelism(docs).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col),
+        (F.col(toks_col) if toks_col else tokens(F.col(text_col))).alias(
+            "__toks"
+        ),
     )
     grams = toks.select(
         id_col,

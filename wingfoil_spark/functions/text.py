@@ -138,6 +138,7 @@ def chunk_tokens(
     overlap: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toks_col: str | None = None,
 ):
     """Split documents into overlapping token-window chunks — the standard
     pretraining/RAG corpus step between curation and sharding. Chunk i
@@ -156,8 +157,12 @@ def chunk_tokens(
     stride = size - overlap
     # NULL text chunks like the empty string (one empty 0-token chunk) —
     # without the coalesce, greatest/least skip the null arithmetic and
-    # fabricate a phantom size-`size` chunk
-    t = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    # fabricate a phantom size-`size` chunk. toks_col = a precomputed
+    # token array (share one tokenize across several curation steps).
+    t = F.coalesce(
+        F.col(toks_col) if toks_col else tokens(F.col(text_col)),
+        F.array().cast("array<string>"),
+    )
     d = df.select(F.col(id_col), t.alias("__toks"))
     # integer ceil-div via `div` (float division would mis-round big counts)
     n_chunks = F.greatest(
