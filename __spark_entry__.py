@@ -1520,9 +1520,15 @@ def q_ann(spark, sf_dir):
     # serving shape of a real int8 vector store. floor(+0.5) half-up and
     # the float32 cast are engine-exact, so the DuckDB twin replays the
     # whole quantize→dequantize→cosine chain bit-for-bit.
+    # checkpoint the reconstructed corpus: lambda-bearing array
+    # expressions are excluded from subexpression elimination, so an
+    # unmaterialized dequantize re-runs the quantize chain inside every
+    # per-pair dot product (measured 2.0s vs 0.9s + one 0.3s
+    # materialization at sf0.1). At scale this checkpoint IS the int8
+    # store: codes written once, floats dropped.
     q8 = sim.dequantize_embeddings(
         sim.quantize_embeddings(e).select("vec_id", "q_embedding", "q_scale")
-    ).select("vec_id", "embedding")
+    ).select("vec_id", "embedding").localCheckpoint(eager=True)
     int8 = sim.cosine_topk(q8, probes, k=5).withColumn(
         "method", F.lit("int8")
     )
