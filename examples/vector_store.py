@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Vector store — the similarity-search tier end to end at toy scale.
+
+The 100 TB embedding-store recipe this engine implements (no binding
+twin — the reference's augurs/market tiers don't cover vectors):
+
+1. WRITE path: int8-quantize the float vectors (4× smaller scans) and
+   PQ-encode them (m smallint codes/vector, 16-32× smaller) — at scale
+   the codes + the int8 column ARE the stored corpus; floats drop.
+2. INDEX path: coarse IVF centroids (cells bound WHICH rows a probe
+   scans) and a hyperplane-LSH bucket index (the streaming-serving
+   index).
+3. READ paths, recall-vs-cost dial: exact brute force (the oracle),
+   int8-reconstructed exact (storage-tier accuracy), IVF-flat, PQ-ADC,
+   IVF-PQ (the billion-vector composition), all sharing ONE corpus
+   assignment via the r9 ``centroids=``/``corpus_assign=`` hooks.
+4. SERVING path: `ann_topk_stream` answers ARRIVING probes against the
+   frozen bucket index (stream-static join, zero standing state).
+5. CURATION path: SemDeDup prunes semantic near-duplicates from the
+   same assignment frame (assign once, prune per threshold/cap).
+
+    python examples/vector_store.py
+"""
+
+import math
+import pathlib
+import random
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F
+
+import wingfoil_spark as wf
+from wingfoil_spark.functions import selection as sel
+from wingfoil_spark.functions import similarity as sim
+
+spark = wf.get_spark("vector_store", cpus=4)
+
+# a toy corpus: 3 planted clusters in 16-d, plus a planted near-duplicate
+rng = random.Random(7)
+centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(3)]
+rows = []
+for i in range(240):
+    c = centers[i % 3]
+    rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+rows.append((240, [x + 1e-4 for x in rows[0][1]]))  # near-dup of vec 0
+corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+probes = corpus.where(F.col("vec_id") % 60 == 0)
+
+# 1. WRITE path — int8 + PQ codes (what a 100 TB store persists)
+q8 = sim.dequantize_embeddings(
+    sim.quantize_embeddings(corpus).select("vec_id", "q_embedding", "q_scale")
+).select("vec_id", "embedding").localCheckpoint(eager=True)
+books = sim.pq_train(corpus, m=4, k=16, fit="take")
+codes = sim.pq_encode(corpus, books).select("vec_id", "pq_code").localCheckpoint(eager=True)
+
+# 2. INDEX path — one coarse fit + ONE corpus assignment, shared by
+# every centroid consumer below (the r9 corpus_assign= pattern)
+cents = sim.ivf_centroids(corpus, n_centroids=4, fit="take")
+assign = sel.semdedup_assign(
+    corpus, n_clusters=4, fit="take", centroids=cents
+).localCheckpoint(eager=True)
+
+# 3. READ paths — same probe, five tiers
+exact = sim.cosine_topk(corpus, probes, k=3)
+int8 = sim.cosine_topk(q8, probes, k=3)
+ivf = sim.ivf_topk(corpus, probes, k=3, n_centroids=4, nprobe=2,
+                   fit="take", centroids=cents, corpus_assign=assign)
+pq = sim.pq_topk(codes, probes, books, k=3)
+ivfpq = sim.ivfpq_topk(corpus, probes, books, k=3, n_centroids=4, nprobe=2,
+                       fit="take", corpus_codes=codes,
+                       centroids=cents, corpus_assign=assign)
+
+top_exact = {(r.probe_id, r.rank): r.neighbor_id for r in exact.collect()}
+top_int8 = {(r.probe_id, r.rank): r.neighbor_id for r in int8.collect()}
+# the planted near-dup is every tier's rank-1 for probe 0
+assert top_exact[(0, 1)] == 240, top_exact
+assert top_int8[(0, 1)] == 240, "int8 reconstruction must keep direction"
+agree = sum(top_exact[k] == top_int8[k] for k in top_exact) / len(top_exact)
+print(f"int8 vs exact rank agreement: {agree:.2f}")
+assert agree >= 0.8, "8 bits preserve ranking on separated clusters"
+for name, df in [("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq)]:
+    got = {(r.probe_id, r.rank): r.neighbor_id for r in df.collect()}
+    assert got[(0, 1)] == 240, (name, got)
+    print(f"{name}: rank-1 near-dup recovered for probe 0")
+
+# 4. SERVING path — arriving probes vs the frozen bucket index
+from wingfoil_spark.streaming import ingest
+
+index = ingest.build_ann_index(corpus).localCheckpoint(eager=True)
+served = ingest.ann_topk_stream(probes, index, k=3)  # batch frame: same plan
+got = {(r.probe_id, r.rank): r.neighbor_id for r in served.collect()}
+assert got[(0, 1)] == 240, got
+print("streaming-serving index: rank-1 near-dup recovered")
+
+# 5. CURATION path — SemDeDup from the SAME assignment frame
+pruned = sel.semdedup_prune(assign, threshold=0.999)
+kept = {r.vec_id for r in pruned.where("keep").collect()}
+dropped = {r.vec_id for r in pruned.where("NOT keep").collect()}
+assert (0 in dropped) != (240 in dropped), "exactly one of the near-dup pair survives"
+print(f"semdedup: {len(kept)} kept, {len(dropped)} pruned (near-dup collapsed)")
+
+print("vector_store example OK")
