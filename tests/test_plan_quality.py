@@ -242,3 +242,56 @@ def test_stratified_take_pushes_group_limit(spark):
     plan = cu.stratified_take(d, 10)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") == 2, plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_dedup_lines_no_window_no_python(spark):
+    """The C4 line-dedup owner election must stay a partial-aggregable
+    groupBy, never a window over the line stream (a window partition on
+    the line hash would put a 10^8-copy boilerplate line in ONE task),
+    and the whole pipeline is JVM-only."""
+    from wingfoil_spark.functions import dedup as dd
+    from wingfoil_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        dd.dedup_lines(d.select("doc_id", "text"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_int8_quantize_chain_jvm_only(spark):
+    """quantize->dequantize->cosine is pure Catalyst: zero Python stages,
+    zero data shuffles before the per-probe ranking window."""
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.functions import similarity as sim
+    from wingfoil_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q8 = sim.dequantize_embeddings(
+        sim.quantize_embeddings(e).select("vec_id", "q_embedding", "q_scale")
+    ).select("vec_id", "embedding")
+    probes = e.where(F.col("vec_id") % 50 == 0)
+    plan = (
+        sim.cosine_topk(q8, probes, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_describe_corpus_single_shuffle(spark):
+    """The observability summary is ONE aggregation: exactly one data
+    exchange (the group-key shuffle), partial-aggregated map-side."""
+    from wingfoil_spark.functions import curation as cu
+    from wingfoil_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        cu.describe_corpus(d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert count_shuffles(plan) == 1, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
