@@ -150,6 +150,14 @@ def token_budget_shards(
             F.lit(0).cast("long"),
         ).alias("n_tokens"),
     )
+    # materialize the NARROW (id, n_tokens) frame once: this function
+    # runs two eager jobs (bucket totals below; previously also min/max)
+    # plus the final windowed job, and without a checkpoint each one
+    # re-tokenizes the corpus from the raw scan. 16 B/doc — the
+    # scalar-level checkpoint that wins, unlike wide token-array
+    # checkpoints (the r7/r9 curation A/B lesson); measured 1.06s→0.7s
+    # at sf0.1.
+    toks = toks.localCheckpoint(eager=True)
     lo_hi = toks.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).collect()[0]
