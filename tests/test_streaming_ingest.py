@@ -580,3 +580,71 @@ def test_quality_scores_stream_legal(spark, docs):
     assert set(got) == set(batch)
     for i, v in got.items():
         assert v == pytest.approx(batch[i], abs=1e-12), i
+
+
+def test_ann_topk_stream_survives_restart(spark, sf_dir):
+    """Checkpoint recovery for the serving path (graded as decon_stream
+    part='ann' since r9): stop the retrieval query after the first probe
+    file, restart a NEW query from the same checkpoint with more probes
+    arrived — pre-restart answers are not re-emitted (exactly-once file
+    sink) and post-restart probes get exactly their batch-tier top-k."""
+    import pandas as pd
+
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 40 == 0)
+    batch = sim.lsh_bucketed_topk(emb, probes, k=5).toPandas()
+    index = ingest.build_ann_index(emb).localCheckpoint(eager=True)
+
+    pdf = probes.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    half = len(pdf) // 2
+    src_dir = tempfile.mkdtemp(prefix="wf_ann_ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="wf_ann_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="wf_ann_ckpt_out_")
+    try:
+        pdf.iloc[:half].to_parquet(
+            os.path.join(src_dir, "c0.parquet"), index=False
+        )
+
+        def start():
+            stream = (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            return (
+                ingest.ann_topk_stream(stream, index, k=5)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        q.awaitTermination(120)
+        first = spark.read.parquet(out_dir).toPandas()
+        assert set(first["probe_id"]) == set(pdf.iloc[:half]["vec_id"])
+
+        pdf.iloc[half:].to_parquet(
+            os.path.join(src_dir, "c1.parquet"), index=False
+        )
+        q2 = start()  # fresh query object, same checkpoint
+        q2.awaitTermination(120)
+        got = spark.read.parquet(out_dir).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    # every probe answered exactly once, pre- and post-restart combined,
+    # and the whole result equals the batch tier
+    assert len(g) == len(b)
+    for c in ("probe_id", "neighbor_id", "rank"):
+        assert g[c].tolist() == b[c].tolist(), c
+    assert g["cosine"].tolist() == b["cosine"].tolist()
