@@ -386,6 +386,23 @@ def main() -> None:
                     "ann +semdedup_cap branch; decon_stream 2->4 parts "
                     "(bm25 + lm stream scorers graded)"
                 ),
+                # r9 scope growth (not regressions): ann gains the int8
+                # branch (8 methods) while LOSING two duplicate
+                # fit+assign scans (shared corpus_assign=) — nets out at
+                # the r8 floor (4.02 vs 4.03); curation widens 6->8 parts
+                # (+lines: C4 line dedup, +describe: observability
+                # summary, ~+0.5s of real new work); text_stats gains the
+                # pii_fp scrub column; decon_stream (non-headline) is 5
+                # parts over two streaming sources (+ann serving).
+                # Floors for the three changed queries were RESET via the
+                # artifact protocol (see bench_floors.json history).
+                "scope_note_r9": (
+                    "ann +int8 branch - 2 duplicate assign scans (nets "
+                    "at r8 floor); curation 6->8 parts (lines, "
+                    "describe); text_stats +pii_fp; decon_stream 4->5 "
+                    "parts (streamed ann graded); floors moved to the "
+                    "committed bench_floors.json artifact"
+                ),
             }
         )
     )
