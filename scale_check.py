@@ -394,7 +394,10 @@ def semdedup_cap_10x(spark):
 
 def ann_fixed_probes(spark, sf_dir):
     """ANN with a scale-FIXED probe set (40 probes from the original id
-    range at both scales): exact + IVF tiers, corpus-linear cost."""
+    range at both scales): exact + IVF tiers, corpus-linear cost; r9
+    adds the int8 storage tier (quantize→dequantize corpus, checkpointed
+    exactly like the graded query) so the quantized store's
+    corpus-linear claim carries scale evidence too."""
     from pyspark.sql import functions as F
 
     from wingfoil_spark.functions import similarity as sim
@@ -404,8 +407,14 @@ def ann_fixed_probes(spark, sf_dir):
     probes = e.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     exact = sim.cosine_topk(e, probes, k=5)
     ivf = sim.ivf_topk(e, probes, k=5, n_centroids=16, nprobe=4, fit="take")
-    return exact.withColumn("method", F.lit("exact")).unionByName(
-        ivf.withColumn("method", F.lit("ivf"))
+    q8 = sim.dequantize_embeddings(
+        sim.quantize_embeddings(e).select("vec_id", "q_embedding", "q_scale")
+    ).select("vec_id", "embedding").localCheckpoint(eager=True)
+    int8 = sim.cosine_topk(q8, probes, k=5)
+    return (
+        exact.withColumn("method", F.lit("exact"))
+        .unionByName(ivf.withColumn("method", F.lit("ivf")))
+        .unionByName(int8.withColumn("method", F.lit("int8")))
     )
 
 
