@@ -169,20 +169,26 @@ BPE_MERGES = [
 ]
 
 
-def q_curation(spark, sf_dir):
-    """Corpus-curation tier (functions/curation.py) as one tagged union:
-    deterministic stratified sampling (exactly-n per lang), md5-keyed
-    weighted domain mixing, and token-budget sharding via the two-phase
-    distributed prefix sum. All md5-keyed → the DuckDB twin reproduces
-    every draw exactly.
-
-    r9 widens to EIGHT parts: part='lines' grades C4 line-level dedup
-    (the last dedup family without a hash grade — VERDICT r8 Next #2),
-    with the rebuilt-text md5 as the graded key; part='describe' grades
-    the describe_corpus observability aggregation (metrics as exact
-    scaled longs; the approx-percentile sketch column is the documented
-    not-graded field)."""
+def _curation_union(spark, sf_dir, shared_tokens: bool = False):
+    """ONE assembler for both curation variants (code-review r9: the
+    shared-tokenize twin previously duplicated ~70 lines of this body,
+    so an edit to a graded part could silently diverge the A/B).
+    ``shared_tokens=False`` is the GRADED assembly (each branch
+    tokenizes its own scan — measured faster, see scale_check's
+    curation_onepass_ab); ``shared_tokens=True`` tokenizes once into a
+    checkpointed (docs, __tk) frame and feeds the five token-consuming
+    branches via toks_col= — bitwise-equal rows by construction (same
+    expressions, one materialization)."""
     docs = load_table(spark, sf_dir, "documents")
+    if shared_tokens:
+        src = (
+            docs.select("doc_id", "lang", "source", "n_chars", "text")
+            .withColumn("__tk", tx.tokens(F.col("text")))
+            .localCheckpoint(eager=True)
+        )
+        tk = "__tk"
+    else:
+        src, tk = docs, None
     strat = cu.stratified_take(
         docs, CURATION_STRAT_N, group_col="lang", tag="strat"
     ).select(
@@ -193,13 +199,13 @@ def q_curation(spark, sf_dir):
         F.lit("mix").alias("part"), "doc_id", F.col("source").alias("grp"),
         F.col("n_chars").cast("long").alias("v"),
     )
-    shard = cu.token_budget_shards(docs, CURATION_BUDGET).select(
+    shard = cu.token_budget_shards(src, CURATION_BUDGET, toks_col=tk).select(
         F.lit("shard").alias("part"), "doc_id",
         F.col("shard").cast("string").alias("grp"),
         F.col("cum_tokens").cast("long").alias("v"),
     )
     size, ov = CURATION_CHUNK
-    chunk = tx.chunk_tokens(docs, size, ov).select(
+    chunk = tx.chunk_tokens(src, size, ov, toks_col=tk).select(
         F.lit("chunk").alias("part"), "doc_id",
         # grp carries the chunk CONTENT hash — the window slicing itself
         # is graded, not just the arithmetic
@@ -212,7 +218,7 @@ def q_curation(spark, sf_dir):
     # docs self-flag and near-dup docs cross-flag). Flagged-only emission:
     # the corpus side never shuffles (functions/dedup.py decontaminate).
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    decon = dd.decontaminate(docs, bench, n=CURATION_DECON_N).select(
+    decon = dd.decontaminate(src, bench, n=CURATION_DECON_N, toks_col=tk).select(
         F.lit("decon").alias("part"), "doc_id", F.lit("eval").alias("grp"),
         F.col("n_hits").cast("long").alias("v"),
     )
@@ -221,7 +227,7 @@ def q_curation(spark, sf_dir):
     # -hash shuffle + per-doc interval merge (functions/dedup.py
     # duplicate_spans). grp carries the span extent so the slicing itself
     # is graded.
-    dupspan = dd.duplicate_spans(docs, CURATION_DUP_L).select(
+    dupspan = dd.duplicate_spans(src, CURATION_DUP_L, toks_col=tk).select(
         F.lit("dupspan").alias("part"), "doc_id",
         F.concat_ws(":", F.col("span_start").cast("string"),
                     F.col("span_end").cast("string")).alias("grp"),
@@ -246,7 +252,7 @@ def q_curation(spark, sf_dir):
     # the grade). The approx-percentile sketch column is the one field
     # NOT graded (t-digest internals are engine-specific by design;
     # documented in COVERAGE.md).
-    desc = cu.describe_corpus(docs).select(
+    desc = cu.describe_corpus(src, toks_col=tk).select(
         F.lit("describe").alias("part"),
         F.concat_ws(":", "lang", "source").alias("grp"),
         F.posexplode(
@@ -263,82 +269,38 @@ def q_curation(spark, sf_dir):
         .unionByName(decon).unionByName(dupspan).unionByName(lines)
         .unionByName(desc)
     )
+
+
+def q_curation(spark, sf_dir):
+    """Corpus-curation tier (functions/curation.py) as one tagged union:
+    deterministic stratified sampling (exactly-n per lang), md5-keyed
+    weighted domain mixing, and token-budget sharding via the two-phase
+    distributed prefix sum. All md5-keyed → the DuckDB twin reproduces
+    every draw exactly.
+
+    r9 widens to EIGHT parts: part='lines' grades C4 line-level dedup
+    (the last dedup family without a hash grade — VERDICT r8 Next #2),
+    with the rebuilt-text md5 as the graded key; part='describe' grades
+    the describe_corpus observability aggregation (metrics as exact
+    scaled longs; the approx-percentile sketch column is the documented
+    not-graded field)."""
+    return _curation_union(spark, sf_dir)
 
 
 def q_curation_onepass(spark, sf_dir):
     """SHARED-TOKENIZE variant of q_curation (VERDICT r8 Next #4 A/B):
     the five token-consuming branches (shard/chunk/decon/dupspan/
-    describe) read ONE checkpointed (doc_id, text, __tk) frame via the
-    r9 ``toks_col=`` pass-throughs instead of re-tokenizing `documents`
-    per branch. Same rows/semantics as q_curation bit-for-bit (the
-    token arrays are the identical expression, materialized). NOT the
-    graded entry — scale_check.py measures both at sf0.1 and the 10x
-    tier (`curation_onepass_ab`) and the graded assembly is whichever
-    wins; the r7 lesson (wide token-array checkpoints can LOSE to
-    recompute) is why this is measured, not assumed."""
-    docs = load_table(spark, sf_dir, "documents")
-    dt = (
-        docs.select("doc_id", "lang", "source", "n_chars", "text")
-        .withColumn("__tk", tx.tokens(F.col("text")))
-        .localCheckpoint(eager=True)
-    )
-    strat = cu.stratified_take(
-        docs, CURATION_STRAT_N, group_col="lang", tag="strat"
-    ).select(
-        F.lit("strat").alias("part"), "doc_id", F.col("lang").alias("grp"),
-        F.col("strat_rank").cast("long").alias("v"),
-    )
-    mix = cu.weighted_mix(docs, CURATION_RATES, tag="mix").select(
-        F.lit("mix").alias("part"), "doc_id", F.col("source").alias("grp"),
-        F.col("n_chars").cast("long").alias("v"),
-    )
-    shard = cu.token_budget_shards(dt, CURATION_BUDGET, toks_col="__tk").select(
-        F.lit("shard").alias("part"), "doc_id",
-        F.col("shard").cast("string").alias("grp"),
-        F.col("cum_tokens").cast("long").alias("v"),
-    )
-    size, ov = CURATION_CHUNK
-    chunk = tx.chunk_tokens(dt, size, ov, toks_col="__tk").select(
-        F.lit("chunk").alias("part"), "doc_id",
-        F.concat_ws(":", F.col("chunk_id").cast("string"),
-                    F.md5("chunk_text")).alias("grp"),
-        F.col("n_chunk_tokens").alias("v"),
-    )
-    bench = docs.where(F.col("doc_id") % 97 == 0)
-    decon = dd.decontaminate(
-        dt, bench, n=CURATION_DECON_N, toks_col="__tk"
-    ).select(
-        F.lit("decon").alias("part"), "doc_id", F.lit("eval").alias("grp"),
-        F.col("n_hits").cast("long").alias("v"),
-    )
-    dupspan = dd.duplicate_spans(dt, CURATION_DUP_L, toks_col="__tk").select(
-        F.lit("dupspan").alias("part"), "doc_id",
-        F.concat_ws(":", F.col("span_start").cast("string"),
-                    F.col("span_end").cast("string")).alias("grp"),
-        F.col("span_tokens").cast("long").alias("v"),
-    )
-    lines = dd.dedup_lines(docs.select("doc_id", "text")).select(
-        F.lit("lines").alias("part"), "doc_id",
-        F.md5(F.col("text")).alias("grp"),
-        F.col("n_lines_removed").alias("v"),
-    )
-    desc = cu.describe_corpus(dt, toks_col="__tk").select(
-        F.lit("describe").alias("part"),
-        F.concat_ws(":", "lang", "source").alias("grp"),
-        F.posexplode(
-            F.array(
-                F.col("n_docs").cast("long"),
-                F.col("total_tokens").cast("long"),
-                F.round(F.col("mean_tokens") * 100).cast("long"),
-                F.round(F.col("mean_quality") * 10000).cast("long"),
-            )
-        ).alias("doc_id", "v"),
-    ).select("part", F.col("doc_id").cast("long").alias("doc_id"), "grp", "v")
-    return (
-        strat.unionByName(mix).unionByName(shard).unionByName(chunk)
-        .unionByName(decon).unionByName(dupspan).unionByName(lines)
-        .unionByName(desc)
-    )
+    describe) read ONE checkpointed (docs, __tk) frame via the r9
+    ``toks_col=`` pass-throughs instead of re-tokenizing `documents`
+    per branch. Same rows bit-for-bit BY CONSTRUCTION — both variants
+    are the same assembler (_curation_union), differing only in where
+    the token expression materializes. NOT the graded entry:
+    scale_check.py measures both at sf0.1 and the 10x tier
+    (`curation_onepass_ab`) and the graded assembly is whichever wins;
+    the r7 lesson (wide token-array checkpoints can LOSE to recompute)
+    is why this is measured, not assumed — and it LOSES (kept for
+    pipelines that already materialize tokens)."""
+    return _curation_union(spark, sf_dir, shared_tokens=True)
 
 
 def q_difference(spark, sf_dir):
@@ -1467,12 +1429,15 @@ def q_ann(spark, sf_dir):
     ).withColumn("method", F.lit("pq"))
     # r9 (VERDICT r8 Next #1): ALL FOUR centroid-consuming branches (ivf,
     # ivfpq, semdedup, semdedup_cap) run the identical fit='take'
-    # 16-centroid assignment — fit ONCE (lazy TakeOrdered), assign ONCE,
-    # checkpoint (5 small columns/vector), and feed every branch from the
-    # cached frame via centroids=/corpus_assign= (the corpus_codes=
-    # pattern). q_ann previously ran the same full-corpus assignment scan
-    # three times; now it runs once.
-    cents = sim.ivf_centroids(e, 16, fit="take")
+    # 16-centroid assignment — fit ONCE, assign ONCE, checkpoint (5 small
+    # columns/vector), and feed every branch from the cached frames via
+    # centroids=/corpus_assign= (the corpus_codes= pattern). q_ann
+    # previously ran the same full-corpus assignment scan three times;
+    # now it runs once. The centroid frame is ALSO checkpointed (16
+    # rows): take-fit is a lazy TakeOrdered whose full-corpus scan would
+    # otherwise re-run inside every branch that embeds it (both probe
+    # assignments) — materializing it makes "fit once" literally true.
+    cents = sim.ivf_centroids(e, 16, fit="take").localCheckpoint(eager=True)
     asg = sel.semdedup_assign(
         e, n_clusters=16, fit="take", centroids=cents
     ).localCheckpoint(eager=True)

@@ -92,13 +92,22 @@ FLOORS_PATH = os.path.join(
 )
 
 
-def _load_floors() -> dict[str, float]:
+def _load_floors() -> tuple[dict[str, float], bool]:
+    """(floors, ok). ok=False means the artifact was missing/corrupt —
+    the caller must then SKIP floor maintenance entirely: updating from
+    an empty load would rewrite the committed file with only the current
+    run's queries, silently erasing every other floor."""
     try:
         with open(FLOORS_PATH) as f:
             doc = json.load(f)
-        return {k: float(v) for k, v in doc.get("floors", {}).items()}
-    except (OSError, ValueError):
-        return {}
+        return {k: float(v) for k, v in doc.get("floors", {}).items()}, True
+    except FileNotFoundError:
+        return {}, False
+    except (OSError, ValueError) as e:
+        print(f"# WARNING: bench_floors.json unreadable ({e}); floor "
+              "challenge AND floor maintenance disabled this run",
+              file=sys.stderr)
+        return {}, False
 
 
 def _save_floors(floors: dict[str, float], note: str) -> None:
@@ -156,7 +165,7 @@ def main() -> None:
     best_of = int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))
     only = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
     headline = [q for q in HEADLINE if not only or q in only]
-    floors = _load_floors()
+    floors, floors_ok = _load_floors()
     update_floors = os.environ.get("SPARK_GRAFT_UPDATE_FLOORS", "") == "1"
     reset_raw = os.environ.get("SPARK_GRAFT_RESET_FLOORS", "")
     reset_floors = (
@@ -265,7 +274,8 @@ def main() -> None:
               "flagging the run contaminated", file=sys.stderr)
     # floor-artifact maintenance (sf0.1, clean runs only — a contaminated
     # run must never move a floor in either direction)
-    if sf == "0.1" and not contaminated and (update_floors or reset_floors):
+    if (sf == "0.1" and floors_ok and not contaminated
+            and (update_floors or reset_floors)):
         changed = []
         for name, t in timings.items():
             if name in reset_floors:

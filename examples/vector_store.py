@@ -22,7 +22,6 @@ twin — the reference's augurs/market tiers don't cover vectors):
     python examples/vector_store.py
 """
 
-import math
 import pathlib
 import random
 import sys

@@ -292,9 +292,12 @@ def ivf_topk(
     centroid-consuming searches over one corpus (ivf + ivfpq + semdedup,
     the graded ``ann`` union) fits the centroid frame once and assigns the
     corpus once (e.g. a checkpointed ``selection.semdedup_assign``), then
-    feeds both here — this function then runs ZERO corpus-side fit or
-    assignment scans, only the probe assignment (tiny) and the bucket
-    join. ``corpus_assign`` needs ``(id_col, cid, emb_col)``; a ``__nrm``
+    feeds both here — this function then adds ZERO corpus-side fit or
+    assignment scans of its own, only the probe assignment and the bucket
+    join. Materialize BOTH frames (localCheckpoint/persist): a lazy
+    take-fit centroid frame is a TakeOrdered whose full-corpus scan
+    re-runs everywhere the plan embeds it, including the probe
+    assignment here. ``corpus_assign`` needs ``(id_col, cid, emb_col)``; a ``__nrm``
     column (the ``semdedup_assign`` layout) is reused verbatim when
     present — it is the same left-to-right double sum-of-squares fold as
     :func:`with_norm`, so results are bitwise-unchanged."""
@@ -639,18 +642,17 @@ def ivfpq_topk(
         if centroids is not None
         else ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
     )
-    if corpus_assign is not None:
-        c = corpus_assign.select(id_col, "cid")
-    else:
-        c = None
     if corpus_codes is not None:
         # persisted/shared code table: (id, pq_code). Skips the encode
         # pass — at scale the codes ARE the stored corpus (the float
         # column was dropped at write time), so this is the normal path;
         # only the coarse assignment still reads vectors (and a shared
         # corpus_assign= removes even that).
-        if c is None:
-            c = ivf_assign(corpus, cents, 1, emb_col, id_col).select(id_col, "cid")
+        c = (
+            corpus_assign.select(id_col, "cid")
+            if corpus_assign is not None
+            else ivf_assign(corpus, cents, 1, emb_col, id_col).select(id_col, "cid")
+        )
         c_codes = c.join(
             corpus_codes.select(F.col(id_col), F.col(code_col).alias("pq_code")),
             id_col,
