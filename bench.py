@@ -102,6 +102,9 @@ def _load_floors() -> tuple[dict[str, float], bool]:
             doc = json.load(f)
         return {k: float(v) for k, v in doc.get("floors", {}).items()}, True
     except FileNotFoundError:
+        print("# NOTE: bench_floors.json missing; floor challenge and "
+              "floor maintenance disabled (re-seed from git)",
+              file=sys.stderr)
         return {}, False
     except (OSError, ValueError) as e:
         print(f"# WARNING: bench_floors.json unreadable ({e}); floor "
