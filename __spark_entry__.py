@@ -239,7 +239,27 @@ def _curation_union(spark, sf_dir, shared_tokens: bool = False):
     # (doc_id, pos) occurrence; docs are rebuilt from surviving lines.
     # grp carries md5 of the REBUILT text so the rebuild itself is
     # graded, not just the removal count; v = n_lines_removed.
-    lines = dd.dedup_lines(docs.select("doc_id", "text")).select(
+    #
+    # The corpus is SINGLE-LINE with zero duplicated lines at the
+    # grading SFs (checked) — raw text would grade an identity rebuild.
+    # So the input is decorated with deterministic planted lines (the
+    # pii_fp pattern): a corpus-wide boilerplate footer (one survivor,
+    # lowest (doc_id, pos)), a doc_id%7 group line (~1/7 of docs share
+    # each), and a whitespace-only structure line (always survives) —
+    # making the owner election, the rebuild order, and the removal
+    # count all load-bearing in the hash at every SF. Both engines
+    # build the identical decorated string.
+    lines_in = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("shared boilerplate footer"),
+            F.concat(F.lit("group line "), (F.col("doc_id") % 7).cast("string")),
+            F.lit(" "),
+        ).alias("text"),
+    )
+    lines = dd.dedup_lines(lines_in).select(
         F.lit("lines").alias("part"), "doc_id",
         F.md5(F.col("text")).alias("grp"),
         F.col("n_lines_removed").alias("v"),
@@ -1792,9 +1812,13 @@ FROM (
 )
 UNION ALL
 SELECT 'lines' AS part, d.doc_id, md5(COALESCE(reb.new_text, '')) AS grp,
-  CAST(COALESCE(len(string_split(d.text, chr(10))) - reb.n_kept,
-                len(string_split(d.text, chr(10))), 0) AS BIGINT) AS v
-FROM documents d LEFT JOIN (
+  CAST(COALESCE(len(string_split(d.ltext, chr(10))) - reb.n_kept,
+                len(string_split(d.ltext, chr(10))), 0) AS BIGINT) AS v
+FROM (
+  SELECT doc_id, concat_ws(chr(10), text, 'shared boilerplate footer',
+           'group line ' || CAST(doc_id % 7 AS VARCHAR), ' ') AS ltext
+  FROM documents
+) d LEFT JOIN (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS new_text,
     count(*) AS n_kept
   FROM (
@@ -1807,7 +1831,12 @@ FROM documents d LEFT JOIN (
       SELECT doc_id, pos, ls[pos+1] AS line, trim(ls[pos+1]) AS t
       FROM (
         SELECT doc_id, ls, unnest(range(0, len(ls))) AS pos
-        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+        FROM (
+          SELECT doc_id,
+            string_split(concat_ws(chr(10), text, 'shared boilerplate footer',
+              'group line ' || CAST(doc_id % 7 AS VARCHAR), ' '), chr(10)) AS ls
+          FROM documents
+        )
       )
     )
   ) WHERE c = 1 OR rn = 1
