@@ -329,3 +329,30 @@ def test_semdedup_prune_rejects_projected_frame(spark):
     asg = sel.semdedup_assign(df, n_clusters=2, fit="take")
     with _pytest.raises(ValueError, match="__nrm"):
         sel.semdedup_prune(asg.drop("__nrm"), threshold=0.9)
+
+
+def test_ivf_store_partition_pruning(spark, emb, tmp_path):
+    """The persisted 100 TB layout: write_ivf_store partitions the corpus
+    by cid; ivf_topk_from_store's cell restriction must reach the SCAN as
+    dynamic partition pruning (the probe side is tiny and broadcast, cid
+    is the partition column) — per-query IO is nprobe cells, never the
+    corpus. Results must equal the in-memory ivf_topk exactly."""
+    path = str(tmp_path / "ivf_store")
+    cents = sim.write_ivf_store(emb, path, n_centroids=8, fit="take")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+
+    from_store = sim.ivf_topk_from_store(
+        spark, path, cents, probes, k=3, nprobe=2
+    )
+    in_memory = sim.ivf_topk(
+        emb, probes, k=3, n_centroids=8, nprobe=2, fit="take"
+    )
+    a = sorted(map(tuple, from_store.collect()))
+    b = sorted(map(tuple, in_memory.collect()))
+    assert a == b and a
+
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    # the partition-column restriction must be a runtime directory skip,
+    # not a post-scan filter: Spark marks it dynamicpruning in the scan's
+    # PartitionFilters
+    assert "dynamicpruning" in plan.lower(), plan

@@ -356,6 +356,65 @@ def ivf_topk(
     )
 
 
+def write_ivf_store(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit: str = "kmeans",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist the IVF layout the search functions are designed around:
+    the corpus assigned to its nearest coarse centroid and written as
+    parquet PARTITIONED BY cid — one directory per cell. This is the
+    write-once step of the 100 TB recipe: every subsequent search reads
+    only its ``nprobe`` cell directories (Catalyst partition pruning /
+    dynamic partition pruning does the skipping — pinned by
+    tests/test_similarity_ivf.py::test_ivf_store_partition_pruning), so
+    per-query IO is corpus/n_centroids × nprobe, not the corpus.
+
+    Returns the centroid frame ``(cid, cvec, cnorm)`` — persist it
+    beside the store (it is the index metadata a reader needs to assign
+    probes). Deterministic for ``fit='take'``; ``fit='kmeans'`` is the
+    production default (seeded, better-tiling cells)."""
+    cents = ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
+    asg = ivf_assign(corpus, cents, 1, emb_col, id_col)
+    asg.write.partitionBy("cid").mode(mode).parquet(path)
+    return cents
+
+
+def ivf_topk_from_store(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a :func:`write_ivf_store` layout: assign probes to their
+    ``nprobe`` nearest cells and brute-force ONLY those cells' rows.
+    The cell restriction is the ``cid`` equi-join against the broadcast
+    probe side — ``cid`` is the store's PARTITION column, so Spark's
+    dynamic partition pruning turns the join into a directory skip: the
+    scan never opens the other ``n_centroids − nprobe`` cells' files.
+    Results are identical to :func:`ivf_topk` over the same corpus and
+    centroids (same assignment, same ranking)."""
+    store = spark.read.parquet(path)
+    return ivf_topk(
+        store,
+        probes,
+        k=k,
+        nprobe=nprobe,
+        emb_col=emb_col,
+        id_col=id_col,
+        centroids=centroids,
+        corpus_assign=store,
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     emb_col: str = "embedding",
