@@ -356,3 +356,28 @@ def test_ivf_store_partition_pruning(spark, emb, tmp_path):
     # not a post-scan filter: Spark marks it dynamicpruning in the scan's
     # PartitionFilters
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_ivfpq_store_floats_dropped_and_pruned(spark, emb, tmp_path):
+    """The persisted IVF-PQ layout: codes only (no float column exists in
+    the store), cell restriction reaches the scan as dynamic partition
+    pruning, and results equal the in-memory ivfpq_topk exactly."""
+    path = str(tmp_path / "ivfpq_store")
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    cents = sim.write_ivfpq_store(emb, path, books, n_centroids=8, fit="take")
+    store_schema = spark.read.parquet(path).schema.fieldNames()
+    assert "embedding" not in store_schema, store_schema  # floats dropped
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+
+    from_store = sim.ivfpq_topk_from_store(
+        spark, path, cents, books, probes, k=3, nprobe=2
+    )
+    in_memory = sim.ivfpq_topk(
+        emb, probes, books, k=3, n_centroids=8, nprobe=2, fit="take"
+    )
+    a = sorted(map(tuple, from_store.collect()))
+    b = sorted(map(tuple, in_memory.collect()))
+    assert a == b and a
+
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

@@ -415,6 +415,73 @@ def ivf_topk_from_store(
     )
 
 
+def write_ivfpq_store(
+    corpus: DataFrame,
+    path: str,
+    codebooks: list,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit: str = "kmeans",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist the IVF-PQ layout — the full billion-vector disk shape:
+    ``(id, pq_code)`` parquet partitioned by coarse cell, with the float
+    vector column DROPPED at write time (the codes ARE the stored
+    corpus; m smallints/vector ≈ 16-32× smaller scans than float32).
+    Returns the centroid metadata frame; the codebooks are the other
+    piece of index metadata (a few KB — store beside the parquet).
+    Search with :func:`ivfpq_topk_from_store`."""
+    cents = ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
+    coded = pq_encode(
+        ivf_assign(corpus, cents, 1, emb_col, id_col), codebooks, emb_col
+    ).select(F.col(id_col), F.col("cid"), F.col("pq_code"))
+    coded.write.partitionBy("cid").mode(mode).parquet(path)
+    return cents
+
+
+def ivfpq_topk_from_store(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    codebooks: list,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC search over a :func:`write_ivfpq_store` layout: probes assign
+    to their ``nprobe`` cells, the store contributes ONLY those cells'
+    code rows (``cid`` is the partition column — the equi-join against
+    the broadcast probe side becomes a dynamic-partition-pruning
+    directory skip), and the per-probe running top-k scores m
+    byte-lookups per candidate. No float corpus column is ever read —
+    it does not exist in the store. Results are identical to
+    :func:`ivfpq_topk` under the same centroids/codebooks."""
+    store = spark.read.parquet(path)
+    p = ivf_assign(probes, centroids, nprobe, emb_col, id_col).select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
+    )
+    cand = (
+        store.join(F.broadcast(p), "cid")
+        .where(F.col("probe_id") != F.col(id_col))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("pq_code").alias("code"),
+            "e_p",
+        )
+    )
+    books = np.asarray([np.asarray(b, dtype=np.float64) for b in codebooks])
+    schema = _adc_out_schema(
+        probes.schema[id_col].dataType, store.schema[id_col].dataType
+    )
+    return cand.repartition("probe_id").mapInPandas(
+        _adc_topk_iter(books, int(k)), schema
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     emb_col: str = "embedding",
