@@ -93,6 +93,31 @@ got = {(r.probe_id, r.rank): r.neighbor_id for r in served.collect()}
 assert got[(0, 1)] == 240, got
 print("streaming-serving index: rank-1 near-dup recovered")
 
+# 4b. PERSISTED store — the write-once/search-many disk layout: IVF
+# cells as parquet directories (searches read nprobe directories via
+# dynamic partition pruning), and the IVF-PQ variant with the float
+# column dropped at write time
+import shutil
+import tempfile
+
+store_dir = tempfile.mkdtemp(prefix="wf_vector_store_")
+try:
+    cents_s = sim.write_ivf_store(corpus, store_dir + "/ivf", n_centroids=4, fit="take")
+    got = {(r.probe_id, r.rank): r.neighbor_id
+           for r in sim.ivf_topk_from_store(spark, store_dir + "/ivf",
+                                            cents_s, probes, k=3, nprobe=2).collect()}
+    assert got[(0, 1)] == 240, got
+    cents_pq = sim.write_ivfpq_store(corpus, store_dir + "/ivfpq", books,
+                                     n_centroids=4, fit="take")
+    got = {(r.probe_id, r.rank): r.neighbor_id
+           for r in sim.ivfpq_topk_from_store(spark, store_dir + "/ivfpq",
+                                              cents_pq, books, probes,
+                                              k=3, nprobe=2).collect()}
+    assert got[(0, 1)] == 240, got
+    print("persisted ivf + ivfpq stores: rank-1 near-dup recovered")
+finally:
+    shutil.rmtree(store_dir, ignore_errors=True)
+
 # 5. CURATION path — SemDeDup from the SAME assignment frame
 pruned = sel.semdedup_prune(assign, threshold=0.999)
 kept = {r.vec_id for r in pruned.where("keep").collect()}
