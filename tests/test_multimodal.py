@@ -123,3 +123,34 @@ def test_media_pipeline_binds_on_streams(spark, tmp_path):
     batch = pipeline(spark.createDataFrame(pdf)).toPandas().sort_values("doc_id")
     assert got["content_hash"].tolist() == batch["content_hash"].tolist()
     assert [list(f) for f in got["features"]] == [list(f) for f in batch["features"]]
+
+
+def test_media_from_files_binaryfile_ingest(spark, tmp_path):
+    """binaryFile-source ingest: files land as standard media rows with
+    deterministic md5-path ids, true byte counts, and the same
+    payload+meta struct the rest of the tier consumes; the glob filter
+    excludes non-matching files at the source."""
+    from wingfoil_spark.functions import multimodal as mm
+
+    (tmp_path / "a.img").write_bytes(b"\x01\x02\x03\x04" * 10)
+    (tmp_path / "b.img").write_bytes(b"\xff" * 7)
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+
+    got = mm.media_from_files(
+        spark, str(tmp_path), kind="image", glob="*.img"
+    )
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in got.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"].length == 40 and rows["b.img"].length == 7
+    for r in rows.values():
+        assert r.media.meta.kind == "image"
+        assert r.media.meta.n_bytes == r.length
+        assert len(r.media.payload) == r.length
+        assert r.doc_id is not None and r.doc_id >= 0
+    # ids deterministic across reads
+    again = {r.path.rsplit("/", 1)[-1]: r.doc_id for r in mm.media_from_files(
+        spark, str(tmp_path), kind="image", glob="*.img").collect()}
+    assert again == {k: v.doc_id for k, v in rows.items()}
+    # downstream tier consumes it unchanged
+    feats = mm.extract_features(mm.media_meta(got, keep_media=True))
+    assert feats.count() == 2

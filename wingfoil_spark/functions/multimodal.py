@@ -254,3 +254,40 @@ def resize(
     from wingfoil_spark.functions.dedup import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(kernel, schema=schema)
+
+
+def media_from_files(
+    spark,
+    path: str,
+    kind: str = "image",
+    glob: str | None = None,
+    recursive: bool = False,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Load raw media FILES (image/audio/video blobs on any Hadoop-visible
+    filesystem) as media rows via Spark's built-in ``binaryFile`` source —
+    the ingest step in front of :func:`media_meta` / :func:`extract_features`
+    / :func:`frame_sample` when the corpus is a directory of files rather
+    than a parquet binary column.
+
+    Output: ``(id_col, path, length, media)`` where ``id_col`` is the
+    60-bit md5 of the file path (the repo-wide deterministic id idiom —
+    stable across runs and engines) and ``media`` is the standard
+    payload+meta struct. The binaryFile source is listing-parallel and
+    predicate-pushes ``pathGlobFilter``; payloads stay opaque binary
+    end to end (no Python, no decode here)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(path)
+    ided = raw.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("long")
+        .alias(id_col),
+        "path",
+        "length",
+        F.col("content").alias("__payload"),
+    )
+    return as_media(ided, F.col("__payload"), kind=kind).drop("__payload")
