@@ -154,3 +154,30 @@ def test_media_from_files_binaryfile_ingest(spark, tmp_path):
     # downstream tier consumes it unchanged
     feats = mm.extract_features(mm.media_meta(got, keep_media=True))
     assert feats.count() == 2
+
+
+def test_media_from_files_stream_matches_batch(spark, tmp_path):
+    """Continuous file ingest == batch ingest for the same directory:
+    row-local projection, so the streamed rows (availableNow over the
+    binaryFile source) equal the batch read exactly."""
+    from wingfoil_spark.functions import multimodal as mm
+
+    (tmp_path / "x.img").write_bytes(b"\x10\x20" * 8)
+    (tmp_path / "y.img").write_bytes(b"\x30" * 5)
+
+    batch = {
+        r.doc_id: (r.length, r.media.meta.content_hash)
+        for r in mm.media_from_files(
+            spark, str(tmp_path), glob="*.img"
+        ).collect()
+    }
+    out = mm.media_from_files_stream(spark, str(tmp_path), glob="*.img")
+    name = "media_stream_test"
+    q = (
+        out.select("doc_id", "length", F.col("media.meta.content_hash").alias("h"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.length, r.h) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == batch and len(got) == 2

@@ -275,8 +275,34 @@ def media_from_files(
     stable across runs and engines) and ``media`` is the standard
     payload+meta struct. The binaryFile source is listing-parallel and
     predicate-pushes ``pathGlobFilter``; payloads stay opaque binary
-    end to end (no Python, no decode here)."""
-    reader = spark.read.format("binaryFile")
+    end to end (no Python, no decode here). See
+    :func:`media_from_files_stream` for the continuous-ingest twin."""
+    return _media_from_files_impl(spark, path, kind, glob, recursive, id_col, False)
+
+
+def media_from_files_stream(
+    spark,
+    path: str,
+    kind: str = "image",
+    glob: str | None = None,
+    recursive: bool = False,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Streaming twin of :func:`media_from_files`: watch a directory and
+    ingest newly-arriving media files as micro-batches (the crawl-drop
+    shape). Row-local projection — no state, no watermark needed."""
+    return _media_from_files_impl(spark, path, kind, glob, recursive, id_col, True)
+
+
+def _media_from_files_impl(
+    spark, path, kind, glob, recursive, id_col, streaming
+):
+    reader = (spark.readStream if streaming else spark.read).format("binaryFile")
+    if streaming:
+        # streaming sources demand an explicit schema; binaryFile's is fixed
+        reader = reader.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     if recursive:
