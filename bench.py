@@ -416,6 +416,24 @@ def main() -> None:
                     "parts (streamed ann graded); floors moved to the "
                     "committed bench_floors.json artifact"
                 ),
+                # r9 perf: AQE's 1 MiB coalescing floor was merging the
+                # 100k-row keyed-window shuffles onto 2 of 32 cores; a
+                # 64 KiB minPartitionSize (session.py) releases them -
+                # suite 34.3s -> ~29s, stats_tw 2.36->0.77,
+                # dynamic_membership 1.70->0.66, analysis_scores
+                # 1.52->0.75, vwap_suite 0.74->0.49, ann 4.43->3.9.
+                # Three pandas-C-kernel queries pay small-batch overhead
+                # (ewma 0.38->0.49, dynamic_group_sum 0.58->0.72,
+                # order_book_top 0.48->0.53) - floors reset for those
+                # three, tightened everywhere else. At data scale the
+                # floor is inert (coalescing only merges; partitions
+                # >> 64 KiB).
+                "perf_note_r9": (
+                    "AQE coalesce minPartitionSize 1MiB->64k: window "
+                    "stages were serialized onto 2/32 cores at sf0.1; "
+                    "suite -16%, three pandas-kernel queries pay "
+                    "~+0.1s each (floors reset, noted)"
+                ),
             }
         )
     )

@@ -23,6 +23,16 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Keep coalescing from SERIALIZING compute-heavy small shuffles: the
+    # default 1 MiB floor merged a 100k-row keyed window stage onto 2 of
+    # 32 cores (measured r9: stats_tw 2.41s→0.83s, dynamic_membership
+    # 1.57s→0.65s, analysis_scores 1.22s→0.56s at sf0.1 with a 64 KiB
+    # floor). Coalescing can only MERGE the shuffle.partitions map
+    # outputs — it never splits — so at data scale (partitions ≫ 64 KiB)
+    # this floor is inert and the advisory-size/parallelismFirst logic
+    # is unchanged; it only stops tiny-but-expensive stages from losing
+    # the machine.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Arrow transfer for every pandas-UDF boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
