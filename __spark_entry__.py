@@ -1849,8 +1849,15 @@ SELECT 'describe' AS part, CAST(u.i AS BIGINT) AS doc_id,
            WHEN 2 THEN CAST(round(mean_tokens * 100, 0) AS BIGINT)
            ELSE CAST(round(mean_quality * 10000, 0) AS BIGINT) END AS v
 FROM (
-  SELECT lang, source, count(*) AS n_docs, sum(ntok) AS total_tokens,
-    round(avg(ntok), 2) AS mean_tokens, round(avg(q), 4) AS mean_quality
+  -- CAST sums to BIGINT: DuckDB sum(BIGINT) returns HUGEINT, which
+  -- would coerce the whole union's v column (r9 driver hash red), and
+  -- quantize the quality mean to 1e-9 longs before summing so the
+  -- round(·,4) grade is partial-aggregation-order-free in both engines
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+    round(avg(ntok), 2) AS mean_tokens,
+    round(sum(CAST(round(q * 1000000000, 0) AS BIGINT)) / 1e9 / count(*), 4)
+      AS mean_quality
   FROM (
     SELECT lang, source,
       COALESCE(CAST(len(dtoks) AS BIGINT), 0) AS ntok, {_desc_q} AS q

@@ -103,6 +103,49 @@ def test_parity(name, spark, duck):
     compare(name, sdf, odf)
 
 
+def _num_class(t: str) -> str:
+    """Numeric class of a type name (Spark simpleString or DuckDB
+    column_type), for the drift gate below."""
+    t = t.upper()
+    if t in ("BIGINT", "INT", "INTEGER", "SMALLINT", "TINYINT",
+             "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT", "LONG"):
+        return "integral"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "floating"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return "other"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_dtype_alignment(name, spark, duck):
+    """The r9 lesson: the value-level compare above coerces floats
+    numerically, so it CANNOT see an oracle column whose SQL type drifted
+    (DuckDB sum(BIGINT) -> HUGEINT) even though the driver's
+    representation-hash of the pandas frame diverges (`32` vs `32.0`).
+    Gate the SQL types directly: DESCRIBE the oracle (bind only, no
+    execution), ban HUGEINT outright, and require each numeric column's
+    class (integral/floating/decimal) to match the Spark schema's."""
+    desc = duck.execute(f"DESCRIBE {ORACLES[name]}").df()
+    otypes = dict(zip(desc["column_name"], desc["column_type"]))
+    stypes = {
+        f.name: f.dataType.simpleString()
+        for f in QUERIES[name](spark, SF_DIR).schema.fields
+    }
+    assert sorted(otypes) == sorted(stypes), (
+        f"{name}: oracle cols {sorted(otypes)} vs spark {sorted(stypes)}"
+    )
+    drift = []
+    for c, ot in otypes.items():
+        if "HUGEINT" in ot.upper():
+            drift.append(f"{c}: oracle {ot} (HUGEINT always hash-drifts)")
+            continue
+        oc, sc = _num_class(ot), _num_class(stypes[c])
+        if {oc, sc} <= {"integral", "floating", "decimal"} and oc != sc:
+            drift.append(f"{c}: oracle {ot} ({oc}) vs spark {stypes[c]} ({sc})")
+    assert not drift, f"{name}: oracle type drift — {drift}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF_DIR)

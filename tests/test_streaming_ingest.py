@@ -317,6 +317,45 @@ def test_ann_topk_stream_matches_batch_tier(spark, sf_dir):
     assert g["cosine"].tolist() == b["cosine"].tolist()
 
 
+def test_ann_topk_stream_batch_size_invariant(spark, sf_dir):
+    """r9 ADVICE-high regression: mapInPandas splits a partition into
+    ~spark.sql.execution.arrow.maxRecordsPerBatch-row Arrow batches, so a
+    per-batch groupby head(k) emits up to k rows per batch with ranks
+    restarting at 1 whenever one probe's candidate set spans batches.
+    Force 7-row batches (every realistic bucket spans several) and demand
+    the stream still equals the batch tier row-for-row."""
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 40 == 0)
+    batch = sim.lsh_bucketed_topk(emb, probes, k=5).toPandas()
+    index = ingest.build_ann_index(emb)
+
+    pdf = probes.select("vec_id", "embedding").toPandas()
+    src_dir = tempfile.mkdtemp(prefix="wf_ann_small_batch_")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        pdf.to_parquet(os.path.join(src_dir, "c0.parquet"), index=False)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src_dir)
+        got = _run_to_memory(
+            ingest.ann_topk_stream(stream, index, k=5), "ann_small_batch"
+        ).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b), f"{len(g)} stream rows vs {len(b)} batch"
+    for c in ("probe_id", "neighbor_id", "rank"):
+        assert g[c].tolist() == b[c].tolist(), c
+    assert g["cosine"].tolist() == b["cosine"].tolist()
+
+
 def test_lsh_pairs_stream_verify_matches_batch_jaccard(spark, docs):
     """verify=True attaches the exact n-gram Jaccard under the DOCUMENTED
     deployment: ``corpus`` is ONLY the pre-arrival snapshot (the frame the

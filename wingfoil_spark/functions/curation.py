@@ -243,6 +243,14 @@ def describe_corpus(
     approx_percentile (bounded-error t-digest style sketch — exactness is
     the graded ops' job, observability wants cheap). Null text counts as
     a 0-token doc here, consistent with token_budget_shards.
+
+    mean_quality is the mean of the per-doc scores QUANTIZED to 1e-9
+    integers before the sum (round(q·1e9) as long, Σ/1e9/n): summing
+    longs is associative, so the reported mean is independent of
+    partial-aggregation order — the same determinism device the LM
+    stream tier uses for logprob means (ADVICE r9-low: an order-dependent
+    double sum can flip round(·,4) within float error of a 0.00005
+    boundary between engines).
     """
     from wingfoil_spark.functions.text import quality_score
 
@@ -252,12 +260,13 @@ def describe_corpus(
         F.lit(0).cast("long"),
     )
     q = quality_score(F.col(text_col), toks=tk)
+    qq = F.round(q * F.lit(1e9)).cast("long")
     return df.groupBy(*group_cols).agg(
         F.count("*").alias("n_docs"),
         F.sum(ntok).alias("total_tokens"),
         F.round(F.avg(ntok), 2).alias("mean_tokens"),
         F.percentile_approx(ntok, [0.1, 0.5, 0.9]).alias("token_p10_p50_p90"),
-        F.round(F.avg(q), 4).alias("mean_quality"),
+        F.round(F.sum(qq) / F.lit(1e9) / F.count("*"), 4).alias("mean_quality"),
     )
 
 

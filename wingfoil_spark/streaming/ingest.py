@@ -467,7 +467,18 @@ def ann_topk_stream(
     repartition + mapInPandas pair gets exact per-probe top-k with one
     intra-batch shuffle and zero standing state. Ranking matches the
     batch tier: cosine rounded to 6dp desc, neighbor id asc.
+
+    The pandas iterator keeps a RUNNING top-k per probe across Arrow
+    batches: mapInPandas splits a partition into ~10k-row batches, so a
+    per-batch groupby head(k) would emit up to k rows PER BATCH with
+    ranks restarting at 1 whenever one probe's candidate set spans
+    batches (same class as the round-5 ADC finding —
+    :func:`wingfoil_spark.functions.similarity._adc_topk_iter`).
+    Selecting the k best under the (-cosine, neighbor_id) total order is
+    associative, so batch-wise merge + one emission at exhaustion is
+    exact and O(probes_in_partition × k) memory.
     """
+    import numpy as np
     import pandas as pd
 
     p = hyperplane_signature(probes, emb_col, bits).select(
@@ -491,17 +502,27 @@ def ann_topk_stream(
     kk = int(k)
 
     def topk(batches):
+        best: dict = {}  # probe_id -> (cosines, neighbor_ids) top-k so far
         for pdf in batches:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(
-                ["probe_id", "cosine", "neighbor_id"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            head = pdf.groupby("probe_id", sort=False).head(kk).copy()
-            head["rank"] = head.groupby("probe_id", sort=False).cumcount() + 1
-            yield head
+            for probe_id, grp in pdf.groupby("probe_id", sort=False):
+                cos = grp["cosine"].to_numpy(dtype=np.float64)
+                ids = grp["neighbor_id"].to_numpy()
+                if probe_id in best:
+                    pcos, pids = best[probe_id]
+                    cos = np.concatenate([pcos, cos])
+                    ids = np.concatenate([pids, ids])
+                order = np.lexsort((ids, -cos))[:kk]
+                best[probe_id] = (cos[order], ids[order])
+        for probe_id, (cos, ids) in best.items():
+            out = pd.DataFrame({
+                "probe_id": probe_id,
+                "neighbor_id": ids,
+                "cosine": cos,
+            })
+            out["rank"] = np.arange(1, len(out) + 1)
+            yield out
 
     return scored.repartition("probe_id").mapInPandas(
         topk, "probe_id long, neighbor_id long, cosine double, rank long"
