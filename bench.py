@@ -320,120 +320,11 @@ def main() -> None:
                 # fold, one core, no Spark overhead — the cluster runs this
                 # in parallel across instruments
                 "order_book_single_core_msg_per_s": _order_book_single_core(),
-                # VERDICT r4 task 4 — the three unexplained r3→r4 moves
-                # (join3 0.73→1.20, media_doc 0.47→0.92, ann 1.67→2.23)
-                # were re-measured 10× each at sf0.1 in r5: minima
-                # join3 0.788s / media_doc 0.607s / ann 1.604s (at or
-                # near their r3 values), typical runs 0.79-1.1 / 0.61-0.80
-                # / 1.9-2.6 with hypervisor steal recorded on the slow
-                # windows. No plan change exists in any of them, and the
-                # graded ann branch uses fit='take' (no KMeans to blame).
-                # Conclusion: host jitter — a best-of-3 can land entirely
-                # inside a degraded window; read cross-round deltas on
-                # these three against the 10× minima above.
-                "variance_note": (
-                    "join3/media_doc/ann 10x minima at sf0.1: "
-                    "0.788/0.607/1.604 s (r5 run; r3 bests 0.73/0.47/1.67)"
-                    " - r4 regressions were host jitter, not plan changes"
-                ),
-                # VERDICT r5 Next #3 — the same 10x-minima protocol
-                # applied to r5's own unexplained moves (cosine_near_dups
-                # 1.12→1.61, vwap_suite 0.89→1.25, delay_with_reset
-                # 0.48→0.64): r6 minima recover to r4-or-better in all
-                # three, with the slow tails again on steal-logged
-                # windows. No plan change exists in any of them.
-                "variance_note_r6": (
-                    "cosine_near_dups/vwap_suite/delay_with_reset 10x "
-                    "minima at sf0.1: 1.116/0.751/0.467 s (r6 run; r4 "
-                    "values 1.12/0.89/0.48) - r5 moves were host jitter, "
-                    "not plan changes"
-                ),
-                # r5: curation gained a SIXTH union branch (part='dupspan',
-                # substring-level dedup — a gram-hash count-window shuffle
-                # + per-doc islands merge), so its time vs r4 (1.63s) rises
-                # by the new branch's cost (~+1s at sf0.1), not a
-                # regression of the prior five branches. Scale ratios with
-                # the new branch: 2.05@10x / 3.45@30x / 9.6@100x
-                # (SCALE_r05.json).
-                "curation_note": "r5 adds part='dupspan' (substring dedup)",
-                # r6 scope growth (not regressions): ann gains the pq and
-                # ivfpq branches (5 methods, one shared encode pass —
-                # per-branch ~1s at sf0.1, sum ≈ union time, no waste);
-                # the former dedup_exact slot is now the 4-branch
-                # selection union (exact + dsir + dsir_top + bm25 — DSIR
-                # fit+score is ONE job via the subset-target gram pass);
-                # lm_packing is the r6-graded LM+packing union.
-                "scope_note_r6": (
-                    "ann 3->5 branches (pq, ivfpq); dedup_exact ->"
-                    " selection 4-branch union; lm_packing new +"
-                    " part='kn' (Kneser-Ney)"
-                ),
-                # r8 (VERDICT r7 Next #2): the 10x-minima protocol applied
-                # to EVERY query that inflated 15-40% under r7's 4,295
-                # steal jiffies. Minima at sf0.1 (best-of-10, steal <= 47
-                # jiffies/run, single JVM): sessionize 0.445, folds 0.434,
-                # curation 2.344, stats_matrix 1.016, stats_tw 2.188,
-                # tumbling_1h 0.373, minhash 0.944, cosine_near_dups
-                # 1.128, vwap_suite 0.728, order_book_top 0.477,
-                # book_feed 0.602, analysis_scores 1.104,
-                # dynamic_membership 1.349, delay_with_reset 0.401 - all
-                # at r6 level or better, so the r7 inflation was host
-                # steal, not plan changes. One exception recorded
-                # honestly: text_stats floors at ~0.94-0.98 across three
-                # independent 10-run minima (r6: 0.762) with zero code
-                # changes to its path since r6 - a host-generation shift,
-                # not a regression this round introduced.
-                "variance_note_r8": (
-                    "r7 drift re-pinned: 14/15 queries recover to r6-"
-                    "level 10-run minima under <=47 steal jiffies; "
-                    "text_stats floors at 0.94 (r6 0.762, no code "
-                    "change) - see comment above for per-query minima"
-                ),
-                # r8 scope growth (not regressions): selection moves to
-                # the ONE-PASS battery (selection_scores - measured
-                # FASTER: 2.14s vs 2.56s at sf0.1); ann gains the
-                # semdedup_cap branch (tight-cap sub-shard path graded);
-                # decon_stream (non-headline) widens to 4 parts.
-                "scope_note_r8": (
-                    "selection -> one-pass selection_scores (faster); "
-                    "ann +semdedup_cap branch; decon_stream 2->4 parts "
-                    "(bm25 + lm stream scorers graded)"
-                ),
-                # r9 scope growth (not regressions): ann gains the int8
-                # branch (8 methods) while LOSING two duplicate
-                # fit+assign scans (shared corpus_assign=) — nets out at
-                # the r8 floor (4.02 vs 4.03); curation widens 6->8 parts
-                # (+lines: C4 line dedup, +describe: observability
-                # summary, ~+0.5s of real new work); text_stats gains the
-                # pii_fp scrub column; decon_stream (non-headline) is 5
-                # parts over two streaming sources (+ann serving).
-                # Floors for the three changed queries were RESET via the
-                # artifact protocol (see bench_floors.json history).
-                "scope_note_r9": (
-                    "ann +int8 branch - 2 duplicate assign scans (nets "
-                    "at r8 floor); curation 6->8 parts (lines, "
-                    "describe); text_stats +pii_fp; decon_stream 4->5 "
-                    "parts (streamed ann graded); floors moved to the "
-                    "committed bench_floors.json artifact"
-                ),
-                # r9 perf: AQE's 1 MiB coalescing floor was merging the
-                # 100k-row keyed-window shuffles onto 2 of 32 cores; a
-                # 64 KiB minPartitionSize (session.py) releases them -
-                # suite 34.3s -> ~29s, stats_tw 2.36->0.77,
-                # dynamic_membership 1.70->0.66, analysis_scores
-                # 1.52->0.75, vwap_suite 0.74->0.49, ann 4.43->3.9.
-                # Three pandas-C-kernel queries pay small-batch overhead
-                # (ewma 0.38->0.49, dynamic_group_sum 0.58->0.72,
-                # order_book_top 0.48->0.53) - floors reset for those
-                # three, tightened everywhere else. At data scale the
-                # floor is inert (coalescing only merges; partitions
-                # >> 64 KiB).
-                "perf_note_r9": (
-                    "AQE coalesce minPartitionSize 1MiB->64k: window "
-                    "stages were serialized onto 2/32 cores at sf0.1; "
-                    "suite -16%, three pandas-kernel queries pay "
-                    "~+0.1s each (floors reset, noted)"
-                ),
+                # r10 (VERDICT r9 "What's wrong" #3): the accumulated
+                # variance/scope/perf history outgrew the driver's line
+                # capture buffer (BENCH_r09 parsed: null). The printed
+                # line stays minimal; history lives in the side file.
+                "notes": "BENCH_NOTES.md",
             }
         )
     )

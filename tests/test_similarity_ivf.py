@@ -311,6 +311,15 @@ def test_shared_assign_equals_internal_assign(spark):
                                 centroids=cents, corpus_assign=asg).collect()
     )
     assert c == e2
+    # ADVICE r9: an assignment without its producing centroids would
+    # probe against a silently re-fit frame — both entry points refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="corpus_assign.*centroids"):
+        sim.ivf_topk(df, probes, k=3, n_centroids=4, nprobe=2,
+                     fit="take", corpus_assign=asg)
+    with _pytest.raises(ValueError, match="corpus_assign.*centroids"):
+        sim.ivfpq_topk(df, probes, books, k=3, n_centroids=4, nprobe=2,
+                       fit="take", corpus_assign=asg)
 
 
 def test_semdedup_prune_rejects_projected_frame(spark):

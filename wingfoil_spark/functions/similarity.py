@@ -303,6 +303,14 @@ def ivf_topk(
     :func:`with_norm`, so results are bitwise-unchanged."""
     from pyspark.sql import Window
 
+    if corpus_assign is not None and centroids is None:
+        # ADVICE r9: a supplied assignment with a freshly-fit internal
+        # centroid frame can silently disagree (wrong cells probed,
+        # degraded recall, no error) — the two are one contract.
+        raise ValueError(
+            "corpus_assign= requires the matching centroids= frame "
+            "(the one that produced the assignment)"
+        )
     cents = (
         centroids
         if centroids is not None
@@ -763,6 +771,13 @@ def ivfpq_topk(
     assignment exactly as in :func:`ivf_topk` — with both a shared code
     table AND a shared assignment, this function touches the corpus
     vectors ZERO times."""
+    if corpus_assign is not None and centroids is None:
+        # ADVICE r9: same cross-function contract as ivf_topk — an
+        # assignment is only meaningful with the centroids that made it.
+        raise ValueError(
+            "corpus_assign= requires the matching centroids= frame "
+            "(the one that produced the assignment)"
+        )
     cents = (
         centroids
         if centroids is not None
