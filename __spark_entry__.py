@@ -1431,7 +1431,12 @@ def q_ann(spark, sf_dir):
     centroids=/corpus_assign= (VERDICT r8 Next #1 — previously the
     identical scan ran 3×); (b) method='int8' grades the int8
     quantization storage tier end to end (VERDICT r8 Next #5): exact
-    top-k against the quantize→dequantize corpus, probe full-precision."""
+    top-k against the quantize→dequantize corpus, probe full-precision.
+
+    r10: method='ivf_store' grades the persisted-store tier (VERDICT r9
+    missing #2) — write_ivf_store → ivf_topk_from_store round trip over
+    the same shared assignment, hash-checked against the in-memory ivf
+    result."""
     from wingfoil_spark.functions import selection as sel
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1517,6 +1522,30 @@ def q_ann(spark, sf_dir):
     int8 = sim.cosine_topk(q8, probes, k=5).withColumn(
         "method", F.lit("int8")
     )
+    # r10 (VERDICT r9 missing #2): the persisted-store tier hash-graded —
+    # method='ivf_store' writes the codes-on-disk IVF layout (parquet
+    # partitioned by cid, fed from the SAME checkpointed cents/asg, so
+    # the write adds zero corpus scans) and searches it back through
+    # ivf_topk_from_store, whose cid equi-join prunes to the nprobe cell
+    # directories (dynamic partition pruning, plan-pinned in
+    # tests/test_similarity_ivf.py). The round trip must equal the
+    # in-memory ivf branch bit-for-bit, so the oracle replays the same
+    # ivf CTE under the new tag — any float drift, partition-column
+    # mangling, or pruning bug diverges the hash.
+    import os as _os
+    import tempfile as _tempfile
+
+    store_path = _os.path.join(
+        _tempfile.gettempdir(),
+        "wingfoil_ann_ivf_store_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    sim.write_ivf_store(
+        e, store_path, n_centroids=16, fit="take",
+        centroids=cents, corpus_assign=asg,
+    )
+    ivfs = sim.ivf_topk_from_store(
+        spark, store_path, cents, probes, k=5, nprobe=4
+    ).withColumn("method", F.lit("ivf_store"))
     parts = [
         sim.cosine_topk(e, probes, k=5).withColumn("method", F.lit("exact")),
         sim.lsh_bucketed_topk(e, probes, k=5).withColumn("method", F.lit("lsh")),
@@ -1529,6 +1558,7 @@ def q_ann(spark, sf_dir):
         sd,
         sdc,
         int8,
+        ivfs,
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3242,6 +3272,11 @@ UNION ALL
 SELECT 'lsh', probe_id, neighbor_id, cosine, rank FROM lsh_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'ivf', probe_id, neighbor_id, cosine, rank FROM ivf_ranked WHERE rank <= 5
+UNION ALL
+-- r10 method='ivf_store': the parquet write->read round trip of the SAME
+-- assignment must be value-identical to the in-memory ivf search, so the
+-- oracle is the same CTE under the store tag
+SELECT 'ivf_store', probe_id, neighbor_id, cosine, rank FROM ivf_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'pq', probe_id, neighbor_id, cosine, rank FROM pq_ranked WHERE rank <= 5
 UNION ALL

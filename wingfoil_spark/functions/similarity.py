@@ -372,6 +372,8 @@ def write_ivf_store(
     id_col: str = "vec_id",
     fit: str = "kmeans",
     mode: str = "overwrite",
+    centroids: DataFrame | None = None,
+    corpus_assign: DataFrame | None = None,
 ) -> DataFrame:
     """Persist the IVF layout the search functions are designed around:
     the corpus assigned to its nearest coarse centroid and written as
@@ -382,13 +384,41 @@ def write_ivf_store(
     tests/test_similarity_ivf.py::test_ivf_store_partition_pruning), so
     per-query IO is corpus/n_centroids × nprobe, not the corpus.
 
+    ``centroids=`` / ``corpus_assign=`` are the same shared-scan hooks
+    as :func:`ivf_topk`: a pipeline that already fit and assigned the
+    corpus (the graded ann union's checkpointed frames) writes the
+    store with ZERO additional corpus scans — the write job itself is
+    the only pass. The pair is one contract (an assignment is only
+    meaningful with its producing centroids).
+
     Returns the centroid frame ``(cid, cvec, cnorm)`` — persist it
     beside the store (it is the index metadata a reader needs to assign
     probes). Deterministic for ``fit='take'``; ``fit='kmeans'`` is the
     production default (seeded, better-tiling cells)."""
-    cents = ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
-    asg = ivf_assign(corpus, cents, 1, emb_col, id_col)
-    asg.write.partitionBy("cid").mode(mode).parquet(path)
+    if corpus_assign is not None and centroids is None:
+        raise ValueError(
+            "corpus_assign= requires the matching centroids= frame "
+            "(the one that produced the assignment)"
+        )
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
+    )
+    if corpus_assign is not None:
+        keep = [id_col, emb_col, "cid"]
+        if "__nrm" in corpus_assign.columns:
+            keep.append("__nrm")  # readers reuse the stored norm
+        asg = corpus_assign.select(*keep)
+    else:
+        asg = ivf_assign(corpus, cents, 1, emb_col, id_col)
+    # cluster rows by cell before the partitioned write: without it every
+    # upstream task opens a writer per cell it touches (tasks × cells tiny
+    # files — listing/footer overhead dominates reads). Hash-repartition
+    # on cid gives one writer per cell per shuffle partition; at scale
+    # add a secondary key (repartition(N, "cid", salt)) to keep cells
+    # from funneling into single tasks.
+    asg.repartition("cid").write.partitionBy("cid").mode(mode).parquet(path)
     return cents
 
 
