@@ -390,3 +390,54 @@ def test_ivfpq_store_floats_dropped_and_pruned(spark, emb, tmp_path):
 
     plan = from_store._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_ivf_store_shared_write_equals_internal(spark, emb, tmp_path):
+    """r10: write_ivf_store / write_ivfpq_store fed the shared
+    centroids=/corpus_assign=/corpus_codes= frames (the graded ann
+    union's checkpointed layout — zero extra corpus scans at write time)
+    must produce stores whose searches equal the internal-fit write
+    path exactly, and the hook contract (assignment requires its
+    producing centroids) must be enforced."""
+    import pytest as _pytest
+
+    from wingfoil_spark.functions import selection as sel
+
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    cents = sim.ivf_centroids(emb, 8, fit="take").localCheckpoint(eager=True)
+    asg = sel.semdedup_assign(
+        emb, n_clusters=8, fit="take", centroids=cents
+    ).localCheckpoint(eager=True)
+
+    p_int = str(tmp_path / "ivf_internal")
+    p_sh = str(tmp_path / "ivf_shared")
+    sim.write_ivf_store(emb, p_int, n_centroids=8, fit="take")
+    sim.write_ivf_store(emb, p_sh, centroids=cents, corpus_assign=asg)
+    a = sorted(map(tuple, sim.ivf_topk_from_store(
+        spark, p_int, cents, probes, k=3, nprobe=2).collect()))
+    b = sorted(map(tuple, sim.ivf_topk_from_store(
+        spark, p_sh, cents, probes, k=3, nprobe=2).collect()))
+    assert a == b and a
+    # the shared store carries the assignment's __nrm so readers skip
+    # the norm recompute — part of the layout, assert it persisted
+    assert "__nrm" in spark.read.parquet(p_sh).schema.fieldNames()
+
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    codes = sim.pq_encode(emb, books).select("vec_id", "pq_code")
+    q_int = str(tmp_path / "ivfpq_internal")
+    q_sh = str(tmp_path / "ivfpq_shared")
+    sim.write_ivfpq_store(emb, q_int, books, n_centroids=8, fit="take")
+    sim.write_ivfpq_store(
+        emb, q_sh, books, centroids=cents, corpus_assign=asg,
+        corpus_codes=codes,
+    )
+    c = sorted(map(tuple, sim.ivfpq_topk_from_store(
+        spark, q_int, cents, books, probes, k=3, nprobe=2).collect()))
+    d = sorted(map(tuple, sim.ivfpq_topk_from_store(
+        spark, q_sh, cents, books, probes, k=3, nprobe=2).collect()))
+    assert c == d and c
+
+    with _pytest.raises(ValueError, match="corpus_assign.*centroids"):
+        sim.write_ivf_store(emb, p_sh, corpus_assign=asg)
+    with _pytest.raises(ValueError, match="corpus_assign.*centroids"):
+        sim.write_ivfpq_store(emb, q_sh, books, corpus_assign=asg)

@@ -462,6 +462,10 @@ def write_ivfpq_store(
     id_col: str = "vec_id",
     fit: str = "kmeans",
     mode: str = "overwrite",
+    centroids: DataFrame | None = None,
+    corpus_assign: DataFrame | None = None,
+    corpus_codes: DataFrame | None = None,
+    code_col: str = "pq_code",
 ) -> DataFrame:
     """Persist the IVF-PQ layout — the full billion-vector disk shape:
     ``(id, pq_code)`` parquet partitioned by coarse cell, with the float
@@ -469,12 +473,46 @@ def write_ivfpq_store(
     corpus; m smallints/vector ≈ 16-32× smaller scans than float32).
     Returns the centroid metadata frame; the codebooks are the other
     piece of index metadata (a few KB — store beside the parquet).
-    Search with :func:`ivfpq_topk_from_store`."""
-    cents = ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
-    coded = pq_encode(
-        ivf_assign(corpus, cents, 1, emb_col, id_col), codebooks, emb_col
-    ).select(F.col(id_col), F.col("cid"), F.col("pq_code"))
-    coded.write.partitionBy("cid").mode(mode).parquet(path)
+    Search with :func:`ivfpq_topk_from_store`.
+
+    ``centroids=`` / ``corpus_assign=`` / ``corpus_codes=`` are the
+    shared-scan hooks mirroring :func:`ivfpq_topk`: a pipeline that
+    already fit, assigned and encoded (the graded ann union's
+    checkpointed frames) writes the store from an id-equi-join of the
+    two small frames — the corpus float vectors are touched ZERO
+    additional times."""
+    if corpus_assign is not None and centroids is None:
+        raise ValueError(
+            "corpus_assign= requires the matching centroids= frame "
+            "(the one that produced the assignment)"
+        )
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
+    )
+    asg = (
+        corpus_assign.select(id_col, "cid")
+        if corpus_assign is not None
+        else ivf_assign(corpus, cents, 1, emb_col, id_col).select(id_col, "cid")
+    )
+    if corpus_codes is not None:
+        coded = asg.join(
+            corpus_codes.select(F.col(id_col), F.col(code_col).alias("pq_code")),
+            id_col,
+        ).select(F.col(id_col), F.col("cid"), F.col("pq_code"))
+    else:
+        src = (
+            corpus_assign.select(id_col, "cid", emb_col)
+            if corpus_assign is not None
+            else ivf_assign(corpus, cents, 1, emb_col, id_col)
+        )
+        coded = pq_encode(src, codebooks, emb_col).select(
+            F.col(id_col), F.col("cid"), F.col("pq_code")
+        )
+    # cluster by cell before the partitioned write (same rationale as
+    # write_ivf_store: one writer per cell per task, no tiny-file blowup)
+    coded.repartition("cid").write.partitionBy("cid").mode(mode).parquet(path)
     return cents
 
 
