@@ -284,10 +284,25 @@ def _curation_union(spark, sf_dir, shared_tokens: bool = False):
             )
         ).alias("doc_id", "v"),
     ).select("part", F.col("doc_id").cast("long").alias("doc_id"), "grp", "v")
+    # r10: leakage-safe train/val/test assignment graded — grp carries
+    # the assigned split label, v the raw 60-bit draw, so the oracle
+    # replays BOTH the md5 range arithmetic and the cumulative-threshold
+    # labelling (lexicographic name order: test < train < val). The
+    # group_col leakage guard (same group → same split, the near-dup
+    # contamination defence) is pinned separately in
+    # tests/test_curation.py — it is the same expression with the draw
+    # keyed on the group instead of the id.
+    split = cu.train_val_test_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, tag="split"
+    ).select(
+        F.lit("split").alias("part"), "doc_id",
+        F.col("split").alias("grp"),
+        cu.sample_hash(F.col("doc_id"), "split").alias("v"),
+    )
     return (
         strat.unionByName(mix).unionByName(shard).unionByName(chunk)
         .unionByName(decon).unionByName(dupspan).unionByName(lines)
-        .unionByName(desc)
+        .unionByName(desc).unionByName(split)
     )
 
 
@@ -303,7 +318,12 @@ def q_curation(spark, sf_dir):
     with the rebuilt-text md5 as the graded key; part='describe' grades
     the describe_corpus observability aggregation (metrics as exact
     scaled longs; the approx-percentile sketch column is the documented
-    not-graded field)."""
+    not-graded field).
+
+    r10 widens to NINE parts: part='split' grades the leakage-safe
+    train/val/test assignment (curation.train_val_test_split) — the
+    oracle replays both the 60-bit md5 draw and the cumulative
+    threshold labelling via the shared split_thresholds arithmetic."""
     return _curation_union(spark, sf_dir)
 
 
@@ -1767,6 +1787,11 @@ def oracle_sql() -> dict[str, str]:
     # the text_stats oracle; duplicated here because the describe part
     # aggregates it per (lang, source) group)
     _desc_stop = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+    # split thresholds: the ONE canonical integer arithmetic, exposed by
+    # curation.split_thresholds so Spark and the oracle cannot drift
+    _split_thr = cu.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    _split_case = " ".join(f"WHEN d < {thr} THEN '{name}'" for name, thr in _split_thr)
+    _split_last = sorted(("train", "val", "test"))[-1]
     _desc_q = (
         f"0.4 * ((len(list_filter(dtoks, x -> x IN ({_desc_stop}))))::DOUBLE"
         " / (len(dtoks))::DOUBLE)"
@@ -1904,7 +1929,15 @@ FROM (
     FROM (SELECT lang, source, text, {TOKS_SQL} AS dtoks FROM documents)
   )
   GROUP BY 1, 2
-) g, (SELECT unnest(range(0, 4)) AS i) u"""
+) g, (SELECT unnest(range(0, 4)) AS i) u
+UNION ALL
+SELECT 'split' AS part, doc_id,
+  CASE {_split_case} ELSE '{_split_last}' END AS grp, d AS v
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS d
+  FROM documents
+)"""
     o["difference"] = (
         f"WITH ev AS ({EV_SQL}), d AS ("
         "SELECT event_id, ts_us, user_id, "

@@ -324,3 +324,56 @@ def test_pack_sequences_string_ids(spark):
         "doc_id"
     ).reset_index(drop=True)
     assert pdf["seq_id"].tolist() == again["seq_id"].tolist()
+
+
+def test_train_val_test_split_matches_reference_draws(spark, docs):
+    """Split labels come from the canonical cumulative ranges over
+    md5(tag||key) — recompute every label with hashlib + the exposed
+    split_thresholds and demand equality, full coverage, determinism."""
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = cu.train_val_test_split(docs, w).select("doc_id", "split").toPandas()
+    thr = cu.split_thresholds(w)
+    last = sorted(w)[-1]
+
+    def expect(doc_id):
+        d = _draw("split", doc_id)
+        for name, t in thr:
+            if d < t:
+                return name
+        return last
+
+    assert len(out) == docs.count()  # a split is a projection: no row lost
+    for doc_id, got in zip(out["doc_id"], out["split"]):
+        assert got == expect(doc_id), doc_id
+    again = cu.train_val_test_split(docs, w).select("doc_id", "split").toPandas()
+    assert out.sort_values("doc_id").values.tolist() == \
+        again.sort_values("doc_id").values.tolist()
+
+
+def test_train_val_test_split_group_leakage_guard(spark, docs):
+    """group_col= keys the draw on the group, so every row of a group
+    lands in ONE split — the near-dup contamination defence. Pinned by
+    counting distinct splits per group (must be 1 for all groups) and by
+    cross-checking one group's label against the group-keyed draw."""
+    out = (
+        cu.train_val_test_split(docs, {"train": 0.8, "val": 0.2},
+                                group_col="source")
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n"), F.first("split").alias("s"))
+        .collect()
+    )
+    assert out and all(r.n == 1 for r in out)
+    thr = cu.split_thresholds({"train": 0.8, "val": 0.2})
+    for r in out:
+        d = int(hashlib.md5(f"split{r.source}".encode()).hexdigest()[:15], 16)
+        want = next((n for n, t in thr if d < t), "val")
+        assert r.s == want, r.source
+
+
+def test_train_val_test_split_weight_validation():
+    with pytest.raises(ValueError, match="sum to 1"):
+        cu.split_thresholds({"train": 0.9, "val": 0.05})
+    with pytest.raises(ValueError, match="non-negative"):
+        cu.split_thresholds({"train": 1.5, "val": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        cu.split_thresholds({})

@@ -99,6 +99,63 @@ def stratified_take(
     )
 
 
+def train_val_test_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    group_col: str | None = None,
+    tag: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment: one new
+    column labelling each row's split, drawn from md5(tag || key) mapped
+    into cumulative weight ranges (lexicographic split-name order — the
+    range layout is part of the contract so re-runs and other engines
+    reproduce it exactly).
+
+    ``group_col`` is the LEAKAGE GUARD: when set, the draw key is the
+    group value instead of the row id, so every row of a group (a URL
+    domain, a near-dup cluster id from ``dedup_components``, a document
+    family) lands in the SAME split — the standard defence against
+    train/test contamination through near-duplicates. Evaluation rows
+    that share a group with training rows simply cannot exist.
+
+    Row-local (zero shuffle, pushes into the scan); adding a split is a
+    projection, not a job. Weights must sum to 1 (±1e-9); the last range
+    is closed at the top of the hash space so rounding slack cannot drop
+    rows."""
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    key = F.col(group_col) if group_col else F.col(key_col)
+    draw = sample_hash(key, tag)
+    expr = None
+    for name, thr in split_thresholds(weights):
+        cond = draw < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(sorted(weights)[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def split_thresholds(weights: dict[str, float]) -> list:
+    """The exact (name, upper_threshold) ranges
+    :func:`train_val_test_split` assigns from — exposed so oracles and
+    external systems replay the IDENTICAL integer arithmetic (float
+    cumulative sums differ by association order; this is the one
+    canonical order). Returns all splits except the last (which owns the
+    remainder of the hash space)."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights.values())}")
+    names = sorted(weights)
+    out, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        out.append((name, int(cum * HASH_SPACE)))
+    return out
+
+
 def token_budget_shards(
     df: DataFrame,
     budget: int,
