@@ -441,3 +441,17 @@ def test_ivf_store_shared_write_equals_internal(spark, emb, tmp_path):
         sim.write_ivf_store(emb, p_sh, corpus_assign=asg)
     with _pytest.raises(ValueError, match="corpus_assign.*centroids"):
         sim.write_ivfpq_store(emb, q_sh, books, corpus_assign=asg)
+
+    # writers_per_cell spreads a cell across N tasks (the 100 TB
+    # straggler guard) without changing results, with file count bounded
+    # by cells x N
+    import glob as _glob
+    p_w = str(tmp_path / "ivf_salted")
+    sim.write_ivf_store(emb, p_w, centroids=cents, corpus_assign=asg,
+                        writers_per_cell=3)
+    e2 = sorted(map(tuple, sim.ivf_topk_from_store(
+        spark, p_w, cents, probes, k=3, nprobe=2).collect()))
+    assert e2 == a
+    for cell_dir in _glob.glob(p_w + "/cid=*"):
+        n_files = len(_glob.glob(cell_dir + "/*.parquet"))
+        assert 1 <= n_files <= 3, (cell_dir, n_files)

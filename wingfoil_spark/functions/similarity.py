@@ -374,6 +374,7 @@ def write_ivf_store(
     mode: str = "overwrite",
     centroids: DataFrame | None = None,
     corpus_assign: DataFrame | None = None,
+    writers_per_cell: int = 1,
 ) -> DataFrame:
     """Persist the IVF layout the search functions are designed around:
     the corpus assigned to its nearest coarse centroid and written as
@@ -412,14 +413,28 @@ def write_ivf_store(
         asg = corpus_assign.select(*keep)
     else:
         asg = ivf_assign(corpus, cents, 1, emb_col, id_col)
-    # cluster rows by cell before the partitioned write: without it every
-    # upstream task opens a writer per cell it touches (tasks × cells tiny
-    # files — listing/footer overhead dominates reads). Hash-repartition
-    # on cid gives one writer per cell per shuffle partition; at scale
-    # add a secondary key (repartition(N, "cid", salt)) to keep cells
-    # from funneling into single tasks.
-    asg.repartition("cid").write.partitionBy("cid").mode(mode).parquet(path)
+    _write_by_cell(asg, path, id_col, mode, writers_per_cell)
     return cents
+
+
+def _write_by_cell(df, path, id_col, mode, writers_per_cell):
+    """Cluster rows by cell before a cid-partitioned write: without it
+    every upstream task opens a writer per cell it touches (tasks ×
+    cells tiny files — listing/footer overhead dominates reads), and a
+    bare repartition("cid") funnels each cell's FULL data into one task
+    (a straggler at 100 TB where a cell is corpus/n_centroids). The
+    deterministic id-hash salt keeps file counts bounded at
+    cells × writers_per_cell while spreading each cell across
+    writers_per_cell tasks — size it so one writer's slice fits an
+    executor (e.g. cell_bytes / 512 MiB)."""
+    w = max(1, int(writers_per_cell))
+    if w == 1:
+        df.repartition("cid").write.partitionBy("cid").mode(mode).parquet(path)
+    else:
+        (
+            df.repartition("cid", F.pmod(F.xxhash64(F.col(id_col)), F.lit(w)))
+            .write.partitionBy("cid").mode(mode).parquet(path)
+        )
 
 
 def ivf_topk_from_store(
@@ -466,6 +481,7 @@ def write_ivfpq_store(
     corpus_assign: DataFrame | None = None,
     corpus_codes: DataFrame | None = None,
     code_col: str = "pq_code",
+    writers_per_cell: int = 1,
 ) -> DataFrame:
     """Persist the IVF-PQ layout — the full billion-vector disk shape:
     ``(id, pq_code)`` parquet partitioned by coarse cell, with the float
@@ -510,9 +526,7 @@ def write_ivfpq_store(
         coded = pq_encode(src, codebooks, emb_col).select(
             F.col(id_col), F.col("cid"), F.col("pq_code")
         )
-    # cluster by cell before the partitioned write (same rationale as
-    # write_ivf_store: one writer per cell per task, no tiny-file blowup)
-    coded.repartition("cid").write.partitionBy("cid").mode(mode).parquet(path)
+    _write_by_cell(coded, path, id_col, mode, writers_per_cell)
     return cents
 
 
