@@ -137,3 +137,14 @@ packed = cu.pack_sequences(mixed, seq_len=16)
 packed.show()
 assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == [1, 3], \
     "dup (2), leaks (4, 5) and the degenerate doc (6) removed"
+
+# 7. leakage-safe splits: group_col keys the md5 draw on the domain, so
+# every doc of a source lands in ONE split — near-dup families can never
+# straddle train/test. Deterministic: a re-run yields identical splits.
+split = cu.train_val_test_split(
+    mixed, {"train": 0.8, "val": 0.2}, group_col="source"
+)
+per_src = split.groupBy("source").agg(
+    F.countDistinct("split").alias("n")).collect()
+assert all(r.n == 1 for r in per_src), "one split per source group"
+split.select("doc_id", "source", "split").show()
