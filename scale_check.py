@@ -444,8 +444,14 @@ def ann_fixed_probes(spark, sf_dir):
     """ANN with a scale-FIXED probe set (40 probes from the original id
     range at both scales): exact + IVF tiers, corpus-linear cost; r9
     adds the int8 storage tier (quantize→dequantize corpus, checkpointed
-    exactly like the graded query) so the quantized store's
-    corpus-linear claim carries scale evidence too."""
+    exactly like the graded query); r10 adds the PERSISTED store round
+    trip (write_ivf_store at writers_per_cell=2 — the salted-writer
+    scale path — then ivf_topk_from_store under dynamic partition
+    pruning), so the on-disk layout's write-linear / read-pruned claims
+    carry scale evidence too."""
+    import os
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from wingfoil_spark.functions import similarity as sim
@@ -459,10 +465,19 @@ def ann_fixed_probes(spark, sf_dir):
         sim.quantize_embeddings(e).select("vec_id", "q_embedding", "q_scale")
     ).select("vec_id", "embedding").localCheckpoint(eager=True)
     int8 = sim.cosine_topk(q8, probes, k=5)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "wingfoil_scale_ivf_store_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    cents = sim.write_ivf_store(
+        e, store, n_centroids=16, fit="take", writers_per_cell=2
+    )
+    ivfs = sim.ivf_topk_from_store(spark, store, cents, probes, k=5, nprobe=4)
     return (
         exact.withColumn("method", F.lit("exact"))
         .unionByName(ivf.withColumn("method", F.lit("ivf")))
         .unionByName(int8.withColumn("method", F.lit("int8")))
+        .unionByName(ivfs.withColumn("method", F.lit("ivf_store")))
     )
 
 
