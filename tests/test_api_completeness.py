@@ -70,6 +70,8 @@ MODULE_SURFACES = {
         "cosine_topk", "lsh_bucketed_topk", "ivf_topk",
         "quantize_embeddings", "dequantize_embeddings",
         "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
+        "write_ivf_store", "ivf_topk_from_store",
+        "write_ivfpq_store", "ivfpq_topk_from_store",
     ],
     "wingfoil_spark.functions.text": [
         "tokens", "quality_score", "lang_id", "fingerprint",
@@ -80,6 +82,7 @@ MODULE_SURFACES = {
         "hash_sample", "weighted_mix", "stratified_take",
         "token_budget_shards", "describe_corpus",
         "pack_sequences", "packing_stats",
+        "train_val_test_split", "split_thresholds",
     ],
     "wingfoil_spark.functions.lm": [
         "fit_bigram_lm", "lm_perplexity", "ppl_buckets",
