@@ -295,3 +295,21 @@ def test_describe_corpus_single_shuffle(spark):
     )
     assert count_shuffles(plan) == 1, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_train_val_test_split_zero_shuffle(spark):
+    """A split assignment is a PROJECTION: md5 range arithmetic over the
+    key column, no exchange, no Python stage — adding splits to a 100 TB
+    corpus must cost one map pass, nothing else."""
+    from wingfoil_spark.functions import curation as cu
+    from wingfoil_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = cu.train_val_test_split(d, {"train": 0.9, "val": 0.05, "test": 0.05})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan) == 0, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    g = cu.train_val_test_split(d, {"train": 0.8, "val": 0.2},
+                                group_col="source")
+    plan_g = g._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan_g) == 0, plan_g
