@@ -71,7 +71,7 @@ MODULE_SURFACES = {
         "quantize_embeddings", "dequantize_embeddings",
         "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
         "write_ivf_store", "ivf_topk_from_store",
-        "write_ivfpq_store", "ivfpq_topk_from_store",
+        "write_ivfpq_store", "ivfpq_topk_from_store", "recall_at_k",
     ],
     "wingfoil_spark.functions.text": [
         "tokens", "quality_score", "lang_id", "fingerprint",

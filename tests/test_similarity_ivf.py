@@ -455,3 +455,34 @@ def test_ivf_store_shared_write_equals_internal(spark, emb, tmp_path):
     for cell_dir in _glob.glob(p_w + "/cid=*"):
         n_files = len(_glob.glob(cell_dir + "/*.parquet"))
         assert 1 <= n_files <= 3, (cell_dir, n_files)
+
+
+def test_recall_at_k(spark):
+    """recall_at_k counts exact neighbors the approximate tier recovered,
+    per probe, including probes it missed entirely."""
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1)],
+        "probe_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        # probe 1: both right; probe 2: one right one wrong; probe 3: absent
+        [(1, 10, 1), (1, 11, 2), (2, 21, 1), (2, 99, 2)],
+        "probe_id long, neighbor_id long, rank long",
+    )
+    out = {r.probe_id: r for r in sim.recall_at_k(exact, approx).collect()}
+    assert (out[1].n_exact, out[1].n_hit, out[1].recall) == (2, 2, 1.0)
+    assert (out[2].n_exact, out[2].n_hit, out[2].recall) == (2, 1, 0.5)
+    assert (out[3].n_exact, out[3].n_hit, out[3].recall) == (1, 0, 0.0)
+    # k= trims BOTH sides by rank before comparing
+    at1 = {r.probe_id: r for r in sim.recall_at_k(exact, approx, k=1).collect()}
+    assert at1[1].recall == 1.0 and at1[2].recall == 0.0
+    # real tiers: IVF nprobe=all == exact -> recall 1.0 everywhere
+    import random
+    rng = random.Random(11)
+    rows = [(i, [float(rng.uniform(-1, 1)) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.where(F.col("vec_id") % 30 == 0)
+    ex = sim.cosine_topk(df, probes, k=3)
+    iv = sim.ivf_topk(df, probes, k=3, n_centroids=4, nprobe=4, fit="take")
+    r = sim.recall_at_k(ex, iv).agg(F.avg("recall").alias("m")).collect()[0].m
+    assert r == 1.0

@@ -687,3 +687,42 @@ def test_ann_topk_stream_survives_restart(spark, sf_dir):
     for c in ("probe_id", "neighbor_id", "rank"):
         assert g[c].tolist() == b[c].tolist(), c
     assert g["cosine"].tolist() == b["cosine"].tolist()
+
+
+def test_dedup_against_store_stream_and_batch(spark, docs, tmp_path):
+    """r10: the 'ever ingested?' gate — a persisted fingerprint store
+    anti-joins arrivals statelessly. Half the corpus is the ingested
+    snapshot; the arrival stream replays ALL docs plus planted exact
+    dups of snapshot docs; only genuinely-new content survives, and the
+    stream result equals the batch anti-join row-for-row."""
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    cut = len(pdf) // 2
+    snapshot = spark.createDataFrame(pdf.iloc[:cut], DOC_SCHEMA)
+    store_path = str(tmp_path / "fp_store")
+    ingest.build_fingerprint_store(snapshot, store_path)
+    store = spark.read.parquet(store_path)
+    assert store.columns == ["fp"]
+    assert store.count() == store.dropDuplicates(["fp"]).count()
+
+    arrivals = pdf.copy()
+    planted = pdf.iloc[:3].copy()           # re-crawled dups of snapshot docs
+    planted["doc_id"] = planted["doc_id"] + 10_000_000
+    import pandas as pd
+    arrivals = pd.concat([arrivals, planted], ignore_index=True)
+
+    batch_in = spark.createDataFrame(arrivals, DOC_SCHEMA)
+    want = sorted(
+        r.doc_id for r in ingest.dedup_against_store(batch_in, store).collect()
+    )
+    # every snapshot fingerprint (original AND planted re-crawl) dropped,
+    # every post-cut doc kept
+    assert want == sorted(pdf.iloc[cut:]["doc_id"].tolist())
+
+    stream, src_dir = _stream_chunks(spark, arrivals)
+    try:
+        got = _run_to_memory(
+            ingest.dedup_against_store(stream, store), "ingest_store_anti"
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert sorted(got["doc_id"].tolist()) == want

@@ -572,6 +572,48 @@ def ivfpq_topk_from_store(
     )
 
 
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int | None = None,
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact baseline —
+    the metric every index tier here (LSH / IVF / PQ / IVF-PQ / int8 /
+    the persisted stores) trades against cost, as a first-class op
+    instead of ad-hoc test arithmetic.
+
+    Both inputs are (probe, neighbor[, rank]) top-k frames (the common
+    output shape of cosine_topk and every *_topk here). Returns one row
+    per probe: ``n_exact``, ``n_hit`` (neighbors the approximate result
+    recovered) and ``recall`` = n_hit/n_exact; probes the approximate
+    tier missed ENTIRELY still appear (n_hit = 0) via the left join.
+    Aggregate ``F.avg("recall")`` for the headline number.
+
+    Plan: two small shuffles on the probe key (a groupBy per side after
+    the inner join on (probe, neighbor)); inputs are k rows per probe, so
+    this is index-metadata-sized work, never corpus-sized."""
+    e, a = exact, approx
+    if k is not None:
+        e = e.where(F.col(rank_col) <= int(k))
+        a = a.where(F.col(rank_col) <= int(k))
+    e = e.select(probe_col, neighbor_col)
+    a = a.select(probe_col, neighbor_col)
+    n_exact = e.groupBy(probe_col).agg(F.count("*").alias("n_exact"))
+    n_hit = (
+        e.join(a, [probe_col, neighbor_col])
+        .groupBy(probe_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, probe_col, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn("recall", F.col("n_hit") / F.col("n_exact"))
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     emb_col: str = "embedding",

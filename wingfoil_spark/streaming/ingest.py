@@ -81,6 +81,52 @@ def exact_dedup_stream(
     return out.dropDuplicates(["fp"])
 
 
+def build_fingerprint_store(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the exact-dedup fingerprint SET of a corpus snapshot: one
+    distinct md5 fingerprint per row, nothing else. This is the
+    incremental-crawl complement to :func:`exact_dedup_stream`: that op
+    dedups WITHIN the arrival stream (standing state); this store dedups
+    arrivals AGAINST EVERYTHING ALREADY INGESTED with zero standing
+    state — the history lives on disk, refreshed per snapshot (append
+    the survivors' fingerprints after each ingest window).
+
+    Scale shape: the store is one narrow column of fixed-width hashes
+    (~32 bytes/doc — a 10 B-doc corpus is ~300 GB, trivially
+    shuffle-joinable); the write is one map-side-combined distinct."""
+    (
+        corpus.select(fingerprint(F.col(text_col)).alias("fp"))
+        .dropDuplicates(["fp"])
+        .write.mode(mode).parquet(path)
+    )
+
+
+def dedup_against_store(
+    docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop arriving docs whose content fingerprint already exists in a
+    persisted :func:`build_fingerprint_store` snapshot — the
+    "have we EVER ingested this?" gate a continuous crawl runs before
+    anything else touches a document.
+
+    Stream-static LEFT ANTI join on the fingerprint: stateless per
+    micro-batch (the store is the only history), works identically on a
+    batch frame. Spark broadcasts a small store or shuffle-hash-joins a
+    large one per AQE's call; either way the stream side shuffles at
+    most once on the hash key. Compose with :func:`exact_dedup_stream`
+    downstream to also catch duplicates WITHIN the arrival window:
+    store-anti-join first (cheap, stateless), stateful first-seen second
+    (state now bounded by genuinely-new content only)."""
+    fp = docs.withColumn("fp", fingerprint(F.col(text_col)))
+    return fp.join(store.select("fp"), "fp", "left_anti")
+
+
 def build_lsh_index(
     docs: DataFrame,
     text_col: str = "text",
