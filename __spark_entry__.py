@@ -1555,9 +1555,16 @@ def q_ann(spark, sf_dir):
     import os as _os
     import tempfile as _tempfile
 
+    # path keyed by (applicationId, sf): unique per JVM so concurrent
+    # sessions never overwrite each other's store mid-read; stable within
+    # a session so repeated bench runs reuse one directory (mode=
+    # overwrite keeps it clean)
     store_path = _os.path.join(
         _tempfile.gettempdir(),
-        "wingfoil_ann_ivf_store_" + _os.path.basename(sf_dir.rstrip("/")),
+        "wingfoil_ann_ivf_store_%s_%s" % (
+            spark.sparkContext.applicationId,
+            _os.path.basename(sf_dir.rstrip("/")),
+        ),
     )
     sim.write_ivf_store(
         e, store_path, n_centroids=16, fit="take",
@@ -1921,7 +1928,8 @@ FROM (
   SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
     CAST(sum(ntok) AS BIGINT) AS total_tokens,
     round(avg(ntok), 2) AS mean_tokens,
-    round(sum(CAST(round(q * 1000000000, 0) AS BIGINT)) / 1e9 / count(*), 4)
+    round(sum(CAST(round(q * 1000000000, 0) AS BIGINT)) / 1e9
+          / count(CAST(round(q * 1000000000, 0) AS BIGINT)), 4)
       AS mean_quality
   FROM (
     SELECT lang, source,

@@ -377,3 +377,42 @@ def test_train_val_test_split_weight_validation():
         cu.split_thresholds({"train": 1.5, "val": -0.5})
     with pytest.raises(ValueError, match="non-empty"):
         cu.split_thresholds({})
+
+
+def test_train_val_test_split_null_key_gets_null_split(spark):
+    """A NULL key/group cannot be deterministically assigned: the split
+    label is NULL (explicit), never a silent bucket — otherwise every
+    null-metadata doc funnels into the lexicographically-last split."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "source": ["web", None]}),
+        "doc_id long, source string",
+    )
+    out = {r.doc_id: r.split for r in cu.train_val_test_split(
+        df, {"train": 0.5, "val": 0.5}, group_col="source").collect()}
+    assert out[1] in ("train", "val") and out[2] is None
+
+
+def test_describe_corpus_excludes_null_quality_from_mean(spark):
+    """mean_quality's denominator is count of NON-NULL scores: an
+    empty-text doc (quality NULL) must not drag the group mean toward
+    zero — the quantized rewrite keeps F.avg's null exclusion."""
+    import pandas as pd
+
+    from wingfoil_spark.functions.text import quality_score
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "lang": ["en"] * 3,
+            "source": ["web"] * 3,
+            "text": ["the quick brown fox jumps over a lazy dog", "", None],
+        }),
+        "doc_id long, lang string, source string, text string",
+    )
+    qs = df.select(quality_score(F.col("text")).alias("q")).collect()
+    assert qs[1].q is None and qs[2].q is None, "empty/null text scores NULL"
+    row = cu.describe_corpus(df).collect()[0]
+    want = round(round(qs[0].q * 1e9) / 1e9, 4)
+    assert row.mean_quality == want, (row.mean_quality, want)

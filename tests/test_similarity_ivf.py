@@ -486,3 +486,15 @@ def test_recall_at_k(spark):
     iv = sim.ivf_topk(df, probes, k=3, n_centroids=4, nprobe=4, fit="take")
     r = sim.recall_at_k(ex, iv).agg(F.avg("recall").alias("m")).collect()[0].m
     assert r == 1.0
+
+
+def test_recall_at_k_duplicate_rows_do_not_inflate(spark):
+    """Join multiplicity guard: the same (probe, neighbor) at two ranks
+    (a union of tiers, an un-deduped candidate frame) must not produce
+    n_hit > n_exact or recall > 1."""
+    exact = spark.createDataFrame(
+        [(1, 10, 1)], "probe_id long, neighbor_id long, rank long")
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2)], "probe_id long, neighbor_id long, rank long")
+    r = sim.recall_at_k(exact, approx).collect()[0]
+    assert (r.n_exact, r.n_hit, r.recall) == (1, 1, 1.0)

@@ -123,7 +123,10 @@ def train_val_test_split(
     Row-local (zero shuffle, pushes into the scan); adding a split is a
     projection, not a job. Weights must sum to 1 (±1e-9); the last range
     is closed at the top of the hash space so rounding slack cannot drop
-    rows."""
+    rows. A NULL key/group gets a NULL split — never a silent bucket: a
+    row with no identity cannot be deterministically assigned, and
+    funnelling all null-metadata docs into one split would correlate
+    them (route nulls explicitly before splitting if they must train)."""
     if weights is None:
         weights = {"train": 0.98, "val": 0.01, "test": 0.01}
     key = F.col(group_col) if group_col else F.col(key_col)
@@ -133,7 +136,8 @@ def train_val_test_split(
         cond = draw < F.lit(thr)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(sorted(weights)[-1])
-    out = last if expr is None else expr.otherwise(last)
+    labelled = last if expr is None else expr.otherwise(last)
+    out = F.when(draw.isNull(), F.lit(None).cast("string")).otherwise(labelled)
     return df.withColumn(out_col, out)
 
 
@@ -302,12 +306,14 @@ def describe_corpus(
     a 0-token doc here, consistent with token_budget_shards.
 
     mean_quality is the mean of the per-doc scores QUANTIZED to 1e-9
-    integers before the sum (round(q·1e9) as long, Σ/1e9/n): summing
-    longs is associative, so the reported mean is independent of
+    integers before the sum (round(q·1e9) as long, Σ/1e9/count(q)):
+    summing longs is associative, so the reported mean is independent of
     partial-aggregation order — the same determinism device the LM
     stream tier uses for logprob means (ADVICE r9-low: an order-dependent
     double sum can flip round(·,4) within float error of a 0.00005
-    boundary between engines).
+    boundary between engines). The denominator is count of NON-NULL
+    scores (count(qq), not count(*)) so null-quality docs (empty text)
+    stay excluded exactly as F.avg excluded them.
     """
     from wingfoil_spark.functions.text import quality_score
 
@@ -323,7 +329,7 @@ def describe_corpus(
         F.sum(ntok).alias("total_tokens"),
         F.round(F.avg(ntok), 2).alias("mean_tokens"),
         F.percentile_approx(ntok, [0.1, 0.5, 0.9]).alias("token_p10_p50_p90"),
-        F.round(F.sum(qq) / F.lit(1e9) / F.count("*"), 4).alias("mean_quality"),
+        F.round(F.sum(qq) / F.lit(1e9) / F.count(qq), 4).alias("mean_quality"),
     )
 
 

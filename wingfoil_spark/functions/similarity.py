@@ -401,11 +401,17 @@ def write_ivf_store(
             "corpus_assign= requires the matching centroids= frame "
             "(the one that produced the assignment)"
         )
-    cents = (
-        centroids
-        if centroids is not None
-        else ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        # materialize the internal fit: the returned frame is index
+        # METADATA (n_centroids rows) that every subsequent search
+        # broadcasts — left lazy, a take-fit is a TakeOrdered whose
+        # full-corpus scan re-runs inside every consumer (the write job,
+        # then every from-store probe assignment)
+        cents = ivf_centroids(
+            corpus, n_centroids, emb_col, id_col, fit=fit
+        ).localCheckpoint(eager=True)
     if corpus_assign is not None:
         keep = [id_col, emb_col, "cid"]
         if "__nrm" in corpus_assign.columns:
@@ -502,11 +508,14 @@ def write_ivfpq_store(
             "corpus_assign= requires the matching centroids= frame "
             "(the one that produced the assignment)"
         )
-    cents = (
-        centroids
-        if centroids is not None
-        else ivf_centroids(corpus, n_centroids, emb_col, id_col, fit=fit)
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        # same materialization rationale as write_ivf_store: the return
+        # is broadcast metadata, a lazy fit re-scans the corpus per use
+        cents = ivf_centroids(
+            corpus, n_centroids, emb_col, id_col, fit=fit
+        ).localCheckpoint(eager=True)
     asg = (
         corpus_assign.select(id_col, "cid")
         if corpus_assign is not None
@@ -594,13 +603,16 @@ def recall_at_k(
 
     Plan: two small shuffles on the probe key (a groupBy per side after
     the inner join on (probe, neighbor)); inputs are k rows per probe, so
-    this is index-metadata-sized work, never corpus-sized."""
+    this is index-metadata-sized work, never corpus-sized. Both sides are
+    deduplicated on (probe, neighbor) first — a caller handing in a
+    union of tiers or a frame with one pair at two ranks must not
+    inflate n_hit through join multiplicity (recall could exceed 1)."""
     e, a = exact, approx
     if k is not None:
         e = e.where(F.col(rank_col) <= int(k))
         a = a.where(F.col(rank_col) <= int(k))
-    e = e.select(probe_col, neighbor_col)
-    a = a.select(probe_col, neighbor_col)
+    e = e.select(probe_col, neighbor_col).dropDuplicates()
+    a = a.select(probe_col, neighbor_col).dropDuplicates()
     n_exact = e.groupBy(probe_col).agg(F.count("*").alias("n_exact"))
     n_hit = (
         e.join(a, [probe_col, neighbor_col])
@@ -800,14 +812,22 @@ def _adc_topk_iter(books: np.ndarray, topk: int):
                     ids = np.concatenate([pids, ids])
                 order = np.lexsort((ids, dists))[:topk]
                 best[probe_id] = (dists[order], ids[order])
-        for probe_id, (dists, ids) in best.items():
-            out = pd.DataFrame({
-                "probe_id": probe_id,
-                "neighbor_id": ids,
-                "adc_dist": np.round(dists, 9),
-            })
-            out["rank"] = np.arange(1, len(out) + 1)
-            yield out
+        if best:
+            # one flush frame per partition (not per probe): a per-probe
+            # yield becomes one Arrow batch per probe — thousands of
+            # ≤k-row batches whose serialization dominates the flush
+            yield pd.concat(
+                [
+                    pd.DataFrame({
+                        "probe_id": probe_id,
+                        "neighbor_id": ids,
+                        "adc_dist": np.round(dists, 9),
+                        "rank": np.arange(1, len(ids) + 1),
+                    })
+                    for probe_id, (dists, ids) in best.items()
+                ],
+                ignore_index=True,
+            )
 
     return adc
 

@@ -56,7 +56,10 @@ def avg_token_len(col: Column, toks: Column | None = None) -> Column:
     SQL twin: sum of lengths / count)."""
     t = _toks(col, toks)
     total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-    return total.cast("double") / F.size(t).cast("double")
+    # try_divide: a zero-token doc means 0/0 — NULL, not an ANSI abort
+    # (one empty doc in a 100 TB scan must not kill the job); DuckDB's
+    # x/0 is NULL too, so the oracle twin needs no change
+    return F.try_divide(total.cast("double"), F.size(t).cast("double"))
 
 
 def stopword_count(col: Column, lang: str = "en",
@@ -68,9 +71,11 @@ def stopword_count(col: Column, lang: str = "en",
 def stopword_ratio(col: Column, lang: str = "en",
                    toks: Column | None = None) -> Column:
     t = _toks(col, toks)
-    return stopword_count(col, lang, toks=t).cast("double") / token_count(
-        col, toks=t
-    ).cast("double")
+    # try_divide: NULL (not an ANSI abort) on a zero-token doc
+    return F.try_divide(
+        stopword_count(col, lang, toks=t).cast("double"),
+        token_count(col, toks=t).cast("double"),
+    )
 
 
 #: the punct keep-class, spelled out for translate()
@@ -93,7 +98,10 @@ def punct_count(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    return punct_count(col).cast("double") / F.length(col).cast("double")
+    # try_divide: NULL (not an ANSI abort) on an empty string
+    return F.try_divide(
+        punct_count(col).cast("double"), F.length(col).cast("double")
+    )
 
 
 def quality_score(col: Column, toks: Column | None = None) -> Column:

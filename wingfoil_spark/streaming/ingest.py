@@ -561,14 +561,22 @@ def ann_topk_stream(
                     ids = np.concatenate([pids, ids])
                 order = np.lexsort((ids, -cos))[:kk]
                 best[probe_id] = (cos[order], ids[order])
-        for probe_id, (cos, ids) in best.items():
-            out = pd.DataFrame({
-                "probe_id": probe_id,
-                "neighbor_id": ids,
-                "cosine": cos,
-            })
-            out["rank"] = np.arange(1, len(out) + 1)
-            yield out
+        if best:
+            # ONE frame for the whole partition: a per-probe yield would
+            # make one Arrow batch per probe (thousands of ≤k-row
+            # batches, per-batch serialization dominating the flush)
+            yield pd.concat(
+                [
+                    pd.DataFrame({
+                        "probe_id": probe_id,
+                        "neighbor_id": ids,
+                        "cosine": cos,
+                        "rank": np.arange(1, len(ids) + 1),
+                    })
+                    for probe_id, (cos, ids) in best.items()
+                ],
+                ignore_index=True,
+            )
 
     return scored.repartition("probe_id").mapInPandas(
         topk, "probe_id long, neighbor_id long, cosine double, rank long"
