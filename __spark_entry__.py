@@ -913,9 +913,23 @@ def q_decon_stream(spark, sf_dir):
     probe lives in exactly one micro-batch; the index is static), so the
     DuckDB twin replays it as the batch LSH ranking.
 
-    All five outputs are content-determined per doc/probe, hence arrival-
-    order- and batching-invariant — exactly what makes a multi-micro-
-    batch streaming run oracle-gradable against batch SQL."""
+    r10 widens to SEVEN parts:
+
+    - part='store' (v=1.0): streaming/ingest.dedup_against_store — the
+      "ever ingested?" gate: arrivals LEFT-ANTI stream-static joined
+      against a PERSISTED build_fingerprint_store snapshot (docs with
+      doc_id % 3 == 0 play the previously-ingested corpus); only
+      genuinely-new docs emit. Zero standing state — the disk snapshot
+      is the history.
+    - part='recall' (aux=n_hit, v=round(recall,6)): similarity.
+      recall_at_k of the STREAMED ann results (part='ann' rows) against
+      the exact batch cosine top-5 — the serving tier's quality metric
+      computed from the very rows the stream emitted, so the grade
+      covers the stream output AND the metric op.
+
+    All seven outputs are content-determined per doc/probe, hence
+    arrival-order- and batching-invariant — exactly what makes a multi-
+    micro-batch streaming run oracle-gradable against batch SQL."""
     import os
     import shutil
     import tempfile
@@ -958,6 +972,14 @@ def q_decon_stream(spark, sf_dir):
             .write.mode("overwrite").parquet(src)
         emb.where(F.col("vec_id") % 50 == 0).select("vec_id", "embedding") \
             .repartition(4).write.mode("overwrite").parquet(psrc)
+        # r10 part='store': the persisted ingest-history snapshot —
+        # doc_id % 3 == 0 plays "already crawled"; checkpointed so the
+        # per-micro-batch anti-join reads a pinned frame
+        fpstore_path = os.path.join(tmp, "fpstore")
+        ingest.build_fingerprint_store(
+            docs.where(F.col("doc_id") % 3 == 0), fpstore_path
+        )
+        fpstore = spark.read.parquet(fpstore_path).localCheckpoint(eager=True)
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -996,9 +1018,13 @@ def q_decon_stream(spark, sf_dir):
             F.col("neighbor_id").alias("aux"),
             F.col("cosine").alias("v"),
         )
+        store = ingest.dedup_against_store(stream, fpstore).select(
+            F.lit("store").alias("part"), "doc_id", zero,
+            F.lit(1.0).alias("v"),
+        )
         q = (
             decon.unionByName(dsir).unionByName(bm).unionByName(lmsc)
-            .unionByName(ann)
+            .unionByName(ann).unionByName(store)
             .writeStream.format("memory").queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -1010,7 +1036,20 @@ def q_decon_stream(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
     # the memory sink holds the materialized rows; localCheckpoint pins
     # them to this returned frame (the table name is run-unique anyway)
-    return spark.table(name).localCheckpoint(eager=True)
+    out = spark.table(name).localCheckpoint(eager=True)
+    # r10 part='recall': recall@5 of the STREAMED ann rows vs the exact
+    # batch top-5 — computed from the emitted rows themselves, batch-side
+    ann_res = out.where(F.col("part") == "ann").select(
+        F.col("doc_id").alias("probe_id"), F.col("aux").alias("neighbor_id")
+    )
+    exact = sim.cosine_topk(emb, emb.where(F.col("vec_id") % 50 == 0), k=5)
+    rec = sim.recall_at_k(exact, ann_res).select(
+        F.lit("recall").alias("part"),
+        F.col("probe_id").alias("doc_id"),
+        F.col("n_hit").cast("long").alias("aux"),
+        F.round("recall", 6).alias("v"),
+    )
+    return out.unionByName(rec)
 
 
 def q_seasons(spark, sf_dir):
@@ -2611,7 +2650,32 @@ ann_scored AS (
   JOIN aen c ON c.vec_id = bc.vec_id AND c.vec_id != p.vec_id
 ),
 ann_ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-  ORDER BY cosine DESC, neighbor_id) AS rank FROM ann_scored)
+  ORDER BY cosine DESC, neighbor_id) AS rank FROM ann_scored),
+-- r10 part='recall': exact batch top-5 per probe vs the lsh-replayed
+-- streamed result; n_hit counted from the exact side (misses -> 0)
+ex_scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm), 6) AS cosine
+  FROM aep p CROSS JOIN aen c WHERE c.vec_id != p.vec_id
+),
+ex_top AS (SELECT probe_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY cosine DESC, neighbor_id) AS rank FROM ex_scored
+) WHERE rank <= 5),
+ann_top AS (SELECT DISTINCT probe_id, neighbor_id FROM ann_ranked WHERE rank <= 5),
+rec AS (
+  SELECT e.probe_id,
+    CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+    CAST(count(*) AS BIGINT) AS n_exact
+  FROM ex_top e LEFT JOIN ann_top a USING (probe_id, neighbor_id)
+  GROUP BY 1
+),
+-- r10 part='store': survivors of the anti-join against the persisted
+-- fingerprint snapshot (doc_id % 3 == 0 plays 'already ingested')
+dfp AS (SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents),
+snapfp AS (SELECT DISTINCT fp FROM dfp WHERE doc_id % 3 = 0)
 SELECT 'decon' AS part, cg.doc_id, CAST(0 AS BIGINT) AS aux, 1.0 AS v
 FROM (
   SELECT DISTINCT doc_id FROM (
@@ -2637,7 +2701,12 @@ SELECT 'bm25', doc_id, CAST(0 AS BIGINT), round(score, 6) FROM bscore
 UNION ALL
 SELECT 'lm', doc_id, CAST(0 AS BIGINT), round(mlp, 6) FROM lperdoc
 UNION ALL
-SELECT 'ann', probe_id, neighbor_id, cosine FROM ann_ranked WHERE rank <= 5"""
+SELECT 'ann', probe_id, neighbor_id, cosine FROM ann_ranked WHERE rank <= 5
+UNION ALL
+SELECT 'store', d.doc_id, CAST(0 AS BIGINT), 1.0
+FROM dfp d WHERE NOT EXISTS (SELECT 1 FROM snapfp s WHERE s.fp = d.fp)
+UNION ALL
+SELECT 'recall', probe_id, n_hit, round(n_hit::DOUBLE / n_exact, 6) FROM rec"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the
