@@ -1597,11 +1597,27 @@ def q_ann(spark, sf_dir):
     # path keyed by (applicationId, sf): unique per JVM so concurrent
     # sessions never overwrite each other's store mid-read; stable within
     # a session so repeated bench runs reuse one directory (mode=
-    # overwrite keeps it clean)
+    # overwrite keeps it clean). Dead sessions leave their directory
+    # behind — sweep siblings untouched for >6h (a live run's store is
+    # rewritten every few seconds; only abandoned ones age) so repeated
+    # bench/driver invocations cannot fill /tmp.
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    app = spark.sparkContext.applicationId
+    for d in _glob.glob(
+        _os.path.join(_tempfile.gettempdir(), "wingfoil_ann_ivf_store_*")
+    ):
+        try:
+            if app not in d and _time.time() - _os.path.getmtime(d) > 6 * 3600:
+                _shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
     store_path = _os.path.join(
         _tempfile.gettempdir(),
         "wingfoil_ann_ivf_store_%s_%s" % (
-            spark.sparkContext.applicationId,
+            app,
             _os.path.basename(sf_dir.rstrip("/")),
         ),
     )

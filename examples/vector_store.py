@@ -118,12 +118,11 @@ try:
 
     # 4c. recall@k — the metric every tier trades against cost: the
     # exhaustive-probe store search must recover the exact result
-    exact = sim.cosine_topk(corpus, probes, k=3)
+    # (exact top-3 was computed once at step 1; reuse it)
     full = sim.ivf_topk_from_store(spark, store_dir + "/ivf", cents_s,
                                    probes, k=3, nprobe=4)
-    import pyspark.sql.functions as _F
     m = sim.recall_at_k(exact, full).agg(
-        _F.avg("recall").alias("m")).collect()[0].m
+        F.avg("recall").alias("m")).collect()[0].m
     assert m == 1.0, m
     print("recall@3 of the exhaustive-probe store search: 1.0")
 finally:

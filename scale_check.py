@@ -467,7 +467,10 @@ def ann_fixed_probes(spark, sf_dir):
     int8 = sim.cosine_topk(q8, probes, k=5)
     store = os.path.join(
         tempfile.gettempdir(),
-        "wingfoil_scale_ivf_store_" + os.path.basename(sf_dir.rstrip("/")),
+        "wingfoil_scale_ivf_store_%s_%s" % (
+            spark.sparkContext.applicationId,
+            os.path.basename(sf_dir.rstrip("/")),
+        ),
     )
     cents = sim.write_ivf_store(
         e, store, n_centroids=16, fit="take", writers_per_cell=2

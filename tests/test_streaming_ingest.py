@@ -711,12 +711,27 @@ def test_dedup_against_store_stream_and_batch(spark, docs, tmp_path):
     arrivals = pd.concat([arrivals, planted], ignore_index=True)
 
     batch_in = spark.createDataFrame(arrivals, DOC_SCHEMA)
-    want = sorted(
-        r.doc_id for r in ingest.dedup_against_store(batch_in, store).collect()
+    got_batch = ingest.dedup_against_store(batch_in, store)
+    assert sorted(got_batch.columns) == sorted(batch_in.columns), \
+        "caller schema unchanged (no helper column leaks)"
+    want = sorted(r.doc_id for r in got_batch.collect())
+    # independent pandas replay of the anti-join (no assumption that the
+    # fixture is collision-free across the halves): survivors are the
+    # arrivals whose normalized-md5 fingerprint is not in the snapshot's
+    import hashlib
+    import re as _re
+
+    def _fp(t):
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", t.strip().lower()).encode()
+        ).hexdigest()
+
+    snap_fps = {_fp(t) for t in pdf.iloc[:cut]["text"]}
+    expect = sorted(
+        int(r.doc_id) for _, r in arrivals.iterrows()
+        if _fp(r.text) not in snap_fps
     )
-    # every snapshot fingerprint (original AND planted re-crawl) dropped,
-    # every post-cut doc kept
-    assert want == sorted(pdf.iloc[cut:]["doc_id"].tolist())
+    assert want == expect
 
     stream, src_dir = _stream_chunks(spark, arrivals)
     try:

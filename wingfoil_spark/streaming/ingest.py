@@ -92,12 +92,17 @@ def build_fingerprint_store(
     incremental-crawl complement to :func:`exact_dedup_stream`: that op
     dedups WITHIN the arrival stream (standing state); this store dedups
     arrivals AGAINST EVERYTHING ALREADY INGESTED with zero standing
-    state — the history lives on disk, refreshed per snapshot (append
-    the survivors' fingerprints after each ingest window).
+    state — the history lives on disk, refreshed per snapshot.
 
     Scale shape: the store is one narrow column of fixed-width hashes
     (~32 bytes/doc — a 10 B-doc corpus is ~300 GB, trivially
-    shuffle-joinable); the write is one map-side-combined distinct."""
+    shuffle-joinable); the write is one map-side-combined distinct.
+    Growing the store incrementally: appending each window's survivor
+    fingerprints (mode='append') keeps the anti-join CORRECT but only
+    dedups within the window — recurring content re-appends its fp, so
+    periodically compact (read → dropDuplicates → rewrite) or rebuild
+    from the corpus snapshot to restore the one-row-per-distinct-doc
+    shape."""
     (
         corpus.select(fingerprint(F.col(text_col)).alias("fp"))
         .dropDuplicates(["fp"])
@@ -122,9 +127,16 @@ def dedup_against_store(
     most once on the hash key. Compose with :func:`exact_dedup_stream`
     downstream to also catch duplicates WITHIN the arrival window:
     store-anti-join first (cheap, stateless), stateful first-seen second
-    (state now bounded by genuinely-new content only)."""
-    fp = docs.withColumn("fp", fingerprint(F.col(text_col)))
-    return fp.join(store.select("fp"), "fp", "left_anti")
+    (state now bounded by genuinely-new content only).
+
+    The caller's schema is returned UNCHANGED — the join key lives in a
+    private helper column that is dropped on the way out (a
+    pre-existing ``fp`` column on the input passes through untouched)."""
+    key = "__store_fp"
+    keyed = docs.withColumn(key, fingerprint(F.col(text_col)))
+    return keyed.join(
+        store.select(F.col("fp").alias(key)), key, "left_anti"
+    ).drop(key)
 
 
 def build_lsh_index(
