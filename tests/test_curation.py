@@ -416,3 +416,46 @@ def test_describe_corpus_excludes_null_quality_from_mean(spark):
     row = cu.describe_corpus(df).collect()[0]
     want = round(round(qs[0].q * 1e9) / 1e9, 4)
     assert row.mean_quality == want, (row.mean_quality, want)
+
+
+def test_split_thresholds_properties():
+    """Property pins on the pure range arithmetic (hypothesis): for any
+    valid weights, thresholds are strictly within the hash space,
+    monotonically non-decreasing in lexicographic name order, and the
+    implied range widths match the weights to float precision — so no
+    row can be dropped or double-assigned regardless of the dict."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def weight_dicts(draw):
+        n = draw(st.integers(min_value=1, max_value=6))
+        names = [f"s{i}" for i in range(n)]
+        raw = [draw(st.floats(min_value=0.01, max_value=1.0)) for _ in names]
+        total = sum(raw)
+        w = {k: v / total for k, v in zip(names, raw)}
+        # re-normalize the residual onto the last name so the sum is
+        # exactly 1.0 within the validator's 1e-9 (float division slack)
+        w[names[-1]] += 1.0 - sum(w.values())
+        return w
+
+    @given(weight_dicts())
+    @settings(max_examples=200, deadline=None)
+    def check(w):
+        thr = cu.split_thresholds(w)
+        names = sorted(w)
+        assert [n for n, _ in thr] == names[:-1]
+        prev = 0
+        for (name, t) in thr:
+            assert 0 <= t <= cu.HASH_SPACE
+            assert t >= prev, "ranges must be non-decreasing"
+            # range width tracks the weight; a double at 2^60 magnitude
+            # has ~256-unit ulps and cum is a float sum, so allow a few
+            # ulps (1024/2^60 ≈ 1e-15 relative — nothing can be dropped)
+            assert abs((t - prev) - w[name] * cu.HASH_SPACE) <= 1024
+            prev = t
+        # the last split owns the remainder: implied width == its weight
+        last_w = (cu.HASH_SPACE - prev) / cu.HASH_SPACE
+        assert abs(last_w - w[names[-1]]) < 1e-8
+
+    check()
