@@ -28,6 +28,23 @@ from wingfoil_spark.functions import curation as cu
 
 US = 1_000_000  # microseconds per second
 
+_CLEANUP_PATHS: set[str] = set()
+
+
+def _register_store_cleanup(path: str) -> None:
+    """Remove ``path`` at interpreter exit (idempotent per path). Own-
+    directory-only /tmp hygiene for the persisted-store queries: each
+    session deletes what IT wrote, never a sibling app's data (ADVICE
+    r10-low — an mtime-age sweep of other apps' directories can race a
+    long-lived session's lazy from-store frame)."""
+    import atexit
+    import shutil
+
+    if path in _CLEANUP_PATHS:
+        return
+    _CLEANUP_PATHS.add(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
 # ---------------------------------------------------------------- events base
 
 EV_SQL = (
@@ -1597,23 +1614,14 @@ def q_ann(spark, sf_dir):
     # path keyed by (applicationId, sf): unique per JVM so concurrent
     # sessions never overwrite each other's store mid-read; stable within
     # a session so repeated bench runs reuse one directory (mode=
-    # overwrite keeps it clean). Dead sessions leave their directory
-    # behind — sweep siblings untouched for >6h (a live run's store is
-    # rewritten every few seconds; only abandoned ones age) so repeated
-    # bench/driver invocations cannot fill /tmp.
-    import glob as _glob
-    import shutil as _shutil
-    import time as _time
-
+    # overwrite keeps it clean). Cleanup is OWN-DIRECTORY-ONLY, at
+    # process exit (ADVICE r10-low: the old 6h-mtime sweep of SIBLING
+    # apps' directories could rmtree data a long-lived concurrent
+    # session still holds a lazy from-store frame over — age is not
+    # liveness). A kill -9'd session skips atexit and leaves its
+    # directory; that residual is bounded (one small store per dead
+    # app) and never another process's problem to delete.
     app = spark.sparkContext.applicationId
-    for d in _glob.glob(
-        _os.path.join(_tempfile.gettempdir(), "wingfoil_ann_ivf_store_*")
-    ):
-        try:
-            if app not in d and _time.time() - _os.path.getmtime(d) > 6 * 3600:
-                _shutil.rmtree(d, ignore_errors=True)
-        except OSError:
-            pass
     store_path = _os.path.join(
         _tempfile.gettempdir(),
         "wingfoil_ann_ivf_store_%s_%s" % (
@@ -1621,6 +1629,7 @@ def q_ann(spark, sf_dir):
             _os.path.basename(sf_dir.rstrip("/")),
         ),
     )
+    _register_store_cleanup(store_path)
     sim.write_ivf_store(
         e, store_path, n_centroids=16, fit="take",
         centroids=cents, corpus_assign=asg,

@@ -472,6 +472,11 @@ def ann_fixed_probes(spark, sf_dir):
             os.path.basename(sf_dir.rstrip("/")),
         ),
     )
+    # ADVICE r10-low: these per-(app, sf) directories were never removed
+    # (and not matched by any sweep) — one leaked store per sf tier per
+    # invocation. Removed at process exit; can't be a finally here
+    # because the RETURNED frame is lazy and read after this returns.
+    entry._register_store_cleanup(store)
     cents = sim.write_ivf_store(
         e, store, n_centroids=16, fit="take", writers_per_cell=2
     )

@@ -313,7 +313,12 @@ def describe_corpus(
     double sum can flip round(·,4) within float error of a 0.00005
     boundary between engines). The denominator is count of NON-NULL
     scores (count(qq), not count(*)) so null-quality docs (empty text)
-    stay excluded exactly as F.avg excluded them.
+    stay excluded exactly as F.avg excluded them. The quotient is
+    F.try_divide (ADVICE r10-low): a group whose docs ALL have null
+    quality has count(qq) = 0, and a plain `/` would abort the whole
+    aggregation under ANSI mode — the same failure the text.py ratio
+    helpers guard against; try_divide yields NULL for that group in
+    both modes, matching what F.avg reported.
     """
     from wingfoil_spark.functions.text import quality_score
 
@@ -329,7 +334,9 @@ def describe_corpus(
         F.sum(ntok).alias("total_tokens"),
         F.round(F.avg(ntok), 2).alias("mean_tokens"),
         F.percentile_approx(ntok, [0.1, 0.5, 0.9]).alias("token_p10_p50_p90"),
-        F.round(F.sum(qq) / F.lit(1e9) / F.count(qq), 4).alias("mean_quality"),
+        F.round(
+            F.try_divide(F.sum(qq) / F.lit(1e9), F.count(qq)), 4
+        ).alias("mean_quality"),
     )
 
 

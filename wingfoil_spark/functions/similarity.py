@@ -522,10 +522,36 @@ def write_ivfpq_store(
         else ivf_assign(corpus, cents, 1, emb_col, id_col).select(id_col, "cid")
     )
     if corpus_codes is not None:
+        # LEFT join + raise_error on a missing code (ADVICE r10-low): the
+        # old inner join silently wrote a SMALLER store when a stale or
+        # partial codes frame didn't cover the assignment — the one
+        # shared-scan hook without the loud centroids=/corpus_assign=
+        # contract. The guard is an expression inside the write job
+        # itself (no extra pass, no driver count): any uncovered id
+        # fails the write with its id in the message.
         coded = asg.join(
             corpus_codes.select(F.col(id_col), F.col(code_col).alias("pq_code")),
             id_col,
-        ).select(F.col(id_col), F.col("cid"), F.col("pq_code"))
+            "left",
+        ).select(
+            F.col(id_col),
+            F.col("cid"),
+            F.when(
+                F.col("pq_code").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "write_ivfpq_store: corpus_codes= does not "
+                            "cover the assignment (no code for id "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit("); re-encode or pass the matching frame"),
+                    )
+                ).cast(corpus_codes.schema[code_col].dataType),
+            )
+            .otherwise(F.col("pq_code"))
+            .alias("pq_code"),
+        )
     else:
         src = (
             corpus_assign.select(id_col, "cid", emb_col)
