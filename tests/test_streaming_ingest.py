@@ -741,3 +741,50 @@ def test_dedup_against_store_stream_and_batch(spark, docs, tmp_path):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
     assert sorted(got["doc_id"].tolist()) == want
+
+def test_dedup_against_store_rejects_private_key_collision(spark, docs):
+    """r11 (VERDICT r10 wrong #3): an input frame that already carries the
+    op's private join-key column must be rejected loudly, not silently
+    clobbered and dropped."""
+    store = docs.limit(0).selectExpr("md5(text) AS fp")
+    poisoned = docs.withColumn("__store_fp", F.lit("x"))
+    with pytest.raises(ValueError, match="__store_fp"):
+        ingest.dedup_against_store(poisoned, store)
+    # a plain 'fp' column is NOT the private key: passes through untouched
+    ok = ingest.dedup_against_store(docs.withColumn("fp", F.lit("keep")), store)
+    assert "fp" in ok.columns
+    assert ok.select("fp").distinct().collect()[0][0] == "keep"
+
+
+def test_compact_fingerprint_store_restores_distinct_shape(spark, docs, tmp_path):
+    """r11 (VERDICT r10 missing #4): append-grown store with planted
+    recurring fingerprints returns to one-row-per-distinct after
+    compaction, and the anti-join result is unchanged by it."""
+    path = str(tmp_path / "fp_store")
+    ingest.build_fingerprint_store(docs, path)
+    n_distinct = spark.read.parquet(path).count()
+    # two append windows re-crawl overlapping content: fps recur on disk
+    ingest.build_fingerprint_store(docs.limit(20), path, mode="append")
+    ingest.build_fingerprint_store(docs.limit(35), path, mode="append")
+    grown = spark.read.parquet(path)
+    assert grown.count() > n_distinct, "appends must actually add rows"
+    before = sorted(
+        r.doc_id
+        for r in ingest.dedup_against_store(
+            docs, spark.read.parquet(path)
+        ).collect()
+    )
+    n = ingest.compact_fingerprint_store(spark, path)
+    compacted = spark.read.parquet(path)
+    assert n == n_distinct
+    assert compacted.count() == n_distinct
+    assert compacted.count() == compacted.dropDuplicates(["fp"]).count()
+    assert compacted.columns == ["fp"]
+    # no sibling temp/old directories left behind
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "fp_store"]
+    assert leftovers == []
+    after = sorted(
+        r.doc_id
+        for r in ingest.dedup_against_store(docs, compacted).collect()
+    )
+    assert after == before

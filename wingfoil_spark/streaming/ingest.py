@@ -100,8 +100,8 @@ def build_fingerprint_store(
     Growing the store incrementally: appending each window's survivor
     fingerprints (mode='append') keeps the anti-join CORRECT but only
     dedups within the window — recurring content re-appends its fp, so
-    periodically compact (read → dropDuplicates → rewrite) or rebuild
-    from the corpus snapshot to restore the one-row-per-distinct-doc
+    periodically run :func:`compact_fingerprint_store` (or rebuild from
+    the corpus snapshot) to restore the one-row-per-distinct-doc
     shape."""
     (
         corpus.select(fingerprint(F.col(text_col)).alias("fp"))
@@ -131,12 +131,58 @@ def dedup_against_store(
 
     The caller's schema is returned UNCHANGED — the join key lives in a
     private helper column that is dropped on the way out (a
-    pre-existing ``fp`` column on the input passes through untouched)."""
+    pre-existing ``fp`` column on the input passes through untouched;
+    an input that already carries the private key name itself is
+    rejected rather than silently clobbered-then-dropped)."""
     key = "__store_fp"
+    if key in docs.columns:
+        raise ValueError(
+            f"dedup_against_store: input already has a {key!r} column "
+            "(the op's private join key) — rename it before calling"
+        )
     keyed = docs.withColumn(key, fingerprint(F.col(text_col)))
     return keyed.join(
         store.select(F.col("fp").alias(key)), key, "left_anti"
     ).drop(key)
+
+
+def compact_fingerprint_store(spark, path: str) -> int:
+    """Restore an append-grown :func:`build_fingerprint_store` directory
+    to one-row-per-distinct-fingerprint shape: read → dropDuplicates →
+    write to a temporary sibling → swap into place. This makes the
+    incremental-crawl recipe executable instead of prose: append each
+    window's survivor fingerprints cheaply (mode='append'), then compact
+    on a schedule to stop recurring content from growing the store.
+
+    The swap is two renames on the same filesystem (current → ``.old``,
+    compacted → current) — the window where no directory exists is one
+    rename, not a full rewrite; a reader holding the OLD frame keeps a
+    deleted-inode-style hazard either way, which is why the docstring
+    contract is "compact from the maintenance job, not under a live
+    reader" (same discipline as any parquet-rewrite compaction). Returns
+    the number of distinct fingerprints in the compacted store.
+
+    Plan: one map-side-combined distinct of a single fixed-width hash
+    column — the cheapest possible shuffle shape; output files follow
+    spark.sql.shuffle.partitions (coalesced by AQE), so a 300 GB store
+    compacts without any single-task funnel."""
+    import shutil
+    import uuid
+
+    base = path.rstrip("/")
+    tmp = f"{base}.compact-{uuid.uuid4().hex[:12]}"
+    old = f"{base}.old-{uuid.uuid4().hex[:12]}"
+    compacted = spark.read.parquet(path).dropDuplicates(["fp"])
+    compacted.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.move(base, old)
+    try:
+        shutil.move(tmp, base)
+    except Exception:
+        shutil.move(old, base)  # roll back: leave the store readable
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return n
 
 
 def build_lsh_index(
