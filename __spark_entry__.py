@@ -944,7 +944,24 @@ def q_decon_stream(spark, sf_dir):
       computed from the very rows the stream emitted, so the grade
       covers the stream output AND the metric op.
 
-    All seven outputs are content-determined per doc/probe, hence
+    r11 widens to EIGHT parts (VERDICT r10 Next #1 — the LAST persisted
+    tier without a CORRECTNESS row):
+
+    - part='ivfpq_store' (aux=neighbor_id*10+rank, v=round(1-adc/2,6)):
+      the codes-only IVF-PQ store round trip — write_ivfpq_store (floats
+      DROPPED at write; parquet partitioned by coarse cell; fed from one
+      take-fit + one assignment + one encode via the shared-scan hooks)
+      → ivfpq_topk_from_store (probe assignment → dynamic-partition-
+      pruning directory skip → ADC re-scoring over the on-disk codes).
+      Graded HERE, not in the headline ann union, because the round trip
+      inherently costs a second codes read + ADC pass (~+2-3s — the
+      documented cost decision): decon_stream is the driver slot whose
+      wall time is excluded from the bench headline. Batch-side like
+      part='recall'; rank rides in aux (neighbor*10+rank, rank ≤ 5) so
+      the full (probe, neighbor, adc, rank) tuple is hash-graded within
+      the union's fixed 4-column schema.
+
+    All eight outputs are content-determined per doc/probe, hence
     arrival-order- and batching-invariant — exactly what makes a multi-
     micro-batch streaming run oracle-gradable against batch SQL."""
     import os
@@ -1049,6 +1066,28 @@ def q_decon_stream(spark, sf_dir):
             .start()
         )
         q.awaitTermination(300)
+        # r11 part='ivfpq_store': write the codes-only store into the run
+        # tmp dir and search it back; the result is MATERIALIZED
+        # (localCheckpoint) before the finally removes the directory.
+        # One take-fit (16 rows, checkpointed — a lazy TakeOrdered would
+        # re-scan the corpus in both the write and the probe assignment),
+        # one full-corpus assignment, one encode; the store write is the
+        # only extra pass over those frames.
+        books = sim.pq_train(emb, m=8, k=16, fit="take")
+        pcents = sim.ivf_centroids(emb, 16, fit="take").localCheckpoint(
+            eager=True
+        )
+        pasg = sim.ivf_assign(emb, pcents, 1)
+        pcodes = sim.pq_encode(emb, books).select("vec_id", "pq_code")
+        spath = os.path.join(tmp, "ivfpq_store")
+        sim.write_ivfpq_store(
+            emb, spath, books,
+            centroids=pcents, corpus_assign=pasg, corpus_codes=pcodes,
+        )
+        ipqs = sim.ivfpq_topk_from_store(
+            spark, spath, pcents, books,
+            emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # the memory sink holds the materialized rows; localCheckpoint pins
@@ -1066,7 +1105,13 @@ def q_decon_stream(spark, sf_dir):
         F.col("n_hit").cast("long").alias("aux"),
         F.round("recall", 6).alias("v"),
     )
-    return out.unionByName(rec)
+    ipq_rows = ipqs.select(
+        F.lit("ivfpq_store").alias("part"),
+        F.col("probe_id").alias("doc_id"),
+        (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
+        F.round(F.lit(1.0) - F.col("adc_dist") / 2.0, 6).alias("v"),
+    )
+    return out.unionByName(rec).unionByName(ipq_rows)
 
 
 def q_seasons(spark, sf_dir):
@@ -2700,7 +2745,70 @@ rec AS (
 dfp AS (SELECT doc_id,
           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents),
-snapfp AS (SELECT DISTINCT fp FROM dfp WHERE doc_id % 3 = 0)
+snapfp AS (SELECT DISTINCT fp FROM dfp WHERE doc_id % 3 = 0),
+-- r11 part='ivfpq_store': the persisted codes-on-disk round trip must be
+-- value-identical to the in-memory IVF-PQ ADC search under the same take
+-- centroids/codebooks, so the oracle is the ann query's ivfpq CTE family
+-- replayed here (psn mirrors the ann oracle's unfiltered normed corpus)
+psn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM aev),
+pscents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cvec,
+    sqrt(list_dot_product(emb, emb)) AS cnorm
+  FROM (SELECT vec_id, emb FROM psn ORDER BY vec_id LIMIT 16)
+),
+pscassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY list_dot_product(n.emb, c.cvec) / (n.nrm * c.cnorm) DESC, c.cid ASC) AS rn
+    FROM psn n, pscents c
+  ) WHERE rn = 1
+),
+pspassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+      row_number() OVER (PARTITION BY p.vec_id
+        ORDER BY list_dot_product(p.emb, c.cvec) / (p.nrm * c.cnorm) DESC, c.cid ASC) AS rn
+    FROM aep p, pscents c
+  ) WHERE rn <= 4
+),
+pspqn AS (SELECT vec_id,
+  CASE WHEN nrm > 0 THEN list_transform(emb, x -> x / nrm) ELSE emb END AS x
+  FROM psn),
+pspqc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, x
+  FROM (SELECT vec_id, x FROM pspqn ORDER BY vec_id LIMIT 16)),
+pspqj AS (SELECT unnest(range(0, 8)) AS j),
+pscodes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT v.vec_id, pspqj.j, cb.c,
+      row_number() OVER (PARTITION BY v.vec_id, pspqj.j ORDER BY
+        list_sum(list_transform(range(1, 9),
+          i -> (v.x[pspqj.j*8 + i] - cb.x[pspqj.j*8 + i])
+             * (v.x[pspqj.j*8 + i] - cb.x[pspqj.j*8 + i]))), cb.c) AS rn
+    FROM pspqn v, pspqj, pspqc cb
+  ) WHERE rn = 1
+),
+psdt AS (
+  SELECT p.vec_id AS probe_id, pspqj.j, cb.c,
+    list_sum(list_transform(range(1, 9),
+      i -> (px.x[pspqj.j*8 + i] - cb.x[pspqj.j*8 + i])
+         * (px.x[pspqj.j*8 + i] - cb.x[pspqj.j*8 + i]))) AS d2
+  FROM aep p JOIN pspqn px ON px.vec_id = p.vec_id, pspqj, pspqc cb
+),
+pscand AS (
+  SELECT dt.probe_id, cd.vec_id AS neighbor_id, sum(dt.d2) AS total
+  FROM pscodes cd
+  JOIN pscassign ca ON ca.vec_id = cd.vec_id
+  JOIN pspassign pa ON pa.cid = ca.cid
+  JOIN psdt dt ON dt.probe_id = pa.vec_id AND dt.j = cd.j AND dt.c = cd.c
+  WHERE cd.vec_id != dt.probe_id
+  GROUP BY 1, 2
+),
+psranked AS (SELECT probe_id, neighbor_id,
+  round(1.0 - round(total, 9) / 2.0, 6) AS cosine,
+  CAST(row_number() OVER (PARTITION BY probe_id
+    ORDER BY total, neighbor_id) AS BIGINT) AS rank
+  FROM pscand)
 SELECT 'decon' AS part, cg.doc_id, CAST(0 AS BIGINT) AS aux, 1.0 AS v
 FROM (
   SELECT DISTINCT doc_id FROM (
@@ -2731,7 +2839,10 @@ UNION ALL
 SELECT 'store', d.doc_id, CAST(0 AS BIGINT), 1.0
 FROM dfp d WHERE NOT EXISTS (SELECT 1 FROM snapfp s WHERE s.fp = d.fp)
 UNION ALL
-SELECT 'recall', probe_id, n_hit, round(n_hit::DOUBLE / n_exact, 6) FROM rec"""
+SELECT 'recall', probe_id, n_hit, round(n_hit::DOUBLE / n_exact, 6) FROM rec
+UNION ALL
+SELECT 'ivfpq_store', probe_id, neighbor_id * 10 + rank, cosine
+FROM psranked WHERE rank <= 5"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the
