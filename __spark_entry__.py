@@ -304,11 +304,7 @@ def _curation_union(spark, sf_dir, shared_tokens: bool = False):
     # r10: leakage-safe train/val/test assignment graded — grp carries
     # the assigned split label, v the raw 60-bit draw, so the oracle
     # replays BOTH the md5 range arithmetic and the cumulative-threshold
-    # labelling (lexicographic name order: test < train < val). The
-    # group_col leakage guard (same group → same split, the near-dup
-    # contamination defence) is pinned separately in
-    # tests/test_curation.py — it is the same expression with the draw
-    # keyed on the group instead of the id.
+    # labelling (lexicographic name order: test < train < val).
     split = cu.train_val_test_split(
         docs, {"train": 0.9, "val": 0.05, "test": 0.05}, tag="split"
     ).select(
@@ -316,10 +312,25 @@ def _curation_union(spark, sf_dir, shared_tokens: bool = False):
         F.col("split").alias("grp"),
         cu.sample_hash(F.col("doc_id"), "split").alias("v"),
     )
+    # r11 (VERDICT r10 Next #4): the group_col LEAKAGE GUARD itself under
+    # the driver oracle — part='split_grp' keys the draw on `source` (the
+    # URL-domain analog), so every row of a domain lands in the same
+    # split BY CONSTRUCTION. Each row is graded with its own doc_id plus
+    # the group's draw value, so the hash pins both the per-group md5
+    # arithmetic AND the all-rows-of-a-group-agree property (a row whose
+    # label diverged from its group's draw would mismatch).
+    split_grp = cu.train_val_test_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+        group_col="source", tag="split_grp",
+    ).select(
+        F.lit("split_grp").alias("part"), "doc_id",
+        F.col("split").alias("grp"),
+        cu.sample_hash(F.col("source"), "split_grp").alias("v"),
+    )
     return (
         strat.unionByName(mix).unionByName(shard).unionByName(chunk)
         .unionByName(decon).unionByName(dupspan).unionByName(lines)
-        .unionByName(desc).unionByName(split)
+        .unionByName(desc).unionByName(split).unionByName(split_grp)
     )
 
 
@@ -340,7 +351,13 @@ def q_curation(spark, sf_dir):
     r10 widens to NINE parts: part='split' grades the leakage-safe
     train/val/test assignment (curation.train_val_test_split) — the
     oracle replays both the 60-bit md5 draw and the cumulative
-    threshold labelling via the shared split_thresholds arithmetic."""
+    threshold labelling via the shared split_thresholds arithmetic.
+
+    r11 widens to TEN parts: part='split_grp' grades the group_col
+    LEAKAGE GUARD itself (draw keyed on `source`, the URL-domain
+    analog) — every row carries its group's draw, so the hash pins both
+    the per-group md5 arithmetic and the same-group-same-split
+    property."""
     return _curation_union(spark, sf_dir)
 
 
@@ -2053,6 +2070,14 @@ SELECT 'split' AS part, doc_id,
 FROM (
   SELECT doc_id,
     ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS d
+  FROM documents
+)
+UNION ALL
+SELECT 'split_grp' AS part, doc_id,
+  CASE {_split_case} ELSE '{_split_last}' END AS grp, d AS v
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5('split_grp' || source), 1, 15))::BIGINT AS d
   FROM documents
 )"""
     o["difference"] = (
