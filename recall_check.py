@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""ANN recall/cost table (VERDICT r10 Next #3): recall@5 vs the exact
+baseline AND wall time for every graded ANN tier, as a committed
+artifact + a pytest floor gate — so an nprobe/bits/plane tuning that
+silently tanks recall fails a test the same way a perf regression fails
+the bench floor challenge.
+
+Method inventory = the q_ann graded union (entry). The two SemDeDup
+branches are PRUNE ops, not top-k retrieval — recall@5 is undefined for
+them; they are reported with wall time + kept_fraction and recall null
+(documented, not silently skipped — the no-silent-caps rule).
+
+Cost decomposition: shared index-BUILD work (take-fit, full-corpus
+assignment, PQ encode, int8 reconstruct, store writes) is timed once
+under "build"; per-method wall time is the SEARCH under already-built
+(checkpointed / on-disk) index frames — the serving-shape cost a
+recall/cost trade actually weighs. Every search timing includes its own
+candidate generation, scoring and ranking.
+
+Usage: SPARK_GRAFT_SF_DIR=... python recall_check.py
+Prints one JSON line; the committed artifact lives in RECALL_r11.json
+(sf0.1) and the floor gate in tests/test_ann_recall_floors.py (sf0.01,
+via compute_table below — artifact and gate share this module).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from wingfoil_spark.session import get_spark  # noqa: E402
+
+#: recall@5 floors asserted on the sf0.1 artifact run (measured r11
+#: values minus margin). The ABSOLUTE levels are a property of the
+#: SYNTHETIC corpus, not the algorithms: the testdata embeddings are
+#: near-isotropic 64-d vectors with no cluster structure, so a probe's
+#: true top-5 spreads almost uniformly across cells/buckets and a
+#: bucketed tier's recall ≈ the fraction of the corpus it scans (ivf
+#: nprobe=4/16 → ~0.5 with self-cell correlation; one 8-bit LSH bucket
+#: → ~0.05; 8x16 take-fit PQ codebooks quantize isotropic data
+#: coarsely → ~0.1). On a real clustered embedding corpus these same
+#: tiers sit far higher — the floors exist to catch a RELATIVE
+#: regression (an nprobe/bits/plane tuning silently tanking recall),
+#: which is exactly measurable against a fixed corpus. Every pipeline
+#: is deterministic (take fits, md5 planes): repeated runs return
+#: identical recall, so a floor breach is a code change, never noise.
+RECALL_FLOORS = {
+    "exact": 0.999,      # measured 1.0 (is the baseline)
+    "ivf": 0.50,         # measured 0.535
+    "ivf_store": 0.50,   # identical to ivf by round-trip contract
+    "int8": 0.95,        # measured 0.985 — 8 bits preserve direction
+    "lsh": 0.03,         # measured 0.05
+    "pq": 0.07,          # measured 0.095
+    "ivfpq": 0.06,       # measured 0.08
+    "ivfpq_store": 0.06,  # identical to ivfpq by round-trip contract
+}
+
+
+def _timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def compute_table(spark, sf_dir: str, k: int = 5) -> dict:
+    """recall@5 + wall time for every graded ANN tier at ``sf_dir``.
+
+    Deterministic end to end (take fits, md5-derived planes), so the
+    returned recalls are exact reproducible values, not samples.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.functions import selection as sel
+    from wingfoil_spark.functions import similarity as sim
+    from wingfoil_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 50 == 0)
+
+    build: dict = {}
+    t0 = time.perf_counter()
+    books = sim.pq_train(e, m=8, k=16, fit="take")
+    cents = sim.ivf_centroids(e, 16, fit="take").localCheckpoint(eager=True)
+    asg = sel.semdedup_assign(
+        e, n_clusters=16, fit="take", centroids=cents
+    ).localCheckpoint(eager=True)
+    build["fit_assign_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    codes = sim.pq_encode(e, books).select("vec_id", "pq_code").localCheckpoint(
+        eager=True
+    )
+    build["pq_encode_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    q8 = sim.dequantize_embeddings(
+        sim.quantize_embeddings(e).select("vec_id", "q_embedding", "q_scale")
+    ).select("vec_id", "embedding").localCheckpoint(eager=True)
+    build["int8_reconstruct_s"] = round(time.perf_counter() - t0, 3)
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    ivf_path = os.path.join(
+        tempfile.gettempdir(), f"wingfoil_recall_ivf_{app}_{sf_tag}"
+    )
+    ipq_path = os.path.join(
+        tempfile.gettempdir(), f"wingfoil_recall_ivfpq_{app}_{sf_tag}"
+    )
+    entry._register_store_cleanup(ivf_path)
+    entry._register_store_cleanup(ipq_path)
+    t0 = time.perf_counter()
+    sim.write_ivf_store(
+        e, ivf_path, n_centroids=16, fit="take",
+        centroids=cents, corpus_assign=asg,
+    )
+    build["ivf_store_write_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    sim.write_ivfpq_store(
+        e, ipq_path, books,
+        centroids=cents, corpus_assign=asg, corpus_codes=codes,
+    )
+    build["ivfpq_store_write_s"] = round(time.perf_counter() - t0, 3)
+
+    # the exact baseline both times the brute-force tier and feeds every
+    # recall computation (checkpointed so graders don't re-run it)
+    t_exact0 = time.perf_counter()
+    exact = sim.cosine_topk(e, probes, k=k).localCheckpoint(eager=True)
+    t_exact = round(time.perf_counter() - t_exact0, 3)
+
+    searches = {
+        "lsh": lambda: sim.lsh_bucketed_topk(e, probes, k=k),
+        "ivf": lambda: sim.ivf_topk(
+            e, probes, k=k, n_centroids=16, nprobe=4, fit="take",
+            centroids=cents, corpus_assign=asg,
+        ),
+        "ivf_store": lambda: sim.ivf_topk_from_store(
+            spark, ivf_path, cents, probes, k=k, nprobe=4
+        ),
+        "pq": lambda: sim.pq_topk(codes, probes, books, k=k),
+        "ivfpq": lambda: sim.ivfpq_topk(
+            e, probes, books, k=k, n_centroids=16, nprobe=4, fit="take",
+            corpus_codes=codes, centroids=cents, corpus_assign=asg,
+        ),
+        "ivfpq_store": lambda: sim.ivfpq_topk_from_store(
+            spark, ipq_path, cents, books, probes, k=k, nprobe=4
+        ),
+        "int8": lambda: sim.cosine_topk(q8, probes, k=k),
+    }
+    out = {"exact": {"wall_s": t_exact, "recall_at_5": 1.0}}
+    for name, fn in searches.items():
+        t = _timed(fn())
+        r = (
+            sim.recall_at_k(exact, fn(), k=k)
+            .agg(
+                F.round(F.avg("recall"), 6).alias("recall"),
+                F.count("*").alias("n_probes"),
+            )
+            .collect()[0]
+        )
+        out[name] = {
+            "wall_s": t,
+            "recall_at_5": float(r["recall"]),
+            "n_probes": int(r["n_probes"]),
+        }
+
+    # SemDeDup branches: prune ops — recall@k undefined; wall time +
+    # kept_fraction reported instead (documented non-applicability)
+    for name, cap in (
+        ("semdedup", entry.SD_CAP),
+        ("semdedup_cap", entry.SD_CAP_TIGHT),
+    ):
+        pruned = sel.semdedup_prune(
+            asg, threshold=entry.SD_THRESH, max_cluster_size=cap
+        )
+        t = _timed(pruned)
+        agg = pruned.agg(
+            F.round(
+                F.avg(F.when(F.col("keep"), 1.0).otherwise(0.0)), 6
+            ).alias("kept"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        out[name] = {
+            "wall_s": t,
+            "recall_at_5": None,
+            "note": "prune op - recall@k not applicable",
+            "kept_fraction": float(agg["kept"]),
+            "n_vectors": int(agg["n"]),
+        }
+    return {"sf_dir": sf_dir, "k": k, "build": build, "methods": out}
+
+
+def main() -> None:
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("wingfoil_recall_check")
+    table = compute_table(spark, sf)
+    table["metric"] = "ann_recall_cost"
+    table["floors"] = RECALL_FLOORS
+    bad = [
+        m
+        for m, floor in RECALL_FLOORS.items()
+        if table["methods"][m]["recall_at_5"] is not None
+        and table["methods"][m]["recall_at_5"] < floor
+    ]
+    table["below_floor"] = bad
+    print(json.dumps(table))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
