@@ -498,3 +498,86 @@ def test_recall_at_k_duplicate_rows_do_not_inflate(spark):
         [(1, 10, 1), (1, 10, 2)], "probe_id long, neighbor_id long, rank long")
     r = sim.recall_at_k(exact, approx).collect()[0]
     assert (r.n_exact, r.n_hit, r.recall) == (1, 1, 1.0)
+
+
+def test_append_ivf_store_equals_rebuild(spark, emb, tmp_path):
+    """r11: incremental growth — append new vectors under the FROZEN
+    centroids, then from-store search must equal a full rebuild over the
+    union corpus with the same centroids, row for row."""
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivf_inc")
+    cents = sim.write_ivf_store(old, path, n_centroids=8, fit="take")
+    sim.append_ivf_store(new, path, cents)
+    got = sim.ivf_topk_from_store(
+        spark, path, cents, probes, k=5, nprobe=3
+    ).toPandas()
+    rebuilt_path = str(tmp_path / "ivf_full")
+    sim.write_ivf_store(
+        emb, rebuilt_path, centroids=cents,
+        corpus_assign=sim.ivf_assign(emb, cents, 1),
+    )
+    want = sim.ivf_topk_from_store(
+        spark, rebuilt_path, cents, probes, k=5, nprobe=3
+    ).toPandas()
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0
+    assert (g["neighbor_id"].to_numpy() == w["neighbor_id"].to_numpy()).all()
+    assert (g["cosine"].to_numpy() == w["cosine"].to_numpy()).all()
+    # appended rows landed in the existing cid directories (no new layout)
+    import os
+    cells = sorted(
+        d for d in os.listdir(path) if d.startswith("cid=")
+    )
+    assert cells == sorted(
+        d for d in os.listdir(rebuilt_path) if d.startswith("cid=")
+    )
+
+
+def test_append_ivf_store_nrm_schema_alignment(spark, emb, tmp_path):
+    """A store written WITH the optional __nrm column must receive
+    appended rows that carry it too (mixed layouts would feed NULL norms
+    to readers that reuse the stored norm)."""
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "ivf_nrm")
+    cents = sim.ivf_centroids(old, 8, fit="take").localCheckpoint(eager=True)
+    asg = sim.with_norm(sim.ivf_assign(old, cents, 1), "embedding", "__nrm")
+    sim.write_ivf_store(old, path, centroids=cents, corpus_assign=asg)
+    store_cols = set(spark.read.parquet(path).columns)
+    assert "__nrm" in store_cols
+    sim.append_ivf_store(new, path, cents)
+    appended = spark.read.parquet(path)
+    assert appended.where(F.col("__nrm").isNull()).count() == 0
+    assert appended.count() == emb.count()
+
+
+def test_append_ivfpq_store_equals_rebuild(spark, emb, tmp_path):
+    """Same incremental contract for the codes-only layout: append under
+    frozen centroids AND codebooks == full rebuild, through the ADC
+    from-store search."""
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    path = str(tmp_path / "ivfpq_inc")
+    cents = sim.write_ivfpq_store(old, path, books, n_centroids=8, fit="take")
+    sim.append_ivfpq_store(new, path, cents, books)
+    got = sim.ivfpq_topk_from_store(
+        spark, path, cents, books, probes, k=5, nprobe=3
+    ).toPandas()
+    rebuilt_path = str(tmp_path / "ivfpq_full")
+    sim.write_ivfpq_store(emb, rebuilt_path, books, centroids=cents,
+                          corpus_assign=sim.ivf_assign(emb, cents, 1))
+    want = sim.ivfpq_topk_from_store(
+        spark, rebuilt_path, cents, books, probes, k=5, nprobe=3
+    ).toPandas()
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0
+    assert (g["neighbor_id"].to_numpy() == w["neighbor_id"].to_numpy()).all()
+    assert (g["adc_dist"].to_numpy() == w["adc_dist"].to_numpy()).all()

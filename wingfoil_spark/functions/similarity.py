@@ -474,6 +474,55 @@ def ivf_topk_from_store(
     )
 
 
+def append_ivf_store(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    writers_per_cell: int = 1,
+) -> None:
+    """Grow a :func:`write_ivf_store` layout incrementally: assign ONLY
+    the arriving vectors to the EXISTING centroid frame and append their
+    rows into the cid-partitioned directories — the vector-side analog
+    of the fingerprint store's append-then-compact crawl recipe. Because
+    assignment is per-row under a FROZEN centroid set, searching the
+    appended store via :func:`ivf_topk_from_store` returns exactly what
+    a full rebuild over (old corpus ∪ new vectors) with the same
+    centroids would (test-pinned) — no reindexing job, no rewrite of the
+    existing cells.
+
+    Contracts a caller owns:
+
+    - ``centroids`` MUST be the frame the store was built with (readers
+      assign probes against it; appending under different centroids
+      silently splits cells across two geometries). Persist it beside
+      the store like :func:`write_ivf_store`'s return.
+    - duplicate ids are NOT deduped here (an append is one narrow write,
+      not a join) — run arrivals through the fingerprint store /
+      ``dropDuplicates`` first, the same discipline as the crawl tier.
+    - each append adds at most cells × ``writers_per_cell`` files; on a
+      high-frequency append schedule, periodically rewrite the store
+      (read → :func:`write_ivf_store` mode='overwrite' with the same
+      centroids) to re-bound file counts — and re-FIT + rebuild when the
+      data distribution has drifted enough that the frozen cells stop
+      tiling it.
+
+    Schema alignment: if the existing store carries the optional
+    ``__nrm`` column (written from a norm-annotated assignment), the
+    appended rows compute it too — a mixed layout would feed NULL norms
+    to readers that reuse the stored norm."""
+    asg = ivf_assign(new_vectors, centroids, 1, emb_col, id_col)
+    spark = new_vectors.sparkSession
+    try:
+        existing = spark.read.parquet(path).columns
+    except Exception:
+        existing = []
+    if "__nrm" in existing:
+        asg = with_norm(asg, emb_col, "__nrm")
+    _write_by_cell(asg, path, id_col, "append", writers_per_cell)
+
+
 def write_ivfpq_store(
     corpus: DataFrame,
     path: str,
@@ -605,6 +654,31 @@ def ivfpq_topk_from_store(
     return cand.repartition("probe_id").mapInPandas(
         _adc_topk_iter(books, int(k)), schema
     )
+
+
+def append_ivfpq_store(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    codebooks: list,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    writers_per_cell: int = 1,
+) -> None:
+    """Incremental growth for the codes-only :func:`write_ivfpq_store`
+    layout: assign + PQ-encode ONLY the arriving vectors under the
+    FROZEN centroid/codebook metadata and append their ``(id, pq_code)``
+    rows into the cid-partitioned directories. Search via
+    :func:`ivfpq_topk_from_store` equals a full rebuild over the union
+    corpus with the same metadata (test-pinned). Same caller contracts
+    as :func:`append_ivf_store` (same centroids AND codebooks, dedup
+    upstream, periodic rewrite to re-bound file counts / re-fit on
+    distribution drift)."""
+    asg = ivf_assign(new_vectors, centroids, 1, emb_col, id_col)
+    coded = pq_encode(asg, codebooks, emb_col).select(
+        F.col(id_col), F.col("cid"), F.col("pq_code")
+    )
+    _write_by_cell(coded, path, id_col, "append", writers_per_cell)
 
 
 def recall_at_k(
