@@ -148,3 +148,37 @@ per_src = split.groupBy("source").agg(
     F.countDistinct("split").alias("n")).collect()
 assert all(r.n == 1 for r in per_src), "one split per source group"
 split.select("doc_id", "source", "split").show()
+
+# 8. incremental-crawl gate (r10/r11): a persisted fingerprint store is
+# the "have we EVER ingested this?" history — anti-join arrivals, append
+# the survivors' fingerprints, and compact on a schedule so recurring
+# content cannot grow the store. Zero standing state: the disk IS the
+# history.
+import shutil as _shutil
+import tempfile as _tempfile
+
+from wingfoil_spark.streaming import ingest as ing
+
+_crawl_dir = _tempfile.mkdtemp(prefix="wf_llm_crawl_")
+try:
+    fp_path = _crawl_dir + "/fp_store"
+    ing.build_fingerprint_store(docs, fp_path)           # snapshot = corpus
+    arrivals = spark.createDataFrame(
+        [(100, "An Entirely Different document about spark plans"),  # re-crawl
+         #      (case-mangled: the fingerprint normalizes before hashing)
+         (101, "a genuinely new document about stream graphs")],
+        "doc_id long, text string",
+    )
+    fresh = ing.dedup_against_store(arrivals, spark.read.parquet(fp_path))
+    assert [r.doc_id for r in fresh.collect()] == [101], "re-crawl dropped"
+    # append the survivor's fp; a later window re-appends it (recurring
+    # content) -> compact restores one-row-per-distinct
+    ing.build_fingerprint_store(fresh, fp_path, mode="append")
+    ing.build_fingerprint_store(fresh, fp_path, mode="append")
+    n = ing.compact_fingerprint_store(spark, fp_path)
+    assert n == spark.read.parquet(fp_path).count()
+    print(f"crawl gate: re-crawl dropped, store compacted to {n} distinct fps")
+finally:
+    _shutil.rmtree(_crawl_dir, ignore_errors=True)
+
+print("llm_pipeline example OK")

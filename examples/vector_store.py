@@ -125,6 +125,34 @@ try:
         F.avg("recall").alias("m")).collect()[0].m
     assert m == 1.0, m
     print("recall@3 of the exhaustive-probe store search: 1.0")
+
+    # 4d. INCREMENTAL growth (r11) — a crawl appends new vectors under
+    # the FROZEN centroids: assign-and-append only the arrivals, no
+    # reindex, no rewrite of existing cells; from-store search equals a
+    # full rebuild. Here: rebuild the store WITHOUT the planted
+    # near-dup, then append it — rank-1 comes back.
+    sim.write_ivf_store(
+        corpus.where(F.col("vec_id") != 240), store_dir + "/ivf_inc",
+        centroids=cents_s,
+        corpus_assign=sim.ivf_assign(
+            corpus.where(F.col("vec_id") != 240), cents_s, 1
+        ),
+    )
+    before = {(r.probe_id, r.rank): r.neighbor_id
+              for r in sim.ivf_topk_from_store(
+                  spark, store_dir + "/ivf_inc", cents_s, probes,
+                  k=3, nprobe=2).collect()}
+    assert before[(0, 1)] != 240
+    sim.append_ivf_store(
+        corpus.where(F.col("vec_id") == 240), store_dir + "/ivf_inc", cents_s
+    )
+    after = {(r.probe_id, r.rank): r.neighbor_id
+             for r in sim.ivf_topk_from_store(
+                 spark, store_dir + "/ivf_inc", cents_s, probes,
+                 k=3, nprobe=2).collect()}
+    assert after[(0, 1)] == 240, after
+    print("incremental append: near-dup appended under frozen centroids, "
+          "rank-1 recovered")
 finally:
     shutil.rmtree(store_dir, ignore_errors=True)
 

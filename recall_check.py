@@ -67,11 +67,18 @@ def _timed(df) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def compute_table(spark, sf_dir: str, k: int = 5) -> dict:
+def compute_table(spark, sf_dir: str, k: int = 5, sweep: bool = False) -> dict:
     """recall@5 + wall time for every graded ANN tier at ``sf_dir``.
 
     Deterministic end to end (take fits, md5-derived planes), so the
     returned recalls are exact reproducible values, not samples.
+
+    ``sweep=True`` adds the recall/cost DIAL curves to the output:
+    the IVF nprobe sweep (1..n_centroids — the knob a deployment
+    actually turns; nprobe=n_centroids degrades to exact, recall 1.0 by
+    construction) and the production ``fit='kmeans'`` row (seeded
+    KMeans centroids tile the data; the graded tiers use fit='take'
+    only because the DuckDB oracle must replay the fit verbatim).
     """
     import tempfile
 
@@ -168,6 +175,44 @@ def compute_table(spark, sf_dir: str, k: int = 5) -> dict:
             "n_probes": int(r["n_probes"]),
         }
 
+    result_extra: dict = {}
+    if sweep:
+        sweep_rows = []
+        for nprobe in (1, 2, 4, 8, 16):
+            fn = lambda np_=nprobe: sim.ivf_topk(
+                e, probes, k=k, n_centroids=16, nprobe=np_, fit="take",
+                centroids=cents, corpus_assign=asg,
+            )
+            t = _timed(fn())
+            r = (
+                sim.recall_at_k(exact, fn(), k=k)
+                .agg(F.round(F.avg("recall"), 6).alias("recall"))
+                .collect()[0]["recall"]
+            )
+            sweep_rows.append(
+                {"nprobe": nprobe, "recall_at_5": float(r), "wall_s": t}
+            )
+        result_extra["ivf_nprobe_sweep"] = sweep_rows
+        t0 = time.perf_counter()
+        km = sim.ivf_topk(e, probes, k=k, n_centroids=16, nprobe=4)
+        t_km = _timed(km)
+        build_km = round(time.perf_counter() - t0 - t_km, 3)
+        r_km = (
+            sim.recall_at_k(
+                exact, sim.ivf_topk(e, probes, k=k, n_centroids=16, nprobe=4),
+                k=k,
+            )
+            .agg(F.round(F.avg("recall"), 6).alias("recall"))
+            .collect()[0]["recall"]
+        )
+        result_extra["ivf_kmeans_nprobe4"] = {
+            "recall_at_5": float(r_km),
+            "wall_s": t_km,
+            "kmeans_fit_s": build_km,
+            "note": "production fit (seeded KMeans); take-fit is the "
+                    "oracle tier",
+        }
+
     # SemDeDup branches: prune ops — recall@k undefined; wall time +
     # kept_fraction reported instead (documented non-applicability)
     for name, cap in (
@@ -191,13 +236,15 @@ def compute_table(spark, sf_dir: str, k: int = 5) -> dict:
             "kept_fraction": float(agg["kept"]),
             "n_vectors": int(agg["n"]),
         }
-    return {"sf_dir": sf_dir, "k": k, "build": build, "methods": out}
+    res = {"sf_dir": sf_dir, "k": k, "build": build, "methods": out}
+    res.update(result_extra)
+    return res
 
 
 def main() -> None:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("wingfoil_recall_check")
-    table = compute_table(spark, sf)
+    table = compute_table(spark, sf, sweep=True)
     table["metric"] = "ann_recall_cost"
     table["floors"] = RECALL_FLOORS
     bad = [
@@ -206,6 +253,14 @@ def main() -> None:
         if table["methods"][m]["recall_at_5"] is not None
         and table["methods"][m]["recall_at_5"] < floor
     ]
+    # structural invariants, corpus-independent: the nprobe sweep must be
+    # monotone non-decreasing in recall and EXACT at nprobe=n_centroids
+    sweep = table["ivf_nprobe_sweep"]
+    rs = [p["recall_at_5"] for p in sweep]
+    if rs != sorted(rs):
+        bad.append("ivf_nprobe_sweep:non-monotone")
+    if rs[-1] != 1.0:
+        bad.append("ivf_nprobe_sweep:exhaustive!=1.0")
     table["below_floor"] = bad
     print(json.dumps(table))
     sys.exit(1 if bad else 0)
