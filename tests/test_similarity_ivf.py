@@ -581,3 +581,22 @@ def test_append_ivfpq_store_equals_rebuild(spark, emb, tmp_path):
     assert len(g) == len(w) and len(g) > 0
     assert (g["neighbor_id"].to_numpy() == w["neighbor_id"].to_numpy()).all()
     assert (g["adc_dist"].to_numpy() == w["adc_dist"].to_numpy()).all()
+
+
+def test_ivf_assign_rowlocal_matches_window(spark, emb):
+    """r11: the streaming-legal literal-array assignment must reproduce
+    ivf_assign's window ranking exactly — same cells, same tie order —
+    at nprobe=1 and nprobe=4."""
+    cents = sim.ivf_centroids(emb, 8, fit="take").localCheckpoint(eager=True)
+    for nprobe in (1, 4):
+        w = sim.ivf_assign(emb, cents, nprobe).select("vec_id", "cid").toPandas()
+        r = sim.ivf_assign_rowlocal(emb, cents, nprobe).select(
+            "vec_id", "cid"
+        ).toPandas()
+        key = ["vec_id", "cid"]
+        assert sorted(map(tuple, w[key].to_numpy().tolist())) == \
+            sorted(map(tuple, r[key].to_numpy().tolist())), f"nprobe={nprobe}"
+    # and it is genuinely window-free (streaming-legal plan shape)
+    plan = sim.ivf_assign_rowlocal(emb, cents, 4)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Window" not in plan

@@ -788,3 +788,50 @@ def test_compact_fingerprint_store_restores_distinct_shape(spark, docs, tmp_path
         for r in ingest.dedup_against_store(docs, compacted).collect()
     )
     assert after == before
+
+
+def test_ivf_topk_stream_matches_from_store(spark, sf_dir, tmp_path):
+    """r11: online IVF serving from the persisted store — streaming
+    probes (2 micro-batches) against the cid-partitioned parquet layout
+    reproduce the batch ivf_topk_from_store EXACTLY (same row-local
+    assignment geometry, same 6dp ranking)."""
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "serve_store")
+    cents = sim.write_ivf_store(emb, path, n_centroids=8, fit="take")
+    cents = cents.localCheckpoint(eager=True)
+    store = spark.read.parquet(path)
+    batch = sim.ivf_topk_from_store(
+        spark, path, cents, probes, k=5, nprobe=3
+    ).toPandas()
+
+    pdf = probes.select("vec_id", "embedding").toPandas()
+    src_dir = tempfile.mkdtemp(prefix="wf_ivf_serve_")
+    try:
+        n = len(pdf)
+        for i in range(2):
+            chunk = pdf.iloc[i * n // 2 : (i + 1) * n // 2]
+            p = os.path.join(src_dir, f"c{i}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        got = _run_to_memory(
+            ingest.ivf_topk_stream(stream, store, cents, k=5, nprobe=3),
+            "ivf_serve_stream",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) and len(g) > 0
+    for c in ("probe_id", "neighbor_id", "rank"):
+        assert g[c].tolist() == b[c].tolist(), c
+    assert g["cosine"].tolist() == b["cosine"].tolist()

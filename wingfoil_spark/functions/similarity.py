@@ -214,6 +214,81 @@ def ivf_assign(
     )
 
 
+def ivf_assign_rowlocal(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ROW-LOCAL twin of :func:`ivf_assign` — same output, no window.
+
+    :func:`ivf_assign` ranks the per-vector centroid similarities with a
+    ``row_number`` window: one shuffle on the id, and ILLEGAL on a
+    streaming frame. This variant collects the centroid frame (index
+    METADATA — n_centroids rows, the thing every search broadcasts
+    anyway) and inlines it as a literal array; the top-``nprobe`` pick
+    is a per-row ``array_sort`` + ``slice`` — zero shuffle, zero state,
+    legal in a streaming plan (the serving-side assignment
+    :func:`~wingfoil_spark.streaming.ingest.ivf_topk_stream` needs).
+
+    Bit-parity with :func:`ivf_assign` (test-pinned): the dot product is
+    the same zip_with/aggregate fold in the same order (float→double of
+    a literal equals the column cast), and ties break identically
+    (sim desc, cid asc). Output keeps the input columns and adds
+    ``cid`` — one row per (vector, assigned cell), exactly like
+    ``ivf_assign``. Triggers one tiny collect job on ``centroids``."""
+    rows = sorted(
+        centroids.select("cid", "cvec", "cnorm").collect(),
+        key=lambda r: r["cid"],
+    )
+    if not rows:
+        raise ValueError("ivf_assign_rowlocal: empty centroid frame")
+    lit_cents = F.array(*[
+        F.struct(
+            F.lit(int(r["cid"])).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            F.lit(float(r["cnorm"])).alias("cnorm"),
+        )
+        for r in rows
+    ])
+    d = with_norm(df, emb_col, "__nrm").where(F.col("__nrm") > 0)
+    sims = F.transform(
+        lit_cents,
+        lambda c: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(emb_col), c["cvec"],
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("__nrm") * c["cnorm"])
+            ).alias("sim"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    ranked = F.slice(
+        F.array_sort(
+            sims,
+            lambda a, b: F.when(a["sim"] > b["sim"], F.lit(-1))
+            .when(a["sim"] < b["sim"], F.lit(1))
+            .otherwise(a["cid"] - b["cid"]),
+        ),
+        1,
+        int(nprobe),
+    )
+    return (
+        d.withColumn("__cells", ranked)
+        .withColumn(
+            "cid", F.explode(F.transform(F.col("__cells"), lambda s: s["cid"]))
+        )
+        .drop("__cells", "__nrm")
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

@@ -603,7 +603,23 @@ def ann_topk_stream(
             F.round(dot / (F.col("n_p") * F.col("n_c")), 6).alias("cosine"),
         )
     )
-    kk = int(k)
+    return scored.repartition("probe_id").mapInPandas(
+        _running_cosine_topk_iter(int(k)),
+        "probe_id long, neighbor_id long, cosine double, rank long",
+    )
+
+
+def _running_cosine_topk_iter(kk: int):
+    """mapInPandas iterator: RUNNING per-probe top-k over
+    (probe_id, neighbor_id, cosine) rows, merged across Arrow batches
+    under the (-cosine, neighbor_id) total order and flushed as ONE
+    frame per partition (a per-probe yield would make one Arrow batch
+    per probe — thousands of ≤k-row batches whose serialization
+    dominates the flush). Shared by :func:`ann_topk_stream` and
+    :func:`ivf_topk_stream` — the batching-invariance contract is
+    pinned once in tests/test_streaming_ingest.py."""
+    import numpy as np
+    import pandas as pd
 
     def topk(batches):
         best: dict = {}  # probe_id -> (cosines, neighbor_ids) top-k so far
@@ -620,9 +636,6 @@ def ann_topk_stream(
                 order = np.lexsort((ids, -cos))[:kk]
                 best[probe_id] = (cos[order], ids[order])
         if best:
-            # ONE frame for the whole partition: a per-probe yield would
-            # make one Arrow batch per probe (thousands of ≤k-row
-            # batches, per-batch serialization dominating the flush)
             yield pd.concat(
                 [
                     pd.DataFrame({
@@ -636,6 +649,72 @@ def ann_topk_stream(
                 ignore_index=True,
             )
 
+    return topk
+
+
+def ivf_topk_stream(
+    probes,
+    store,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Online IVF serving from the PERSISTED store: top-k cosine
+    neighbors of ARRIVING probe vectors against a
+    :func:`~wingfoil_spark.functions.similarity.write_ivf_store` layout
+    — the streaming twin of ``ivf_topk_from_store`` (that op's probe
+    assignment uses a row_number window, illegal on a stream).
+
+    ``probes`` may be a streaming frame; ``store`` is the static
+    ``spark.read.parquet(path)`` frame and ``centroids`` the metadata
+    frame persisted beside it. Plan per micro-batch, fully stateless:
+    ROW-LOCAL nprobe assignment (``ivf_assign_rowlocal`` — the centroid
+    metadata inlined as a literal array, top-nprobe via array_sort: no
+    window, no shuffle, streaming-legal) → stream-static equi-join on
+    ``cid`` → repartition by probe → running per-probe top-k across
+    Arrow batches (shared iterator with :func:`ann_topk_stream`).
+    Ranking matches the batch tier: cosine rounded to 6dp desc,
+    neighbor id asc. Batch == stream row-for-row against
+    ``ivf_topk_from_store`` on the same store (test-pinned).
+
+    At scale the static side is the cell-partitioned parquet; each
+    micro-batch's join touches candidate rows only (AQE decides
+    broadcast vs shuffle per batch), and state is zero — a probe lives
+    in exactly one micro-batch."""
+    from wingfoil_spark.functions.similarity import ivf_assign_rowlocal
+
+    p = ivf_assign_rowlocal(probes, centroids, nprobe, emb_col, id_col)
+    p = p.select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
+    )
+    p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
+    c = store.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "cid"
+    )
+    c = with_norm(c, "e_c", "n_c").where(F.col("n_c") > 0)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("e_p"), F.col("e_c"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        p.join(c, "cid")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(dot / (F.col("n_p") * F.col("n_c")), 6).alias("cosine"),
+        )
+        # a probe assigned to nprobe cells can meet the same neighbor
+        # only once (the store assigns each vector to ONE cell), so no
+        # pair dedup is needed before the top-k
+    )
     return scored.repartition("probe_id").mapInPandas(
-        topk, "probe_id long, neighbor_id long, cosine double, rank long"
+        _running_cosine_topk_iter(int(k)),
+        "probe_id long, neighbor_id long, cosine double, rank long",
     )
