@@ -978,7 +978,17 @@ def q_decon_stream(spark, sf_dir):
       the full (probe, neighbor, adc, rank) tuple is hash-graded within
       the union's fixed 4-column schema.
 
-    All eight outputs are content-determined per doc/probe, hence
+    …and to NINE parts: part='ivf_serve' (aux=neighbor_id*10+rank,
+    v=cosine) rides the STREAMING union itself — online IVF serving of
+    the arriving probe embeddings against the frozen store-shaped
+    assignment via streaming/ingest.ivf_topk_stream: the window-free
+    row-local cell pick (similarity.ivf_assign_rowlocal — centroid
+    metadata inlined as a literal array), the stream-static cid join,
+    and the shared running top-k, all hash-graded through a real
+    multi-micro-batch run. The oracle replays it as the batch IVF CTE
+    over the same take centroids (shared with the ivfpq_store arm).
+
+    All nine outputs are content-determined per doc/probe, hence
     arrival-order- and batching-invariant — exactly what makes a multi-
     micro-batch streaming run oracle-gradable against batch SQL."""
     import os
@@ -1031,6 +1041,18 @@ def q_decon_stream(spark, sf_dir):
             docs.where(F.col("doc_id") % 3 == 0), fpstore_path
         )
         fpstore = spark.read.parquet(fpstore_path).localCheckpoint(eager=True)
+        # r11: the shared IVF/PQ index metadata is computed BEFORE the
+        # stream starts — part='ivf_serve' consumes the checkpointed
+        # assignment INSIDE the streaming union (the store-shaped
+        # (id, emb, cid) frame is what a persisted cell layout reads
+        # back to), and the post-stream ivfpq_store round trip reuses
+        # the same frames with zero extra corpus scans.
+        books = sim.pq_train(emb, m=8, k=16, fit="take")
+        pcents = sim.ivf_centroids(emb, 16, fit="take").localCheckpoint(
+            eager=True
+        )
+        pasg = sim.ivf_assign(emb, pcents, 1).localCheckpoint(eager=True)
+        pcodes = sim.pq_encode(emb, books).select("vec_id", "pq_code")
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -1073,9 +1095,22 @@ def q_decon_stream(spark, sf_dir):
             F.lit("store").alias("part"), "doc_id", zero,
             F.lit(1.0).alias("v"),
         )
+        # r11 part='ivf_serve': ONLINE IVF serving inside the streaming
+        # union — arriving probes against the frozen store-shaped
+        # assignment via the window-free row-local cell pick
+        # (ivf_assign_rowlocal) + the shared running top-k. Rank rides
+        # in aux (neighbor*10+rank) like part='ivfpq_store'.
+        iserve = ingest.ivf_topk_stream(
+            estream, pasg, pcents, k=5, nprobe=4
+        ).select(
+            F.lit("ivf_serve").alias("part"),
+            F.col("probe_id").alias("doc_id"),
+            (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
+            F.col("cosine").alias("v"),
+        )
         q = (
             decon.unionByName(dsir).unionByName(bm).unionByName(lmsc)
-            .unionByName(ann).unionByName(store)
+            .unionByName(ann).unionByName(store).unionByName(iserve)
             .writeStream.format("memory").queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -1086,16 +1121,9 @@ def q_decon_stream(spark, sf_dir):
         # r11 part='ivfpq_store': write the codes-only store into the run
         # tmp dir and search it back; the result is MATERIALIZED
         # (localCheckpoint) before the finally removes the directory.
-        # One take-fit (16 rows, checkpointed — a lazy TakeOrdered would
-        # re-scan the corpus in both the write and the probe assignment),
-        # one full-corpus assignment, one encode; the store write is the
-        # only extra pass over those frames.
-        books = sim.pq_train(emb, m=8, k=16, fit="take")
-        pcents = sim.ivf_centroids(emb, 16, fit="take").localCheckpoint(
-            eager=True
-        )
-        pasg = sim.ivf_assign(emb, pcents, 1)
-        pcodes = sim.pq_encode(emb, books).select("vec_id", "pq_code")
+        # The take-fit/assignment/encode frames were computed once above
+        # (shared with part='ivf_serve'); the store write is the only
+        # extra pass over them.
         spath = os.path.join(tmp, "ivfpq_store")
         sim.write_ivfpq_store(
             emb, spath, books,
@@ -2833,7 +2861,20 @@ psranked AS (SELECT probe_id, neighbor_id,
   round(1.0 - round(total, 9) / 2.0, 6) AS cosine,
   CAST(row_number() OVER (PARTITION BY probe_id
     ORDER BY total, neighbor_id) AS BIGINT) AS rank
-  FROM pscand)
+  FROM pscand),
+-- r11 part='ivf_serve': the streamed IVF-serving rows replayed as the
+-- batch IVF search over the same take centroids (nprobe=4 probe cells,
+-- rn=1 corpus cells — the pscassign/pspassign CTEs are shared with the
+-- ivfpq_store arm)
+psivf_scored AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm), 6) AS cosine
+  FROM aep p JOIN pspassign pa ON pa.vec_id = p.vec_id
+  JOIN pscassign ca ON ca.cid = pa.cid
+  JOIN psn c ON c.vec_id = ca.vec_id AND c.vec_id != p.vec_id
+),
+psivf_ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM psivf_scored)
 SELECT 'decon' AS part, cg.doc_id, CAST(0 AS BIGINT) AS aux, 1.0 AS v
 FROM (
   SELECT DISTINCT doc_id FROM (
@@ -2867,7 +2908,10 @@ UNION ALL
 SELECT 'recall', probe_id, n_hit, round(n_hit::DOUBLE / n_exact, 6) FROM rec
 UNION ALL
 SELECT 'ivfpq_store', probe_id, neighbor_id * 10 + rank, cosine
-FROM psranked WHERE rank <= 5"""
+FROM psranked WHERE rank <= 5
+UNION ALL
+SELECT 'ivf_serve', probe_id, neighbor_id * 10 + rank, cosine
+FROM psivf_ranked WHERE rank <= 5"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the
