@@ -600,3 +600,33 @@ def test_ivf_assign_rowlocal_matches_window(spark, emb):
     plan = sim.ivf_assign_rowlocal(emb, cents, 4)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "Window" not in plan
+
+
+def test_ivf_assign_rowlocal_tie_break(spark):
+    """Planted centroid ties: two identical centroid vectors produce
+    EQUAL similarity for every probe — both assignment paths must break
+    the tie the same way (lower cid), at nprobe=1 and 2."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),       # duplicate of vec 0 → dup centroid
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.6, 0.8, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = sim.ivf_centroids(df, 3, fit="take").localCheckpoint(eager=True)
+    # take-fit centroids = vecs 0,1,2 → cids 0 and 1 are IDENTICAL vectors
+    for nprobe in (1, 2, 3):
+        w = sorted(
+            map(tuple, sim.ivf_assign(df, cents, nprobe)
+                .select("vec_id", "cid").toPandas().to_numpy().tolist())
+        )
+        r = sorted(
+            map(tuple, sim.ivf_assign_rowlocal(df, cents, nprobe)
+                .select("vec_id", "cid").toPandas().to_numpy().tolist())
+        )
+        assert w == r, f"nprobe={nprobe}: {w} != {r}"
+    # and the tie really resolves to the LOWER cid at nprobe=1
+    one = dict(
+        (r[0], r[1]) for r in sim.ivf_assign_rowlocal(df, cents, 1)
+        .select("vec_id", "cid").collect()
+    )
+    assert one[0] == 0 and one[1] == 0, one
