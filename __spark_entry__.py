@@ -978,17 +978,26 @@ def q_decon_stream(spark, sf_dir):
       the full (probe, neighbor, adc, rank) tuple is hash-graded within
       the union's fixed 4-column schema.
 
-    …and to NINE parts: part='ivf_serve' (aux=neighbor_id*10+rank,
-    v=cosine) rides the STREAMING union itself — online IVF serving of
-    the arriving probe embeddings against the frozen store-shaped
-    assignment via streaming/ingest.ivf_topk_stream: the window-free
-    row-local cell pick (similarity.ivf_assign_rowlocal — centroid
-    metadata inlined as a literal array), the stream-static cid join,
-    and the shared running top-k, all hash-graded through a real
-    multi-micro-batch run. The oracle replays it as the batch IVF CTE
-    over the same take centroids (shared with the ivfpq_store arm).
+    …and to TEN parts, completing the ONLINE SERVING MATRIX inside the
+    streaming union (every persisted index tier has a graded streamed
+    serving path: LSH index part='ann', IVF cells part='ivf_serve', PQ
+    codes part='ivfpq_serve'):
 
-    All nine outputs are content-determined per doc/probe, hence
+    - part='ivf_serve' (aux=neighbor_id*10+rank, v=cosine): arriving
+      probes against the frozen store-shaped assignment via
+      streaming/ingest.ivf_topk_stream — the window-free row-local cell
+      pick (similarity.ivf_assign_rowlocal: centroid metadata inlined
+      as a literal array), the stream-static cid join, the shared
+      running top-k. Oracle = the batch IVF CTE over the same take
+      centroids (shared with the ivfpq_store arm).
+    - part='ivfpq_serve' (aux=neighbor_id*10+rank, v=round(1-adc/2,6)):
+      arriving probes ADC-scored against the codes-store twin via
+      streaming/ingest.ivfpq_topk_stream — row-local assignment, codes
+      join, the shared _adc_topk_iter. Oracle = the same psranked ADC
+      CTE as the ivfpq_store round trip (streamed ADC must equal batch
+      ADC bit for bit).
+
+    All ten outputs are content-determined per doc/probe, hence
     arrival-order- and batching-invariant — exactly what makes a multi-
     micro-batch streaming run oracle-gradable against batch SQL."""
     import os
@@ -1053,6 +1062,12 @@ def q_decon_stream(spark, sf_dir):
         )
         pasg = sim.ivf_assign(emb, pcents, 1).localCheckpoint(eager=True)
         pcodes = sim.pq_encode(emb, books).select("vec_id", "pq_code")
+        # the codes-store twin (what write_ivfpq_store persists), pinned
+        # for the in-union ADC serving part
+        pcodes_store = (
+            pasg.select("vec_id", "cid").join(pcodes, "vec_id")
+            .localCheckpoint(eager=True)
+        )
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -1108,9 +1123,21 @@ def q_decon_stream(spark, sf_dir):
             (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
             F.col("cosine").alias("v"),
         )
+        # r11 part='ivfpq_serve': streamed ADC from the codes store —
+        # the third serving leg (LSH part='ann', IVF part='ivf_serve',
+        # PQ codes here), same oracle CTE as the ivfpq_store round trip
+        pqserve = ingest.ivfpq_topk_stream(
+            estream, pcodes_store, pcents, books, k=5, nprobe=4
+        ).select(
+            F.lit("ivfpq_serve").alias("part"),
+            F.col("probe_id").alias("doc_id"),
+            (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
+            F.round(F.lit(1.0) - F.col("adc_dist") / 2.0, 6).alias("v"),
+        )
         q = (
             decon.unionByName(dsir).unionByName(bm).unionByName(lmsc)
             .unionByName(ann).unionByName(store).unionByName(iserve)
+            .unionByName(pqserve)
             .writeStream.format("memory").queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -2911,7 +2938,10 @@ SELECT 'ivfpq_store', probe_id, neighbor_id * 10 + rank, cosine
 FROM psranked WHERE rank <= 5
 UNION ALL
 SELECT 'ivf_serve', probe_id, neighbor_id * 10 + rank, cosine
-FROM psivf_ranked WHERE rank <= 5"""
+FROM psivf_ranked WHERE rank <= 5
+UNION ALL
+SELECT 'ivfpq_serve', probe_id, neighbor_id * 10 + rank, cosine
+FROM psranked WHERE rank <= 5"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the

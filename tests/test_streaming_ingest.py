@@ -835,3 +835,51 @@ def test_ivf_topk_stream_matches_from_store(spark, sf_dir, tmp_path):
     for c in ("probe_id", "neighbor_id", "rank"):
         assert g[c].tolist() == b[c].tolist(), c
     assert g["cosine"].tolist() == b["cosine"].tolist()
+
+
+def test_ivfpq_topk_stream_matches_from_store(spark, sf_dir, tmp_path):
+    """r11: online ADC serving from the codes-only store — streaming
+    probes (2 micro-batches) against the persisted (id, pq_code, cid)
+    layout reproduce the batch ivfpq_topk_from_store EXACTLY."""
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 40 == 0)
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    path = str(tmp_path / "serve_codes")
+    cents = sim.write_ivfpq_store(
+        emb, path, books, n_centroids=8, fit="take"
+    ).localCheckpoint(eager=True)
+    store = spark.read.parquet(path)
+    batch = sim.ivfpq_topk_from_store(
+        spark, path, cents, books, probes, k=5, nprobe=3
+    ).toPandas()
+
+    pdf = probes.select("vec_id", "embedding").toPandas()
+    src_dir = tempfile.mkdtemp(prefix="wf_ivfpq_serve_")
+    try:
+        n = len(pdf)
+        for i in range(2):
+            chunk = pdf.iloc[i * n // 2 : (i + 1) * n // 2]
+            p = os.path.join(src_dir, f"c{i}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        got = _run_to_memory(
+            ingest.ivfpq_topk_stream(stream, store, cents, books, k=5, nprobe=3),
+            "ivfpq_serve_stream",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) and len(g) > 0
+    for c in ("probe_id", "neighbor_id", "rank"):
+        assert g[c].tolist() == b[c].tolist(), c
+    assert g["adc_dist"].tolist() == b["adc_dist"].tolist()

@@ -718,3 +718,62 @@ def ivf_topk_stream(
         _running_cosine_topk_iter(int(k)),
         "probe_id long, neighbor_id long, cosine double, rank long",
     )
+
+
+def ivfpq_topk_stream(
+    probes,
+    store,
+    centroids,
+    codebooks: list,
+    k: int = 5,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Online ADC serving from the CODES-ONLY store: top-k neighbors of
+    ARRIVING probe vectors against a
+    :func:`~wingfoil_spark.functions.similarity.write_ivfpq_store`
+    layout — the streaming twin of ``ivfpq_topk_from_store`` and the
+    third leg of the serving matrix (LSH index → :func:`ann_topk_stream`,
+    IVF cells → :func:`ivf_topk_stream`, PQ codes → here). This is the
+    billion-vector serving shape: the static side holds m smallints per
+    vector — no float corpus column exists anywhere in the join.
+
+    ``probes`` may be a streaming frame; ``store`` is the static
+    ``spark.read.parquet(path)`` codes frame (``id, pq_code, cid``) and
+    ``centroids``/``codebooks`` the metadata persisted beside it. Plan
+    per micro-batch, fully stateless: row-local nprobe assignment
+    (``ivf_assign_rowlocal`` — window-free, streaming-legal) →
+    stream-static equi-join on ``cid`` → per-probe running ADC top-k
+    across Arrow batches (the shared ``_adc_topk_iter`` — its
+    batching-invariance is pinned with the batch tiers). Results are
+    identical to ``ivfpq_topk_from_store`` under the same metadata
+    (test-pinned)."""
+    import numpy as np
+
+    from wingfoil_spark.functions.similarity import (
+        _adc_out_schema,
+        _adc_topk_iter,
+        ivf_assign_rowlocal,
+    )
+
+    p = ivf_assign_rowlocal(probes, centroids, nprobe, emb_col, id_col).select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
+    )
+    cand = (
+        store.join(p, "cid")
+        .where(F.col("probe_id") != F.col(id_col))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("pq_code").alias("code"),
+            "e_p",
+        )
+    )
+    books = np.asarray([np.asarray(b, dtype=np.float64) for b in codebooks])
+    schema = _adc_out_schema(
+        probes.schema[id_col].dataType, store.schema[id_col].dataType
+    )
+    return cand.repartition("probe_id").mapInPandas(
+        _adc_topk_iter(books, int(k)), schema
+    )
