@@ -1154,7 +1154,10 @@ def q_decon_stream(spark, sf_dir):
         spath = os.path.join(tmp, "ivfpq_store")
         sim.write_ivfpq_store(
             emb, spath, books,
-            centroids=pcents, corpus_assign=pasg, corpus_codes=pcodes,
+            # the CHECKPOINTED codes frame (pcodes itself is lazy — it
+            # would re-run the full pq_encode scan inside the write job;
+            # review r11)
+            centroids=pcents, corpus_assign=pasg, corpus_codes=pcodes_store,
         )
         ipqs = sim.ivfpq_topk_from_store(
             spark, spath, pcents, books,
@@ -2121,15 +2124,20 @@ FROM (
 ) g, (SELECT unnest(range(0, 4)) AS i) u
 UNION ALL
 SELECT 'split' AS part, doc_id,
-  CASE {_split_case} ELSE '{_split_last}' END AS grp, d AS v
+  CASE WHEN d IS NULL THEN NULL
+       ELSE (CASE {_split_case} ELSE '{_split_last}' END) END AS grp, d AS v
 FROM (
   SELECT doc_id,
     ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS d
   FROM documents
 )
 UNION ALL
+-- the d IS NULL guard mirrors train_val_test_split's NULL-key contract
+-- (NULL split, never a silent ELSE bucket) — without it a null key/
+-- source would grade 'val' here while Spark emits NULL (review r11)
 SELECT 'split_grp' AS part, doc_id,
-  CASE {_split_case} ELSE '{_split_last}' END AS grp, d AS v
+  CASE WHEN d IS NULL THEN NULL
+       ELSE (CASE {_split_case} ELSE '{_split_last}' END) END AS grp, d AS v
 FROM (
   SELECT doc_id,
     ('0x' || substr(md5('split_grp' || source), 1, 15))::BIGINT AS d
@@ -2829,7 +2837,12 @@ snapfp AS (SELECT DISTINCT fp FROM dfp WHERE doc_id % 3 = 0),
 -- r11 part='ivfpq_store': the persisted codes-on-disk round trip must be
 -- value-identical to the in-memory IVF-PQ ADC search under the same take
 -- centroids/codebooks, so the oracle is the ann query's ivfpq CTE family
--- replayed here (psn mirrors the ann oracle's unfiltered normed corpus)
+-- replayed here. psn is UNFILTERED like the ann oracle's `n` because the
+-- take-16 centroid pick must see every vector (Spark's ivf_centroids
+-- does not norm-filter); the ASSIGNMENT side below filters nrm > 0 to
+-- mirror ivf_assign's where — a zero-norm vector never enters the
+-- store/assignment on the Spark side and must not become an oracle
+-- candidate either (review r11; latent — testdata has no zero vectors)
 psn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM aev),
 pscents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cvec,
@@ -2841,7 +2854,7 @@ pscassign AS (
     SELECT n.vec_id, c.cid,
       row_number() OVER (PARTITION BY n.vec_id
         ORDER BY list_dot_product(n.emb, c.cvec) / (n.nrm * c.cnorm) DESC, c.cid ASC) AS rn
-    FROM psn n, pscents c
+    FROM psn n, pscents c WHERE n.nrm > 0
   ) WHERE rn = 1
 ),
 pspassign AS (
@@ -2899,6 +2912,7 @@ psivf_scored AS (
   FROM aep p JOIN pspassign pa ON pa.vec_id = p.vec_id
   JOIN pscassign ca ON ca.cid = pa.cid
   JOIN psn c ON c.vec_id = ca.vec_id AND c.vec_id != p.vec_id
+    AND c.nrm > 0
 ),
 psivf_ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM psivf_scored)

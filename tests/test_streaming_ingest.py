@@ -883,3 +883,48 @@ def test_ivfpq_topk_stream_matches_from_store(spark, sf_dir, tmp_path):
     for c in ("probe_id", "neighbor_id", "rank"):
         assert g[c].tolist() == b[c].tolist(), c
     assert g["adc_dist"].tolist() == b["adc_dist"].tolist()
+
+
+def test_ivf_topk_stream_duplicate_store_ids_match_batch(spark, sf_dir, tmp_path):
+    """Review r11: a store grown by append_ivf_store may carry duplicate
+    ids (dedup is the crawl gate's job). The batch twin collapses the
+    (probe, neighbor) pair via dropDuplicates; the stream iterator must
+    do the same — one rank per neighbor, stream == batch."""
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "dup_store")
+    cents = sim.write_ivf_store(emb, path, n_centroids=8, fit="take")
+    cents = cents.localCheckpoint(eager=True)
+    # re-append 20 existing vectors verbatim: duplicate ids, same vectors
+    sim.append_ivf_store(emb.where(F.col("vec_id") % 7 == 0).limit(20),
+                         path, cents)
+    store = spark.read.parquet(path)
+    batch = sim.ivf_topk_from_store(
+        spark, path, cents, probes, k=5, nprobe=3
+    ).toPandas()
+    assert batch.groupby("probe_id")["neighbor_id"].nunique().eq(
+        batch.groupby("probe_id")["neighbor_id"].size()).all()
+
+    pdf = probes.select("vec_id", "embedding").toPandas()
+    src_dir = tempfile.mkdtemp(prefix="wf_ivf_dup_serve_")
+    try:
+        pdf.to_parquet(os.path.join(src_dir, "c0.parquet"), index=False)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src_dir)
+        got = _run_to_memory(
+            ingest.ivf_topk_stream(stream, store, cents, k=5, nprobe=3),
+            "ivf_dup_serve",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) and len(g) > 0
+    for c in ("probe_id", "neighbor_id", "rank"):
+        assert g[c].tolist() == b[c].tolist(), c
+    assert g["cosine"].tolist() == b["cosine"].tolist()

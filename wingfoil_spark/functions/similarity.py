@@ -587,11 +587,19 @@ def append_ivf_store(
     ``__nrm`` column (written from a norm-annotated assignment), the
     appended rows compute it too — a mixed layout would feed NULL norms
     to readers that reuse the stored norm."""
+    from pyspark.errors import AnalysisException
+
     asg = ivf_assign(new_vectors, centroids, 1, emb_col, id_col)
     spark = new_vectors.sparkSession
     try:
         existing = spark.read.parquet(path).columns
-    except Exception:
+    except AnalysisException:
+        # first append into a fresh path — nothing to align with. ONLY
+        # the missing-path case may fall through: a transient read
+        # failure on an EXISTING __nrm store must raise, not silently
+        # append norm-less rows that readers' n_c > 0 filter would then
+        # drop (review r11 — that would be silent data loss, the exact
+        # mixed layout the docstring warns against).
         existing = []
     if "__nrm" in existing:
         asg = with_norm(asg, emb_col, "__nrm")

@@ -165,7 +165,14 @@ def compact_fingerprint_store(spark, path: str) -> int:
     Plan: one map-side-combined distinct of a single fixed-width hash
     column — the cheapest possible shuffle shape; output files follow
     spark.sql.shuffle.partitions (coalesced by AQE), so a 300 GB store
-    compacts without any single-task funnel."""
+    compacts without any single-task funnel.
+
+    DRIVER-LOCAL-FILESYSTEM utility: the swap uses rename, which only
+    exists where Spark's write and the driver's view are the same posix
+    tree (local[..] / a shared mount). On an HDFS/S3 defaultFS, do the
+    rewrite with the storage's native rename/commit instead — the
+    read → dropDuplicates → write step of this function is the portable
+    part."""
     import shutil
     import uuid
 
@@ -180,6 +187,7 @@ def compact_fingerprint_store(spark, path: str) -> int:
         shutil.move(tmp, base)
     except Exception:
         shutil.move(old, base)  # roll back: leave the store readable
+        shutil.rmtree(tmp, ignore_errors=True)  # no orphan copy on disk
         raise
     shutil.rmtree(old, ignore_errors=True)
     return n
@@ -617,7 +625,14 @@ def _running_cosine_topk_iter(kk: int):
     per probe — thousands of ≤k-row batches whose serialization
     dominates the flush). Shared by :func:`ann_topk_stream` and
     :func:`ivf_topk_stream` — the batching-invariance contract is
-    pinned once in tests/test_streaming_ingest.py."""
+    pinned once in tests/test_streaming_ingest.py.
+
+    Each (probe, neighbor) pair is kept ONCE (best cosine): the batch
+    IVF twin runs dropDuplicates on the pair before ranking, and a
+    store grown by ``append_ivf_store`` may legitimately carry a
+    duplicate id (dedup is the caller's crawl-gate job there) — without
+    this, a duplicated neighbor would occupy two ranks in the stream
+    result and push a real neighbor out of the k (review r11)."""
     import numpy as np
     import pandas as pd
 
@@ -633,8 +648,12 @@ def _running_cosine_topk_iter(kk: int):
                     pcos, pids = best[probe_id]
                     cos = np.concatenate([pcos, cos])
                     ids = np.concatenate([pids, ids])
-                order = np.lexsort((ids, -cos))[:kk]
-                best[probe_id] = (cos[order], ids[order])
+                order = np.lexsort((ids, -cos))
+                cos, ids = cos[order], ids[order]
+                # first occurrence per neighbor under the rank order ==
+                # best cosine per pair (associative across batch merges)
+                keep = np.sort(np.unique(ids, return_index=True)[1])[:kk]
+                best[probe_id] = (cos[keep], ids[keep])
         if best:
             yield pd.concat(
                 [
