@@ -526,6 +526,19 @@ def decon_stream_scale(spark):
         fp10 = spark.read.parquet(fp10p).localCheckpoint(eager=True)
         idx1 = ingest.build_ann_index(small_emb).localCheckpoint(eager=True)
         idx10 = ingest.build_ann_index(big_emb).localCheckpoint(eager=True)
+        # r11: the graded IVF-serving path's static side — take-fit
+        # centroids + the store-shaped (id, emb, cid) assignment, per
+        # corpus tier (what a persisted cell layout reads back to)
+        from wingfoil_spark.functions import similarity as sim
+
+        cents1 = sim.ivf_centroids(small_emb, 16, fit="take").localCheckpoint(
+            eager=True
+        )
+        cents10 = sim.ivf_centroids(big_emb, 16, fit="take").localCheckpoint(
+            eager=True
+        )
+        asg1 = sim.ivf_assign(small_emb, cents1, 1).localCheckpoint(eager=True)
+        asg10 = sim.ivf_assign(big_emb, cents10, 1).localCheckpoint(eager=True)
         dec1 = ingest.build_decon_index(
             small_docs.where(F.col("doc_id") % 97 == 0), n=4
         ).localCheckpoint(eager=True)
@@ -565,11 +578,13 @@ def decon_stream_scale(spark):
 
         res: dict = {}
         configs = [
-            ("base", "docs1", "emb1", fp1, idx1, dec1),
-            ("corpus10x", "docs1", "emb1", fp10, idx10, dec10),
-            ("arr10x_corpus10x", "docs10", "emb10", fp10, idx10, dec10),
+            ("base", "docs1", "emb1", fp1, idx1, dec1, cents1, asg1),
+            ("corpus10x", "docs1", "emb1", fp10, idx10, dec10, cents10,
+             asg10),
+            ("arr10x_corpus10x", "docs10", "emb10", fp10, idx10, dec10,
+             cents10, asg10),
         ]
-        for cname, dsrc, esrc, fpdf, idx, dec in configs:
+        for cname, dsrc, esrc, fpdf, idx, dec, cents, asg in configs:
             t_store, n_store = run_stream(
                 lambda s, _fp=fpdf: ingest.dedup_against_store(s, _fp)
                 .select("doc_id"),
@@ -583,15 +598,24 @@ def decon_stream_scale(spark):
                 lambda s, _dc=dec: ingest.decontaminate_stream(s, _dc, n=4),
                 paths[dsrc], doc_schema,
             )
+            t_iserve, n_iserve = run_stream(
+                lambda s, _a=asg, _c=cents: ingest.ivf_topk_stream(
+                    s, _a, _c, k=5, nprobe=4
+                ),
+                paths[esrc], emb_schema,
+            )
             res[cname] = {
                 "store_s": t_store, "store_rows": int(n_store),
                 "ann_s": t_ann, "ann_rows": int(n_ann),
                 "decon_s": t_dec, "decon_rows": int(n_dec),
+                "iserve_s": t_iserve, "iserve_rows": int(n_iserve),
             }
             print(f"# decon_stream_10x[{cname}]: store {t_store:.2f}s "
                   f"({n_store} rows), ann {t_ann:.2f}s ({n_ann} rows), "
-                  f"decon {t_dec:.2f}s ({n_dec} rows)", file=sys.stderr)
-        for part in ("store", "ann", "decon"):
+                  f"decon {t_dec:.2f}s ({n_dec} rows), "
+                  f"iserve {t_iserve:.2f}s ({n_iserve} rows)",
+                  file=sys.stderr)
+        for part in ("store", "ann", "decon", "iserve"):
             res[f"{part}_corpus_ratio"] = round(
                 res["corpus10x"][f"{part}_s"] / res["base"][f"{part}_s"], 2
             )
@@ -602,8 +626,11 @@ def decon_stream_scale(spark):
         res["claim"] = (
             "per-micro-batch cost scales with ARRIVALS, not corpus "
             "history: corpus_ratio << 10 for store/decon (narrow static "
-            "sides); ann's corpus_ratio includes the by-construction "
-            "10x-candidates-per-bucket growth of any LSH join"
+            "sides); ann's and iserve's corpus_ratios include the "
+            "by-construction candidates-per-bucket/cell growth of any "
+            "bucketed join (10x corpus => 10x rows per cell at fixed "
+            "n_centroids — production raises n_centroids with the "
+            "corpus, which the cid-partitioned store supports)"
         )
         out.update(res)
         return out
