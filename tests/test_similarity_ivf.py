@@ -630,3 +630,94 @@ def test_ivf_assign_rowlocal_tie_break(spark):
         .select("vec_id", "cid").collect()
     )
     assert one[0] == 0 and one[1] == 0, one
+
+
+def test_adc_duplicate_store_ids_single_rank(spark):
+    """ADVICE r11 (medium): a duplicate id in an append-grown codes store
+    must occupy ONE rank in every ADC consumer (pq_topk here — the shared
+    _adc_topk_iter also backs ivfpq_topk_from_store / ivfpq_topk_stream),
+    keeping its BEST distance, so a real neighbor is not pushed out of
+    the top-k. Mirrors test_ivf_topk_stream_duplicate_store_ids_match_batch."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [float(rng.uniform(-1, 1)) for _ in range(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = sim.pq_train(df, m=4, k=8, fit="take")
+    codes = sim.pq_encode(df, books).select("vec_id", "pq_code")
+    probes = df.where(F.col("vec_id") < 2)
+    clean = sim.pq_topk(codes, probes, books, k=5).toPandas()
+    # duplicate EVERY corpus row (same id, same code — a re-appended batch)
+    doubled = codes.unionByName(codes)
+    dup = sim.pq_topk(doubled, probes, books, k=5).toPandas()
+    key = ["probe_id", "rank"]
+    c = clean.sort_values(key).reset_index(drop=True)
+    d = dup.sort_values(key).reset_index(drop=True)
+    assert len(c) == len(d) and len(c) == 2 * 5
+    assert (c["neighbor_id"].to_numpy() == d["neighbor_id"].to_numpy()).all()
+    assert (c["adc_dist"].to_numpy() == d["adc_dist"].to_numpy()).all()
+    # per probe: 5 DISTINCT neighbors, ranks 1..5 exactly once
+    for _, grp in d.groupby("probe_id"):
+        assert grp["neighbor_id"].nunique() == 5
+        assert sorted(grp["rank"].tolist()) == [1, 2, 3, 4, 5]
+    # same id with DIFFERENT codes (a re-crawled doc re-encoded after an
+    # embedding refresh): the kept row is the BEST (smallest) distance
+    worst = codes.where(F.col("vec_id") == 7).withColumn(
+        "pq_code", F.transform("pq_code", lambda x: F.lit(7).cast("smallint"))
+    )
+    mixed = codes.unionByName(worst)
+    m = sim.pq_topk(mixed, probes, books, k=39).toPandas()
+    base = sim.pq_topk(codes, probes, books, k=39).toPandas()
+    for pid in m["probe_id"].unique():
+        mm = m[(m.probe_id == pid) & (m.neighbor_id == 7)]["adc_dist"]
+        bb = base[(base.probe_id == pid) & (base.neighbor_id == 7)]["adc_dist"]
+        assert len(mm) == 1 and len(bb) == 1
+        assert float(mm.iloc[0]) <= float(bb.iloc[0])
+
+
+def test_ivf_assign_zero_norm_centroid_parity(spark):
+    """ADVICE r11 (low): a zero-norm centroid (take-fit can select a zero
+    vector) must be excluded by BOTH assignment paths — the window version
+    would rank its NaN similarity first while the row-local comparator
+    falls through to the cid tie-break, silently splitting the two paths."""
+    rows = [(0, [0.0, 0.0, 0.0, 0.0]),   # zero vector → zero-norm centroid
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.7, 0.7, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = sim.ivf_centroids(df, 3, fit="take").localCheckpoint(eager=True)
+    # take-fit picked vec 0 → cid 0 is the zero-norm centroid
+    assert cents.where(F.col("cnorm") <= 0).count() == 1
+    for nprobe in (1, 2):
+        w = sorted(map(tuple, sim.ivf_assign(df, cents, nprobe)
+                       .select("vec_id", "cid").toPandas().to_numpy().tolist()))
+        r = sorted(map(tuple, sim.ivf_assign_rowlocal(df, cents, nprobe)
+                       .select("vec_id", "cid").toPandas().to_numpy().tolist()))
+        assert w == r, f"nprobe={nprobe}: {w} != {r}"
+        assert all(cid != 0 for _, cid in w)  # nobody lands in the dead cell
+    # all-zero-norm centroid frame → rowlocal refuses loudly
+    dead = cents.where(F.col("cnorm") <= 0)
+    with pytest.raises(ValueError, match="no usable centroids"):
+        sim.ivf_assign_rowlocal(df, dead, 1)
+
+
+def test_append_ivf_store_raises_on_unreadable_existing(spark, emb, tmp_path):
+    """ADVICE r11 (low): only the MISSING-path analysis failure may take
+    the fresh-path branch. An existing-but-unreadable store (empty dir —
+    UNABLE_TO_INFER_SCHEMA) must raise instead of silently appending
+    norm-less rows into a possibly-__nrm layout."""
+    from pyspark.errors import AnalysisException
+
+    cents = sim.ivf_centroids(emb, 4, fit="take").localCheckpoint(eager=True)
+    new = emb.where(F.col("vec_id") % 100 == 0)
+    bad = tmp_path / "existing_unreadable"
+    bad.mkdir()
+    with pytest.raises(AnalysisException):
+        sim.append_ivf_store(new, str(bad), cents)
+    assert not any(bad.iterdir())  # nothing was appended into the dir
+    # the genuinely-missing path still works as the first append
+    fresh = str(tmp_path / "fresh")
+    sim.append_ivf_store(new, fresh, cents)
+    assert spark.read.parquet(fresh).count() == new.count()

@@ -790,6 +790,35 @@ def test_compact_fingerprint_store_restores_distinct_shape(spark, docs, tmp_path
     assert after == before
 
 
+def test_compact_fingerprint_store_failed_swap_leaves_no_orphan(
+    spark, docs, tmp_path, monkeypatch
+):
+    """ADVICE r11 (low): if the FIRST rename of the swap fails, the store
+    must be untouched AND the compacted temporary copy must not be left
+    orphaned on disk."""
+    import shutil
+
+    path = str(tmp_path / "fp_store")
+    ingest.build_fingerprint_store(docs, path)
+    ingest.build_fingerprint_store(docs.limit(20), path, mode="append")
+    n_before = spark.read.parquet(path).count()
+    real_move = shutil.move
+
+    def failing_move(src, dst, *a, **kw):
+        if src.rstrip("/") == path:
+            raise OSError("simulated rename failure")
+        return real_move(src, dst, *a, **kw)
+
+    monkeypatch.setattr(shutil, "move", failing_move)
+    with pytest.raises(OSError, match="simulated rename failure"):
+        ingest.compact_fingerprint_store(spark, path)
+    monkeypatch.undo()
+    # store untouched, still readable, and no .compact-*/.old-* siblings
+    assert spark.read.parquet(path).count() == n_before
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "fp_store"]
+    assert leftovers == []
+
+
 def test_ivf_topk_stream_matches_from_store(spark, sf_dir, tmp_path):
     """r11: online IVF serving from the persisted store — streaming
     probes (2 micro-batches) against the cid-partitioned parquet layout

@@ -193,6 +193,14 @@ def ivf_assign(
     ``centroids`` is tiny (cid, cvec, cnorm) → broadcast; the assignment is
     one broadcast-nested-loop + a per-vector top-nprobe window. Output keeps
     the input columns and adds ``cid``.
+
+    Zero-norm centroids are EXCLUDED from assignment (a take-fit can
+    select a zero vector; ``ivf_centroids`` does not norm-filter): a
+    cnorm=0 centroid has no direction and yields NaN similarities, which
+    Spark's window ORDER BY ranks FIRST (NaN > any double) while the
+    row-local twin's array_sort comparator would fall through to the cid
+    tie-break — the two paths must agree, so neither sees such a
+    centroid (ADVICE r11).
     """
     from pyspark.sql import Window
 
@@ -203,7 +211,8 @@ def ivf_assign(
         lambda acc, v: acc + v,
     )
     d = with_norm(df, emb_col, "__nrm").where(F.col("__nrm") > 0)
-    scored = d.crossJoin(F.broadcast(centroids)).withColumn(
+    cents = centroids.where(F.col("cnorm") > 0)
+    scored = d.crossJoin(F.broadcast(cents)).withColumn(
         "__sim", dot / (F.col("__nrm") * F.col("cnorm"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cid").asc())
@@ -235,15 +244,27 @@ def ivf_assign_rowlocal(
     Bit-parity with :func:`ivf_assign` (test-pinned): the dot product is
     the same zip_with/aggregate fold in the same order (float→double of
     a literal equals the column cast), and ties break identically
-    (sim desc, cid asc). Output keeps the input columns and adds
-    ``cid`` — one row per (vector, assigned cell), exactly like
-    ``ivf_assign``. Triggers one tiny collect job on ``centroids``."""
+    (sim desc, cid asc). Zero-norm centroids are excluded exactly as in
+    ``ivf_assign`` — parity would otherwise break on them: their NaN
+    similarities rank first in the window version (Spark NaN > any
+    double) but fall through to the cid tie-break in this comparator
+    (every NaN comparison is false; ADVICE r11). Output keeps the input
+    columns and adds ``cid`` — one row per (vector, assigned cell),
+    exactly like ``ivf_assign``. Triggers one tiny collect job on
+    ``centroids``."""
     rows = sorted(
-        centroids.select("cid", "cvec", "cnorm").collect(),
+        (
+            r
+            for r in centroids.select("cid", "cvec", "cnorm").collect()
+            if r["cnorm"] is not None and r["cnorm"] > 0
+        ),
         key=lambda r: r["cid"],
     )
     if not rows:
-        raise ValueError("ivf_assign_rowlocal: empty centroid frame")
+        raise ValueError(
+            "ivf_assign_rowlocal: no usable centroids (empty frame or "
+            "all zero-norm)"
+        )
     lit_cents = F.array(*[
         F.struct(
             F.lit(int(r["cid"])).alias("cid"),
@@ -593,13 +614,20 @@ def append_ivf_store(
     spark = new_vectors.sparkSession
     try:
         existing = spark.read.parquet(path).columns
-    except AnalysisException:
+    except AnalysisException as e:
         # first append into a fresh path — nothing to align with. ONLY
-        # the missing-path case may fall through: a transient read
-        # failure on an EXISTING __nrm store must raise, not silently
-        # append norm-less rows that readers' n_c > 0 filter would then
-        # drop (review r11 — that would be silent data loss, the exact
-        # mixed layout the docstring warns against).
+        # the missing-path condition may fall through: any OTHER
+        # analysis failure on an EXISTING store (empty dir, corrupt
+        # footer, unreadable schema) must raise, not silently append
+        # norm-less rows that readers' n_c > 0 filter would then drop
+        # (ADVICE r11 — that would be silent data loss, the exact mixed
+        # layout the docstring warns against).
+        cond = (
+            e.getCondition() if hasattr(e, "getCondition")
+            else e.getErrorClass()
+        )
+        if cond != "PATH_NOT_FOUND":
+            raise
         existing = []
     if "__nrm" in existing:
         asg = with_norm(asg, emb_col, "__nrm")
@@ -993,8 +1021,19 @@ def _adc_topk_iter(books: np.ndarray, topk: int):
                     pdists, pids = best[probe_id]
                     dists = np.concatenate([pdists, dists])
                     ids = np.concatenate([pids, ids])
-                order = np.lexsort((ids, dists))[:topk]
-                best[probe_id] = (dists[order], ids[order])
+                order = np.lexsort((ids, dists))
+                dists, ids = dists[order], ids[order]
+                # first occurrence per neighbor under the (dist, id)
+                # order == best distance per pair: an append_ivfpq_store-
+                # grown codes store may legitimately carry duplicate ids
+                # (dedup is the caller's crawl-gate job), and a duplicate
+                # must not occupy two ranks and push a real neighbor out
+                # of the k (ADVICE r11 — the _running_cosine_topk_iter
+                # fix, mirrored). Keeping only k distinct ids per merge
+                # stays exact: anything dropped is dominated by k
+                # distinct better candidates that remain forever.
+                keep = np.sort(np.unique(ids, return_index=True)[1])[:topk]
+                best[probe_id] = (dists[keep], ids[keep])
         if best:
             # one flush frame per partition (not per probe): a per-probe
             # yield becomes one Arrow batch per probe — thousands of

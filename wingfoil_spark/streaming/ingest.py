@@ -157,10 +157,15 @@ def compact_fingerprint_store(spark, path: str) -> int:
     The swap is two renames on the same filesystem (current → ``.old``,
     compacted → current) — the window where no directory exists is one
     rename, not a full rewrite; a reader holding the OLD frame keeps a
-    deleted-inode-style hazard either way, which is why the docstring
-    contract is "compact from the maintenance job, not under a live
-    reader" (same discipline as any parquet-rewrite compaction). Returns
-    the number of distinct fingerprints in the compacted store.
+    deleted-inode-style hazard either way, which is why the contract is
+    "compact from the maintenance job, not under a live reader OR a
+    concurrent appender" (same discipline as any parquet-rewrite
+    compaction): fingerprints appended between this function's read and
+    the swap are NOT in the compacted copy and are silently discarded by
+    the swap — lost dedup history, i.e. re-ingestion of duplicate
+    content (ADVICE r11). Serialize appends and compaction on one
+    maintenance schedule. Returns the number of distinct fingerprints in
+    the compacted store.
 
     Plan: one map-side-combined distinct of a single fixed-width hash
     column — the cheapest possible shuffle shape; output files follow
@@ -182,7 +187,13 @@ def compact_fingerprint_store(spark, path: str) -> int:
     compacted = spark.read.parquet(path).dropDuplicates(["fp"])
     compacted.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.move(base, old)
+    try:
+        shutil.move(base, old)
+    except Exception:
+        # the swap never started — the store is untouched; don't leave
+        # the compacted copy orphaned on disk (ADVICE r11)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         shutil.move(tmp, base)
     except Exception:
