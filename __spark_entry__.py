@@ -997,7 +997,33 @@ def q_decon_stream(spark, sf_dir):
       CTE as the ivfpq_store round trip (streamed ADC must equal batch
       ADC bit for bit).
 
-    All ten outputs are content-determined per doc/probe, hence
+    r12 widens to TWELVE parts (VERDICT r11 Next #1/#2 — the two
+    capabilities built in r11 but not yet driver-graded):
+
+    - part='ivf_grow' (aux=neighbor_id*10+rank, v=cosine): the
+      incremental crawl→index loop END TO END — the float IVF store is
+      written from the corpus MINUS a planted arrival slice
+      (vec_id % 7 == 3; fed from the shared frozen take centroids and a
+      filter of the checkpointed assignment — zero extra fit/assign
+      scans), the arrivals are appended via
+      similarity.append_ivf_store under the SAME frozen centroids, and
+      probes are served from the GROWN store via ivf_topk_from_store.
+      Because per-row assignment under frozen centroids is
+      rebuild-equivalent (test-pinned), the served rows must hash-equal
+      the full-corpus IVF oracle — the psivf CTE family, shared with
+      part='ivf_serve'. This is the production loop: ingest → append →
+      serve without reindexing, now cross-engine graded.
+    - part='ivf_lloyd' (aux=neighbor_id*10+rank, v=cosine): the
+      KMEANS-FIT tier graded — similarity.ivf_centroids(fit='lloyd'),
+      the deterministic spherical-Lloyd fit (take-init, 4 iterations,
+      512-vector id-ordered sample, exact 1e-9-integer mean arithmetic,
+      6dp half-up centroid rounding) whose recall is at parity with the
+      seeded pyspark.ml KMeans fit (RECALL.md) while being fully
+      SQL-replayable: the oracle unrolls the SAME four Lloyd iterations
+      as CTEs (bit-parity pinned by test_lloyd_fit_matches_sql_replay)
+      and re-runs the IVF search under the fitted centroids.
+
+    All twelve outputs are content-determined per doc/probe, hence
     arrival-order- and batching-invariant — exactly what makes a multi-
     micro-batch streaming run oracle-gradable against batch SQL."""
     import os
@@ -1163,8 +1189,36 @@ def q_decon_stream(spark, sf_dir):
             spark, spath, pcents, books,
             emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
         ).localCheckpoint(eager=True)
+        # r12 part='ivf_grow': the incremental crawl→index loop — store
+        # written WITHOUT the planted arrival slice, arrivals appended
+        # under the SAME frozen centroids, probes served from the GROWN
+        # store. Rebuild-equivalence of the append (test-pinned) makes
+        # the full-corpus psivf oracle the exact expected result.
+        gpath = os.path.join(tmp, "ivf_grow_store")
+        sim.write_ivf_store(
+            emb.where(F.col("vec_id") % 7 != 3), gpath,
+            centroids=pcents,
+            corpus_assign=pasg.where(F.col("vec_id") % 7 != 3),
+        )
+        sim.append_ivf_store(
+            emb.where(F.col("vec_id") % 7 == 3), gpath, pcents
+        )
+        igrow = sim.ivf_topk_from_store(
+            spark, gpath, pcents, emb.where(F.col("vec_id") % 50 == 0),
+            k=5, nprobe=4,
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    # r12 part='ivf_lloyd': the graded kmeans tier — deterministic Lloyd
+    # fit (SQL-replayable, see ivf_centroids), then the standard IVF
+    # search under the fitted centroids. Batch-side like 'recall'.
+    lcents = sim.ivf_centroids(emb, 16, fit="lloyd").localCheckpoint(
+        eager=True
+    )
+    illoyd = sim.ivf_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
+        centroids=lcents,
+    ).localCheckpoint(eager=True)
     # the memory sink holds the materialized rows; localCheckpoint pins
     # them to this returned frame (the table name is run-unique anyway)
     out = spark.table(name).localCheckpoint(eager=True)
@@ -1186,7 +1240,22 @@ def q_decon_stream(spark, sf_dir):
         (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
         F.round(F.lit(1.0) - F.col("adc_dist") / 2.0, 6).alias("v"),
     )
-    return out.unionByName(rec).unionByName(ipq_rows)
+    grow_rows = igrow.select(
+        F.lit("ivf_grow").alias("part"),
+        F.col("probe_id").alias("doc_id"),
+        (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
+        F.col("cosine").alias("v"),
+    )
+    lloyd_rows = illoyd.select(
+        F.lit("ivf_lloyd").alias("part"),
+        F.col("probe_id").alias("doc_id"),
+        (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
+        F.col("cosine").alias("v"),
+    )
+    return (
+        out.unionByName(rec).unionByName(ipq_rows)
+        .unionByName(grow_rows).unionByName(lloyd_rows)
+    )
 
 
 def q_seasons(spark, sf_dir):
@@ -2741,6 +2810,58 @@ JOIN fc USING (user_id, ts_us, event_id)"""
         f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
         for t in SEL_TERMS
     )
+
+    # r12 part='ivf_lloyd': the deterministic Lloyd fit replayed verbatim
+    # (ivf_centroids fit='lloyd' — take-init on the first-K nonzero
+    # sample vectors, ITERS unrolled assignment/mean steps, means as
+    # EXACT 1e-9-integer sums then one (Σ/1e9)/n division chain, 6dp
+    # half-up rounding). Bit-parity with the numpy fit is pinned by
+    # tests/test_similarity_ivf.py::test_lloyd_fit_matches_sql_replay;
+    # only the argmax comparisons are engine-sensitive (ULP-separated
+    # by construction). Empty cluster keeps its previous centroid
+    # (COALESCE over the LEFT JOIN).
+    def _lloyd_ctes(k: int, iters: int, sample_n: int, dim: int) -> str:
+        def q6(e: str) -> str:
+            return f"floor(({e}) * 1000000 + 0.5) / 1000000"
+
+        parts = [
+            f"""llsam AS (SELECT row_number() OVER (ORDER BY vec_id) AS sid, vec_id, emb, nrm
+  FROM (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        FROM aev WHERE sqrt(list_dot_product(emb, emb)) > 0
+        ORDER BY vec_id LIMIT {sample_n})),
+llq AS (SELECT sid, list_transform(emb, x -> floor(x * 1000000000 + 0.5)) AS q FROM llsam),
+lld AS (SELECT unnest(range(1, {dim + 1})) AS d),
+llc0 AS (SELECT sid - 1 AS cid, list_transform(emb, x -> {q6('x')}) AS cvec
+  FROM llsam WHERE sid <= {k})"""
+        ]
+        for t in range(iters):
+            parts.append(f"""llas{t} AS (
+  SELECT sid, cid FROM (
+    SELECT s.sid, c.cid,
+      row_number() OVER (PARTITION BY s.sid ORDER BY
+        list_dot_product(s.emb, c.cvec)
+          / (s.nrm * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        c.cid ASC) AS rn
+    FROM llsam s, llc{t} c
+    WHERE sqrt(list_dot_product(c.cvec, c.cvec)) > 0
+  ) WHERE rn = 1),
+llm{t} AS (
+  SELECT a.cid, d.d AS d,
+    {q6('CAST(sum(q.q[d.d]) AS DOUBLE) / 1000000000 / count(*)')} AS mval
+  FROM llas{t} a JOIN llq q USING (sid), lld d
+  GROUP BY a.cid, d.d),
+llc{t + 1} AS (
+  SELECT p.cid, COALESCE(m.mvec, p.cvec) AS cvec
+  FROM llc{t} p LEFT JOIN (
+    SELECT cid, list(mval ORDER BY d) AS mvec FROM llm{t} GROUP BY cid
+  ) m ON m.cid = p.cid)""")
+        parts.append(f"""llcf AS (SELECT cid, cvec,
+  sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM llc{iters})""")
+        return ",\n".join(parts)
+
+    lloyd_ctes = _lloyd_ctes(
+        16, sim.LLOYD_ITERS, sim.LLOYD_SAMPLE_N, 64
+    )
     o["decon_stream"] = f"""
 WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t
               FROM documents WHERE text IS NOT NULL),
@@ -2915,7 +3036,37 @@ psivf_scored AS (
     AND c.nrm > 0
 ),
 psivf_ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
-  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM psivf_scored)
+  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM psivf_scored),
+-- r12 part='ivf_lloyd': the unrolled deterministic-Lloyd fit (llcf) and
+-- the standard IVF search under the fitted centroids (corpus rn=1,
+-- probes rn<=4 — the psivf shape against llcf instead of pscents)
+{lloyd_ctes},
+llca AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY list_dot_product(n.emb, c.cvec) / (n.nrm * c.cnorm) DESC, c.cid ASC) AS rn
+    FROM psn n, llcf c WHERE n.nrm > 0 AND c.cnorm > 0
+  ) WHERE rn = 1
+),
+llpa AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+      row_number() OVER (PARTITION BY p.vec_id
+        ORDER BY list_dot_product(p.emb, c.cvec) / (p.nrm * c.cnorm) DESC, c.cid ASC) AS rn
+    FROM aep p, llcf c WHERE c.cnorm > 0
+  ) WHERE rn <= 4
+),
+llivf_scored AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm), 6) AS cosine
+  FROM aep p JOIN llpa pa ON pa.vec_id = p.vec_id
+  JOIN llca ca ON ca.cid = pa.cid
+  JOIN psn c ON c.vec_id = ca.vec_id AND c.vec_id != p.vec_id
+    AND c.nrm > 0
+),
+llivf_ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM llivf_scored)
 SELECT 'decon' AS part, cg.doc_id, CAST(0 AS BIGINT) AS aux, 1.0 AS v
 FROM (
   SELECT DISTINCT doc_id FROM (
@@ -2955,7 +3106,16 @@ SELECT 'ivf_serve', probe_id, neighbor_id * 10 + rank, cosine
 FROM psivf_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'ivfpq_serve', probe_id, neighbor_id * 10 + rank, cosine
-FROM psranked WHERE rank <= 5"""
+FROM psranked WHERE rank <= 5
+UNION ALL
+-- the grown store serves exactly what a full rebuild serves (append ==
+-- rebuild under frozen centroids), so the expected rows ARE the
+-- full-corpus IVF search — psivf_ranked, shared with 'ivf_serve'
+SELECT 'ivf_grow', probe_id, neighbor_id * 10 + rank, cosine
+FROM psivf_ranked WHERE rank <= 5
+UNION ALL
+SELECT 'ivf_lloyd', probe_id, neighbor_id * 10 + rank, cosine
+FROM llivf_ranked WHERE rank <= 5"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the

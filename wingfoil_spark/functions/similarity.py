@@ -310,29 +310,107 @@ def ivf_assign_rowlocal(
     )
 
 
+#: fit="lloyd" defaults — shared by the Spark fit and the DuckDB oracle
+#: replay (the graded decon_stream part='ivf_lloyd' unrolls exactly
+#: LLOYD_ITERS iteration CTEs over the same LLOYD_SAMPLE_N-row sample).
+LLOYD_ITERS = 4
+LLOYD_SAMPLE_N = 512
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     fit: str = "take",
+    iters: int = LLOYD_ITERS,
+    sample_n: int = LLOYD_SAMPLE_N,
 ) -> DataFrame:
     """IVF "training" frame (cid, cvec, cnorm).
 
-    ``fit="kmeans"`` — the PRODUCTION default for :func:`ivf_topk`: seeded
-    pyspark.ml KMeans (seed=7, deterministic given the corpus), giving
-    centroids that actually tile the data — measurably better recall at
-    the same nprobe than an arbitrary sample (pinned by
-    test_kmeans_centroids_beat_take_recall). Not cross-engine
-    oracle-reproducible (KMeans isn't expressible in the DuckDB twin).
+    ``fit="kmeans"`` — seeded pyspark.ml KMeans (seed=7, deterministic
+    given the corpus), giving centroids that actually tile the data —
+    measurably better recall at the same nprobe than an arbitrary sample
+    (pinned by test_kmeans_centroids_beat_take_recall). Not cross-engine
+    oracle-reproducible (k-means|| init isn't expressible in the DuckDB
+    twin).
 
-    ``fit="take"`` — the ORACLE tier: the ``n_centroids`` lowest-id
-    vectors via ``orderBy().limit()`` — a lazy TakeOrdered inside the
-    plan, so building ``ivf_topk`` triggers no job, and the DuckDB oracle
-    regenerates the centroids verbatim (ids are hash-distributed, so this
-    is an arbitrary-but-reproducible sample; recall-poor — use only where
-    exact cross-engine reproducibility is the point, as in the graded
-    ``ann`` query). The assignment/search plan is identical either way."""
+    ``fit="lloyd"`` — the GRADED k-means tier (VERDICT r11 Next #2): a
+    deterministic spherical-Lloyd fit whose every step is replayable in
+    ANSI-ish SQL, so the production-shape fit (recall at parity with
+    pyspark.ml KMeans — see RECALL.md) gets a real cross-engine
+    CORRECTNESS row instead of a unit pin. Recipe, engine-neutral by
+    construction:
+
+    - sample = the first ``sample_n`` nonzero-norm vectors in ``id_col``
+      order (driver-side numpy over a bounded `orderBy().limit()` pull,
+      the :func:`pq_train` pattern — the fit is index metadata, never
+      corpus-sized work);
+    - init = the first ``n_centroids`` sample vectors, each coordinate
+      rounded half-up to 6dp (``floor(x·1e6 + 0.5)/1e6`` — the explicit
+      formula because engines disagree on round()'s half mode);
+    - ``iters`` Lloyd steps: assign each sample vector to its max-cosine
+      centroid (ties → lowest cid; zero-norm centroids can't win), then
+      new centroid = coordinate mean of members — computed as EXACT
+      integer arithmetic (coordinates quantized to 1e-9 integers, summed
+      exactly — any order, any engine — then one double division chain
+      ``(Σ/1e9)/n`` and the 6dp half-up round). Empty cluster keeps its
+      previous centroid. The quantized sum is the same order-free trick
+      as ``lm_score_stream``; it makes every iteration bit-identical
+      between numpy and the SQL replay, leaving only the argmax
+      comparisons (ULP-separated by construction) engine-sensitive.
+
+    ``fit="take"`` — the cheapest ORACLE tier: the ``n_centroids``
+    lowest-id vectors via ``orderBy().limit()`` — a lazy TakeOrdered
+    inside the plan, so building ``ivf_topk`` triggers no job, and the
+    DuckDB oracle regenerates the centroids verbatim (ids are
+    hash-distributed, so this is an arbitrary-but-reproducible sample;
+    recall-poor — use where exact reproducibility at zero fit cost is
+    the point). The assignment/search plan is identical for every fit."""
+    if fit == "lloyd":
+        sample = (
+            with_norm(corpus.select(id_col, emb_col), emb_col, "__n")
+            .where(F.col("__n") > 0)
+            .orderBy(id_col)
+            .limit(int(sample_n))
+            .toPandas()
+        )
+        X = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in sample[emb_col]]
+        )
+        if len(X) < n_centroids:
+            raise ValueError(
+                f"ivf_centroids(fit='lloyd'): sample has {len(X)} nonzero "
+                f"vectors < n_centroids={n_centroids}"
+            )
+
+        def half_up6(a):
+            return np.floor(a * 1e6 + 0.5) / 1e6
+
+        nrm = np.sqrt((X * X).sum(axis=1))
+        q = np.floor(X * 1e9 + 0.5)  # exact integer-valued float64
+        C = half_up6(X[:n_centroids].copy())
+        for _ in range(int(iters)):
+            cn = np.sqrt((C * C).sum(axis=1))
+            den = nrm[:, None] * cn[None, :]
+            sims = np.divide(
+                X @ C.T, den,
+                out=np.full((len(X), n_centroids), -np.inf),
+                where=den > 0,
+            )
+            assign = sims.argmax(axis=1)  # first max == lowest cid on ties
+            newC = C.copy()
+            for c in range(n_centroids):
+                m = assign == c
+                if m.any():
+                    newC[c] = half_up6(q[m].sum(axis=0) / 1e9 / m.sum())
+            C = newC
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in C[i]]) for i in range(n_centroids)],
+            "cid int, cvec array<double>",
+        )
+        return with_norm(cents, "cvec", "cnorm")
     if fit == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
