@@ -72,6 +72,8 @@ MODULE_SURFACES = {
         "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
         "write_ivf_store", "ivf_topk_from_store",
         "write_ivfpq_store", "ivfpq_topk_from_store", "recall_at_k",
+        "append_ivf_store", "append_ivfpq_store", "compact_cell_store",
+        "ivf_assign_rowlocal", "ivf_centroids",
     ],
     "wingfoil_spark.functions.text": [
         "tokens", "quality_score", "lang_id", "fingerprint",

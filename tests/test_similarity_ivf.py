@@ -794,3 +794,90 @@ def test_lloyd_recall_beats_take(spark, emb):
     print(f"\nIVF recall @nprobe=4/16: take={r_take:.3f} lloyd={r_lloyd:.3f}")
     assert r_lloyd >= r_take
     assert r_lloyd > 0.3
+
+
+def _cell_files(path):
+    """{cid dir -> parquet file count} of a cell store directory."""
+    import os
+
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("cid="):
+            out[d] = len([
+                f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ])
+    return out
+
+
+def test_compact_cell_store_rebounds_files_search_unchanged(
+    spark, emb, tmp_path
+):
+    """r12 (VERDICT r11 Next #3): N appends grow per-cell file counts;
+    compact_cell_store collapses them back to <= cells x writers_per_cell
+    and the from-store search is unchanged row for row — for BOTH store
+    layouts (float IVF and codes-only IVF-PQ)."""
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    slices = [emb.where(F.col("vec_id") % 4 == i) for i in range(4)]
+
+    # float layout
+    path = str(tmp_path / "ivf")
+    cents = sim.write_ivf_store(slices[0], path, n_centroids=8, fit="take")
+    for s in slices[1:]:
+        sim.append_ivf_store(s, path, cents)
+    before_files = _cell_files(path)
+    assert max(before_files.values()) > 1, "appends must grow file counts"
+    before = sim.ivf_topk_from_store(
+        spark, path, cents, probes, k=5, nprobe=3
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    n_rows = spark.read.parquet(path).count()
+    assert sim.compact_cell_store(spark, path) == n_rows
+    after_files = _cell_files(path)
+    assert sorted(after_files) == sorted(before_files)  # same cells
+    assert all(v <= 1 for v in after_files.values())
+    after = sim.ivf_topk_from_store(
+        spark, path, cents, probes, k=5, nprobe=3
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    assert (before["neighbor_id"].to_numpy() == after["neighbor_id"].to_numpy()).all()
+    assert (before["cosine"].to_numpy() == after["cosine"].to_numpy()).all()
+
+    # codes-only layout, writers_per_cell=2
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    qpath = str(tmp_path / "ivfpq")
+    qcents = sim.write_ivfpq_store(
+        slices[0], qpath, books, n_centroids=8, fit="take"
+    )
+    for s in slices[1:]:
+        sim.append_ivfpq_store(s, qpath, qcents, books)
+    assert max(_cell_files(qpath).values()) > 2
+    qbefore = sim.ivfpq_topk_from_store(
+        spark, qpath, qcents, books, probes, k=5, nprobe=3
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    sim.compact_cell_store(spark, qpath, writers_per_cell=2)
+    assert all(v <= 2 for v in _cell_files(qpath).values())
+    qafter = sim.ivfpq_topk_from_store(
+        spark, qpath, qcents, books, probes, k=5, nprobe=3
+    ).toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    assert (qbefore["neighbor_id"].to_numpy() == qafter["neighbor_id"].to_numpy()).all()
+    assert (qbefore["adc_dist"].to_numpy() == qafter["adc_dist"].to_numpy()).all()
+    # no sibling temp/old directories left behind
+    leftovers = [
+        p.name for p in tmp_path.iterdir() if p.name not in ("ivf", "ivfpq")
+    ]
+    assert leftovers == []
+    # __nrm layout survives compaction untouched
+    npath = str(tmp_path / "ivf_nrm")
+    asg = sim.with_norm(sim.ivf_assign(emb, cents, 1), "embedding", "__nrm")
+    sim.write_ivf_store(emb, npath, centroids=cents, corpus_assign=asg)
+    sim.append_ivf_store(probes, npath, cents)
+    sim.compact_cell_store(spark, npath)
+    comp = spark.read.parquet(npath)
+    assert "__nrm" in comp.columns
+    assert comp.where(F.col("__nrm").isNull()).count() == 0
+
+
+def test_compact_cell_store_rejects_non_cell_store(spark, emb, tmp_path):
+    path = str(tmp_path / "flat")
+    emb.write.parquet(path)
+    with pytest.raises(ValueError, match="not a cell store"):
+        sim.compact_cell_store(spark, path)

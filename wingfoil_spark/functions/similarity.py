@@ -676,11 +676,11 @@ def append_ivf_store(
       not a join) — run arrivals through the fingerprint store /
       ``dropDuplicates`` first, the same discipline as the crawl tier.
     - each append adds at most cells × ``writers_per_cell`` files; on a
-      high-frequency append schedule, periodically rewrite the store
-      (read → :func:`write_ivf_store` mode='overwrite' with the same
-      centroids) to re-bound file counts — and re-FIT + rebuild when the
-      data distribution has drifted enough that the frozen cells stop
-      tiling it.
+      high-frequency append schedule, periodically run
+      :func:`compact_cell_store` to re-bound file counts (rows moved,
+      never rescored — search results unchanged), and re-FIT + rebuild
+      when the data distribution has drifted enough that the frozen
+      cells stop tiling it.
 
     Schema alignment: if the existing store carries the optional
     ``__nrm`` column (written from a norm-annotated assignment), the
@@ -710,6 +710,70 @@ def append_ivf_store(
     if "__nrm" in existing:
         asg = with_norm(asg, emb_col, "__nrm")
     _write_by_cell(asg, path, id_col, "append", writers_per_cell)
+
+
+def compact_cell_store(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    writers_per_cell: int = 1,
+) -> int:
+    """Re-bound the file count of an append-grown cell store (either the
+    float :func:`write_ivf_store` layout or the codes-only
+    :func:`write_ivfpq_store` layout — the compactor is schema-agnostic:
+    it rewrites whatever columns the store carries, partitioned by
+    ``cid``): read → one :func:`_write_by_cell` rewrite into a temporary
+    sibling → swap into place. Each :func:`append_ivf_store` /
+    :func:`append_ivfpq_store` call adds up to cells × writers files;
+    on a high-frequency append schedule this restores the
+    ≤ cells × ``writers_per_cell`` shape without touching index metadata
+    (centroids/codebooks stay frozen — rows are MOVED, never rescored,
+    so search results are unchanged, test-pinned).
+
+    Rows are not deduplicated (duplicate ids can be legitimate crawl
+    state; dedup is the upstream fingerprint-gate's job — the same
+    contract as the appends). Returns the row count of the compacted
+    store (== the pre-compaction count; a cheap caller-side invariant).
+
+    Same swap contract as
+    :func:`~wingfoil_spark.streaming.ingest.compact_fingerprint_store`:
+    two same-filesystem renames; run from the maintenance job, never
+    under a live reader OR a concurrent appender (an append landing
+    between the read and the swap is silently discarded by the swap —
+    for the vector store that is lost corpus rows, worse than the
+    fingerprint store's lost dedup history). DRIVER-LOCAL-FILESYSTEM
+    utility like its fingerprint twin: on HDFS/S3 do the rewrite with
+    the storage's native rename/commit; the read → rewrite step is the
+    portable part."""
+    import shutil
+    import uuid
+
+    base = path.rstrip("/")
+    tmp = f"{base}.compact-{uuid.uuid4().hex[:12]}"
+    old = f"{base}.old-{uuid.uuid4().hex[:12]}"
+    df = spark.read.parquet(base)
+    if "cid" not in df.columns:
+        raise ValueError(
+            f"compact_cell_store: {base!r} is not a cell store "
+            "(no cid partition column)"
+        )
+    _write_by_cell(df, tmp, id_col, "overwrite", writers_per_cell)
+    n = spark.read.parquet(tmp).count()
+    try:
+        shutil.move(base, old)
+    except Exception:
+        # the swap never started — the store is untouched; don't leave
+        # the compacted copy orphaned on disk
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        shutil.move(tmp, base)
+    except Exception:
+        shutil.move(old, base)  # roll back: leave the store readable
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return n
 
 
 def write_ivfpq_store(
@@ -861,8 +925,8 @@ def append_ivfpq_store(
     :func:`ivfpq_topk_from_store` equals a full rebuild over the union
     corpus with the same metadata (test-pinned). Same caller contracts
     as :func:`append_ivf_store` (same centroids AND codebooks, dedup
-    upstream, periodic rewrite to re-bound file counts / re-fit on
-    distribution drift)."""
+    upstream, periodic :func:`compact_cell_store` to re-bound file
+    counts / re-fit on distribution drift)."""
     asg = ivf_assign(new_vectors, centroids, 1, emb_col, id_col)
     coded = pq_encode(asg, codebooks, emb_col).select(
         F.col(id_col), F.col("cid"), F.col("pq_code")
