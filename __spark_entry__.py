@@ -916,7 +916,9 @@ def q_decon_stream(spark, sf_dir):
 
     - part='decon' (v=1.0): streaming/ingest.decontaminate_stream —
       row-local gram explode → broadcast semi-join against the persisted
-      eval-gram index → keyed dedup state;
+      eval-gram index → partition-local first-seen dedup (zero shuffle,
+      zero standing state since r12 — a doc's hits never leave their
+      task);
     - part='dsir' (v=round(log_w,6)): streaming/ingest.dsir_score_stream
       — the frozen one-row λ index (build_dsir_index on the lang='en'
       target vs the full corpus, the same model the batch selection

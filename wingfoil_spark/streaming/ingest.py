@@ -331,11 +331,24 @@ def decontaminate_stream(
     ``new_docs`` may be a streaming frame; ``index`` is the static
     persisted benchmark gram set. Plan per micro-batch: row-local token →
     gram → hash explode, LEFT SEMI join against the (broadcast) index —
-    a doc row survives iff some gram matched — then `dropDuplicates` on
-    the doc id to collapse multi-gram hits (on a stream: exact-keyed
-    state bounded by the ARRIVING doc keys, the same contract as
-    :func:`lsh_pairs_stream`). Output: one ``(doc_id, contaminated=true)``
-    row per flagged arriving doc."""
+    a doc row survives iff some gram matched — then a PARTITION-LOCAL
+    first-seen dedup collapses multi-gram hits: every matched gram row
+    of a doc originates from that doc's ONE input row, and both the
+    explode and the broadcast semi-join are narrow, so a doc's hits
+    never leave their task — a per-partition seen-set is exact with
+    ZERO shuffle and ZERO standing state. (r12: the previous
+    `dropDuplicates` ran the keyed state store for cross-batch dedup
+    that can never fire — a doc row lives in exactly one micro-batch —
+    and its state machinery was ~half the part's wall time at 1×
+    arrivals in the SCALE_r11 streaming tier.) A doc ID that genuinely
+    RE-ARRIVES in a later batch flags again — cross-arrival dedup of
+    re-crawls is the upstream ingest gate's job
+    (:func:`dedup_against_store` / :func:`exact_dedup_stream` run first
+    in the documented pipeline order), the same discipline as the
+    vector-store appends. Output: one ``(doc_id, contaminated=true)``
+    row per flagged arriving doc row."""
+    import pandas as pd
+
     grams = (
         new_docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
@@ -348,11 +361,21 @@ def decontaminate_stream(
             ).alias("gh"),
         )
     )
-    return (
-        grams.join(F.broadcast(index), "gh", "left_semi")
-        .select(id_col)
-        .dropDuplicates([id_col])
-        .withColumn("contaminated", F.lit(True))
+    hits = grams.join(F.broadcast(index), "gh", "left_semi").select(id_col)
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+
+    def first_seen(batches):
+        seen: set = set()  # one partition's doc keys — arrival-bounded
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            fresh = [v for v in pdf[id_col].unique() if v not in seen]
+            if fresh:
+                seen.update(fresh)
+                yield pd.DataFrame({id_col: fresh})
+
+    return hits.mapInPandas(first_seen, f"{id_col} {id_type}").withColumn(
+        "contaminated", F.lit(True)
     )
 
 
