@@ -53,6 +53,8 @@ RECALL_FLOORS = {
     "exact": 0.999,      # measured 1.0 (is the baseline)
     "ivf": 0.50,         # measured 0.535
     "ivf_store": 0.50,   # identical to ivf by round-trip contract
+    "lloyd": 0.53,       # measured 0.565 — the graded k-means tier
+    #                    # (decon_stream part='ivf_lloyd'); must beat take
     "int8": 0.95,        # measured 0.985 — 8 bits preserve direction
     "lsh": 0.03,         # measured 0.05
     "pq": 0.07,          # measured 0.095
@@ -99,6 +101,15 @@ def compute_table(spark, sf_dir: str, k: int = 5, sweep: bool = False) -> dict:
         e, n_clusters=16, fit="take", centroids=cents
     ).localCheckpoint(eager=True)
     build["fit_assign_s"] = round(time.perf_counter() - t0, 3)
+    # the graded k-means tier (decon_stream part='ivf_lloyd'): the
+    # deterministic SQL-replayable Lloyd fit + its own full-corpus
+    # assignment (lloyd cells differ from the take cells)
+    t0 = time.perf_counter()
+    lcents = sim.ivf_centroids(e, 16, fit="lloyd").localCheckpoint(
+        eager=True
+    )
+    lasg = sim.ivf_assign(e, lcents, 1).localCheckpoint(eager=True)
+    build["lloyd_fit_assign_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     codes = sim.pq_encode(e, books).select("vec_id", "pq_code").localCheckpoint(
         eager=True
@@ -147,6 +158,9 @@ def compute_table(spark, sf_dir: str, k: int = 5, sweep: bool = False) -> dict:
         ),
         "ivf_store": lambda: sim.ivf_topk_from_store(
             spark, ivf_path, cents, probes, k=k, nprobe=4
+        ),
+        "lloyd": lambda: sim.ivf_topk(
+            e, probes, k=k, nprobe=4, centroids=lcents, corpus_assign=lasg,
         ),
         "pq": lambda: sim.pq_topk(codes, probes, books, k=k),
         "ivfpq": lambda: sim.ivfpq_topk(

@@ -29,6 +29,9 @@ PINNED_SF001 = {
     #              # top-5 almost never co-buckets — honest, not broken
     "ivf": 0.46,
     "ivf_store": 0.46,
+    "lloyd": 0.62,  # the graded k-means tier — beats take (0.46) by
+    #               # actually tiling the data; r12-measured
+
     "pq": 0.14,
     "ivfpq": 0.14,
     "ivfpq_store": 0.14,
