@@ -1008,13 +1008,16 @@ def q_decon_stream(spark, sf_dir):
       (vec_id % 7 == 3; fed from the shared frozen take centroids and a
       filter of the checkpointed assignment — zero extra fit/assign
       scans), the arrivals are appended via
-      similarity.append_ivf_store under the SAME frozen centroids, and
-      probes are served from the GROWN store via ivf_topk_from_store.
-      Because per-row assignment under frozen centroids is
-      rebuild-equivalent (test-pinned), the served rows must hash-equal
-      the full-corpus IVF oracle — the psivf CTE family, shared with
-      part='ivf_serve'. This is the production loop: ingest → append →
-      serve without reindexing, now cross-engine graded.
+      similarity.append_ivf_store under the SAME frozen centroids, the
+      store is COMPACTED via similarity.compact_cell_store (the
+      maintenance step — rows moved, never rescored), and probes are
+      served from the GROWN store via ivf_topk_from_store. Because
+      per-row assignment under frozen centroids is rebuild-equivalent
+      (test-pinned) and compaction is row-preserving, the served rows
+      must hash-equal the full-corpus IVF oracle — the psivf CTE
+      family, shared with part='ivf_serve'. This is the production
+      loop: ingest → append → compact → serve without reindexing, now
+      cross-engine graded end to end.
     - part='ivf_lloyd' (aux=neighbor_id*10+rank, v=cosine): the
       KMEANS-FIT tier graded — similarity.ivf_centroids(fit='lloyd'),
       the deterministic spherical-Lloyd fit (take-init, 4 iterations,
@@ -1205,6 +1208,11 @@ def q_decon_stream(spark, sf_dir):
         sim.append_ivf_store(
             emb.where(F.col("vec_id") % 7 == 3), gpath, pcents
         )
+        # the maintenance step of the same loop, graded in the same arm:
+        # compaction moves rows, never rescores, so the served rows stay
+        # the full-corpus oracle's — a compaction bug (dropped cell,
+        # mangled partition column, clobbered row) diverges the hash
+        sim.compact_cell_store(spark, gpath)
         igrow = sim.ivf_topk_from_store(
             spark, gpath, pcents, emb.where(F.col("vec_id") % 50 == 0),
             k=5, nprobe=4,
