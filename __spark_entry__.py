@@ -916,9 +916,9 @@ def q_decon_stream(spark, sf_dir):
 
     - part='decon' (v=1.0): streaming/ingest.decontaminate_stream —
       row-local gram explode → broadcast semi-join against the persisted
-      eval-gram index → partition-local first-seen dedup (zero shuffle,
-      zero standing state since r12 — a doc's hits never leave their
-      task);
+      eval-gram index → batch-local first-seen dedup over one
+      hit-bounded id shuffle (zero standing state since r12 — the keyed
+      state store is gone);
     - part='dsir' (v=round(log_w,6)): streaming/ingest.dsir_score_stream
       — the frozen one-row λ index (build_dsir_index on the lang='en'
       target vs the full corpus, the same model the batch selection
@@ -2024,6 +2024,60 @@ dedup AS (
 {final}"""
 
 
+def _lloyd_sql_ctes(k: int, iters: int, sample_n: int, dim: int) -> str:
+    """The deterministic Lloyd fit (similarity.ivf_centroids fit='lloyd')
+    replayed verbatim as a DuckDB CTE chain over an ``aev (vec_id, emb
+    DOUBLE[])`` relation: take-init on the first-``k`` nonzero sample
+    vectors, ``iters`` unrolled assignment/mean steps, means as EXACT
+    1e-9-integer sums then one (Σ/1e9)/n division chain, 6dp half-up
+    rounding; empty cluster keeps its previous centroid (COALESCE over
+    the LEFT JOIN). Final centroids land in ``llcf (cid, cvec, cnorm)``.
+
+    MODULE-LEVEL on purpose (review r12): the graded decon_stream oracle
+    AND tests/test_similarity_ivf.py::test_lloyd_fit_matches_sql_replay
+    call this one generator, so the bit-parity pin covers the actual
+    graded SQL — a copy in the test would stay green while the oracle
+    drifted. Only the argmax comparisons are engine-sensitive
+    (ULP-separated by construction)."""
+    def q6(e: str) -> str:
+        return f"floor(({e}) * 1000000 + 0.5) / 1000000"
+
+    parts = [
+        f"""llsam AS (SELECT row_number() OVER (ORDER BY vec_id) AS sid, vec_id, emb, nrm
+  FROM (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        FROM aev WHERE sqrt(list_dot_product(emb, emb)) > 0
+        ORDER BY vec_id LIMIT {sample_n})),
+llq AS (SELECT sid, list_transform(emb, x -> floor(x * 1000000000 + 0.5)) AS q FROM llsam),
+lld AS (SELECT unnest(range(1, {dim + 1})) AS d),
+llc0 AS (SELECT sid - 1 AS cid, list_transform(emb, x -> {q6('x')}) AS cvec
+  FROM llsam WHERE sid <= {k})"""
+    ]
+    for t in range(iters):
+        parts.append(f"""llas{t} AS (
+  SELECT sid, cid FROM (
+    SELECT s.sid, c.cid,
+      row_number() OVER (PARTITION BY s.sid ORDER BY
+        list_dot_product(s.emb, c.cvec)
+          / (s.nrm * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        c.cid ASC) AS rn
+    FROM llsam s, llc{t} c
+    WHERE sqrt(list_dot_product(c.cvec, c.cvec)) > 0
+  ) WHERE rn = 1),
+llm{t} AS (
+  SELECT a.cid, d.d AS d,
+    {q6('CAST(sum(q.q[d.d]) AS DOUBLE) / 1000000000 / count(*)')} AS mval
+  FROM llas{t} a JOIN llq q USING (sid), lld d
+  GROUP BY a.cid, d.d),
+llc{t + 1} AS (
+  SELECT p.cid, COALESCE(m.mvec, p.cvec) AS cvec
+  FROM llc{t} p LEFT JOIN (
+    SELECT cid, list(mval ORDER BY d) AS mvec FROM llm{t} GROUP BY cid
+  ) m ON m.cid = p.cid)""")
+    parts.append(f"""llcf AS (SELECT cid, cvec,
+  sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM llc{iters})""")
+    return ",\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     dec_v = "CAST(value AS DECIMAL(12,2))"
     disc = "CAST(l_discount AS DECIMAL(4,2))"
@@ -2821,55 +2875,7 @@ JOIN fc USING (user_id, ts_us, event_id)"""
         for t in SEL_TERMS
     )
 
-    # r12 part='ivf_lloyd': the deterministic Lloyd fit replayed verbatim
-    # (ivf_centroids fit='lloyd' — take-init on the first-K nonzero
-    # sample vectors, ITERS unrolled assignment/mean steps, means as
-    # EXACT 1e-9-integer sums then one (Σ/1e9)/n division chain, 6dp
-    # half-up rounding). Bit-parity with the numpy fit is pinned by
-    # tests/test_similarity_ivf.py::test_lloyd_fit_matches_sql_replay;
-    # only the argmax comparisons are engine-sensitive (ULP-separated
-    # by construction). Empty cluster keeps its previous centroid
-    # (COALESCE over the LEFT JOIN).
-    def _lloyd_ctes(k: int, iters: int, sample_n: int, dim: int) -> str:
-        def q6(e: str) -> str:
-            return f"floor(({e}) * 1000000 + 0.5) / 1000000"
-
-        parts = [
-            f"""llsam AS (SELECT row_number() OVER (ORDER BY vec_id) AS sid, vec_id, emb, nrm
-  FROM (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-        FROM aev WHERE sqrt(list_dot_product(emb, emb)) > 0
-        ORDER BY vec_id LIMIT {sample_n})),
-llq AS (SELECT sid, list_transform(emb, x -> floor(x * 1000000000 + 0.5)) AS q FROM llsam),
-lld AS (SELECT unnest(range(1, {dim + 1})) AS d),
-llc0 AS (SELECT sid - 1 AS cid, list_transform(emb, x -> {q6('x')}) AS cvec
-  FROM llsam WHERE sid <= {k})"""
-        ]
-        for t in range(iters):
-            parts.append(f"""llas{t} AS (
-  SELECT sid, cid FROM (
-    SELECT s.sid, c.cid,
-      row_number() OVER (PARTITION BY s.sid ORDER BY
-        list_dot_product(s.emb, c.cvec)
-          / (s.nrm * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
-        c.cid ASC) AS rn
-    FROM llsam s, llc{t} c
-    WHERE sqrt(list_dot_product(c.cvec, c.cvec)) > 0
-  ) WHERE rn = 1),
-llm{t} AS (
-  SELECT a.cid, d.d AS d,
-    {q6('CAST(sum(q.q[d.d]) AS DOUBLE) / 1000000000 / count(*)')} AS mval
-  FROM llas{t} a JOIN llq q USING (sid), lld d
-  GROUP BY a.cid, d.d),
-llc{t + 1} AS (
-  SELECT p.cid, COALESCE(m.mvec, p.cvec) AS cvec
-  FROM llc{t} p LEFT JOIN (
-    SELECT cid, list(mval ORDER BY d) AS mvec FROM llm{t} GROUP BY cid
-  ) m ON m.cid = p.cid)""")
-        parts.append(f"""llcf AS (SELECT cid, cvec,
-  sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM llc{iters})""")
-        return ",\n".join(parts)
-
-    lloyd_ctes = _lloyd_ctes(
+    lloyd_ctes = _lloyd_sql_ctes(
         16, sim.LLOYD_ITERS, sim.LLOYD_SAMPLE_N, 64
     )
     o["decon_stream"] = f"""
@@ -2970,10 +2976,12 @@ snapfp AS (SELECT DISTINCT fp FROM dfp WHERE doc_id % 3 = 0),
 -- centroids/codebooks, so the oracle is the ann query's ivfpq CTE family
 -- replayed here. psn is UNFILTERED like the ann oracle's `n` because the
 -- take-16 centroid pick must see every vector (Spark's ivf_centroids
--- does not norm-filter); the ASSIGNMENT side below filters nrm > 0 to
--- mirror ivf_assign's where — a zero-norm vector never enters the
--- store/assignment on the Spark side and must not become an oracle
--- candidate either (review r11; latent — testdata has no zero vectors)
+-- does not norm-filter); the ASSIGNMENT side below filters nrm > 0 AND
+-- cnorm > 0 to mirror ivf_assign's wheres — a zero-norm vector never
+-- enters the store/assignment and a zero-norm CENTROID never wins a
+-- cell on the Spark side (r12: ivf_assign excludes them), so neither
+-- may on the oracle side (review r11/r12; latent — no zero vectors in
+-- testdata)
 psn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM aev),
 pscents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cvec,
@@ -2985,7 +2993,7 @@ pscassign AS (
     SELECT n.vec_id, c.cid,
       row_number() OVER (PARTITION BY n.vec_id
         ORDER BY list_dot_product(n.emb, c.cvec) / (n.nrm * c.cnorm) DESC, c.cid ASC) AS rn
-    FROM psn n, pscents c WHERE n.nrm > 0
+    FROM psn n, pscents c WHERE n.nrm > 0 AND c.cnorm > 0
   ) WHERE rn = 1
 ),
 pspassign AS (
@@ -2993,7 +3001,7 @@ pspassign AS (
     SELECT p.vec_id, c.cid,
       row_number() OVER (PARTITION BY p.vec_id
         ORDER BY list_dot_product(p.emb, c.cvec) / (p.nrm * c.cnorm) DESC, c.cid ASC) AS rn
-    FROM aep p, pscents c
+    FROM aep p, pscents c WHERE c.cnorm > 0
   ) WHERE rn <= 4
 ),
 pspqn AS (SELECT vec_id,
@@ -3689,7 +3697,7 @@ cassign AS (
       list_dot_product(n.emb, c.cvec) / (n.nrm * c.cnorm) AS cs,
       row_number() OVER (PARTITION BY n.vec_id
         ORDER BY list_dot_product(n.emb, c.cvec) / (n.nrm * c.cnorm) DESC, c.cid ASC) AS rn
-    FROM n, cents c
+    FROM n, cents c WHERE c.cnorm > 0
   ) WHERE rn = 1
 ),
 passign AS (
@@ -3697,7 +3705,7 @@ passign AS (
     SELECT p.vec_id, c.cid,
       row_number() OVER (PARTITION BY p.vec_id
         ORDER BY list_dot_product(p.emb, c.cvec) / (p.nrm * c.cnorm) DESC, c.cid ASC) AS rn
-    FROM p, cents c
+    FROM p, cents c WHERE c.cnorm > 0
   ) WHERE rn <= 4
 ),
 ivf_scored AS (

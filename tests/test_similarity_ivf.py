@@ -728,50 +728,32 @@ def test_lloyd_fit_matches_sql_replay(spark, emb, sf_dir):
     BIT-IDENTICAL to an independent DuckDB replay of its recipe — the
     property that makes fit='lloyd' the gradeable kmeans tier. The exact
     integer mean arithmetic ((Σ of 1e-9-quantized coords / 1e9) / n,
-    6dp half-up) removes every summation-order dependency; this test
-    re-derives all LLOYD_ITERS iterations in SQL from the raw parquet."""
+    6dp half-up) removes every summation-order dependency. The SQL comes
+    from entry._lloyd_sql_ctes — the SAME generator the graded
+    decon_stream oracle interpolates (review r12: a pasted copy here
+    would stay green while the graded SQL drifted), at the graded
+    parameters (k=16, LLOYD_ITERS, LLOYD_SAMPLE_N)."""
     import os
 
     import duckdb
     import numpy as np
 
+    import __spark_entry__ as entry
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    k, iters, sample_n, dim = 8, sim.LLOYD_ITERS, sim.LLOYD_SAMPLE_N, 64
-
-    def q6(e):
-        return f"floor(({e}) * 1000000 + 0.5) / 1000000"
-
-    ctes = [f"""aev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM '{path}')""",
-            f"""llsam AS (SELECT row_number() OVER (ORDER BY vec_id) AS sid, emb, nrm
-  FROM (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-        FROM aev WHERE sqrt(list_dot_product(emb, emb)) > 0
-        ORDER BY vec_id LIMIT {sample_n}))""",
-            "llq AS (SELECT sid, list_transform(emb, x -> floor(x * 1000000000 + 0.5)) AS q FROM llsam)",
-            f"lld AS (SELECT unnest(range(1, {dim + 1})) AS d)",
-            f"llc0 AS (SELECT sid - 1 AS cid, list_transform(emb, x -> {q6('x')}) AS cvec FROM llsam WHERE sid <= {k})"]
-    for t in range(iters):
-        ctes.append(f"""llas{t} AS (SELECT sid, cid FROM (
-    SELECT s.sid, c.cid, row_number() OVER (PARTITION BY s.sid ORDER BY
-      list_dot_product(s.emb, c.cvec)
-        / (s.nrm * sqrt(list_dot_product(c.cvec, c.cvec))) DESC, c.cid ASC) AS rn
-    FROM llsam s, llc{t} c
-    WHERE sqrt(list_dot_product(c.cvec, c.cvec)) > 0) WHERE rn = 1)""")
-        ctes.append(f"""llm{t} AS (SELECT a.cid, d.d AS d,
-    {q6('CAST(sum(q.q[d.d]) AS DOUBLE) / 1000000000 / count(*)')} AS mval
-  FROM llas{t} a JOIN llq q USING (sid), lld d GROUP BY a.cid, d.d)""")
-        ctes.append(f"""llc{t + 1} AS (SELECT p.cid, COALESCE(m.mvec, p.cvec) AS cvec
-  FROM llc{t} p LEFT JOIN (
-    SELECT cid, list(mval ORDER BY d) AS mvec FROM llm{t} GROUP BY cid
-  ) m ON m.cid = p.cid)""")
-    sql = "WITH " + ",\n".join(ctes) + \
-        f"\nSELECT cid, cvec FROM llc{iters} ORDER BY cid"
+    k, iters = 16, sim.LLOYD_ITERS
+    sql = (
+        f"WITH aev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM '{path}'),\n"
+        + entry._lloyd_sql_ctes(k, iters, sim.LLOYD_SAMPLE_N, 64)
+        + "\nSELECT cid, cvec FROM llcf ORDER BY cid"
+    )
     want = np.array([r[1] for r in duckdb.sql(sql).fetchall()])
     got_rows = sorted(
         sim.ivf_centroids(emb, k, fit="lloyd").collect(),
         key=lambda r: r["cid"],
     )
     got = np.array([list(r["cvec"]) for r in got_rows])
-    assert got.shape == want.shape == (k, dim)
+    assert got.shape == want.shape == (k, 64)
     assert np.array_equal(got, want), (
         f"max diff {np.abs(got - want).max()}"
     )

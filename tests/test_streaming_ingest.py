@@ -957,3 +957,42 @@ def test_ivf_topk_stream_duplicate_store_ids_match_batch(spark, sf_dir, tmp_path
     for c in ("probe_id", "neighbor_id", "rank"):
         assert g[c].tolist() == b[c].tolist(), c
     assert g["cosine"].tolist() == b["cosine"].tolist()
+
+
+def test_decontaminate_stream_duplicate_and_huge_ids(spark):
+    """Review r12: (a) duplicate flagged ids WITHIN one batch emit
+    exactly one row regardless of partition layout (the dedup shuffles
+    the matched ids); (b) ids above 2^53 survive exactly — a NULL id in
+    the batch must not force the int64->float64 pandas coercion that
+    silently corrupts them (NULL-id rows are dropped by contract)."""
+    import pandas as pd
+
+    bench = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    index = ingest.build_decon_index(bench, n=4)
+    huge = (1 << 53) + 1
+    # nullable Int64 keeps the parquet column int64 (a plain toPandas
+    # would coerce the NULL-bearing column to float64 — the exact
+    # corruption the op now guards against)
+    pdf = pd.DataFrame({
+        "doc_id": pd.array([5, 5, huge, None, 7], dtype="Int64"),
+        "text": [
+            "x a b c d y",                     # flagged
+            "z a b c d w",                     # same id again, same batch
+            "q a b c d r",                     # flagged, above 2^53
+            "k a b c d m",                     # NULL id: dropped
+            "nothing matching here at all",    # clean
+        ],
+    })
+    stream, src_dir = _stream_chunks(spark, pdf, n_chunks=1,
+                                     schema="doc_id long, text string")
+    try:
+        flagged = _run_to_memory(
+            ingest.decontaminate_stream(stream, index, n=4),
+            "ingest_decon_dupid",
+        )
+        rows = flagged.collect()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    got = sorted(r.doc_id for r in rows)
+    assert got == [5, huge], got          # one row per distinct id, exact
+    assert len(rows) == 2

@@ -331,26 +331,30 @@ def decontaminate_stream(
     ``new_docs`` may be a streaming frame; ``index`` is the static
     persisted benchmark gram set. Plan per micro-batch: row-local token →
     gram → hash explode, LEFT SEMI join against the (broadcast) index —
-    a doc row survives iff some gram matched — then a PARTITION-LOCAL
-    first-seen dedup collapses multi-gram hits: every matched gram row
-    of a doc originates from that doc's ONE input row, and both the
-    explode and the broadcast semi-join are narrow, so a doc's hits
-    never leave their task — a per-partition seen-set is exact with
-    ZERO shuffle and ZERO standing state. (r12: the previous
+    a doc row survives iff some gram matched — then a BATCH-LOCAL
+    first-seen dedup collapses multi-gram hits: one tiny shuffle of the
+    MATCHED doc ids (hit-bounded, a single id column — never the gram
+    rows, never the corpus) colocates each id, and a per-partition
+    seen-set keeps the first. ZERO standing state. (r12: the previous
     `dropDuplicates` ran the keyed state store for cross-batch dedup
     that can never fire — a doc row lives in exactly one micro-batch —
     and its state machinery was ~half the part's wall time at 1×
-    arrivals in the SCALE_r11 streaming tier.) A doc ID that genuinely
-    RE-ARRIVES in a later batch flags again — cross-arrival dedup of
-    re-crawls is the upstream ingest gate's job
-    (:func:`dedup_against_store` / :func:`exact_dedup_stream` run first
-    in the documented pipeline order), the same discipline as the
-    vector-store appends. Output: one ``(doc_id, contaminated=true)``
-    row per flagged arriving doc row."""
+    arrivals in the SCALE_r11 streaming tier.) Emits exactly one
+    ``(doc_id, contaminated=true)`` row per DISTINCT flagged doc id per
+    micro-batch; an id that genuinely RE-ARRIVES in a later batch flags
+    again — cross-arrival dedup of re-crawls is the upstream ingest
+    gate's job (:func:`dedup_against_store` / :func:`exact_dedup_stream`
+    run first in the documented pipeline order), the same discipline as
+    the vector-store appends. NULL-id rows are dropped (review r12: a
+    doc with no id has no flag to attach — and a NULL in the id column
+    would force Arrow's int64→float64 pandas coercion, silently
+    corrupting ids above 2^53 in the dedup pass)."""
     import pandas as pd
 
     grams = (
-        new_docs.where(F.col(text_col).isNotNull())
+        new_docs.where(
+            F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+        )
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(
             id_col,
@@ -365,7 +369,7 @@ def decontaminate_stream(
     id_type = new_docs.schema[id_col].dataType.simpleString()
 
     def first_seen(batches):
-        seen: set = set()  # one partition's doc keys — arrival-bounded
+        seen: set = set()  # one partition's flagged keys — hit-bounded
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -374,8 +378,14 @@ def decontaminate_stream(
                 seen.update(fresh)
                 yield pd.DataFrame({id_col: fresh})
 
-    return hits.mapInPandas(first_seen, f"{id_col} {id_type}").withColumn(
-        "contaminated", F.lit(True)
+    # the repartition makes the dedup DETERMINISTIC (review r12: without
+    # it, duplicate ids WITHIN one batch collapse or not depending on
+    # which partitions their rows land in); it shuffles only the matched
+    # ids — a few thousand longs per batch, not the gram explosion
+    return (
+        hits.repartition(id_col)
+        .mapInPandas(first_seen, f"{id_col} {id_type}")
+        .withColumn("contaminated", F.lit(True))
     )
 
 
