@@ -13,7 +13,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 @pytest.mark.parametrize(
     "name",
     ["quick_start", "custom_stream_subclass", "dataframe", "llm_pipeline",
-     "plugin_sdk", "vector_store"],
+     "plugin_sdk", "vector_store", "incremental_index"],
 )
 def test_example_runs(spark, name):
     # the active session is reused by get_spark's getOrCreate, so the
