@@ -863,3 +863,57 @@ def test_compact_cell_store_rejects_non_cell_store(spark, emb, tmp_path):
     emb.write.parquet(path)
     with pytest.raises(ValueError, match="not a cell store"):
         sim.compact_cell_store(spark, path)
+
+
+def test_lloyd_empty_cluster_keeps_previous_centroid(spark, sf_dir):
+    """The empty-cluster rule on BOTH engines: vectors 0 and 1 are
+    identical, so both assign to cid 0 (cosine tie -> lower cid) and
+    cluster 1 is EMPTY from iteration 1 — its centroid must stay the
+    (rounded) init vector through every iteration, in the numpy fit and
+    in the shared SQL replay alike."""
+    import os
+    import tempfile
+
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.125]),
+        (1, [1.0, 0.0, 0.0, 0.125]),     # identical to vec 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.9, 0.1, 0.0]),
+        (5, [0.1, 0.0, 0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k, iters = 3, 2
+    got_rows = sorted(
+        sim.ivf_centroids(df, k, fit="lloyd", iters=iters).collect(),
+        key=lambda r: r["cid"],
+    )
+    got = np.array([list(r["cvec"]) for r in got_rows])
+    # cluster 1's init was vec 1 = [1,0,0,0.125] (6dp-exact floats):
+    # empty from iteration 1 -> unchanged
+    assert got[1].tolist() == [1.0, 0.0, 0.0, 0.125]
+    # and the shared SQL generator reproduces the whole frame bitwise
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "v.parquet")
+        df.toPandas().to_parquet(path, index=False)
+        sql = (
+            f"WITH aev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM '{path}'),\n"
+            + entry._lloyd_sql_ctes(k, iters, 512, 4)
+            + "\nSELECT cid, cvec FROM llcf ORDER BY cid"
+        )
+        want = np.array([r[1] for r in duckdb.sql(sql).fetchall()])
+    assert np.array_equal(got, want)
+
+
+def test_lloyd_rejects_insufficient_sample(spark):
+    """fit='lloyd' refuses a corpus with fewer nonzero vectors than
+    n_centroids instead of fitting degenerate cells silently."""
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="nonzero"):
+        sim.ivf_centroids(df, 3, fit="lloyd")  # only 2 nonzero vectors
