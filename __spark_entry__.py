@@ -1028,9 +1028,22 @@ def q_decon_stream(spark, sf_dir):
       as CTEs (bit-parity pinned by test_lloyd_fit_matches_sql_replay)
       and re-runs the IVF search under the fitted centroids.
 
-    All twelve outputs are content-determined per doc/probe, hence
-    arrival-order- and batching-invariant — exactly what makes a multi-
-    micro-batch streaming run oracle-gradable against batch SQL."""
+    …and to THIRTEEN with a THIRD streaming source KIND:
+
+    - part='poll' (doc_id=tick, aux=0, v=tick*0.5+0.25): the reference's
+      ``poll`` source (fluent.rs:344 — one external callback per cycle,
+      None = quiet cycle, realtime only) implemented as a Spark 4
+      Python DataSource (sources/poll.py, format 'wingfoil_poll') and
+      unioned INTO the same streaming query: 64 ticks of the
+      deterministic demo callable, every 5th tick quiet. The oracle
+      replays the tick arithmetic over a range — so the custom source's
+      offset advance, quiet-cycle skip and row emission are hash-graded
+      inside the real run alongside the file-source parts.
+
+    All thirteen outputs are content-determined per doc/probe/tick,
+    hence arrival-order- and batching-invariant — exactly what makes a
+    multi-micro-batch streaming run oracle-gradable against batch
+    SQL."""
     import os
     import shutil
     import tempfile
@@ -1109,6 +1122,18 @@ def q_decon_stream(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(psrc)
         )
+        # r12 part='poll': the reference's poll source as a registered
+        # Python DataSource, a third SOURCE KIND in the same query
+        from wingfoil_spark.sources.poll import register_poll_source
+
+        register_poll_source(spark)
+        pstream = (
+            spark.readStream.format("wingfoil_poll")
+            .option("fn", "wingfoil_spark.sources.poll:demo_poll")
+            .option("schema", "tick bigint, value double")
+            .option("ticks_per_batch", 64)
+            .load()
+        )
         decon = ingest.decontaminate_stream(
             stream, index, n=CURATION_DECON_N
         ).select(
@@ -1165,10 +1190,16 @@ def q_decon_stream(spark, sf_dir):
             (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
             F.round(F.lit(1.0) - F.col("adc_dist") / 2.0, 6).alias("v"),
         )
+        poll = pstream.select(
+            F.lit("poll").alias("part"),
+            F.col("tick").alias("doc_id"),
+            zero,
+            F.col("value").alias("v"),
+        )
         q = (
             decon.unionByName(dsir).unionByName(bm).unionByName(lmsc)
             .unionByName(ann).unionByName(store).unionByName(iserve)
-            .unionByName(pqserve)
+            .unionByName(pqserve).unionByName(poll)
             .writeStream.format("memory").queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -3133,7 +3164,12 @@ SELECT 'ivf_grow', probe_id, neighbor_id * 10 + rank, cosine
 FROM psivf_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'ivf_lloyd', probe_id, neighbor_id * 10 + rank, cosine
-FROM llivf_ranked WHERE rank <= 5"""
+FROM llivf_ranked WHERE rank <= 5
+UNION ALL
+-- r12 part='poll': the custom-source rows replayed as tick arithmetic
+-- (demo_poll: v = tick*0.5 + 0.25, every 5th tick a quiet cycle)
+SELECT 'poll', t, CAST(0 AS BIGINT), t * 0.5 + 0.25
+FROM (SELECT unnest(range(0, 64)) AS t) WHERE t % 5 != 4"""
     # seasons: the kernel's |rfft|² periodogram recomputed as a naive DFT
     # (per-frequency cos/sin sums). dominant_period is argmax (ties → lowest
     # k, matching np.argmax); power_ratio rounds to 6dp to absorb the

@@ -133,6 +133,9 @@ MODULE_SURFACES = {
         "iceoryx2_sub", "signal_service_name", "FileZmqRegistry",
         "MemoryZmqRegistry", "resolve_zmq_address",
     ],
+    "wingfoil_spark.sources.poll": [
+        "PollDataSource", "register_poll_source", "demo_poll",
+    ],
     "wingfoil_spark.sources.kvwatch": ["kv_snapshot", "kv_watch", "kv_put",
         "redis_stream_id_parts", "redis_stream_tail"],
     "wingfoil_spark.streaming.stateful": ["KeyedStateOp", "with_close"],
