@@ -539,6 +539,23 @@ def decon_stream_scale(spark):
         )
         asg1 = sim.ivf_assign(small_emb, cents1, 1).localCheckpoint(eager=True)
         asg10 = sim.ivf_assign(big_emb, cents10, 1).localCheckpoint(eager=True)
+        # r12: the codes-only serving leg (ivfpq_topk_stream) — the
+        # last graded streamed path without a scale row; codebooks are
+        # shared (index metadata, corpus-size-independent), codes
+        # frames are per-tier
+        books = sim.pq_train(small_emb, m=8, k=16, fit="take")
+        codes1 = (
+            asg1.select("vec_id", "cid")
+            .join(sim.pq_encode(small_emb, books).select("vec_id", "pq_code"),
+                  "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        codes10 = (
+            asg10.select("vec_id", "cid")
+            .join(sim.pq_encode(big_emb, books).select("vec_id", "pq_code"),
+                  "vec_id")
+            .localCheckpoint(eager=True)
+        )
         dec1 = ingest.build_decon_index(
             small_docs.where(F.col("doc_id") % 97 == 0), n=4
         ).localCheckpoint(eager=True)
@@ -578,13 +595,14 @@ def decon_stream_scale(spark):
 
         res: dict = {}
         configs = [
-            ("base", "docs1", "emb1", fp1, idx1, dec1, cents1, asg1),
+            ("base", "docs1", "emb1", fp1, idx1, dec1, cents1, asg1,
+             codes1),
             ("corpus10x", "docs1", "emb1", fp10, idx10, dec10, cents10,
-             asg10),
+             asg10, codes10),
             ("arr10x_corpus10x", "docs10", "emb10", fp10, idx10, dec10,
-             cents10, asg10),
+             cents10, asg10, codes10),
         ]
-        for cname, dsrc, esrc, fpdf, idx, dec, cents, asg in configs:
+        for cname, dsrc, esrc, fpdf, idx, dec, cents, asg, codes in configs:
             t_store, n_store = run_stream(
                 lambda s, _fp=fpdf: ingest.dedup_against_store(s, _fp)
                 .select("doc_id"),
@@ -604,18 +622,26 @@ def decon_stream_scale(spark):
                 ),
                 paths[esrc], emb_schema,
             )
+            t_pqserve, n_pqserve = run_stream(
+                lambda s, _cd=codes, _c=cents: ingest.ivfpq_topk_stream(
+                    s, _cd, _c, books, k=5, nprobe=4
+                ),
+                paths[esrc], emb_schema,
+            )
             res[cname] = {
                 "store_s": t_store, "store_rows": int(n_store),
                 "ann_s": t_ann, "ann_rows": int(n_ann),
                 "decon_s": t_dec, "decon_rows": int(n_dec),
                 "iserve_s": t_iserve, "iserve_rows": int(n_iserve),
+                "pqserve_s": t_pqserve, "pqserve_rows": int(n_pqserve),
             }
             print(f"# decon_stream_10x[{cname}]: store {t_store:.2f}s "
                   f"({n_store} rows), ann {t_ann:.2f}s ({n_ann} rows), "
                   f"decon {t_dec:.2f}s ({n_dec} rows), "
-                  f"iserve {t_iserve:.2f}s ({n_iserve} rows)",
+                  f"iserve {t_iserve:.2f}s ({n_iserve} rows), "
+                  f"pqserve {t_pqserve:.2f}s ({n_pqserve} rows)",
                   file=sys.stderr)
-        for part in ("store", "ann", "decon", "iserve"):
+        for part in ("store", "ann", "decon", "iserve", "pqserve"):
             res[f"{part}_corpus_ratio"] = round(
                 res["corpus10x"][f"{part}_s"] / res["base"][f"{part}_s"], 2
             )
