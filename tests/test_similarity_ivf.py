@@ -917,3 +917,25 @@ def test_lloyd_rejects_insufficient_sample(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="nonzero"):
         sim.ivf_centroids(df, 3, fit="lloyd")  # only 2 nonzero vectors
+
+
+def test_pq_topk_null_rows_do_not_abort(spark):
+    """Review r12: pq_encode emits NULL codes for NULL embeddings; one
+    such corpus row (or a NULL-embedding probe) must be dropped, not
+    abort the whole ADC job via np.asarray(None)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)]
+    rows.append((98, None))   # NULL corpus embedding -> NULL code
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = sim.pq_train(df.where(F.col("embedding").isNotNull()),
+                         m=4, k=8, fit="take")
+    codes = sim.pq_encode(df, books).select("vec_id", "pq_code")
+    assert codes.where(F.col("pq_code").isNull()).count() == 1
+    probes = df.where((F.col("vec_id") < 2) | (F.col("vec_id") == 98))
+    out = sim.pq_topk(codes, probes, books, k=3).toPandas()
+    # both real probes served; the NULL row is neither probe nor neighbor
+    assert sorted(out["probe_id"].unique()) == [0, 1]
+    assert 98 not in set(out["neighbor_id"])
+    assert len(out) == 6

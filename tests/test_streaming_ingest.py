@@ -996,3 +996,63 @@ def test_decontaminate_stream_duplicate_and_huge_ids(spark):
     got = sorted(r.doc_id for r in rows)
     assert got == [5, huge], got          # one row per distinct id, exact
     assert len(rows) == 2
+
+
+def test_serving_ops_accept_string_ids(spark):
+    """Review r12: ann_topk_stream / ivf_topk_stream derived their
+    mapInPandas schema from a hardcoded 'long' — string/UUID ids died at
+    Arrow conversion despite the id_col parameter. Both must serve
+    string-keyed corpora (run batch-mode: the ops are mode-agnostic)."""
+    import random
+
+    from wingfoil_spark.functions import similarity as sim
+
+    rng = random.Random(5)
+    rows = [(f"v{i:03d}", [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    probes = df.where(F.col("vec_id") < "v005")
+    idx = ingest.build_ann_index(df)
+    out = ingest.ann_topk_stream(probes, idx, k=3).toPandas()
+    assert len(out) and out["probe_id"].map(lambda s: s.startswith("v")).all()
+    cents = sim.ivf_centroids(df, 4, fit="take").localCheckpoint(eager=True)
+    asg = sim.ivf_assign(df, cents, 1).localCheckpoint(eager=True)
+    out2 = ingest.ivf_topk_stream(probes, asg, cents, k=3, nprobe=2).toPandas()
+    assert len(out2) and out2["neighbor_id"].map(
+        lambda s: s.startswith("v")).all()
+
+
+def test_serving_joins_broadcast_the_probe_side(spark, sf_dir):
+    """Review r12: AQE does not run in streaming micro-batch plans, so
+    the static index/store side must never be shuffled per trigger —
+    the probe side carries an explicit broadcast hint (batch-mode plan
+    asserted; the same plan shape executes per micro-batch)."""
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    idx = ingest.build_ann_index(emb)
+    cents = sim.ivf_centroids(emb, 4, fit="take").localCheckpoint(eager=True)
+    asg = sim.ivf_assign(emb, cents, 1).localCheckpoint(eager=True)
+    for out in (
+        ingest.ann_topk_stream(probes, idx, k=3),
+        ingest.ivf_topk_stream(probes, asg, cents, k=3, nprobe=2),
+        ingest.ivfpq_topk_stream(
+            probes,
+            asg.select("vec_id", "cid").join(
+                sim.pq_encode(emb, sim.pq_train(emb, m=8, k=16, fit="take"))
+                .select("vec_id", "pq_code"), "vec_id"),
+            cents, sim.pq_train(emb, m=8, k=16, fit="take"),
+            k=3, nprobe=2,
+        ),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:500]
+        assert "SortMergeJoin" not in plan, plan[:500]
+
+
+def test_exact_dedup_stream_rejects_fp_collision(spark, docs):
+    """Review r12: a pre-existing 'fp' column (the op's documented output
+    fingerprint) is rejected loudly instead of silently clobbered."""
+    with pytest.raises(ValueError, match="'fp' column"):
+        ingest.exact_dedup_stream(docs.withColumn("fp", F.lit("x")))

@@ -291,9 +291,14 @@ def ngram_jaccard(
         .select(
             "a",
             "b",
-            (
-                F.size(F.array_intersect("ta", tokset)).cast("double")
-                / F.size(F.array_union("ta", tokset)).cast("double")
+            # try_divide: two empty token sets (whitespace-only docs —
+            # they DO pair: their all-NULL minhash signatures collapse
+            # to identical band keys) are 0/0, which under ANSI would
+            # abort the whole job on one junk pair; NULL jaccard is the
+            # repo's x/0 convention (review r12; text.avg_token_len)
+            F.try_divide(
+                F.size(F.array_intersect("ta", tokset)).cast("double"),
+                F.size(F.array_union("ta", tokset)).cast("double"),
             ).alias("jaccard"),
         )
     )

@@ -23,9 +23,17 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 
-def _dot(a: str, b: str):
+def _dot(a, b):
+    """THE canonical dot product: left-to-right double-cast fold over
+    two array columns (names or Column expressions) — the exact
+    accumulation every DuckDB oracle replays as ``list_dot_product``.
+    Every similarity/serving path builds its dot from this ONE helper
+    (review r12: eight hand-inlined copies risked a silent oracle
+    divergence if one changed); touch it only with every oracle."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -61,11 +69,7 @@ def cosine_topk(
     p = with_norm(probes, emb_col, "n_p").select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "n_p"
     ).where(F.col("n_p") > 0)
-    dot = F.aggregate(
-        F.zip_with(F.col("e_p"), F.col("e_c"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot("e_p", "e_c")
     scored = (
         c.crossJoin(F.broadcast(p))
         .where(F.col("probe_id") != F.col("neighbor_id"))
@@ -161,11 +165,7 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "bucket"
     )
     p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
-    dot = F.aggregate(
-        F.zip_with(F.col("e_p"), F.col("e_c"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot("e_p", "e_c")
     scored = (
         c.join(p, "bucket")
         .where(F.col("probe_id") != F.col("neighbor_id"))
@@ -204,12 +204,7 @@ def ivf_assign(
     """
     from pyspark.sql import Window
 
-    dot = F.aggregate(
-        F.zip_with(F.col(emb_col), F.col("cvec"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot(emb_col, "cvec")
     d = with_norm(df, emb_col, "__nrm").where(F.col("__nrm") > 0)
     cents = centroids.where(F.col("cnorm") > 0)
     scored = d.crossJoin(F.broadcast(cents)).withColumn(
@@ -518,12 +513,7 @@ def ivf_topk(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
     )
     p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
-    dot = F.aggregate(
-        F.zip_with(F.col("e_p"), F.col("e_c"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot("e_p", "e_c")
     scored = (
         c.join(F.broadcast(p), "cid")
         .where(F.col("probe_id") != F.col("neighbor_id"))
@@ -1234,10 +1224,14 @@ def pq_topk(
     books = np.asarray([np.asarray(b, dtype=np.float64) for b in codebooks])
     topk = int(k)
 
-    p = probes.select(
+    # NULL guards (review r12): pq_encode emits NULL codes for NULL
+    # embeddings — np.asarray(None) inside the ADC kernel would abort
+    # the whole job on one bad row (the cosine_topk rationale); a NULL
+    # probe embedding likewise has no distance table. Both drop here.
+    p = probes.where(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p")
     )
-    joined = corpus_codes.select(
+    joined = corpus_codes.where(F.col(code_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("code")
     ).join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
 

@@ -74,7 +74,16 @@ def _resolve(path: str):
             "'package.module:attr' naming a callable(tick) -> "
             "None | sequence"
         )
-    return getattr(importlib.import_module(mod), attr)
+    fn = getattr(importlib.import_module(mod), attr)
+    if not callable(fn):
+        # keep the plan-time contract: a resolvable-but-uncallable
+        # attribute must fail at .load(), not as an opaque TypeError in
+        # the first micro-batch (review r12)
+        raise ValueError(
+            f"poll source: fn={path!r} resolves to a non-callable "
+            f"{type(fn).__name__}"
+        )
+    return fn
 
 
 def _validate_options(options) -> tuple:

@@ -50,13 +50,12 @@ from wingfoil_spark.functions.dedup import (
 )
 from wingfoil_spark.functions.text import tokens
 from wingfoil_spark.functions.text import fingerprint
-from wingfoil_spark.functions.similarity import hyperplane_signature, with_norm
+from wingfoil_spark.functions.similarity import _dot, hyperplane_signature, with_norm
 
 
 def exact_dedup_stream(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     ts_col: str | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
@@ -72,9 +71,23 @@ def exact_dedup_stream(
 
     Works identically on a batch frame (dropDuplicates is mode-agnostic),
     so the duality test replays one input through both paths.
+
+    The output carries the computed ``fp`` column (documented API — the
+    survivor's fingerprint, e.g. for appending into a fingerprint
+    store); an input that ALREADY has an ``fp`` column is rejected
+    rather than silently clobbered (review r12 — the
+    :func:`dedup_against_store` collision rule). r12 also dropped the
+    never-used ``id_col`` parameter: which duplicate survives is
+    arrival order by contract (first seen), not min-id.
     """
     if watermark is not None and ts_col is None:
         raise ValueError("watermark requires ts_col")
+    if "fp" in docs.columns:
+        raise ValueError(
+            "exact_dedup_stream: input already has an 'fp' column (the "
+            "op's documented output fingerprint) — rename it before "
+            "calling"
+        )
     out = docs.withColumn("fp", fingerprint(F.col(text_col)))
     if watermark is not None:
         return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
@@ -251,26 +264,59 @@ def lsh_pairs_stream(
     the same thing.
 
     Output: (a, b[, jaccard]) with a = corpus id, b = arriving id.
-    `dropDuplicates` on (a, b) collapses multi-band hits; on a stream
-    that is exact-keyed state — bounded by the arriving-doc key space,
-    not the corpus (with ``verify`` the state rows also carry the
-    arriving doc's token set — still arrival-bounded).
+    Multi-band hits collapse through a BATCH-LOCAL first-seen dedup on
+    (a, b): an arriving doc's band rows live in exactly one micro-batch
+    (its pairs are batch-local by construction), so the old streaming
+    ``dropDuplicates`` kept one state-store entry per (corpus doc,
+    arriving doc) pair FOREVER — with ``verify`` each entry also
+    carried the arriving doc's full token set — unbounded growth over a
+    continuous crawl for a dedup that never needed cross-batch state
+    (review r12; the decontaminate_stream pattern). Now: one
+    pair-bounded shuffle colocates each (a, b), a per-partition
+    seen-set keeps the first, state is ZERO. A RE-ARRIVED doc id pairs
+    again in its later batch — cross-arrival dedup is the upstream
+    ingest gate's job. NULL-id rows are dropped (a pair needs both ids;
+    and a NULL would force the int64→float64 pandas coercion).
     """
+    import pandas as pd
+
     keep = ("__tb",) if verify else ()
-    src = new_docs
+    src = new_docs.where(F.col(id_col).isNotNull())
     if verify:
-        src = new_docs.withColumn(
+        src = src.withColumn(
             "__tb", F.array_distinct(tokens(F.col(text_col)))
         )
     sigs = minhash_sig_array(src, text_col, id_col, k, keep=keep)
     stream_bands = band_explode(sigs, id_col, k, bands, keep=keep) \
         .withColumnRenamed(id_col, "b")
-    idx = index.withColumnRenamed(id_col, "a")
-    pairs = (
+    idx = index.where(F.col(id_col).isNotNull()) \
+        .withColumnRenamed(id_col, "a")
+    joined = (
         stream_bands.join(idx, ["band", "bk"])
         .where(F.col("a") != F.col("b"))
         .select("a", "b", *keep)
-        .dropDuplicates(["a", "b"])
+    )
+    a_t = index.schema[id_col].dataType.simpleString()
+    b_t = new_docs.schema[id_col].dataType.simpleString()
+    pair_schema = f"a {a_t}, b {b_t}" + (
+        ", __tb array<string>" if verify else ""
+    )
+
+    def first_seen(batches):
+        seen: set = set()  # one partition's pairs — candidate-bounded
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.drop_duplicates(subset=["a", "b"])
+            keys = list(zip(pdf["a"], pdf["b"]))
+            mask = [kk not in seen for kk in keys]
+            seen.update(kk for kk, m in zip(keys, mask) if m)
+            out = pdf[mask]
+            if len(out):
+                yield out
+
+    pairs = joined.repartition("a", "b").mapInPandas(
+        first_seen, pair_schema
     )
     if not verify:
         return pairs
@@ -283,9 +329,11 @@ def lsh_pairs_stream(
         .select(
             "a",
             "b",
-            (
-                F.size(F.array_intersect("__ta", "__tb")).cast("double")
-                / F.size(F.array_union("__ta", "__tb")).cast("double")
+            # try_divide for the 0/0 empty-token pair — same rationale
+            # and NULL convention as the batch ngram_jaccard (review r12)
+            F.try_divide(
+                F.size(F.array_intersect("__ta", "__tb")).cast("double"),
+                F.size(F.array_union("__ta", "__tb")).cast("double"),
             ).alias("jaccard"),
         )
     )
@@ -634,20 +682,22 @@ def ann_topk_stream(
     associative, so batch-wise merge + one emission at exhaustion is
     exact and O(probes_in_partition × k) memory.
     """
-    import numpy as np
-    import pandas as pd
-
     p = hyperplane_signature(probes, emb_col, bits).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "bucket"
     )
     p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
-    dot = F.aggregate(
-        F.zip_with(F.col("e_p"), F.col("e_c"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot("e_p", "e_c")
     scored = (
-        p.join(index, "bucket")
+        # the PROBE micro-batch is broadcast explicitly (review r12):
+        # AQE does not run inside streaming micro-batch plans and the
+        # static planner sizes the stream side at defaultSizeInBytes,
+        # so without the hint a large static index gets sort-merge
+        # SHUFFLED in its entirety every trigger for a handful of
+        # probes — the batch twin broadcasts the probe side for the
+        # same reason. A serving micro-batch is small by definition;
+        # batch-mode callers with huge probe sets should use the batch
+        # tier (lsh_bucketed_topk), which lets AQE pick the strategy.
+        index.join(F.broadcast(p), "bucket")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
@@ -655,9 +705,15 @@ def ann_topk_stream(
             F.round(dot / (F.col("n_p") * F.col("n_c")), 6).alias("cosine"),
         )
     )
+    # id field types DERIVED from the inputs (string/UUID ids must not
+    # fail on a hardcoded long — the _adc_out_schema rule; review r12)
+    schema = (
+        f"probe_id {probes.schema[id_col].dataType.simpleString()}, "
+        f"neighbor_id {index.schema['neighbor_id'].dataType.simpleString()}, "
+        "cosine double, rank long"
+    )
     return scored.repartition("probe_id").mapInPandas(
-        _running_cosine_topk_iter(int(k)),
-        "probe_id long, neighbor_id long, cosine double, rank long",
+        _running_cosine_topk_iter(int(k)), schema
     )
 
 
@@ -757,16 +813,12 @@ def ivf_topk_stream(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "cid"
     )
     c = with_norm(c, "e_c", "n_c").where(F.col("n_c") > 0)
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("e_p"), F.col("e_c"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot("e_p", "e_c")
     scored = (
-        p.join(c, "cid")
+        # probe micro-batch broadcast — same rationale as
+        # ann_topk_stream (no AQE in micro-batch plans; the static cell
+        # store must never be shuffled per trigger; review r12)
+        c.join(F.broadcast(p), "cid")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
@@ -777,9 +829,14 @@ def ivf_topk_stream(
         # only once (the store assigns each vector to ONE cell), so no
         # pair dedup is needed before the top-k
     )
+    # id field types DERIVED from the inputs, like _adc_out_schema
+    schema = (
+        f"probe_id {probes.schema[id_col].dataType.simpleString()}, "
+        f"neighbor_id {store.schema[id_col].dataType.simpleString()}, "
+        "cosine double, rank long"
+    )
     return scored.repartition("probe_id").mapInPandas(
-        _running_cosine_topk_iter(int(k)),
-        "probe_id long, neighbor_id long, cosine double, rank long",
+        _running_cosine_topk_iter(int(k)), schema
     )
 
 
@@ -824,7 +881,11 @@ def ivfpq_topk_stream(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
     )
     cand = (
-        store.join(p, "cid")
+        # probe micro-batch broadcast — same rationale as
+        # ann_topk_stream (no AQE in micro-batch plans; the codes store
+        # must never be shuffled per trigger; review r12). The batch
+        # twin ivfpq_topk_from_store broadcasts the probe side too.
+        store.join(F.broadcast(p), "cid")
         .where(F.col("probe_id") != F.col(id_col))
         .select(
             "probe_id",
