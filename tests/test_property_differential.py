@@ -96,3 +96,64 @@ def test_delay_with_reset_strategies_agree(spark, sf_dir):
          .df.toPandas().sort_values(key).reset_index(drop=True))
     assert len(a) == len(b) > 0
     assert a[key].equals(b[key])
+
+
+# ------------------------------------------------------------ lloyd fit
+# The graded k-means tier's cross-engine contract, adversarially probed:
+# random small corpora on an exact DYADIC grid (multiples of 0.25, |x|<=2
+# — every dot product, quantized sum and mean is exactly representable,
+# so numpy and DuckDB agree EXACTLY even on ties), including duplicate
+# vectors (exact sim ties -> cid tie-break), zero vectors (norm-filtered
+# by both sides) and empty clusters (COALESCE keeps the init centroid).
+# The ULP behavior on real data is pinned separately by the 3-SF replay
+# test; this one hunts LOGIC divergence (assignment, ties, quantized
+# means, iteration wiring) that a fixed corpus can miss.
+
+GRID = [x * 0.25 for x in range(-8, 9)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(2, 4),                      # n_centroids
+    st.integers(1, 3),                      # iters
+    st.integers(3, 6),                      # dim
+    st.data(),
+)
+def test_lloyd_fit_numpy_matches_sql_on_dyadic_grid(k, iters, dim, data):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from wingfoil_spark.functions.similarity import _lloyd_fit_np
+
+    n = data.draw(st.integers(k + 1, 20))
+    rows = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(GRID), min_size=dim, max_size=dim),
+            min_size=n, max_size=n,
+        )
+    )
+    X_all = np.asarray(rows, dtype=np.float64)
+    nrm = np.sqrt((X_all * X_all).sum(axis=1))
+    X = X_all[nrm > 0]
+    if len(X) < k:
+        return  # not enough nonzero vectors — the fit rejects; nothing to compare
+    want = _lloyd_fit_np(X, k, iters)
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(len(rows), dtype=np.int64),
+        "embedding": [list(map(float, r)) for r in rows],
+    })
+    con.register("raw", pdf)
+    sql = (
+        "WITH aev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM raw),\n"
+        + entry._lloyd_sql_ctes(k, iters, 512, dim)
+        + "\nSELECT cid, cvec FROM llcf ORDER BY cid"
+    )
+    got = np.array([r[1] for r in con.execute(sql).fetchall()])
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), (
+        f"k={k} iters={iters} dim={dim}\nnumpy:\n{want}\nsql:\n{got}"
+    )

@@ -312,6 +312,44 @@ LLOYD_ITERS = 4
 LLOYD_SAMPLE_N = 512
 
 
+def _lloyd_fit_np(X: np.ndarray, n_centroids: int, iters: int) -> np.ndarray:
+    """The numpy half of the deterministic Lloyd fit (see
+    :func:`ivf_centroids` ``fit='lloyd'`` for the full recipe and
+    engine-neutrality argument). ``X`` is the ALREADY norm-filtered,
+    id-ordered, sample-limited float64 matrix; returns the
+    ``n_centroids × dim`` centroid matrix after ``iters`` steps.
+    Factored out so the hypothesis differential can drive exactly this
+    function against the shared SQL generator without a SparkSession."""
+    if len(X) < n_centroids:
+        raise ValueError(
+            f"ivf_centroids(fit='lloyd'): sample has {len(X)} nonzero "
+            f"vectors < n_centroids={n_centroids}"
+        )
+
+    def half_up6(a):
+        return np.floor(a * 1e6 + 0.5) / 1e6
+
+    nrm = np.sqrt((X * X).sum(axis=1))
+    q = np.floor(X * 1e9 + 0.5)  # exact integer-valued float64
+    C = half_up6(X[:n_centroids].copy())
+    for _ in range(int(iters)):
+        cn = np.sqrt((C * C).sum(axis=1))
+        den = nrm[:, None] * cn[None, :]
+        sims = np.divide(
+            X @ C.T, den,
+            out=np.full((len(X), n_centroids), -np.inf),
+            where=den > 0,
+        )
+        assign = sims.argmax(axis=1)  # first max == lowest cid on ties
+        newC = C.copy()
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                newC[c] = half_up6(q[m].sum(axis=0) / 1e9 / m.sum())
+        C = newC
+    return C
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -373,33 +411,7 @@ def ivf_centroids(
         X = np.asarray(
             [np.asarray(e, dtype=np.float64) for e in sample[emb_col]]
         )
-        if len(X) < n_centroids:
-            raise ValueError(
-                f"ivf_centroids(fit='lloyd'): sample has {len(X)} nonzero "
-                f"vectors < n_centroids={n_centroids}"
-            )
-
-        def half_up6(a):
-            return np.floor(a * 1e6 + 0.5) / 1e6
-
-        nrm = np.sqrt((X * X).sum(axis=1))
-        q = np.floor(X * 1e9 + 0.5)  # exact integer-valued float64
-        C = half_up6(X[:n_centroids].copy())
-        for _ in range(int(iters)):
-            cn = np.sqrt((C * C).sum(axis=1))
-            den = nrm[:, None] * cn[None, :]
-            sims = np.divide(
-                X @ C.T, den,
-                out=np.full((len(X), n_centroids), -np.inf),
-                where=den > 0,
-            )
-            assign = sims.argmax(axis=1)  # first max == lowest cid on ties
-            newC = C.copy()
-            for c in range(n_centroids):
-                m = assign == c
-                if m.any():
-                    newC[c] = half_up6(q[m].sum(axis=0) / 1e9 / m.sum())
-            C = newC
+        C = _lloyd_fit_np(X, n_centroids, int(iters))
         spark = corpus.sparkSession
         cents = spark.createDataFrame(
             [(i, [float(x) for x in C[i]]) for i in range(n_centroids)],
