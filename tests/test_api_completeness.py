@@ -134,7 +134,7 @@ MODULE_SURFACES = {
         "MemoryZmqRegistry", "resolve_zmq_address",
     ],
     "wingfoil_spark.sources.poll": [
-        "PollDataSource", "register_poll_source", "demo_poll",
+        "PollDataSource", "register_poll_source", "demo_poll", "at_start",
     ],
     "wingfoil_spark.sources.kvwatch": ["kv_snapshot", "kv_watch", "kv_put",
         "redis_stream_id_parts", "redis_stream_tail"],

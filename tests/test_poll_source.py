@@ -103,3 +103,30 @@ def test_poll_guards(spark):
 def test_demo_poll_contract():
     assert demo_poll(4) is None and demo_poll(9) is None
     assert demo_poll(6) == (6, 3.25)
+
+
+def test_at_start_emits_exactly_once(spark):
+    """The source_at_start recipe: one row at tick 0, quiet forever —
+    across TWO availableNow drains (the second resumes at tick 7 and
+    emits nothing)."""
+    import shutil as _sh
+
+    from wingfoil_spark.sources.poll import at_start  # noqa: F401
+
+    tmp = tempfile.mkdtemp(prefix="wf_poll_t3_")
+    try:
+        out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ck")
+        register_poll_source(spark)
+        df = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("fn", "wingfoil_spark.sources.poll:at_start")
+            .option("schema", "tick bigint, value double")
+            .option("ticks_per_batch", 7)
+            .load()
+        )
+        _drain(df, out, ckpt)
+        _drain(df, out, ckpt)
+        rows = [(r.tick, r.value) for r in spark.read.parquet(out).collect()]
+        assert rows == [(0, 1.0)]
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)

@@ -176,3 +176,16 @@ def demo_poll(tick: int):
     if tick % 5 == 4:
         return None
     return (tick, tick * 0.5 + 0.25)
+
+
+def at_start(tick: int):
+    """The reference's ``source_at_start`` shape (fluent.rs:358 —
+    deferred-connection source: I/O opens at ``start()``, nothing before)
+    as a poll recipe: emit exactly once, at tick 0, quiet forever after.
+    The DataSource machinery already defers everything to query start
+    (schema() is the only pre-start call), so "connect at start, emit
+    the initial value, then hand over" is one callable. For a connect-
+    then-keep-producing source, make your own callable hold the opened
+    handle in a closure-free module global keyed by config — or use the
+    file/kafka readStream connectors, which own that lifecycle."""
+    return (0, 1.0) if tick == 0 else None
