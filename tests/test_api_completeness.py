@@ -144,6 +144,11 @@ MODULE_SURFACES = {
         "exact_dedup_stream", "build_lsh_index", "lsh_pairs_stream",
         "build_ann_index", "ann_topk_stream", "build_decon_index",
         "decontaminate_stream",
+        "build_dsir_index", "dsir_score_stream",
+        "build_bm25_index", "bm25_score_stream", "lm_score_stream",
+        "build_fingerprint_store", "dedup_against_store",
+        "compact_fingerprint_store",
+        "ivf_topk_stream", "ivfpq_topk_stream",
     ],
     "wingfoil_spark.streaming.metrics": [
         "ProgressListener", "attach", "render_exposition",
