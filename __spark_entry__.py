@@ -1033,14 +1033,34 @@ def q_decon_stream(spark, sf_dir):
     - part='poll' (doc_id=tick, aux=0, v=tick*0.5+0.25): the reference's
       ``poll`` source (fluent.rs:344 — one external callback per cycle,
       None = quiet cycle, realtime only) implemented as a Spark 4
-      Python DataSource (sources/poll.py, format 'wingfoil_poll') and
-      unioned INTO the same streaming query: 64 ticks of the
-      deterministic demo callable, every 5th tick quiet. The oracle
-      replays the tick arithmetic over a range — so the custom source's
-      offset advance, quiet-cycle skip and row emission are hash-graded
-      inside the real run alongside the file-source parts.
+      Python DataSource (sources/poll.py, format 'wingfoil_poll'): 64
+      ticks of the deterministic demo callable, every 5th tick quiet.
+      The oracle replays the tick arithmetic over a range — so the
+      custom source's offset advance, quiet-cycle skip and row emission
+      are hash-graded inside a real run. r13 (ADVICE r12): it runs as
+      its OWN availableNow query rather than unioned into the
+      file-source run — Python streaming sources don't implement
+      SupportsTriggerAvailableNow, and a union containing one silently
+      collapses the whole query to a single micro-batch (measured),
+      which would disable the maxFilesPerTrigger=1 cross-batch coverage
+      the file arms exist for. A post-run assert pins the file union's
+      multi-batch execution.
 
-    All thirteen outputs are content-determined per doc/probe/tick,
+    r13 widens to FOURTEEN parts (VERDICT r12 Next #1):
+
+    - part='ivfpq_grow' (aux=neighbor_id*10+rank, v=round(1-adc/2,6)):
+      the CODES-ONLY twin of ivf_grow — the layout a real 100 TB corpus
+      actually grows. write_ivfpq_store minus the planted arrival slice
+      (fed from the shared checkpointed assignment+codes frames),
+      append_ivfpq_store re-assigns AND re-encodes the arrivals under
+      the SAME frozen centroids+codebooks, compact_cell_store re-bounds
+      the grown store's files, ivfpq_topk_from_store ADC-serves the
+      probes from the compacted store. Oracle = the full-corpus ADC CTE
+      (psranked, shared with 'ivfpq_store'/'ivfpq_serve') — append ==
+      rebuild and moved-never-rescored compaction make the four-stage
+      loop one hash.
+
+    All fourteen outputs are content-determined per doc/probe/tick,
     hence arrival-order- and batching-invariant — exactly what makes a
     multi-micro-batch streaming run oracle-gradable against batch
     SQL."""
@@ -1199,7 +1219,7 @@ def q_decon_stream(spark, sf_dir):
         q = (
             decon.unionByName(dsir).unionByName(bm).unionByName(lmsc)
             .unionByName(ann).unionByName(store).unionByName(iserve)
-            .unionByName(pqserve).unionByName(poll)
+            .unionByName(pqserve)
             .writeStream.format("memory").queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -1207,6 +1227,30 @@ def q_decon_stream(spark, sf_dir):
             .start()
         )
         q.awaitTermination(300)
+        # r13 (ADVICE r12): the poll source runs as its OWN availableNow
+        # query, not unioned into the file-source run — Python streaming
+        # sources don't implement SupportsTriggerAvailableNow, so a
+        # union containing one silently collapses the WHOLE query to a
+        # single micro-batch (measured: batches=[0] with poll unioned
+        # in, [0,1,2,3] without), disabling the maxFilesPerTrigger=1
+        # cross-batch state/checkpoint coverage the file arms exist to
+        # exercise. Separated, the file union runs its real multi-batch
+        # execution and part='poll' stays hash-graded from its own run
+        # (one-admission drain is the poll source's own documented
+        # availableNow contract).
+        qp = (
+            poll.writeStream.format("memory").queryName(f"{name}_poll")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt_poll"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qp.awaitTermination(120)
+        assert len({p["batchId"] for p in q.recentProgress}) > 1, (
+            "file-source union ran single-batch — multi-micro-batch "
+            "coverage regressed (is a non-availableNow source back in "
+            "the union?)"
+        )
         # r11 part='ivfpq_store': write the codes-only store into the run
         # tmp dir and search it back; the result is MATERIALIZED
         # (localCheckpoint) before the finally removes the directory.
@@ -1248,6 +1292,33 @@ def q_decon_stream(spark, sf_dir):
             spark, gpath, pcents, emb.where(F.col("vec_id") % 50 == 0),
             k=5, nprobe=4,
         ).localCheckpoint(eager=True)
+        # r13 part='ivfpq_grow' (VERDICT r12 Next #1): the CODES-ONLY
+        # twin of the ivf_grow loop — the layout a real 100 TB corpus
+        # actually grows (m smallints per vector on disk, never floats).
+        # Store written minus the same planted arrival slice (reusing
+        # the checkpointed assignment + codes frames: zero extra corpus
+        # scans), arrivals assigned AND PQ-encoded under the SAME frozen
+        # centroids+codebooks by append_ivfpq_store, the grown store
+        # compacted, probes served via ADC from the compacted store.
+        # Append==rebuild and moved-not-rescored compaction make the
+        # full-corpus ADC oracle (psranked, shared with 'ivfpq_store')
+        # the exact expected rows — all four stages load-bearing in one
+        # hash.
+        gqpath = os.path.join(tmp, "ivfpq_grow_store")
+        sim.write_ivfpq_store(
+            emb.where(F.col("vec_id") % 7 != 3), gqpath, books,
+            centroids=pcents,
+            corpus_assign=pasg.where(F.col("vec_id") % 7 != 3),
+            corpus_codes=pcodes_store.where(F.col("vec_id") % 7 != 3),
+        )
+        sim.append_ivfpq_store(
+            emb.where(F.col("vec_id") % 7 == 3), gqpath, pcents, books
+        )
+        sim.compact_cell_store(spark, gqpath)
+        igrowq = sim.ivfpq_topk_from_store(
+            spark, gqpath, pcents, books,
+            emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # r12 part='ivf_lloyd': the graded kmeans tier — deterministic Lloyd
@@ -1260,9 +1331,13 @@ def q_decon_stream(spark, sf_dir):
         emb, emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
         centroids=lcents,
     ).localCheckpoint(eager=True)
-    # the memory sink holds the materialized rows; localCheckpoint pins
-    # them to this returned frame (the table name is run-unique anyway)
-    out = spark.table(name).localCheckpoint(eager=True)
+    # the memory sinks hold the materialized rows; localCheckpoint pins
+    # them to this returned frame (the table names are run-unique anyway)
+    out = (
+        spark.table(name)
+        .unionByName(spark.table(f"{name}_poll"))
+        .localCheckpoint(eager=True)
+    )
     # r10 part='recall': recall@5 of the STREAMED ann rows vs the exact
     # batch top-5 — computed from the emitted rows themselves, batch-side
     ann_res = out.where(F.col("part") == "ann").select(
@@ -1287,6 +1362,12 @@ def q_decon_stream(spark, sf_dir):
         (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
         F.col("cosine").alias("v"),
     )
+    growq_rows = igrowq.select(
+        F.lit("ivfpq_grow").alias("part"),
+        F.col("probe_id").alias("doc_id"),
+        (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
+        F.round(F.lit(1.0) - F.col("adc_dist") / 2.0, 6).alias("v"),
+    )
     lloyd_rows = illoyd.select(
         F.lit("ivf_lloyd").alias("part"),
         F.col("probe_id").alias("doc_id"),
@@ -1295,7 +1376,8 @@ def q_decon_stream(spark, sf_dir):
     )
     return (
         out.unionByName(rec).unionByName(ipq_rows)
-        .unionByName(grow_rows).unionByName(lloyd_rows)
+        .unionByName(grow_rows).unionByName(growq_rows)
+        .unionByName(lloyd_rows)
     )
 
 
@@ -2068,15 +2150,32 @@ def _lloyd_sql_ctes(k: int, iters: int, sample_n: int, dim: int) -> str:
     AND tests/test_similarity_ivf.py::test_lloyd_fit_matches_sql_replay
     call this one generator, so the bit-parity pin covers the actual
     graded SQL — a copy in the test would stay green while the oracle
-    drifted. Only the argmax comparisons are engine-sensitive
-    (ULP-separated by construction)."""
+    drifted.
+
+    Engine-determinism (ADVICE r12): every dot product INSIDE the fit
+    is an explicitly ORDERED left fold — ``list_reduce`` here (a
+    defined sequential fold, unlike ``list_dot_product`` whose
+    accumulation order is an implementation detail), and the matching
+    dim-at-a-time loop in ``_lloyd_fit_np``. With bit-identical fold
+    order, IEEE-exact ``/`` and ``sqrt``, exact integer means and the
+    explicit 6dp half-up round, every similarity — not just the
+    quantized centroids — is bit-identical across engines, so the
+    argmax assignments cannot diverge on near-ties."""
     def q6(e: str) -> str:
         return f"floor(({e}) * 1000000 + 0.5) / 1000000"
 
+    def odot(a: str, b: str) -> str:
+        # ordered left fold Σ a[i]*b[i]: list_reduce starts from the
+        # first element and folds left — ((a1b1+a2b2)+a3b3)+...
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+        )
+
     parts = [
         f"""llsam AS (SELECT row_number() OVER (ORDER BY vec_id) AS sid, vec_id, emb, nrm
-  FROM (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-        FROM aev WHERE sqrt(list_dot_product(emb, emb)) > 0
+  FROM (SELECT vec_id, emb, sqrt({odot('emb', 'emb')}) AS nrm
+        FROM aev WHERE sqrt({odot('emb', 'emb')}) > 0
         ORDER BY vec_id LIMIT {sample_n})),
 llq AS (SELECT sid, list_transform(emb, x -> floor(x * 1000000000 + 0.5)) AS q FROM llsam),
 lld AS (SELECT unnest(range(1, {dim + 1})) AS d),
@@ -2088,11 +2187,11 @@ llc0 AS (SELECT sid - 1 AS cid, list_transform(emb, x -> {q6('x')}) AS cvec
   SELECT sid, cid FROM (
     SELECT s.sid, c.cid,
       row_number() OVER (PARTITION BY s.sid ORDER BY
-        list_dot_product(s.emb, c.cvec)
-          / (s.nrm * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        {odot('s.emb', 'c.cvec')}
+          / (s.nrm * sqrt({odot('c.cvec', 'c.cvec')})) DESC,
         c.cid ASC) AS rn
     FROM llsam s, llc{t} c
-    WHERE sqrt(list_dot_product(c.cvec, c.cvec)) > 0
+    WHERE sqrt({odot('c.cvec', 'c.cvec')}) > 0
   ) WHERE rn = 1),
 llm{t} AS (
   SELECT a.cid, d.d AS d,
@@ -3162,6 +3261,13 @@ UNION ALL
 -- full-corpus IVF search — psivf_ranked, shared with 'ivf_serve'
 SELECT 'ivf_grow', probe_id, neighbor_id * 10 + rank, cosine
 FROM psivf_ranked WHERE rank <= 5
+UNION ALL
+-- r13: the codes-only grown store serves exactly what a full IVF-PQ
+-- rebuild serves (append re-encodes under the frozen codebooks;
+-- compaction moves rows, never rescores) — psranked again, shared
+-- with 'ivfpq_store'/'ivfpq_serve'
+SELECT 'ivfpq_grow', probe_id, neighbor_id * 10 + rank, cosine
+FROM psranked WHERE rank <= 5
 UNION ALL
 SELECT 'ivf_lloyd', probe_id, neighbor_id * 10 + rank, cosine
 FROM llivf_ranked WHERE rank <= 5

@@ -130,3 +130,45 @@ def test_at_start_emits_exactly_once(spark):
         assert rows == [(0, 1.0)]
     finally:
         _sh.rmtree(tmp, ignore_errors=True)
+
+
+def test_poll_realtime_trigger_multibatch(spark):
+    """The RealTime half of the run-mode duality the source exists for
+    (VERDICT r12 Next #7): a live `trigger(processingTime=...)` run must
+    advance the tick offset across MULTIPLE wall-clock micro-batches —
+    availableNow drains one admission; this pins the recurring-cycle
+    path. Ticks must stay gap-free and in order across batches (the
+    offset is the only state). Wall-clock dependent, so the assertion is
+    on ≥2 batches having fired, not on an exact count — under extreme
+    host load the query gets a generous stop deadline instead of a tight
+    schedule."""
+    import time
+
+    tmp = tempfile.mkdtemp(prefix="wf_poll_rt_")
+    try:
+        out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ck")
+        df = _poll_df(spark, ticks=5)
+        q = (
+            df.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds").start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            done = {p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0}
+            if len(done) >= 3:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(60)
+        batches = {p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0}
+        assert len(batches) >= 2, (
+            f"expected >=2 live micro-batches, saw {sorted(batches)}"
+        )
+        ticks = sorted(r.tick for r in spark.read.parquet(out).collect())
+        # gap-free prefix of the demo stream: every non-quiet tick below
+        # the max seen, none twice
+        expect = [t for t in range(max(ticks) + 1) if t % 5 != 4]
+        assert ticks == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -329,14 +329,32 @@ def _lloyd_fit_np(X: np.ndarray, n_centroids: int, iters: int) -> np.ndarray:
     def half_up6(a):
         return np.floor(a * 1e6 + 0.5) / 1e6
 
-    nrm = np.sqrt((X * X).sum(axis=1))
+    def seq_sqnorm(M):
+        # strict left-fold Σ m_d², one dim at a time: the accumulation
+        # order is ((m1²+m2²)+m3²)+... — the SAME order the SQL replay's
+        # list_reduce evaluates, so the float64 result is bit-identical
+        # across engines (numpy's .sum() is pairwise, BLAS matmul is
+        # blocked — both accumulate in engine-chosen orders; ADVICE r12)
+        acc = M[:, 0] * M[:, 0]
+        for d in range(1, M.shape[1]):
+            acc = acc + M[:, d] * M[:, d]
+        return acc
+
+    def seq_dots(A, B):
+        # strict left-fold A·Bᵀ (n×k), dim at a time — same order note
+        acc = A[:, 0][:, None] * B[:, 0][None, :]
+        for d in range(1, A.shape[1]):
+            acc = acc + A[:, d][:, None] * B[:, d][None, :]
+        return acc
+
+    nrm = np.sqrt(seq_sqnorm(X))
     q = np.floor(X * 1e9 + 0.5)  # exact integer-valued float64
     C = half_up6(X[:n_centroids].copy())
     for _ in range(int(iters)):
-        cn = np.sqrt((C * C).sum(axis=1))
+        cn = np.sqrt(seq_sqnorm(C))
         den = nrm[:, None] * cn[None, :]
         sims = np.divide(
-            X @ C.T, den,
+            seq_dots(X, C), den,
             out=np.full((len(X), n_centroids), -np.inf),
             where=den > 0,
         )
@@ -389,9 +407,15 @@ def ivf_centroids(
       exactly — any order, any engine — then one double division chain
       ``(Σ/1e9)/n`` and the 6dp half-up round). Empty cluster keeps its
       previous centroid. The quantized sum is the same order-free trick
-      as ``lm_score_stream``; it makes every iteration bit-identical
-      between numpy and the SQL replay, leaving only the argmax
-      comparisons (ULP-separated by construction) engine-sensitive.
+      as ``lm_score_stream``; and the similarities feeding each argmax
+      are computed with an explicitly ORDERED left fold on BOTH engines
+      (a dim-at-a-time loop here, ``list_reduce`` in the SQL replay —
+      ADVICE r12: numpy BLAS and a sequential SQL fold accumulate in
+      different orders, so a real-data near-tie between two centroids
+      could otherwise flip an assignment). With bit-identical fold
+      inputs and IEEE-exact ``/``/``sqrt``, every iteration — sims,
+      assignments, means — is bit-identical between numpy and the SQL
+      replay by construction.
 
     ``fit="take"`` — the cheapest ORACLE tier: the ``n_centroids``
     lowest-id vectors via ``orderBy().limit()`` — a lazy TakeOrdered
@@ -719,6 +743,7 @@ def compact_cell_store(
     path: str,
     id_col: str = "vec_id",
     writers_per_cell: int = 1,
+    swap_strategy: str = "auto",
 ) -> int:
     """Re-bound the file count of an append-grown cell store (either the
     float :func:`write_ivf_store` layout or the codes-only
@@ -739,16 +764,27 @@ def compact_cell_store(
 
     Same swap contract as
     :func:`~wingfoil_spark.streaming.ingest.compact_fingerprint_store`:
-    two same-filesystem renames; run from the maintenance job, never
-    under a live reader OR a concurrent appender (an append landing
-    between the read and the swap is silently discarded by the swap —
-    for the vector store that is lost corpus rows, worse than the
-    fingerprint store's lost dedup history). DRIVER-LOCAL-FILESYSTEM
-    utility like its fingerprint twin: on HDFS/S3 do the rewrite with
-    the storage's native rename/commit; the read → rewrite step is the
-    portable part."""
-    import shutil
+    two same-filesystem renames executed through
+    :func:`~wingfoil_spark.functions.store_swap.swap_store_dirs`
+    (``swap_strategy='auto'`` picks the Hadoop FileSystem API for
+    hdfs://-style schemes and ``shutil`` renames for driver-local
+    paths; see that module for the S3A caveat). Run from the
+    maintenance job, never under a live reader OR a concurrent
+    appender (an append landing between the read and the swap is
+    silently discarded by the swap on EVERY backend — for the vector
+    store that is lost corpus rows, worse than the fingerprint store's
+    lost dedup history).
+
+    The returned count is observed on the rewrite job itself
+    (``df.observe``) — the store is scanned exactly once per
+    compaction (VERDICT r12: the old verify-read was a second full
+    scan of data just written, double I/O on an op meant for 100 TB
+    stores)."""
     import uuid
+
+    from pyspark.sql import Observation
+
+    from wingfoil_spark.functions.store_swap import swap_store_dirs
 
     base = path.rstrip("/")
     tmp = f"{base}.compact-{uuid.uuid4().hex[:12]}"
@@ -759,22 +795,13 @@ def compact_cell_store(
             f"compact_cell_store: {base!r} is not a cell store "
             "(no cid partition column)"
         )
-    _write_by_cell(df, tmp, id_col, "overwrite", writers_per_cell)
-    n = spark.read.parquet(tmp).count()
-    try:
-        shutil.move(base, old)
-    except Exception:
-        # the swap never started — the store is untouched; don't leave
-        # the compacted copy orphaned on disk
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-    try:
-        shutil.move(tmp, base)
-    except Exception:
-        shutil.move(old, base)  # roll back: leave the store readable
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-    shutil.rmtree(old, ignore_errors=True)
+    obs = Observation()
+    _write_by_cell(
+        df.observe(obs, F.count(F.lit(1)).alias("n")),
+        tmp, id_col, "overwrite", writers_per_cell,
+    )
+    n = obs.get["n"]
+    swap_store_dirs(spark, base, tmp, old, strategy=swap_strategy)
     return n
 
 

@@ -1,0 +1,109 @@
+"""Atomic-ish directory swap for compaction maintenance jobs.
+
+Both persisted-store compactors (:func:`~wingfoil_spark.functions.
+similarity.compact_cell_store` for the vector cell layouts and
+:func:`~wingfoil_spark.streaming.ingest.compact_fingerprint_store` for
+the crawl dedup history) share the same commit shape: rewrite the store
+into a temporary sibling, then swap it into place with two renames
+(current -> .old, compacted -> current). This module factors the swap
+behind a strategy switch so the maintenance loop is legal beyond the
+driver's local filesystem (VERDICT r12 Next #3):
+
+- ``strategy='local'`` — ``shutil.move``: the original driver-local
+  path. Only valid where Spark's write target and the driver's posix
+  view are the same tree (``local[..]`` or a shared mount).
+- ``strategy='fs'`` — the Hadoop FileSystem API reached through the
+  live JVM (``Path.getFileSystem(hadoopConf)`` + ``fs.rename``): the
+  same two-rename shape executed by the storage layer itself, so it is
+  correct on ``file://``, HDFS, and any connector whose ``rename`` is a
+  metadata move. On S3A, ``rename`` is copy+delete — the swap still
+  COMMITS correctly (readers see old-or-new, never half), but it is not
+  O(1); prefer a table format's commit protocol there.
+- ``strategy='auto'`` — ``fs`` when the path carries a non-``file``
+  scheme (hdfs://, s3a://, ...), else ``local``. Scheme-less paths are
+  driver-local by construction in this repo's compactors.
+
+Either strategy keeps the compactors' rollback contract: a failure
+before the first rename leaves the store untouched and removes the
+temporary copy; a failure between the renames moves the old store back
+so the path stays readable. The concurrent-appender caveat is
+UNCHANGED by the strategy — an append landing between the compactor's
+read and this swap is silently discarded by the swap on every storage
+backend; serialize appends and compaction on one maintenance schedule.
+"""
+from __future__ import annotations
+
+import shutil
+
+__all__ = ["swap_store_dirs"]
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(conf), jvm
+
+
+def _fs_rename(fs, jvm, src: str, dst: str) -> None:
+    # Hadoop renames report failure inconsistently across FileSystem
+    # implementations — False from HDFS-style metadata moves, a raised
+    # IOException from RawLocalFileSystem's copy fallback. Normalize
+    # both to IOError so the caller's rollback logic engages the same
+    # way everywhere.
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    try:
+        ok = fs.rename(src_p, dst_p)
+    except Exception as e:
+        raise IOError(
+            f"hadoop fs rename failed: {src!r} -> {dst!r}"
+        ) from e
+    if not ok:
+        raise IOError(f"hadoop fs rename failed: {src!r} -> {dst!r}")
+
+
+def swap_store_dirs(
+    spark, base: str, tmp: str, old: str, strategy: str = "auto"
+) -> None:
+    """Swap the compacted copy at ``tmp`` into place at ``base`` via
+    ``old``, with rollback. ``base``/``tmp``/``old`` must live on the
+    same filesystem (they are siblings by construction in the
+    compactors). See the module docstring for the strategy contract."""
+    if strategy == "auto":
+        scheme = base.split("://", 1)[0] if "://" in base else ""
+        strategy = "fs" if scheme not in ("", "file") else "local"
+    if strategy == "local":
+        try:
+            shutil.move(base, old)
+        except Exception:
+            # the swap never started — the store is untouched; don't
+            # leave the compacted copy orphaned on disk
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        try:
+            shutil.move(tmp, base)
+        except Exception:
+            shutil.move(old, base)  # roll back: leave the store readable
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    if strategy != "fs":
+        raise ValueError(
+            f"swap_store_dirs: unknown strategy {strategy!r} "
+            "(expected 'auto', 'local' or 'fs')"
+        )
+    fs, jvm = _hadoop_fs(spark, base)
+    try:
+        _fs_rename(fs, jvm, base, old)
+    except Exception:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise
+    try:
+        _fs_rename(fs, jvm, tmp, base)
+    except Exception:
+        _fs_rename(fs, jvm, old, base)  # roll back: keep base readable
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)

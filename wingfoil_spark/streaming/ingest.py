@@ -56,6 +56,7 @@ from wingfoil_spark.functions.similarity import _dot, hyperplane_signature, with
 def exact_dedup_stream(
     docs: DataFrame,
     text_col: str = "text",
+    *,
     ts_col: str | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
@@ -78,7 +79,11 @@ def exact_dedup_stream(
     rather than silently clobbered (review r12 — the
     :func:`dedup_against_store` collision rule). r12 also dropped the
     never-used ``id_col`` parameter: which duplicate survives is
-    arrival order by contract (first seen), not min-id.
+    arrival order by contract (first seen), not min-id — and r13 made
+    ``ts_col``/``watermark`` keyword-only (ADVICE r12): a pre-r12
+    caller passing the old positional ``id_col`` now gets a loud
+    ``TypeError`` instead of silently binding an id column to
+    ``ts_col``.
     """
     if watermark is not None and ts_col is None:
         raise ValueError("watermark requires ts_col")
@@ -159,7 +164,9 @@ def dedup_against_store(
     ).drop(key)
 
 
-def compact_fingerprint_store(spark, path: str) -> int:
+def compact_fingerprint_store(
+    spark, path: str, swap_strategy: str = "auto"
+) -> int:
     """Restore an append-grown :func:`build_fingerprint_store` directory
     to one-row-per-distinct-fingerprint shape: read → dropDuplicates →
     write to a temporary sibling → swap into place. This makes the
@@ -185,35 +192,31 @@ def compact_fingerprint_store(spark, path: str) -> int:
     spark.sql.shuffle.partitions (coalesced by AQE), so a 300 GB store
     compacts without any single-task funnel.
 
-    DRIVER-LOCAL-FILESYSTEM utility: the swap uses rename, which only
-    exists where Spark's write and the driver's view are the same posix
-    tree (local[..] / a shared mount). On an HDFS/S3 defaultFS, do the
-    rewrite with the storage's native rename/commit instead — the
-    read → dropDuplicates → write step of this function is the portable
-    part."""
-    import shutil
+    The swap commits through
+    :func:`~wingfoil_spark.functions.store_swap.swap_store_dirs`
+    (``swap_strategy='auto'``: Hadoop FileSystem renames for
+    hdfs://-style schemes, ``shutil`` renames for driver-local paths —
+    see that module for the S3A caveat), and the returned count is
+    observed on the rewrite job itself, so the compacted copy is never
+    re-read just to count it (VERDICT r12)."""
     import uuid
+
+    from pyspark.sql import Observation
+
+    from wingfoil_spark.functions.store_swap import swap_store_dirs
 
     base = path.rstrip("/")
     tmp = f"{base}.compact-{uuid.uuid4().hex[:12]}"
     old = f"{base}.old-{uuid.uuid4().hex[:12]}"
-    compacted = spark.read.parquet(path).dropDuplicates(["fp"])
+    obs = Observation()
+    compacted = (
+        spark.read.parquet(path)
+        .dropDuplicates(["fp"])
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
     compacted.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    try:
-        shutil.move(base, old)
-    except Exception:
-        # the swap never started — the store is untouched; don't leave
-        # the compacted copy orphaned on disk (ADVICE r11)
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-    try:
-        shutil.move(tmp, base)
-    except Exception:
-        shutil.move(old, base)  # roll back: leave the store readable
-        shutil.rmtree(tmp, ignore_errors=True)  # no orphan copy on disk
-        raise
-    shutil.rmtree(old, ignore_errors=True)
+    n = obs.get["n"]
+    swap_store_dirs(spark, base, tmp, old, strategy=swap_strategy)
     return n
 
 
