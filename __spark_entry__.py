@@ -906,6 +906,30 @@ def q_cosine_near_dups(spark, sf_dir):
     )
 
 
+def _derived_qc_model(spark):
+    """The FROZEN quality-classifier row shared by q_selection (batch
+    scoring) and q_decon_stream (r13: streamed scoring) — derived, not
+    trained, so both engines rebuild it from one formula: coefs[b] =
+    (md5_int('qc:'||b) % 2001 − 1000)/1000, intercept QC_B0. ONE
+    generator on purpose (the _lloyd_sql_ctes discipline): if the two
+    graded arms built their own copies, a drift would leave one green
+    and one red with no pin connecting them."""
+    from wingfoil_spark.functions import dedup as dd
+
+    return spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(QC_NF - 1)),
+            lambda b: (
+                dd._md5_int(F.concat(F.lit("qc:"), b.cast("string"))) % 2001
+                - 1000
+            )
+            / 1000.0,
+        ).alias("coefs"),
+        F.lit(QC_B0).alias("intercept"),
+        F.lit(QC_NF).alias("n_features"),
+    )
+
+
 def q_decon_stream(spark, sf_dir):
     """The STREAMING-INGEST tier graded END TO END through a REAL
     Structured Streaming run (VERDICT r4 task 7; widened r7 per VERDICT
@@ -1046,8 +1070,17 @@ def q_decon_stream(spark, sf_dir):
       the file arms exist for. A post-run assert pins the file union's
       multi-batch execution.
 
-    r13 widens to FOURTEEN parts (VERDICT r12 Next #1):
+    r13 widens to FIFTEEN parts (VERDICT r12 Next #1 + the last
+    serving-matrix hole):
 
+    - part='clf' (aux=0, v=round(logit,6)): the trained-quality-
+      classifier SERVING path streamed — ingest.clf_score_stream under
+      the frozen derived coefs row (_derived_qc_model, the SAME
+      generator the batch selection grade uses). DSIR/BM25/LM scorers
+      have streamed graded rows since r8; the classifier — the quality
+      gate a continuous crawl actually filters with — was batch-graded
+      only. Broadcast one-row cross join + row-local gram fold +
+      sigmoid per micro-batch; zero state.
     - part='ivfpq_grow' (aux=neighbor_id*10+rank, v=round(1-adc/2,6)):
       the CODES-ONLY twin of ivf_grow — the layout a real 100 TB corpus
       actually grows. write_ivfpq_store minus the planted arrival slice
@@ -1060,7 +1093,7 @@ def q_decon_stream(spark, sf_dir):
       rebuild and moved-never-rescored compaction make the four-stage
       loop one hash.
 
-    All fourteen outputs are content-determined per doc/probe/tick,
+    All fifteen outputs are content-determined per doc/probe/tick,
     hence arrival-order- and batching-invariant — exactly what makes a
     multi-micro-batch streaming run oracle-gradable against batch
     SQL."""
@@ -1176,6 +1209,17 @@ def q_decon_stream(spark, sf_dir):
             F.lit("lm").alias("part"), "doc_id", zero,
             F.round("logprob_per_token", 6).alias("v"),
         )
+        # r13 part='clf': the trained-quality-classifier SERVING path
+        # streamed — the last frozen-model scorer without a streamed
+        # graded row (DSIR/BM25/LM have been since r8). Same derived
+        # engine-rebuildable coefs row as the batch selection grade
+        # (ONE generator, _derived_qc_model), checkpointed so every
+        # micro-batch broadcasts a pinned frame.
+        qcm = _derived_qc_model(spark).localCheckpoint(eager=True)
+        clf = ingest.clf_score_stream(stream, qcm).select(
+            F.lit("clf").alias("part"), "doc_id", zero,
+            F.round("logit", 6).alias("v"),
+        )
         ann = ingest.ann_topk_stream(estream, annidx, k=5).select(
             F.lit("ann").alias("part"),
             F.col("probe_id").alias("doc_id"),
@@ -1218,6 +1262,7 @@ def q_decon_stream(spark, sf_dir):
         )
         q = (
             decon.unionByName(dsir).unionByName(bm).unionByName(lmsc)
+            .unionByName(clf)
             .unionByName(ann).unionByName(store).unionByName(iserve)
             .unionByName(pqserve)
             .writeStream.format("memory").queryName(name)
@@ -1695,18 +1740,7 @@ def q_selection(spark, sf_dir):
         F.lit("exact").alias("part"), F.col("fp").alias("k"),
         F.col("keep_id").alias("id"), F.col("n_dups").cast("double").alias("v"),
     )
-    qc_model = spark.range(1).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(QC_NF - 1)),
-            lambda b: (
-                dd._md5_int(F.concat(F.lit("qc:"), b.cast("string"))) % 2001
-                - 1000
-            )
-            / 1000.0,
-        ).alias("coefs"),
-        F.lit(QC_B0).alias("intercept"),
-        F.lit(QC_NF).alias("n_features"),
-    )
+    qc_model = _derived_qc_model(spark)
     # r8 (VERDICT r7 Next #3): ONE-PASS scoring — dsir log-w, bm25 score
     # and clf logit are all row-local folds over the same token/gram
     # arrays, so selection_scores emits all three in a single corpus scan
@@ -3101,6 +3135,18 @@ dfp AS (SELECT doc_id,
           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents),
 snapfp AS (SELECT DISTINCT fp FROM dfp WHERE doc_id % 3 = 0),
+-- r13 part='clf': the streamed quality-classifier logits replayed as
+-- the same derived-coefs gram-bucket sum the batch selection oracle
+-- uses (coefs[b] = (md5_int('qc:'||b) % 2001 - 1000)/1000 + intercept;
+-- 6dp round absorbs fold-vs-sum order, the documented batch contract)
+clfg AS (SELECT doc_id,
+    unnest(list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents WHERE text IS NOT NULL)),
+clfs AS (SELECT doc_id,
+    sum(((('0x' || substr(md5('qc:' || CAST(
+          ('0x' || substr(md5(g), 1, 15))::BIGINT % {QC_NF} AS VARCHAR)),
+        1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS s
+  FROM clfg GROUP BY 1),
 -- r11 part='ivfpq_store': the persisted codes-on-disk round trip must be
 -- value-identical to the in-memory IVF-PQ ADC search under the same take
 -- centroids/codebooks, so the oracle is the ann query's ivfpq CTE family
@@ -3239,6 +3285,11 @@ UNION ALL
 SELECT 'bm25', doc_id, CAST(0 AS BIGINT), round(score, 6) FROM bscore
 UNION ALL
 SELECT 'lm', doc_id, CAST(0 AS BIGINT), round(mlp, 6) FROM lperdoc
+UNION ALL
+SELECT 'clf', d.doc_id, CAST(0 AS BIGINT),
+  round({QC_B0!r} + COALESCE(clfs.s, 0.0), 6)
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN clfs USING (doc_id)
 UNION ALL
 SELECT 'ann', probe_id, neighbor_id, cosine FROM ann_ranked WHERE rank <= 5
 UNION ALL

@@ -75,6 +75,7 @@ MODULE_SURFACES = {
         "append_ivf_store", "append_ivfpq_store", "compact_cell_store",
         "ivf_assign_rowlocal", "ivf_centroids",
     ],
+    "wingfoil_spark.functions.store_swap": ["swap_store_dirs"],
     "wingfoil_spark.functions.text": [
         "tokens", "quality_score", "lang_id", "fingerprint",
         "chunk_tokens", "duplicate_line_ratio", "top_token_ratio",
@@ -147,7 +148,7 @@ MODULE_SURFACES = {
         "build_dsir_index", "dsir_score_stream",
         "build_bm25_index", "bm25_score_stream", "lm_score_stream",
         "build_fingerprint_store", "dedup_against_store",
-        "compact_fingerprint_store",
+        "compact_fingerprint_store", "clf_score_stream",
         "ivf_topk_stream", "ivfpq_topk_stream",
     ],
     "wingfoil_spark.streaming.metrics": [

@@ -561,6 +561,39 @@ def test_bm25_score_stream_equals_batch(spark, docs):
         assert v == pytest.approx(batch[i], abs=1e-12), i
 
 
+def test_clf_score_stream_equals_batch(spark, docs):
+    """Streaming classifier scoring == batch quality_scores over the
+    same rows, under a frozen trained model row, across micro-batches
+    (r13 — the last frozen-model scorer to get its streamed twin). The
+    model is a REAL fit_quality_classifier artifact (MLlib LR persisted
+    as one data row), not the graded derived row, so the differential
+    covers the production model shape end to end."""
+    from wingfoil_spark.functions import selection as sel
+
+    model = sel.fit_quality_classifier(
+        docs, F.col("doc_id") % 2 == 0, n_features=256
+    ).localCheckpoint()
+    batch = {
+        r.doc_id: (r.logit, r.quality)
+        for r in sel.quality_scores(docs, model).collect()
+    }
+    assert batch and len({v[0] for v in batch.values()}) > 1
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    stream, src_dir = _stream_chunks(spark, pdf)
+    try:
+        scored = _run_to_memory(
+            ingest.clf_score_stream(stream, model), "ingest_clf"
+        )
+        got = {r.doc_id: (r.logit, r.quality) for r in scored.collect()}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    assert set(got) == set(batch)
+    for i, (lg, ql) in got.items():
+        assert lg == pytest.approx(batch[i][0], abs=1e-12), i
+        assert ql == pytest.approx(batch[i][1], abs=1e-12), i
+
+
 def test_lm_score_stream_equals_batch(spark, docs):
     """Streaming LM scoring == batch lm_perplexity (docs with >=1 bigram)
     against the frozen model frames, across micro-batch boundaries."""
