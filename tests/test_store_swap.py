@@ -88,3 +88,66 @@ def test_compact_cell_store_fs_strategy_end_to_end(spark, emb, tmp_path):
     assert (before["neighbor_id"].to_numpy() == after["neighbor_id"].to_numpy()).all()
     assert (before["cosine"].to_numpy() == after["cosine"].to_numpy()).all()
     assert sorted(p.name for p in tmp_path.iterdir()) == ["ivf"]
+
+
+def test_compaction_aborts_on_concurrent_append(spark, emb, tmp_path, monkeypatch):
+    """r13: an append landing DURING compaction must abort the swap
+    loudly (store untouched, compacted tmp removed) instead of being
+    silently discarded — for both compactors. The append is injected
+    right after the rewrite by wrapping the compactors' write step."""
+    from wingfoil_spark.functions.store_swap import ConcurrentAppendError
+    from wingfoil_spark.streaming import ingest
+
+    # vector cell store
+    path = str(tmp_path / "ivf")
+    cents = sim.write_ivf_store(emb, path, n_centroids=8, fit="take")
+    late = emb.where(F.col("vec_id") % 100 == 0)
+    real_write = sim._write_by_cell
+
+    def write_then_sneak_append(df, out_path, id_col, mode, w):
+        real_write(df, out_path, id_col, mode, w)
+        if ".compact-" in out_path:  # only on the compaction rewrite
+            sim.append_ivf_store(late, path, cents)
+
+    n_before = spark.read.parquet(path).count()
+    monkeypatch.setattr(sim, "_write_by_cell", write_then_sneak_append)
+    with pytest.raises(ConcurrentAppendError, match="appended"):
+        sim.compact_cell_store(spark, path)
+    monkeypatch.undo()
+    # the late append is PRESERVED (not discarded), no tmp/old leftovers
+    assert spark.read.parquet(path).count() == n_before + late.count()
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["ivf"]
+    # a quiesced retry then succeeds
+    assert sim.compact_cell_store(spark, path) == n_before + late.count()
+
+    # fingerprint store: inject the late append just before the guard
+    # runs (the compactor resolves guard_no_new_files from the module at
+    # call time, so wrapping it simulates an append finishing after the
+    # rewrite but before the pre-swap re-list)
+    import wingfoil_spark.functions.store_swap as ss
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(40)], "doc_id long, text string"
+    )
+    fpath = str(tmp_path / "fp")
+    ingest.build_fingerprint_store(docs, fpath)
+    real_guard = ss.guard_no_new_files
+
+    def append_then_guard(spark_, base, files_at_read, tmp):
+        ingest.build_fingerprint_store(
+            docs.limit(5).withColumn(
+                "text", F.concat(F.col("text"), F.lit("!"))
+            ),
+            fpath, mode="append",
+        )
+        return real_guard(spark_, base, files_at_read, tmp)
+
+    n_fp = spark.read.parquet(fpath).count()
+    monkeypatch.setattr(ss, "guard_no_new_files", append_then_guard)
+    with pytest.raises(ConcurrentAppendError, match="appended"):
+        ingest.compact_fingerprint_store(spark, fpath)
+    monkeypatch.undo()
+    # late fingerprints preserved; store still readable; retry compacts
+    assert spark.read.parquet(fpath).count() > n_fp
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["fp", "ivf"]
+    assert ingest.compact_fingerprint_store(spark, fpath) > 0

@@ -770,10 +770,13 @@ def compact_cell_store(
     hdfs://-style schemes and ``shutil`` renames for driver-local
     paths; see that module for the S3A caveat). Run from the
     maintenance job, never under a live reader OR a concurrent
-    appender (an append landing between the read and the swap is
-    silently discarded by the swap on EVERY backend — for the vector
-    store that is lost corpus rows, worse than the fingerprint store's
-    lost dedup history).
+    appender — but a schedule violation is no longer SILENT data loss
+    (r13): just before the swap the live store is re-listed and any
+    file appended since the compaction read aborts with
+    ``ConcurrentAppendError`` (tmp removed, store untouched, retry
+    after quiescing appends). Best-effort — the race window narrows
+    from the whole rewrite to the re-list→rename instant; the
+    one-maintenance-schedule contract still stands.
 
     The returned count is observed on the rewrite job itself
     (``df.observe``) — the store is scanned exactly once per
@@ -784,7 +787,10 @@ def compact_cell_store(
 
     from pyspark.sql import Observation
 
-    from wingfoil_spark.functions.store_swap import swap_store_dirs
+    from wingfoil_spark.functions.store_swap import (
+        guard_no_new_files,
+        swap_store_dirs,
+    )
 
     base = path.rstrip("/")
     tmp = f"{base}.compact-{uuid.uuid4().hex[:12]}"
@@ -795,12 +801,14 @@ def compact_cell_store(
             f"compact_cell_store: {base!r} is not a cell store "
             "(no cid partition column)"
         )
+    files_at_read = set(df.inputFiles())
     obs = Observation()
     _write_by_cell(
         df.observe(obs, F.count(F.lit(1)).alias("n")),
         tmp, id_col, "overwrite", writers_per_cell,
     )
     n = obs.get["n"]
+    guard_no_new_files(spark, base, files_at_read, tmp)
     swap_store_dirs(spark, base, tmp, old, strategy=swap_strategy)
     return n
 

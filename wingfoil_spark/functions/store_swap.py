@@ -35,7 +35,39 @@ from __future__ import annotations
 
 import shutil
 
-__all__ = ["swap_store_dirs"]
+__all__ = ["guard_no_new_files", "swap_store_dirs"]
+
+
+class ConcurrentAppendError(RuntimeError):
+    """An append landed in the store between the compactor's read and
+    its swap — swapping now would silently discard those rows."""
+
+
+def guard_no_new_files(spark, base: str, files_at_read: set, tmp: str) -> None:
+    """Best-effort concurrent-appender guard for the compactors: re-list
+    the live store just before the swap and ABORT (removing the
+    compacted copy) if files appeared since the compaction read them —
+    a late append that the old code silently discarded (lost corpus
+    rows / lost dedup history) is now a loud, retryable failure.
+
+    Best-effort means the race window narrows from the WHOLE rewrite
+    (seconds-to-hours at 100 TB) to the instant between this re-list
+    and the rename — the serialize-appends-and-compaction-on-one-
+    maintenance-schedule contract still stands; this guard converts a
+    schedule violation from silent data loss into an error. The listing
+    is ``inputFiles()`` on a fresh read, so it is storage-portable like
+    the ``fs`` swap strategy."""
+    now = set(spark.read.parquet(base).inputFiles())
+    new = now - files_at_read
+    if new:
+        fs, jvm = _hadoop_fs(spark, tmp)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise ConcurrentAppendError(
+            f"compaction aborted: {len(new)} file(s) were appended to "
+            f"{base!r} during the rewrite (e.g. {sorted(new)[0]!r}); "
+            "swapping would discard them — re-run compaction from the "
+            "maintenance schedule with appends quiesced"
+        )
 
 
 def _hadoop_fs(spark, path: str):

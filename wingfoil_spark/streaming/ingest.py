@@ -181,11 +181,14 @@ def compact_fingerprint_store(
     "compact from the maintenance job, not under a live reader OR a
     concurrent appender" (same discipline as any parquet-rewrite
     compaction): fingerprints appended between this function's read and
-    the swap are NOT in the compacted copy and are silently discarded by
-    the swap — lost dedup history, i.e. re-ingestion of duplicate
-    content (ADVICE r11). Serialize appends and compaction on one
-    maintenance schedule. Returns the number of distinct fingerprints in
-    the compacted store.
+    the swap are NOT in the compacted copy. Since r13 that schedule
+    violation is a LOUD failure, not silent loss of dedup history: the
+    live store is re-listed just before the swap and any new file
+    aborts with ``ConcurrentAppendError`` (tmp removed, store
+    untouched; best-effort — the re-list→rename instant remains racy).
+    Serialize appends and compaction on one maintenance schedule.
+    Returns the number of distinct fingerprints in the compacted
+    store.
 
     Plan: one map-side-combined distinct of a single fixed-width hash
     column — the cheapest possible shuffle shape; output files follow
@@ -203,19 +206,23 @@ def compact_fingerprint_store(
 
     from pyspark.sql import Observation
 
-    from wingfoil_spark.functions.store_swap import swap_store_dirs
+    from wingfoil_spark.functions.store_swap import (
+        guard_no_new_files,
+        swap_store_dirs,
+    )
 
     base = path.rstrip("/")
     tmp = f"{base}.compact-{uuid.uuid4().hex[:12]}"
     old = f"{base}.old-{uuid.uuid4().hex[:12]}"
+    src = spark.read.parquet(path)
+    files_at_read = set(src.inputFiles())
     obs = Observation()
-    compacted = (
-        spark.read.parquet(path)
-        .dropDuplicates(["fp"])
-        .observe(obs, F.count(F.lit(1)).alias("n"))
+    compacted = src.dropDuplicates(["fp"]).observe(
+        obs, F.count(F.lit(1)).alias("n")
     )
     compacted.write.mode("overwrite").parquet(tmp)
     n = obs.get["n"]
+    guard_no_new_files(spark, base, files_at_read, tmp)
     swap_store_dirs(spark, base, tmp, old, strategy=swap_strategy)
     return n
 
