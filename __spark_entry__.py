@@ -1070,8 +1070,17 @@ def q_decon_stream(spark, sf_dir):
       the file arms exist for. A post-run assert pins the file union's
       multi-batch execution.
 
-    r13 widens to FIFTEEN parts (VERDICT r12 Next #1 + the last
-    serving-matrix hole):
+    r13 widens to SIXTEEN parts (VERDICT r12 Next #1 + the last
+    serving-matrix hole + the multi-probe recall dial):
+
+    - part='lsh_mp' (aux=neighbor_id*10+rank, v=cosine): the Hamming-1
+      MULTI-PROBE LSH tier (lsh_bucketed_topk(probe_hamming=1)) — each
+      probe queries its own bucket plus the 8 bit-flip neighbors via a
+      probe-side explode (the restriction stays an equi-join). The
+      production recall dial over the same md5 planes as part='ann'
+      (recall 0.05 → 0.18 at sf0.1, RECALL.md lsh_mp row); oracle
+      replays the 9-bucket union with DISTINCT candidates. Batch-side
+      like 'recall'.
 
     - part='clf' (aux=0, v=round(logit,6)): the trained-quality-
       classifier SERVING path streamed — ingest.clf_score_stream under
@@ -1093,7 +1102,7 @@ def q_decon_stream(spark, sf_dir):
       rebuild and moved-never-rescored compaction make the four-stage
       loop one hash.
 
-    All fifteen outputs are content-determined per doc/probe/tick,
+    All sixteen outputs are content-determined per doc/probe/tick,
     hence arrival-order- and batching-invariant — exactly what makes a
     multi-micro-batch streaming run oracle-gradable against batch
     SQL."""
@@ -1376,6 +1385,14 @@ def q_decon_stream(spark, sf_dir):
         emb, emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
         centroids=lcents,
     ).localCheckpoint(eager=True)
+    # r13 part='lsh_mp': the Hamming-1 MULTI-PROBE production tier over
+    # the same md5 planes the streamed part='ann' uses — the recall dial
+    # RECALL.md describes, hash-graded (probe-side bit-flip explode
+    # keeps the candidate restriction an equi-join; oracle replays the
+    # 9-bucket union). Batch-side like 'recall'/'ivf_lloyd'.
+    imp = sim.lsh_bucketed_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 0), k=5, probe_hamming=1
+    ).localCheckpoint(eager=True)
     # the memory sinks hold the materialized rows; localCheckpoint pins
     # them to this returned frame (the table names are run-unique anyway)
     out = (
@@ -1419,10 +1436,16 @@ def q_decon_stream(spark, sf_dir):
         (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
         F.col("cosine").alias("v"),
     )
+    mp_rows = imp.select(
+        F.lit("lsh_mp").alias("part"),
+        F.col("probe_id").alias("doc_id"),
+        (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
+        F.col("cosine").alias("v"),
+    )
     return (
         out.unionByName(rec).unionByName(ipq_rows)
         .unionByName(grow_rows).unionByName(growq_rows)
-        .unionByName(lloyd_rows)
+        .unionByName(lloyd_rows).unionByName(mp_rows)
     )
 
 
@@ -3110,6 +3133,23 @@ ann_scored AS (
 ),
 ann_ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
   ORDER BY cosine DESC, neighbor_id) AS rank FROM ann_scored),
+-- r13 part='lsh_mp': Hamming-1 multi-probe over the SAME planes — each
+-- probe queries its own bucket plus the 8 single-bit flips; DISTINCT
+-- collapses candidates reached via several probed buckets (the Spark
+-- side dedups before scoring)
+mpprobe AS (
+  SELECT p.vec_id AS probe_id,
+    unnest(list_concat([bp.bucket],
+      list_transform(range(0, 8), b -> xor(bp.bucket, 1::BIGINT << CAST(b AS INT))))) AS bucket
+  FROM aep p JOIN abuckets bp ON bp.vec_id = p.vec_id),
+mp_scored AS (
+  SELECT DISTINCT m.probe_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm), 6) AS cosine
+  FROM mpprobe m JOIN aep p ON p.vec_id = m.probe_id
+  JOIN abuckets bc ON bc.bucket = m.bucket
+  JOIN aen c ON c.vec_id = bc.vec_id AND c.vec_id != m.probe_id),
+mp_ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM mp_scored),
 -- r10 part='recall': exact batch top-5 per probe vs the lsh-replayed
 -- streamed result; n_hit counted from the exact side (misses -> 0)
 ex_scored AS (
@@ -3322,6 +3362,9 @@ FROM psranked WHERE rank <= 5
 UNION ALL
 SELECT 'ivf_lloyd', probe_id, neighbor_id * 10 + rank, cosine
 FROM llivf_ranked WHERE rank <= 5
+UNION ALL
+SELECT 'lsh_mp', probe_id, neighbor_id * 10 + rank, cosine
+FROM mp_ranked WHERE rank <= 5
 UNION ALL
 -- r12 part='poll': the custom-source rows replayed as tick arithmetic
 -- (demo_poll: v = tick*0.5 + 0.25, every 5th tick a quiet cycle)

@@ -57,6 +57,8 @@ RECALL_FLOORS = {
     #                    # (decon_stream part='ivf_lloyd'); must beat take
     "int8": 0.95,        # measured 0.985 — 8 bits preserve direction
     "lsh": 0.03,         # measured 0.05
+    "lsh_mp": 0.15,      # measured 0.18 — r13 Hamming-1 multi-probe,
+    #                    # the production dial over the same planes
     "pq": 0.07,          # measured 0.095
     "ivfpq": 0.06,       # measured 0.08
     "ivfpq_store": 0.06,  # identical to ivfpq by round-trip contract
@@ -152,6 +154,11 @@ def compute_table(spark, sf_dir: str, k: int = 5, sweep: bool = False) -> dict:
 
     searches = {
         "lsh": lambda: sim.lsh_bucketed_topk(e, probes, k=k),
+        # r13: the multi-probe production tier (Hamming-1 bit-flip
+        # buckets) — the dial RECALL.md's context note describes,
+        # measured instead of prose
+        "lsh_mp": lambda: sim.lsh_bucketed_topk(e, probes, k=k,
+                                                probe_hamming=1),
         "ivf": lambda: sim.ivf_topk(
             e, probes, k=k, n_centroids=16, nprobe=4, fit="take",
             centroids=cents, corpus_assign=asg,

@@ -27,6 +27,8 @@ PINNED_SF001 = {
     "exact": 1.0,
     "lsh": 0.0,    # one 8-bit bucket over 500 isotropic vectors: true
     #              # top-5 almost never co-buckets — honest, not broken
+    "lsh_mp": 0.06,  # r13 Hamming-1 multi-probe over the SAME planes:
+    #                # 9 of 256 buckets probed — the production dial
     "ivf": 0.46,
     "ivf_store": 0.46,
     "lloyd": 0.62,  # the graded k-means tier — beats take (0.46) by
@@ -60,6 +62,14 @@ def test_store_round_trips_preserve_recall(spark, table):
     m = table["methods"]
     assert m["ivf_store"]["recall_at_5"] == m["ivf"]["recall_at_5"]
     assert m["ivfpq_store"]["recall_at_5"] == m["ivfpq"]["recall_at_5"]
+
+
+def test_multiprobe_dominates_single_bucket(spark, table):
+    """Structural on ANY corpus: probing a superset of buckets can only
+    add candidates — Hamming-1 multi-probe recall >= exact-bucket
+    recall (r13)."""
+    m = table["methods"]
+    assert m["lsh_mp"]["recall_at_5"] >= m["lsh"]["recall_at_5"]
 
 
 def test_prune_ops_reported_not_skipped(spark, table):

@@ -154,9 +154,35 @@ def lsh_bucketed_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     bits: int = 8,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the probe's LSH bucket.
-    Same output shape as cosine_topk (rank within bucket)."""
+    Same output shape as cosine_topk (rank within bucket).
+
+    ``probe_hamming=1`` is the MULTI-PROBE production tier (r13 —
+    RECALL.md's "what a deployment actually runs" made executable): the
+    probe side also queries every bucket at Hamming distance 1 from its
+    own signature (bit-flip neighbors — the buckets a near-miss
+    hyperplane vote lands in), the same recall amplification
+    :func:`~wingfoil_spark.functions.dedup.cosine_near_dups` uses for
+    near-dup pairs. Implemented as a probe-side EXPLODE to ``bits + 1``
+    bucket values so the candidate restriction STAYS an equi-join
+    (shuffle-partitionable at any corpus size — never a theta-join or a
+    popcount cross join); candidates reached via multiple flipped
+    buckets are deduplicated before scoring, so the output is
+    set-identical to scoring the union of the probed buckets. Cost:
+    ~``(bits+1)×`` the candidate rows of one bucket at the same corpus;
+    recall on the isotropic testdata rises 0.05 → 0.18 at sf0.1 (see
+    RECALL.md's lsh_mp row — on a clustered real corpus the lift is
+    larger because near-misses concentrate at Hamming 1). Only
+    ``probe_hamming`` ∈ {0, 1} is supported — distance-2
+    explodes ``1 + bits + C(bits,2)`` buckets and is where multiple
+    independent TABLES beat deeper probing."""
+    if probe_hamming not in (0, 1):
+        raise ValueError(
+            "lsh_bucketed_topk: probe_hamming must be 0 (exact bucket) "
+            "or 1 (bit-flip neighbors)"
+        )
     c = hyperplane_signature(corpus, emb_col, bits).select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "bucket"
     )
@@ -165,11 +191,25 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "bucket"
     )
     p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
+    if probe_hamming == 1:
+        # own bucket + the `bits` single-bit flips, exploded so the
+        # bucket restriction remains one equi-join key
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(bits)
+            ],
+        )
+        p = p.withColumn("bucket", F.explode(flips))
     dot = _dot("e_p", "e_c")
-    scored = (
-        c.join(p, "bucket")
-        .where(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(dot / (F.col("n_p") * F.col("n_c")), 6))
+    cand = c.join(p, "bucket").where(F.col("probe_id") != F.col("neighbor_id"))
+    if probe_hamming == 1:
+        # a candidate can be reached through several probed buckets;
+        # score each (probe, neighbor) pair once
+        cand = cand.dropDuplicates(["probe_id", "neighbor_id"])
+    scored = cand.withColumn(
+        "cosine", F.round(dot / (F.col("n_p") * F.col("n_c")), 6)
     )
     from pyspark.sql import Window
 
