@@ -52,8 +52,9 @@ def test_unknown_strategy_rejected(spark, tmp_path):
 
 
 def test_auto_strategy_scheme_dispatch():
-    """auto = fs for scheme'd paths, local for bare/file:// paths —
-    checked via the pure dispatch (no cluster needed for the rule)."""
+    """auto = fs for ANY explicit scheme (file:// included — shutil
+    cannot take a URI), local only for bare posix paths — checked via
+    the pure dispatch (no cluster needed for the rule)."""
     import wingfoil_spark.functions.store_swap as ss
 
     orig = ss._hadoop_fs
@@ -61,8 +62,9 @@ def test_auto_strategy_scheme_dispatch():
         RuntimeError("fs path taken")
     )
     try:
-        with pytest.raises(RuntimeError, match="fs path taken"):
-            swap_store_dirs(None, "hdfs://nn/warehouse/store", "t", "o")
+        for uri in ("hdfs://nn/warehouse/store", "file:///tmp/store"):
+            with pytest.raises(RuntimeError, match="fs path taken"):
+                swap_store_dirs(None, uri, "t", "o")
     finally:
         ss._hadoop_fs = orig
 

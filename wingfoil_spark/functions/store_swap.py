@@ -19,9 +19,9 @@ driver's local filesystem (VERDICT r12 Next #3):
   metadata move. On S3A, ``rename`` is copy+delete — the swap still
   COMMITS correctly (readers see old-or-new, never half), but it is not
   O(1); prefer a table format's commit protocol there.
-- ``strategy='auto'`` — ``fs`` when the path carries a non-``file``
-  scheme (hdfs://, s3a://, ...), else ``local``. Scheme-less paths are
-  driver-local by construction in this repo's compactors.
+- ``strategy='auto'`` — ``fs`` when the path carries ANY explicit
+  scheme (hdfs://, s3a://, and file:// too — ``shutil`` cannot take a
+  URI), ``local`` only for bare posix paths.
 
 Either strategy keeps the compactors' rollback contract: a failure
 before the first rename leaves the store untouched and removes the
@@ -103,8 +103,10 @@ def swap_store_dirs(
     same filesystem (they are siblings by construction in the
     compactors). See the module docstring for the strategy contract."""
     if strategy == "auto":
-        scheme = base.split("://", 1)[0] if "://" in base else ""
-        strategy = "fs" if scheme not in ("", "file") else "local"
+        # ANY explicit scheme — including file:// — goes through the
+        # Hadoop API (shutil.move cannot take a URI); only bare posix
+        # paths use the local strategy
+        strategy = "local" if "://" not in base else "fs"
     if strategy == "local":
         try:
             shutil.move(base, old)
