@@ -3134,9 +3134,10 @@ ann_scored AS (
 ann_ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
   ORDER BY cosine DESC, neighbor_id) AS rank FROM ann_scored),
 -- r13 part='lsh_mp': Hamming-1 multi-probe over the SAME planes — each
--- probe queries its own bucket plus the 8 single-bit flips; DISTINCT
--- collapses candidates reached via several probed buckets (the Spark
--- side dedups before scoring)
+-- probe queries its own bucket plus the 8 single-bit flips. DISTINCT is
+-- a defensive no-op: a corpus row has ONE bucket and the 9 probed
+-- values are pairwise distinct, so each pair joins at most once (the
+-- Spark side relies on the same fact and does not dedup)
 mpprobe AS (
   SELECT p.vec_id AS probe_id,
     unnest(list_concat([bp.bucket],

@@ -168,9 +168,10 @@ def lsh_bucketed_topk(
     near-dup pairs. Implemented as a probe-side EXPLODE to ``bits + 1``
     bucket values so the candidate restriction STAYS an equi-join
     (shuffle-partitionable at any corpus size — never a theta-join or a
-    popcount cross join); candidates reached via multiple flipped
-    buckets are deduplicated before scoring, so the output is
-    set-identical to scoring the union of the probed buckets. Cost:
+    popcount cross join); no dedup is needed — a corpus row carries
+    exactly ONE bucket and the probed values (bucket ⊕ distinct masks)
+    are pairwise distinct, so each (probe, neighbor) pair joins at most
+    once and the output IS the union of the probed buckets. Cost:
     ~``(bits+1)×`` the candidate rows of one bucket at the same corpus;
     recall on the isotropic testdata rises 0.05 → 0.18 at sf0.1 (see
     RECALL.md's lsh_mp row — on a clustered real corpus the lift is
@@ -203,13 +204,10 @@ def lsh_bucketed_topk(
         )
         p = p.withColumn("bucket", F.explode(flips))
     dot = _dot("e_p", "e_c")
-    cand = c.join(p, "bucket").where(F.col("probe_id") != F.col("neighbor_id"))
-    if probe_hamming == 1:
-        # a candidate can be reached through several probed buckets;
-        # score each (probe, neighbor) pair once
-        cand = cand.dropDuplicates(["probe_id", "neighbor_id"])
-    scored = cand.withColumn(
-        "cosine", F.round(dot / (F.col("n_p") * F.col("n_c")), 6)
+    scored = (
+        c.join(p, "bucket")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(dot / (F.col("n_p") * F.col("n_c")), 6))
     )
     from pyspark.sql import Window
 

@@ -695,6 +695,7 @@ def ann_topk_stream(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     bits: int = 8,
+    probe_hamming: int = 0,
 ):
     """Online retrieval: top-k cosine neighbors of ARRIVING probe vectors
     against the indexed corpus — the serving shape of the batch
@@ -722,10 +723,33 @@ def ann_topk_stream(
     associative, so batch-wise merge + one emission at exhaustion is
     exact and O(probes_in_partition × k) memory.
     """
+    if probe_hamming not in (0, 1):
+        raise ValueError(
+            "ann_topk_stream: probe_hamming must be 0 (exact bucket) "
+            "or 1 (bit-flip neighbors)"
+        )
     p = hyperplane_signature(probes, emb_col, bits).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "bucket"
     )
     p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
+    if probe_hamming == 1:
+        # r13: the multi-probe serving dial — the streamed twin of
+        # lsh_bucketed_topk(probe_hamming=1). Same probe-side explode
+        # (own bucket + `bits` single-bit flips) so the candidate
+        # restriction stays the broadcast equi-join below; row-local,
+        # still zero state (stream == batch, differential-pinned).
+        p = p.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(bits)
+                    ],
+                )
+            ),
+        )
     dot = _dot("e_p", "e_c")
     scored = (
         # the PROBE micro-batch is broadcast explicitly (review r12):
@@ -745,6 +769,11 @@ def ann_topk_stream(
             F.round(dot / (F.col("n_p") * F.col("n_c")), 6).alias("cosine"),
         )
     )
+    # no (probe, neighbor) duplicates to dedup under multi-probe: a
+    # corpus row carries exactly ONE bucket and the probed values
+    # (bucket ⊕ 9 distinct masks incl. 0) are pairwise distinct, so
+    # each pair matches at most one exploded probe row — crucially, no
+    # streaming dropDuplicates (keyed standing state) is ever needed
     # id field types DERIVED from the inputs (string/UUID ids must not
     # fail on a hardcoded long — the _adc_out_schema rule; review r12)
     schema = (
