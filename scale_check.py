@@ -214,17 +214,9 @@ def selection_branches(spark):
         )
 
     def b_clf(spark, sf):
-        m = spark.range(1).select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(entry.QC_NF - 1)),
-                lambda b: (
-                    dd._md5_int(F.concat(F.lit("qc:"), b.cast("string")))
-                    % 2001 - 1000
-                ) / 1000.0,
-            ).alias("coefs"),
-            F.lit(entry.QC_B0).alias("intercept"),
-            F.lit(entry.QC_NF).alias("n_features"),
-        )
+        # the ONE shared generator (review r13 — an inline copy here
+        # would silently bench a different model after a coefs change)
+        m = entry._derived_qc_model(spark)
         return sel.quality_scores(load_table(spark, sf, "documents"), m)
 
     out = {}
@@ -277,17 +269,7 @@ def selection_union_legacy(spark, sf_dir):
         F.lit("bm25").alias("part"), F.lit(None).cast("string").alias("k"),
         F.col("doc_id").alias("id"), F.round("score", 6).alias("v"),
     )
-    qc = spark.range(1).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(entry.QC_NF - 1)),
-            lambda b: (
-                dd._md5_int(F.concat(F.lit("qc:"), b.cast("string")))
-                % 2001 - 1000
-            ) / 1000.0,
-        ).alias("coefs"),
-        F.lit(entry.QC_B0).alias("intercept"),
-        F.lit(entry.QC_NF).alias("n_features"),
-    )
+    qc = entry._derived_qc_model(spark)  # the ONE shared generator (r13)
     clf = sel.quality_scores(docs, qc).select(
         F.lit("clf").alias("part"), F.lit(None).cast("string").alias("k"),
         F.col("doc_id").alias("id"), F.round("logit", 6).alias("v"),

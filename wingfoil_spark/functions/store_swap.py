@@ -21,7 +21,10 @@ driver's local filesystem (VERDICT r12 Next #3):
   O(1); prefer a table format's commit protocol there.
 - ``strategy='auto'`` — ``fs`` when the path carries ANY explicit
   scheme (hdfs://, s3a://, and file:// too — ``shutil`` cannot take a
-  URI), ``local`` only for bare posix paths.
+  URI); a scheme-less path is resolved through the Hadoop layer
+  (Spark resolves such paths against ``fs.defaultFS``, which need not
+  be local) and uses ``local`` only when it lands on the local
+  filesystem.
 
 Either strategy keeps the compactors' rollback contract: a failure
 before the first rename leaves the store untouched and removes the
@@ -95,6 +98,18 @@ def _fs_rename(fs, jvm, src: str, dst: str) -> None:
         raise IOError(f"hadoop fs rename failed: {src!r} -> {dst!r}")
 
 
+def validate_swap_strategy(strategy: str) -> None:
+    """Reject an unknown strategy BEFORE any work happens — the
+    compactors call this first so a typo ('hdfs' for 'fs') fails before
+    the full-store rewrite, not after it (review r13: the late
+    ValueError wasted the rewrite and orphaned the compacted copy)."""
+    if strategy not in ("auto", "local", "fs"):
+        raise ValueError(
+            f"unknown strategy {strategy!r} "
+            "(expected 'auto', 'local' or 'fs')"
+        )
+
+
 def swap_store_dirs(
     spark, base: str, tmp: str, old: str, strategy: str = "auto"
 ) -> None:
@@ -102,11 +117,22 @@ def swap_store_dirs(
     ``old``, with rollback. ``base``/``tmp``/``old`` must live on the
     same filesystem (they are siblings by construction in the
     compactors). See the module docstring for the strategy contract."""
+    validate_swap_strategy(strategy)
     if strategy == "auto":
         # ANY explicit scheme — including file:// — goes through the
-        # Hadoop API (shutil.move cannot take a URI); only bare posix
-        # paths use the local strategy
-        strategy = "local" if "://" not in base else "fs"
+        # Hadoop API (shutil.move cannot take a URI). A SCHEME-LESS
+        # path is NOT automatically driver-local: Spark resolves it
+        # against fs.defaultFS (review r13 — on a cluster with an HDFS
+        # defaultFS the rewrite landed remote while shutil ran on the
+        # driver's posix tree), so ask the Hadoop layer which
+        # filesystem the path actually resolves to and use shutil only
+        # for genuinely local stores.
+        if "://" in base:
+            strategy = "fs"
+        else:
+            fs, _jvm = _hadoop_fs(spark, base)
+            scheme = fs.getUri().getScheme()
+            strategy = "local" if scheme == "file" else "fs"
     if strategy == "local":
         try:
             shutil.move(base, old)
@@ -123,11 +149,6 @@ def swap_store_dirs(
             raise
         shutil.rmtree(old, ignore_errors=True)
         return
-    if strategy != "fs":
-        raise ValueError(
-            f"swap_store_dirs: unknown strategy {strategy!r} "
-            "(expected 'auto', 'local' or 'fs')"
-        )
     fs, jvm = _hadoop_fs(spark, base)
     try:
         _fs_rename(fs, jvm, base, old)

@@ -209,8 +209,10 @@ def compact_fingerprint_store(
     from wingfoil_spark.functions.store_swap import (
         guard_no_new_files,
         swap_store_dirs,
+        validate_swap_strategy,
     )
 
+    validate_swap_strategy(swap_strategy)  # before the full rewrite
     base = path.rstrip("/")
     tmp = f"{base}.compact-{uuid.uuid4().hex[:12]}"
     old = f"{base}.old-{uuid.uuid4().hex[:12]}"
