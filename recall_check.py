@@ -59,6 +59,9 @@ RECALL_FLOORS = {
     "lsh": 0.03,         # measured 0.05
     "lsh_mp": 0.15,      # measured 0.18 — r13 Hamming-1 multi-probe,
     #                    # the production dial over the same planes
+    "lsh_t4": 0.09,      # measured 0.105 — r13 four independent tables
+    "lsh_t4_mp": 0.42,   # measured 0.485 — tables × multiprobe composed:
+    #                    # the full dial, ~10x the single-bucket recall
     "pq": 0.07,          # measured 0.095
     "ivfpq": 0.06,       # measured 0.08
     "ivfpq_store": 0.06,  # identical to ivfpq by round-trip contract
@@ -159,6 +162,13 @@ def compute_table(spark, sf_dir: str, k: int = 5, sweep: bool = False) -> dict:
         # measured instead of prose
         "lsh_mp": lambda: sim.lsh_bucketed_topk(e, probes, k=k,
                                                 probe_hamming=1),
+        # r13: the multi-TABLE axis — L=4 independent plane tables,
+        # alone and composed with per-table Hamming-1 probing (the
+        # full amplification dial; graded as decon_stream part='lsh_t')
+        "lsh_t4": lambda: sim.lsh_tables_topk(e, probes, k=k, n_tables=4),
+        "lsh_t4_mp": lambda: sim.lsh_tables_topk(
+            e, probes, k=k, n_tables=4, probe_hamming=1
+        ),
         "ivf": lambda: sim.ivf_topk(
             e, probes, k=k, n_centroids=16, nprobe=4, fit="take",
             centroids=cents, corpus_assign=asg,

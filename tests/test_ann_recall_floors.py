@@ -29,6 +29,8 @@ PINNED_SF001 = {
     #              # top-5 almost never co-buckets — honest, not broken
     "lsh_mp": 0.06,  # r13 Hamming-1 multi-probe over the SAME planes:
     #                # 9 of 256 buckets probed — the production dial
+    "lsh_t4": 0.06,  # r13 four independent plane tables, exact buckets
+    "lsh_t4_mp": 0.34,  # tables × multiprobe composed (36 buckets)
     "ivf": 0.46,
     "ivf_store": 0.46,
     "lloyd": 0.62,  # the graded k-means tier — beats take (0.46) by
@@ -67,9 +69,13 @@ def test_store_round_trips_preserve_recall(spark, table):
 def test_multiprobe_dominates_single_bucket(spark, table):
     """Structural on ANY corpus: probing a superset of buckets can only
     add candidates — Hamming-1 multi-probe recall >= exact-bucket
-    recall (r13)."""
+    recall, more tables >= one table (table 0 IS the single-table
+    planes), and the composed dial >= each axis alone (r13)."""
     m = table["methods"]
     assert m["lsh_mp"]["recall_at_5"] >= m["lsh"]["recall_at_5"]
+    assert m["lsh_t4"]["recall_at_5"] >= m["lsh"]["recall_at_5"]
+    assert m["lsh_t4_mp"]["recall_at_5"] >= m["lsh_t4"]["recall_at_5"]
+    assert m["lsh_t4_mp"]["recall_at_5"] >= m["lsh_mp"]["recall_at_5"]
 
 
 def test_prune_ops_reported_not_skipped(spark, table):

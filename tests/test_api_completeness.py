@@ -74,6 +74,7 @@ MODULE_SURFACES = {
         "write_ivfpq_store", "ivfpq_topk_from_store", "recall_at_k",
         "append_ivf_store", "append_ivfpq_store", "compact_cell_store",
         "ivf_assign_rowlocal", "ivf_centroids",
+        "lsh_tables_topk", "hyperplane_signatures_multi", "table_seed",
     ],
     "wingfoil_spark.functions.store_swap": ["swap_store_dirs"],
     "wingfoil_spark.functions.text": [

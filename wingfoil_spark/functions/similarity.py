@@ -85,18 +85,30 @@ def cosine_topk(
     )
 
 
-def hyperplane_coefs(bits: int, dim: int):
+def hyperplane_coefs(bits: int, dim: int, seed: str = "hp"):
     """Deterministic hyperplane matrix: coef(plane, dim) =
-    (md5int('hp{p}:{d}') mod 2001 - 1000) / 1000 ∈ [-1, 1] — reproducible
-    in any engine with md5 (the DuckDB oracle regenerates it verbatim)."""
+    (md5int('{seed}{p}:{d}') mod 2001 - 1000) / 1000 ∈ [-1, 1] —
+    reproducible in any engine with md5 (the DuckDB oracle regenerates
+    it verbatim). ``seed`` namespaces independent plane TABLES (r13:
+    table 0 keeps the historical 'hp' seed so every existing bucket —
+    and its oracle CTE — is unchanged; table t ≥ 1 uses 'hpT{t}p')."""
     import hashlib
 
     m = np.empty((bits, dim), dtype=np.float64)
     for p in range(bits):
         for d in range(dim):
-            h = int(hashlib.md5(f"hp{p}:{d}".encode()).hexdigest()[:15], 16)
+            h = int(
+                hashlib.md5(f"{seed}{p}:{d}".encode()).hexdigest()[:15], 16
+            )
             m[p, d] = (h % 2001 - 1000) / 1000.0
     return m
+
+
+def table_seed(t: int) -> str:
+    """The per-table plane seed: table 0 is the historical 'hp' (bucket
+    values — and the oracles that replay them — unchanged); later
+    tables are 'hpT{t}p', giving md5('hpT1p{p}:{d}')-derived planes."""
+    return "hp" if t == 0 else f"hpT{t}p"
 
 
 def hyperplane_signature(
@@ -145,6 +157,126 @@ def hyperplane_signature(
         return pd.Series(out)
 
     return df.withColumn("bucket", sig_udf(F.col(emb_col)))
+
+
+def hyperplane_signatures_multi(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """All ``n_tables`` table signatures in ONE pass: adds ``tbl`` and
+    ``bucket`` columns, one row per (input row, table) via posexplode.
+    Table t's planes come from :func:`table_seed` — table 0 is
+    bit-identical to :func:`hyperplane_signature`'s bucket. One corpus
+    scan builds every table's index (the L-pass formulation reads the
+    corpus L times for the same output); the per-row cost is
+    ``n_tables × bits × dim`` flops in the same vectorized kernel."""
+    df = df.where(F.col(emb_col).isNotNull())
+    books = np.stack(
+        [hyperplane_coefs(bits, dim, table_seed(t)) for t in range(n_tables)]
+    )  # (L, bits, dim)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs_udf(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype="object")
+        arrs = [np.asarray(v, dtype=np.float64) for v in emb]
+        if all(a.shape == (dim,) for a in arrs):
+            m = np.stack(arrs)
+        else:
+            m = np.zeros((len(emb), dim), dtype=np.float64)
+            for i, a in enumerate(arrs):
+                a = a[:dim]
+                m[i, : len(a)] = a
+        out = np.zeros((len(emb), len(books)), dtype=np.int64)
+        for t in range(len(books)):
+            for p in range(bits):
+                acc = np.zeros(len(emb))
+                row = books[t, p]
+                for d in range(dim):  # sequential = the oracle's fold
+                    acc = acc + m[:, d] * row[d]
+                out[:, t] |= (acc > 0).astype(np.int64) << p
+        return pd.Series(list(out))
+
+    return (
+        df.withColumn("__sigs", sigs_udf(F.col(emb_col)))
+        .select("*", F.posexplode("__sigs").alias("tbl", "bucket"))
+        .drop("__sigs")
+    )
+
+
+def lsh_tables_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    n_tables: int = 4,
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """Multi-TABLE LSH top-k — the classic recall amplification (L
+    independent plane tables turn one bucket's hit probability p into
+    1−(1−p)^L), the third axis of the dial beside bits (precision) and
+    :func:`lsh_bucketed_topk`'s ``probe_hamming`` (per-table probing).
+    Composable: ``probe_hamming=1`` multi-probes WITHIN each table.
+
+    Plan shape at 100 TB: ONE corpus signature pass emits every table's
+    bucket (posexplode to L rows/vector — the storage cost of any
+    multi-table LSH index), ONE (tbl, bucket) equi-join restricts
+    candidates, and — unlike the single-table tiers, where a pair can
+    only meet once — a genuine pair-dedup collapses pairs that
+    co-bucket in several tables before scoring, so each surviving pair
+    is scored exactly once. Never a cross join; every stage is
+    key-partitionable."""
+    if probe_hamming not in (0, 1):
+        raise ValueError(
+            "lsh_tables_topk: probe_hamming must be 0 or 1"
+        )
+    c = hyperplane_signatures_multi(corpus, emb_col, bits, n_tables).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"),
+        "tbl", "bucket",
+    )
+    c = with_norm(c, "e_c", "n_c").where(F.col("n_c") > 0)
+    p = hyperplane_signatures_multi(probes, emb_col, bits, n_tables).select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"),
+        "tbl", "bucket",
+    )
+    p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
+    if probe_hamming == 1:
+        p = p.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(bits)
+                    ],
+                )
+            ),
+        )
+    dot = _dot("e_p", "e_c")
+    scored = (
+        c.join(p, ["tbl", "bucket"])
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        # REAL duplicates here (a pair may co-bucket in several tables);
+        # dedup BEFORE the dot product so each pair is scored once
+        .dropDuplicates(["probe_id", "neighbor_id"])
+        .withColumn("cosine", F.round(dot / (F.col("n_p") * F.col("n_c")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def lsh_bucketed_topk(
