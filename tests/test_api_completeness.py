@@ -150,6 +150,7 @@ MODULE_SURFACES = {
         "build_bm25_index", "bm25_score_stream", "lm_score_stream",
         "build_fingerprint_store", "dedup_against_store",
         "compact_fingerprint_store", "clf_score_stream",
+        "build_ann_index_multi", "ann_tables_topk_stream",
         "ivf_topk_stream", "ivfpq_topk_stream",
     ],
     "wingfoil_spark.streaming.metrics": [

@@ -366,6 +366,52 @@ def test_ann_topk_stream_multiprobe_matches_batch(spark, sf_dir):
     assert g["cosine"].tolist() == b["cosine"].tolist()
 
 
+def test_ann_tables_topk_stream_matches_batch(spark, sf_dir):
+    """r13: the streamed multi-TABLE serving path (4 tables × Hamming-1)
+    == lsh_tables_topk row-for-row. Cross-table pair duplicates are
+    REAL here; the shared running-top-k iterator's keep-each-pair-once
+    contract must collapse them without any streaming dropDuplicates
+    (zero standing state)."""
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 40 == 0)
+    batch = sim.lsh_tables_topk(
+        emb, probes, k=5, n_tables=4, probe_hamming=1
+    ).toPandas()
+
+    index = ingest.build_ann_index_multi(emb, n_tables=4)
+    pdf = probes.select("vec_id", "embedding").toPandas()
+    src_dir = tempfile.mkdtemp(prefix="wf_ann_t_stream_")
+    try:
+        n = len(pdf)
+        for i in range(2):
+            chunk = pdf.iloc[i * n // 2 : (i + 1) * n // 2]
+            p = os.path.join(src_dir, f"c{i}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        got = _run_to_memory(
+            ingest.ann_tables_topk_stream(
+                stream, index, k=5, n_tables=4, probe_hamming=1
+            ),
+            "ann_t_stream",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b)
+    for c in ("probe_id", "neighbor_id", "rank"):
+        assert g[c].tolist() == b[c].tolist(), c
+    assert g["cosine"].tolist() == b["cosine"].tolist()
+
+
 def test_ann_topk_stream_batch_size_invariant(spark, sf_dir):
     """r9 ADVICE-high regression: mapInPandas splits a partition into
     ~spark.sql.execution.arrow.maxRecordsPerBatch-row Arrow batches, so a

@@ -788,6 +788,94 @@ def ann_topk_stream(
     )
 
 
+def build_ann_index_multi(
+    corpus,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    n_tables: int = 4,
+):
+    """The multi-TABLE corpus index (r13): (neighbor_id, e_c, n_c, tbl,
+    bucket) — one row per (vector, table), every table's bucket from ONE
+    corpus signature pass (`similarity.hyperplane_signatures_multi`).
+    Batch; persist it (parquet bucketed by (tbl, bucket) at scale) and
+    hand it to :func:`ann_tables_topk_stream`. Table 0 is bit-identical
+    to :func:`build_ann_index`'s buckets."""
+    from wingfoil_spark.functions.similarity import hyperplane_signatures_multi
+
+    c = hyperplane_signatures_multi(corpus, emb_col, bits, n_tables).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"),
+        "tbl", "bucket",
+    )
+    return with_norm(c, "e_c", "n_c").where(F.col("n_c") > 0)
+
+
+def ann_tables_topk_stream(
+    probes,
+    index,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    n_tables: int = 4,
+    probe_hamming: int = 0,
+):
+    """Online serving for the FULL LSH recall dial (r13): arriving
+    probes against the :func:`build_ann_index_multi` tables — the
+    streamed twin of `similarity.lsh_tables_topk`, composable with the
+    per-table Hamming-1 multiprobe. Plan per micro-batch: one probe
+    signature kernel emits every table's bucket, the (tbl, bucket)
+    broadcast equi-join restricts candidates, and the shared running
+    top-k iterator collapses pairs that co-bucket in several tables
+    (its keep-each-pair-once contract — identical cosine per duplicate,
+    so the merge is exact); zero standing state, no streaming
+    dropDuplicates. Stream == batch differential-pinned."""
+    from wingfoil_spark.functions.similarity import hyperplane_signatures_multi
+
+    if probe_hamming not in (0, 1):
+        raise ValueError(
+            "ann_tables_topk_stream: probe_hamming must be 0 or 1"
+        )
+    p = hyperplane_signatures_multi(probes, emb_col, bits, n_tables).select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"),
+        "tbl", "bucket",
+    )
+    p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
+    if probe_hamming == 1:
+        p = p.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(bits)
+                    ],
+                )
+            ),
+        )
+    dot = _dot("e_p", "e_c")
+    scored = (
+        # probe micro-batch broadcast for the same reason as
+        # ann_topk_stream (AQE absent in micro-batch plans)
+        index.join(F.broadcast(p), ["tbl", "bucket"])
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(dot / (F.col("n_p") * F.col("n_c")), 6).alias("cosine"),
+        )
+    )
+    schema = (
+        f"probe_id {probes.schema[id_col].dataType.simpleString()}, "
+        f"neighbor_id {index.schema['neighbor_id'].dataType.simpleString()}, "
+        "cosine double, rank long"
+    )
+    return scored.repartition("probe_id").mapInPandas(
+        _running_cosine_topk_iter(int(k)), schema
+    )
+
+
 def _running_cosine_topk_iter(kk: int):
     """mapInPandas iterator: RUNNING per-probe top-k over
     (probe_id, neighbor_id, cosine) rows, merged across Arrow batches
