@@ -2220,7 +2220,9 @@ dedup AS (
 {final}"""
 
 
-def _lsh_tables_sql_ctes(n_tables: int, bits: int, dim: int) -> str:
+def _lsh_tables_sql_ctes(
+    n_tables: int, bits: int, dim: int, reuse_table0: bool = False
+) -> str:
     """The multi-table LSH candidate generation (similarity.
     lsh_tables_topk with probe_hamming=1) replayed as DuckDB CTEs over
     the decon_stream oracle's ``aen``/``aep`` relations: per-table plane
@@ -2232,10 +2234,23 @@ def _lsh_tables_sql_ctes(n_tables: int, bits: int, dim: int) -> str:
     tables here, unlike the single-table tiers). Final ranking lands in
     ``lt_ranked``. MODULE-LEVEL for the same reason as
     :func:`_lloyd_sql_ctes`: one generator serves the graded oracle and
-    any test that wants to replay it."""
+    any test that wants to replay it.
+
+    ``reuse_table0=True`` emits table 0's buckets as a projection of
+    the ``abuckets`` CTE instead of regenerating them — table 0's
+    planes ARE the 'hp' planes that CTE already projected over the full
+    corpus, and the per-table projection is the heaviest stage of the
+    oracle (review r13: the standalone form recomputed it). Only legal
+    inside the decon_stream oracle where ``abuckets`` exists; the
+    default standalone form is what an isolated test replays."""
     parts = []
-    for t in range(n_tables):
-        seed = "hp" if t == 0 else f"hpT{t}p"
+    start = 1 if reuse_table0 else 0
+    if reuse_table0:
+        parts.append(
+            "ltbk0 AS (SELECT vec_id, 0 AS tbl, bucket FROM abuckets)"
+        )
+    for t in range(start, n_tables):
+        seed = sim.table_seed(t)
         parts.append(f"""ltpl{t} AS (
   SELECT pp AS plane, list(coef ORDER BY dd) AS coefs FROM (
     SELECT pl.pl AS pp, dm.dm AS dd,
@@ -3142,7 +3157,7 @@ JOIN fc USING (user_id, ts_us, event_id)"""
     lloyd_ctes = _lloyd_sql_ctes(
         16, sim.LLOYD_ITERS, sim.LLOYD_SAMPLE_N, 64
     )
-    lsh_tables_ctes = _lsh_tables_sql_ctes(4, 8, 64)
+    lsh_tables_ctes = _lsh_tables_sql_ctes(4, 8, 64, reuse_table0=True)
     o["decon_stream"] = f"""
 WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t
               FROM documents WHERE text IS NOT NULL),

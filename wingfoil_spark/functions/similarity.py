@@ -111,6 +111,36 @@ def table_seed(t: int) -> str:
     return "hp" if t == 0 else f"hpT{t}p"
 
 
+def hamming1_explode(df: DataFrame, bits: int, bucket_col: str = "bucket") -> DataFrame:
+    """Explode a signed-off bucket column to itself + its ``bits``
+    single-bit flips — the Hamming-1 multi-probe set, shared by every
+    probing tier (batch and streamed; review r13 — four inline copies
+    meant a probing-scheme change had four silent divergence points).
+    The probed values (bucket ⊕ distinct masks incl. 0) are pairwise
+    distinct, so downstream equi-joins against a one-bucket-per-row
+    corpus side cannot produce duplicate pairs."""
+    return df.withColumn(
+        bucket_col,
+        F.explode(
+            F.array(
+                F.col(bucket_col),
+                *[
+                    F.col(bucket_col).bitwiseXOR(F.lit(1 << b))
+                    for b in range(bits)
+                ],
+            )
+        ),
+    )
+
+
+def _check_probe_hamming(fn: str, probe_hamming: int) -> None:
+    if probe_hamming not in (0, 1):
+        raise ValueError(
+            f"{fn}: probe_hamming must be 0 (exact bucket) "
+            "or 1 (bit-flip neighbors)"
+        )
+
+
 def hyperplane_signature(
     df: DataFrame, emb_col: str = "embedding", bits: int = 8, dim: int = 64
 ) -> DataFrame:
@@ -173,6 +203,11 @@ def hyperplane_signatures_multi(
     scan builds every table's index (the L-pass formulation reads the
     corpus L times for the same output); the per-row cost is
     ``n_tables × bits × dim`` flops in the same vectorized kernel."""
+    if int(n_tables) < 1:
+        raise ValueError(
+            f"hyperplane_signatures_multi: n_tables must be >= 1, "
+            f"got {n_tables}"
+        )
     df = df.where(F.col(emb_col).isNotNull())
     books = np.stack(
         [hyperplane_coefs(bits, dim, table_seed(t)) for t in range(n_tables)]
@@ -231,10 +266,7 @@ def lsh_tables_topk(
     co-bucket in several tables before scoring, so each surviving pair
     is scored exactly once. Never a cross join; every stage is
     key-partitionable."""
-    if probe_hamming not in (0, 1):
-        raise ValueError(
-            "lsh_tables_topk: probe_hamming must be 0 or 1"
-        )
+    _check_probe_hamming("lsh_tables_topk", probe_hamming)
     c = hyperplane_signatures_multi(corpus, emb_col, bits, n_tables).select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"),
         "tbl", "bucket",
@@ -246,18 +278,7 @@ def lsh_tables_topk(
     )
     p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
     if probe_hamming == 1:
-        p = p.withColumn(
-            "bucket",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                        for b in range(bits)
-                    ],
-                )
-            ),
-        )
+        p = hamming1_explode(p, bits)
     dot = _dot("e_p", "e_c")
     scored = (
         c.join(p, ["tbl", "bucket"])
@@ -311,11 +332,7 @@ def lsh_bucketed_topk(
     ``probe_hamming`` ∈ {0, 1} is supported — distance-2
     explodes ``1 + bits + C(bits,2)`` buckets and is where multiple
     independent TABLES beat deeper probing."""
-    if probe_hamming not in (0, 1):
-        raise ValueError(
-            "lsh_bucketed_topk: probe_hamming must be 0 (exact bucket) "
-            "or 1 (bit-flip neighbors)"
-        )
+    _check_probe_hamming("lsh_bucketed_topk", probe_hamming)
     c = hyperplane_signature(corpus, emb_col, bits).select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "bucket"
     )
@@ -325,16 +342,7 @@ def lsh_bucketed_topk(
     )
     p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
     if probe_hamming == 1:
-        # own bucket + the `bits` single-bit flips, exploded so the
-        # bucket restriction remains one equi-join key
-        flips = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                for b in range(bits)
-            ],
-        )
-        p = p.withColumn("bucket", F.explode(flips))
+        p = hamming1_explode(p, bits)
     dot = _dot("e_p", "e_c")
     scored = (
         c.join(p, "bucket")

@@ -50,7 +50,13 @@ from wingfoil_spark.functions.dedup import (
 )
 from wingfoil_spark.functions.text import tokens
 from wingfoil_spark.functions.text import fingerprint
-from wingfoil_spark.functions.similarity import _dot, hyperplane_signature, with_norm
+from wingfoil_spark.functions.similarity import (
+    _check_probe_hamming,
+    _dot,
+    hamming1_explode,
+    hyperplane_signature,
+    with_norm,
+)
 
 
 def exact_dedup_stream(
@@ -725,33 +731,18 @@ def ann_topk_stream(
     associative, so batch-wise merge + one emission at exhaustion is
     exact and O(probes_in_partition × k) memory.
     """
-    if probe_hamming not in (0, 1):
-        raise ValueError(
-            "ann_topk_stream: probe_hamming must be 0 (exact bucket) "
-            "or 1 (bit-flip neighbors)"
-        )
+    _check_probe_hamming("ann_topk_stream", probe_hamming)
     p = hyperplane_signature(probes, emb_col, bits).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "bucket"
     )
     p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
     if probe_hamming == 1:
         # r13: the multi-probe serving dial — the streamed twin of
-        # lsh_bucketed_topk(probe_hamming=1). Same probe-side explode
-        # (own bucket + `bits` single-bit flips) so the candidate
-        # restriction stays the broadcast equi-join below; row-local,
-        # still zero state (stream == batch, differential-pinned).
-        p = p.withColumn(
-            "bucket",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                        for b in range(bits)
-                    ],
-                )
-            ),
-        )
+        # lsh_bucketed_topk(probe_hamming=1); the shared explode keeps
+        # the candidate restriction on the broadcast equi-join below;
+        # row-local, still zero state (stream == batch,
+        # differential-pinned).
+        p = hamming1_explode(p, bits)
     dot = _dot("e_p", "e_c")
     scored = (
         # the PROBE micro-batch is broadcast explicitly (review r12):
@@ -832,28 +823,14 @@ def ann_tables_topk_stream(
     dropDuplicates. Stream == batch differential-pinned."""
     from wingfoil_spark.functions.similarity import hyperplane_signatures_multi
 
-    if probe_hamming not in (0, 1):
-        raise ValueError(
-            "ann_tables_topk_stream: probe_hamming must be 0 or 1"
-        )
+    _check_probe_hamming("ann_tables_topk_stream", probe_hamming)
     p = hyperplane_signatures_multi(probes, emb_col, bits, n_tables).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"),
         "tbl", "bucket",
     )
     p = with_norm(p, "e_p", "n_p").where(F.col("n_p") > 0)
     if probe_hamming == 1:
-        p = p.withColumn(
-            "bucket",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                        for b in range(bits)
-                    ],
-                )
-            ),
-        )
+        p = hamming1_explode(p, bits)
     dot = _dot("e_p", "e_c")
     scored = (
         # probe micro-batch broadcast for the same reason as
