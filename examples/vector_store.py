@@ -93,6 +93,18 @@ got = {(r.probe_id, r.rank): r.neighbor_id for r in served.collect()}
 assert got[(0, 1)] == 240, got
 print("streaming-serving index: rank-1 near-dup recovered")
 
+# 4a. the LSH recall dial (r13): per-table Hamming-1 multi-probe and L
+# independent plane tables compose — recall can only widen (structural:
+# every dial step probes a superset of buckets)
+mp = sim.lsh_bucketed_topk(corpus, probes, k=3, probe_hamming=1)
+tables = sim.lsh_tables_topk(corpus, probes, k=3, n_tables=4,
+                             probe_hamming=1)
+n_single = sim.lsh_bucketed_topk(corpus, probes, k=3).count()
+n_mp, n_tables_rows = mp.count(), tables.count()
+assert n_single <= n_mp <= n_tables_rows, (n_single, n_mp, n_tables_rows)
+print(f"lsh dial coverage: 1 bucket {n_single} rows -> multiprobe "
+      f"{n_mp} -> 4 tables x multiprobe {n_tables_rows}")
+
 # 4b. PERSISTED store — the write-once/search-many disk layout: IVF
 # cells as parquet directories (searches read nprobe directories via
 # dynamic partition pruning), and the IVF-PQ variant with the float
