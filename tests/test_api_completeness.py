@@ -76,7 +76,12 @@ MODULE_SURFACES = {
         "ivf_assign_rowlocal", "ivf_centroids",
         "lsh_tables_topk", "hyperplane_signatures_multi", "table_seed",
     ],
-    "wingfoil_spark.functions.store_swap": ["swap_store_dirs"],
+    "wingfoil_spark.functions.store_swap": [
+        "ConcurrentAppendError",
+        "guard_no_new_files",
+        "swap_store_dirs",
+        "validate_swap_strategy",
+    ],
     "wingfoil_spark.functions.text": [
         "tokens", "quality_score", "lang_id", "fingerprint",
         "chunk_tokens", "duplicate_line_ratio", "top_token_ratio",

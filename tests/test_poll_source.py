@@ -166,6 +166,9 @@ def test_poll_realtime_trigger_multibatch(spark):
             f"expected >=2 live micro-batches, saw {sorted(batches)}"
         )
         ticks = sorted(r.tick for r in spark.read.parquet(out).collect())
+        # if the query wrote nothing before the deadline the >=2-batches
+        # assert above is the real failure; don't mask it with max([])
+        assert ticks, "realtime poll query wrote zero rows before the deadline"
         # gap-free prefix of the demo stream: every non-quiet tick below
         # the max seen, none twice
         expect = [t for t in range(max(ticks) + 1) if t % 5 != 4]

@@ -38,7 +38,12 @@ from __future__ import annotations
 
 import shutil
 
-__all__ = ["guard_no_new_files", "swap_store_dirs"]
+__all__ = [
+    "ConcurrentAppendError",
+    "guard_no_new_files",
+    "swap_store_dirs",
+    "validate_swap_strategy",
+]
 
 
 class ConcurrentAppendError(RuntimeError):
@@ -60,7 +65,16 @@ def guard_no_new_files(spark, base: str, files_at_read: set, tmp: str) -> None:
     schedule violation from silent data loss into an error. The listing
     is ``inputFiles()`` on a fresh read, so it is storage-portable like
     the ``fs`` swap strategy."""
-    now = set(spark.read.parquet(base).inputFiles())
+    try:
+        now = set(spark.read.parquet(base).inputFiles())
+    except Exception:
+        # the live store itself is unreadable (moved/permissions) — the
+        # swap cannot proceed, so honor the rollback contract of every
+        # other failure path and remove the compacted copy before
+        # re-raising instead of orphaning it on disk
+        fs, jvm = _hadoop_fs(spark, tmp)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise
     new = now - files_at_read
     if new:
         fs, jvm = _hadoop_fs(spark, tmp)

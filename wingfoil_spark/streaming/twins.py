@@ -24,7 +24,7 @@ the instant completes inside the batch.
 Timer API note: Spark 4.1's ``transformWithStateInPandas`` offers the
 richest timer surface but its state protocol requires ``google.protobuf``,
 absent from this environment (verified: the TWS driver worker crashes
-importing StateMessage_pb2; re-verified round 13, 2026-08-16 — ``import
+importing StateMessage_pb2; re-verified round 14, 2026-08-16 — ``import
 google.protobuf`` still raises ModuleNotFoundError, so the binding stays
 env-blocked; port ``delay`` as the TWS pilot if a future round finds it
 installed). TRUE event-time timers do not need TWS:
