@@ -463,16 +463,33 @@ def q_join_passive(spark, sf_dir):
 
 
 def q_sample(spark, sf_dir):
-    """sample (fluent.rs:930, ops.rs:2867-2898): click value sampled at
-    error-event ticks; quiet until first click."""
+    """sample (fluent.rs:930, ops.rs:2867-2898) + the stream-latch
+    ``filter`` (fluent.rs:905, ops.rs:2671-2715) as one tagged union
+    (r14, VERDICT r13 Next #2 — the folds precedent frees no new driver
+    slot): part='sample' is the click value sampled at error ticks;
+    part='latch' gates clicks on a boolean VIEW latch (value > 30) —
+    source ticks pass while the latched condition is true, and condition
+    ticks re-emit the held click value (the
+    condition-tick-resamples-held-value contract)."""
     s = _ev(spark, sf_dir)
     errors = Stream(
         s.df.where(F.col("event_type") == "error").select("ts_us", "event_id", "user_id"),
         ts="ts_us", seq="event_id", keys=("user_id",),
     )
     clicks = _typed(s, "click", "cv")
-    out = clicks.sample(errors, cols=["cv"])
-    return out.df.select("user_id", "ts_us", "cv")
+    samp = clicks.sample(errors, cols=["cv"]).df.select(
+        F.lit("sample").alias("part"), "user_id", "ts_us", "cv"
+    )
+    cond = Stream(
+        s.df.where(F.col("event_type") == "view").select(
+            "ts_us", "event_id", "user_id", (F.col("value") > 30.0).alias("ok")
+        ),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    )
+    latch = clicks.filter_latch(cond, "ok").df.select(
+        F.lit("latch").alias("part"), "user_id", "ts_us", "cv"
+    )
+    return samp.unionByName(latch)
 
 
 def q_dynamic_group_sum(spark, sf_dir):
@@ -518,9 +535,27 @@ def q_gather_burst(spark, sf_dir):
         )
 
     g = typed_str("click").gather(typed_str("view"), typed_str("purchase"))
-    return g.df.select(
-        "user_id", "ts_us", F.concat_ws(",", "burst").alias("burst")
+    gather = g.df.select(
+        F.lit("gather").alias("part"), "user_id", "ts_us",
+        F.concat_ws(",", "burst").alias("burst"),
     )
+    # part='demux_it' (r14, VERDICT r13 Next #2): item-level keyed routing
+    # (interp.rs:4182-4265) — every event carries an iterable of route
+    # tags (its own type + 'all'); demux_it explodes each item to the
+    # keyed child (user, route), and the per-child running count proves
+    # the routing (a misrouted item shifts some child's count sequence).
+    routed = Stream(
+        s.df.select(
+            "ts_us", "event_id", "user_id",
+            F.array(F.col("event_type"), F.lit("all")).alias("routes"),
+        ),
+        ts="ts_us", seq="event_id", keys=("user_id",),
+    ).demux_it("routes", route_col="route")
+    demux = routed.count(out="n").df.select(
+        F.lit("demux_it").alias("part"), "user_id", "ts_us",
+        F.concat_ws(":", "route", F.col("n").cast("string")).alias("burst"),
+    )
+    return gather.unionByName(demux)
 
 
 def q_accumulate(spark, sf_dir):
@@ -2636,10 +2671,18 @@ WITH ev AS ({EV_SQL}),
 t AS (SELECT user_id, ts_us, event_id,
         CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 ELSE 2 END AS pri,
         CAST(value AS DECIMAL(12,2))::VARCHAR AS vs
-      FROM ev WHERE event_type IN ('click', 'view', 'purchase'))
-SELECT user_id, ts_us,
+      FROM ev WHERE event_type IN ('click', 'view', 'purchase')),
+r AS (SELECT user_id, ts_us, event_id,
+        unnest([event_type, 'all']) AS route
+      FROM ev)
+SELECT 'gather' AS part, user_id, ts_us,
   array_to_string(list(vs ORDER BY pri, event_id), ',') AS burst
-FROM t GROUP BY user_id, ts_us"""
+FROM t GROUP BY user_id, ts_us
+UNION ALL
+SELECT 'demux_it' AS part, user_id, ts_us,
+  route || ':' || CAST(row_number() OVER (
+    PARTITION BY user_id, route ORDER BY ts_us, event_id) AS VARCHAR) AS burst
+FROM r"""
     o["accumulate"] = f"""
 WITH ev AS ({EV_SQL})
 SELECT user_id, ts_us, event_id,
@@ -2664,14 +2707,24 @@ FROM ev"""
         emit="left",
     )
     o["sample"] = (
-        _fill_sql(
+        "SELECT 'sample' AS part, user_id, ts_us, cv FROM ("
+        + _fill_sql(
             "SELECT user_id, ts_us, event_id FROM ev WHERE event_type = 'error'",
             "SELECT user_id, ts_us, event_id, value AS cv FROM ev WHERE event_type = 'click'",
             [],
             ["cv"],
             emit="left",
         )
-        + " AND cv IS NOT NULL"
+        + " AND cv IS NOT NULL)"
+        + " UNION ALL SELECT 'latch' AS part, user_id, ts_us, cv FROM ("
+        + _fill_sql(
+            "SELECT user_id, ts_us, event_id, value AS cv FROM ev WHERE event_type = 'click'",
+            "SELECT user_id, ts_us, event_id, (value > 30.0) AS ok FROM ev WHERE event_type = 'view'",
+            ["cv"],
+            ["ok"],
+            emit="either",
+        )
+        + ") WHERE ok AND cv IS NOT NULL"
     )
     o["dynamic_group_sum"] = (
         f"WITH ev AS ({EV_SQL}), d AS ("
