@@ -37,15 +37,50 @@ PINNED_SF001 = {
     #               # actually tiling the data; r12-measured
 
     "pq": 0.14,
+    "pq_lloyd": 0.54,  # r14 production codebooks (fit='lloyd',
+    #                  # k=64/subspace): ~4x the take-fit tier at sf0.01
     "ivfpq": 0.14,
     "ivfpq_store": 0.14,
     "int8": 0.98,
 }
 
 
+#: exact deterministic recall@5 on the PLANTED-CLUSTER arm at the
+#: sf0.01 corpus size (n=500, 10 probes), r14-measured — the same tiers
+#: over production-shaped geometry (16 planted Gaussian clusters; see
+#: recall_check.PLANTED_FLOORS for the full reading). Candidate-
+#: restriction tiers saturate (cells/buckets align with clusters);
+#: quantization tiers improve but stay bounded by within-cluster noise.
+PLANTED_PINNED_N500 = {
+    "exact": 1.0,
+    "lsh": 0.32,
+    "lsh_mp": 0.68,
+    "lsh_t4": 0.66,
+    "lsh_t4_mp": 0.98,
+    "ivf": 1.0,
+    "ivf_store": 1.0,
+    "lloyd": 1.0,
+    "pq": 0.18,
+    "pq_lloyd": 0.38,
+    "ivfpq": 0.18,
+    "ivfpq_store": 0.18,
+    "int8": 1.0,
+}
+
+
 @pytest.fixture(scope="module")
 def table(spark):
     return compute_table(spark, "/root/testdata/sf0.01", k=5)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    from recall_check import planted_corpus
+
+    return compute_table(
+        spark, "/root/testdata/sf0.01", k=5,
+        corpus_df=planted_corpus(spark, 500), tag="planted_test",
+    )
 
 
 def test_recall_values_pinned(spark, table):
@@ -58,6 +93,28 @@ def test_recall_values_pinned(spark, table):
             "pipeline moved; if the parameter change is intentional, "
             "re-pin AND re-run recall_check.py for the artifact"
         )
+
+
+def test_planted_cluster_arm_pinned(spark, planted):
+    got = {
+        m: planted["methods"][m]["recall_at_5"] for m in PLANTED_PINNED_N500
+    }
+    for m, want in PLANTED_PINNED_N500.items():
+        assert got[m] == pytest.approx(want, abs=1e-6), (
+            f"planted:{m}: recall@5 {got[m]} != pinned {want} — the "
+            "generator and every tier are deterministic; re-pin "
+            "consciously with the artifact re-run"
+        )
+
+
+def test_cluster_structure_lifts_candidate_restriction(spark, table, planted):
+    """The RECALL.md claim, as an assertion: on clustered geometry the
+    candidate-restriction tiers (cells/buckets align with clusters) sit
+    far above their isotropic levels."""
+    for m in ("ivf", "lloyd", "lsh_t4_mp"):
+        iso = table["methods"][m]["recall_at_5"]
+        pl = planted["methods"][m]["recall_at_5"]
+        assert pl >= iso + 0.25, f"{m}: planted {pl} vs isotropic {iso}"
 
 
 def test_store_round_trips_preserve_recall(spark, table):

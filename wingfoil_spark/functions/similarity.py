@@ -1250,6 +1250,51 @@ def dequantize_embeddings(
 # --------------------------------------------------- product quantization
 
 
+#: pq_train(fit='lloyd') iteration count — more than the IVF fit's
+#: LLOYD_ITERS because per-subspace k is larger (64-256 codewords vs 16
+#: cells) and the subspace dimension smaller, so assignments keep moving
+#: for a few more rounds before the codebook settles.
+PQ_LLOYD_ITERS = 8
+
+
+def _lloyd_l2_fit_np(S: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic per-subspace L2 Lloyd for ``pq_train(fit='lloyd')``
+    (VERDICT r13 Next #3 — production codebooks with the r12 IVF-fit
+    discipline): take-init from the first ``k`` subvectors, strict
+    left-fold distance accumulation one dimension at a time, half-up-6
+    centroid rounding, first-minimum tie-break — the same engine-neutral
+    arithmetic rules as :func:`_lloyd_fit_np`, but under the metric PQ
+    actually quantizes with (squared L2 per subspace; subvectors are not
+    unit-norm, so the IVF fit's cosine assignment would be wrong here).
+    ``S`` is the id-ordered, already-normalized sample's subspace slice."""
+    if len(S) < k:
+        raise ValueError(
+            f"pq_train(fit='lloyd'): sample has {len(S)} vectors < k={k}"
+        )
+
+    def half_up6(a):
+        return np.floor(a * 1e6 + 0.5) / 1e6
+
+    q = np.floor(S * 1e9 + 0.5)  # exact integer-valued float64
+    C = half_up6(S[:k].copy())
+    for _ in range(int(iters)):
+        # strict left-fold Σ_d (s_d - c_d)², dim at a time (the
+        # _lloyd_fit_np ordering argument: numpy pairwise/BLAS blocked
+        # sums accumulate in engine-chosen orders; a fixed order keeps
+        # the fit replayable bit-for-bit on any engine)
+        acc = (S[:, 0][:, None] - C[:, 0][None, :]) ** 2
+        for d in range(1, S.shape[1]):
+            acc = acc + (S[:, d][:, None] - C[:, d][None, :]) ** 2
+        assign = acc.argmin(axis=1)  # first min == lowest code on ties
+        newC = C.copy()
+        for c in range(k):
+            msk = assign == c
+            if msk.any():
+                newC[c] = half_up6(q[msk].sum(axis=0) / 1e9 / msk.sum())
+        C = newC
+    return C
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -1267,10 +1312,15 @@ def pq_train(
 
     ``fit="take"`` (default): centroids = the k lowest-id vectors'
     subvectors — deterministic, test/oracle-reproducible (the
-    ivf_centroids policy, same trade-off). ``fit="kmeans"``: per-subspace
-    numpy Lloyd iterations over a bounded sample (seeded, deterministic
-    given the corpus) — tighter cells, the production default when
-    cross-engine reproducibility is not needed."""
+    ivf_centroids policy, same trade-off). ``fit="lloyd"``: the
+    PRODUCTION tier (r14) — per-subspace deterministic L2 Lloyd
+    (:func:`_lloyd_l2_fit_np`: take-init, strict-fold arithmetic,
+    half-up-6 rounding, :data:`PQ_LLOYD_ITERS` steps), mirroring how
+    ``ivf_centroids(fit='lloyd')`` upgraded the IVF side; run with
+    k=64-256 per subspace for real codebooks (recall pinned in
+    RECALL.md / tests/test_ann_recall_floors.py). ``fit="kmeans"``:
+    the older unrounded numpy Lloyd — kept for comparison; prefer
+    'lloyd', whose arithmetic is engine-replayable."""
     sample = (
         corpus.select(id_col, emb_col).orderBy(id_col)
         .limit(max(k * 64, 1024))
@@ -1289,7 +1339,9 @@ def pq_train(
     for j in range(m):
         sub = X[:, j * d_sub:(j + 1) * d_sub]
         cents = sub[:k].copy()
-        if fit == "kmeans":
+        if fit == "lloyd":
+            cents = _lloyd_l2_fit_np(sub, k, PQ_LLOYD_ITERS)
+        elif fit == "kmeans":
             for _ in range(10):  # bounded Lloyd; seeded by take-init
                 d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
                 assign = d2.argmin(axis=1)
