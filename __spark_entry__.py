@@ -965,6 +965,16 @@ def _derived_qc_model(spark):
     )
 
 
+#: Per-stage wall breakdown of the last q_decon_stream run (r14, VERDICT
+#: r13 Next #5 — the slot's grading cost, made visible). Sequential
+#: stage walls, not per-union-part walls: the nine streamed parts share
+#: ONE query by design (their standalone costs live in scale_check.
+#: decon_stream_scale); everything batch-side here materializes eagerly,
+#: so its stage wall IS its cost. scale_check copies this dict into
+#: SCALE_r{N}.json as `decon_stream_part_walls`.
+PART_WALLS: dict = {}
+
+
 def q_decon_stream(spark, sf_dir):
     """The STREAMING-INGEST tier graded END TO END through a REAL
     Structured Streaming run (VERDICT r4 task 7; widened r7 per VERDICT
@@ -1025,19 +1035,17 @@ def q_decon_stream(spark, sf_dir):
     r11 widens to EIGHT parts (VERDICT r10 Next #1 — the LAST persisted
     tier without a CORRECTNESS row):
 
-    - part='ivfpq_store' (aux=neighbor_id*10+rank, v=round(1-adc/2,6)):
-      the codes-only IVF-PQ store round trip — write_ivfpq_store (floats
-      DROPPED at write; parquet partitioned by coarse cell; fed from one
-      take-fit + one assignment + one encode via the shared-scan hooks)
-      → ivfpq_topk_from_store (probe assignment → dynamic-partition-
-      pruning directory skip → ADC re-scoring over the on-disk codes).
-      Graded HERE, not in the headline ann union, because the round trip
-      inherently costs a second codes read + ADC pass (~+2-3s — the
-      documented cost decision): decon_stream is the driver slot whose
-      wall time is excluded from the bench headline. Batch-side like
-      part='recall'; rank rides in aux (neighbor*10+rank, rank ≤ 5) so
-      the full (probe, neighbor, adc, rank) tuple is hash-graded within
-      the union's fixed 4-column schema.
+    - part='ivfpq_store' (r11-r13; MERGED into part='ivfpq_grow' in r14
+      per the VERDICT r13 Next #5 keep/merge audit): the non-grown
+      codes-store round trip (full-corpus write_ivfpq_store →
+      ivfpq_topk_from_store) was fully dominated by the grow loop —
+      same writer (different input filter only), same server, same
+      oracle rows (append==rebuild makes the grown store's expected
+      rows the full-corpus ADC oracle's) — so it pinned nothing the
+      four-stage loop doesn't while costing a full extra store write +
+      ADC serve per grading run (the per-part wall breakdown in
+      SCALE_r14.json priced it). The psranked oracle CTE family it
+      introduced remains load-bearing for 'ivfpq_serve'/'ivfpq_grow'.
 
     …and to TEN parts, completing the ONLINE SERVING MATRIX inside the
     streaming union (every persisted index tier has a graded streamed
@@ -1105,7 +1113,7 @@ def q_decon_stream(spark, sf_dir):
       the file arms exist for. A post-run assert pins the file union's
       multi-batch execution.
 
-    r13 widens to SEVENTEEN parts (VERDICT r12 Next #1 + the last
+    r13 widens the union again (VERDICT r12 Next #1 + the last
     serving-matrix hole + the LSH recall dial, both axes):
 
     - part='lsh_mp' (aux=neighbor_id*10+rank, v=cosine): the Hamming-1
@@ -1147,17 +1155,35 @@ def q_decon_stream(spark, sf_dir):
       rebuild and moved-never-rescored compaction make the four-stage
       loop one hash.
 
-    All seventeen outputs are content-determined per doc/probe/tick,
+    r14 runs SIXTEEN parts: the keep/merge audit (VERDICT r13 Next #5,
+    SCALE_r14.json `decon_stream_part_walls` + `part_decisions`) merged
+    'ivfpq_store' into 'ivfpq_grow' (see that part's note above) and
+    kept every other part — each remaining part pins a code path or
+    source kind no other part reaches. The per-part wall breakdown is
+    recorded by this function into PART_WALLS (stage walls; the nine
+    streamed parts share ONE query and are priced standalone in
+    decon_stream_scale's A/B timings).
+
+    All sixteen outputs are content-determined per doc/probe/tick,
     hence arrival-order- and batching-invariant — exactly what makes a
     multi-micro-batch streaming run oracle-gradable against batch
     SQL."""
     import os
     import shutil
     import tempfile
+    import time as _time
     import uuid
 
     from wingfoil_spark.functions import lm as lm_mod
     from wingfoil_spark.streaming import ingest
+
+    PART_WALLS.clear()
+    _t = [_time.perf_counter()]
+
+    def _mark(stage):
+        now = _time.perf_counter()
+        PART_WALLS[stage] = round(now - _t[0], 3)
+        _t[0] = now
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
@@ -1180,6 +1206,7 @@ def q_decon_stream(spark, sf_dir):
     # annotated) — checkpointed so the stream-static join reads a pinned
     # frame instead of re-scanning the parquet every micro-batch
     annidx = ingest.build_ann_index(emb).localCheckpoint(eager=True)
+    _mark("model_snapshots")
 
     zero = F.lit(0).cast("long").alias("aux")
     run = uuid.uuid4().hex[:12]
@@ -1193,6 +1220,7 @@ def q_decon_stream(spark, sf_dir):
             .write.mode("overwrite").parquet(src)
         emb.where(F.col("vec_id") % 50 == 0).select("vec_id", "embedding") \
             .repartition(4).write.mode("overwrite").parquet(psrc)
+        _mark("source_rechunk")
         # r10 part='store': the persisted ingest-history snapshot —
         # doc_id % 3 == 0 plays "already crawled"; checkpointed so the
         # per-micro-batch anti-join reads a pinned frame
@@ -1219,6 +1247,7 @@ def q_decon_stream(spark, sf_dir):
             pasg.select("vec_id", "cid").join(pcodes, "vec_id")
             .localCheckpoint(eager=True)
         )
+        _mark("store_snapshots")
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -1326,6 +1355,7 @@ def q_decon_stream(spark, sf_dir):
             .start()
         )
         q.awaitTermination(300)
+        _mark("stream_file_union")
         # r13 (ADVICE r12): the poll source runs as its OWN availableNow
         # query, not unioned into the file-source run — Python streaming
         # sources don't implement SupportsTriggerAvailableNow, so a
@@ -1350,24 +1380,12 @@ def q_decon_stream(spark, sf_dir):
             "coverage regressed (is a non-availableNow source back in "
             "the union?)"
         )
-        # r11 part='ivfpq_store': write the codes-only store into the run
-        # tmp dir and search it back; the result is MATERIALIZED
-        # (localCheckpoint) before the finally removes the directory.
-        # The take-fit/assignment/encode frames were computed once above
-        # (shared with part='ivf_serve'); the store write is the only
-        # extra pass over them.
-        spath = os.path.join(tmp, "ivfpq_store")
-        sim.write_ivfpq_store(
-            emb, spath, books,
-            # the CHECKPOINTED codes frame (pcodes itself is lazy — it
-            # would re-run the full pq_encode scan inside the write job;
-            # review r11)
-            centroids=pcents, corpus_assign=pasg, corpus_codes=pcodes_store,
-        )
-        ipqs = sim.ivfpq_topk_from_store(
-            spark, spath, pcents, books,
-            emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
-        ).localCheckpoint(eager=True)
+        _mark("stream_poll")
+        # (r14: the r11 part='ivfpq_store' full-corpus write→serve round
+        # trip that lived here was merged into part='ivfpq_grow' below —
+        # the keep/merge audit in SCALE_r14.json; the grow loop runs the
+        # same writer/server against the same oracle rows and adds
+        # append+compact on top.)
         # r12 part='ivf_grow': the incremental crawl→index loop — store
         # written WITHOUT the planted arrival slice, arrivals appended
         # under the SAME frozen centroids, probes served from the GROWN
@@ -1391,6 +1409,7 @@ def q_decon_stream(spark, sf_dir):
             spark, gpath, pcents, emb.where(F.col("vec_id") % 50 == 0),
             k=5, nprobe=4,
         ).localCheckpoint(eager=True)
+        _mark("ivf_grow_loop")
         # r13 part='ivfpq_grow' (VERDICT r12 Next #1): the CODES-ONLY
         # twin of the ivf_grow loop — the layout a real 100 TB corpus
         # actually grows (m smallints per vector on disk, never floats).
@@ -1418,6 +1437,7 @@ def q_decon_stream(spark, sf_dir):
             spark, gqpath, pcents, books,
             emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
         ).localCheckpoint(eager=True)
+        _mark("ivfpq_grow_loop")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # r12 part='ivf_lloyd': the graded kmeans tier — deterministic Lloyd
@@ -1430,6 +1450,7 @@ def q_decon_stream(spark, sf_dir):
         emb, emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
         centroids=lcents,
     ).localCheckpoint(eager=True)
+    _mark("ivf_lloyd")
     # r13 part='lsh_mp': the Hamming-1 MULTI-PROBE production tier over
     # the same md5 planes the streamed part='ann' uses — the recall dial
     # RECALL.md describes, hash-graded (probe-side bit-flip explode
@@ -1438,6 +1459,7 @@ def q_decon_stream(spark, sf_dir):
     imp = sim.lsh_bucketed_topk(
         emb, emb.where(F.col("vec_id") % 50 == 0), k=5, probe_hamming=1
     ).localCheckpoint(eager=True)
+    _mark("lsh_mp")
     # r13 part='lsh_t': the multi-TABLE axis composed with per-table
     # multiprobe — 4 independent plane tables (one signature pass emits
     # all buckets), Hamming-1 within each, REAL pair-dedup before
@@ -1447,6 +1469,7 @@ def q_decon_stream(spark, sf_dir):
         emb, emb.where(F.col("vec_id") % 50 == 0), k=5,
         n_tables=4, probe_hamming=1,
     ).localCheckpoint(eager=True)
+    _mark("lsh_t")
     # the memory sinks hold the materialized rows; localCheckpoint pins
     # them to this returned frame (the table names are run-unique anyway)
     out = (
@@ -1454,6 +1477,7 @@ def q_decon_stream(spark, sf_dir):
         .unionByName(spark.table(f"{name}_poll"))
         .localCheckpoint(eager=True)
     )
+    _mark("sink_collect")
     # r10 part='recall': recall@5 of the STREAMED ann rows vs the exact
     # batch top-5 — computed from the emitted rows themselves, batch-side
     ann_res = out.where(F.col("part") == "ann").select(
@@ -1465,12 +1489,6 @@ def q_decon_stream(spark, sf_dir):
         F.col("probe_id").alias("doc_id"),
         F.col("n_hit").cast("long").alias("aux"),
         F.round("recall", 6).alias("v"),
-    )
-    ipq_rows = ipqs.select(
-        F.lit("ivfpq_store").alias("part"),
-        F.col("probe_id").alias("doc_id"),
-        (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
-        F.round(F.lit(1.0) - F.col("adc_dist") / 2.0, 6).alias("v"),
     )
     grow_rows = igrow.select(
         F.lit("ivf_grow").alias("part"),
@@ -1503,7 +1521,7 @@ def q_decon_stream(spark, sf_dir):
         F.col("cosine").alias("v"),
     )
     return (
-        out.unionByName(rec).unionByName(ipq_rows)
+        out.unionByName(rec)
         .unionByName(grow_rows).unionByName(growq_rows)
         .unionByName(lloyd_rows).unionByName(mp_rows)
         .unionByName(lt_rows)
@@ -3487,9 +3505,9 @@ FROM dfp d WHERE NOT EXISTS (SELECT 1 FROM snapfp s WHERE s.fp = d.fp)
 UNION ALL
 SELECT 'recall', probe_id, n_hit, round(n_hit::DOUBLE / n_exact, 6) FROM rec
 UNION ALL
-SELECT 'ivfpq_store', probe_id, neighbor_id * 10 + rank, cosine
-FROM psranked WHERE rank <= 5
-UNION ALL
+-- (r14: the 'ivfpq_store' arm that read psranked here was merged into
+-- 'ivfpq_grow' — same expected rows; the CTE family stays for the two
+-- arms below)
 SELECT 'ivf_serve', probe_id, neighbor_id * 10 + rank, cosine
 FROM psivf_ranked WHERE rank <= 5
 UNION ALL

@@ -827,6 +827,73 @@ def timed(fn, spark, sf_dir) -> float:
     return best if best is not None else fallback
 
 
+#: r14 keep/merge audit of every decon_stream union part (VERDICT r13
+#: Next #5 — "an explicit keep/merge decision per part"). A part is
+#: kept iff it pins a code path, source kind, or contract no other part
+#: reaches; 'ivfpq_store' failed that test and was merged.
+DECON_STREAM_PART_DECISIONS = {
+    "decon": "keep — the only decontamination arm (gram semi-join, "
+             "batch-local first-seen)",
+    "dsir": "keep — frozen-λ importance scorer, streamed",
+    "bm25": "keep — frozen-stats BM25 scorer, streamed",
+    "lm": "keep — bigram-LM scorer with per-doc (n,Σlp) merge — the only "
+          "part with a stateful per-key micro-batch merge",
+    "clf": "keep — the trained-classifier serving path (completes the "
+           "frozen-model streaming matrix)",
+    "ann": "keep — the only STREAMED LSH serving path (stream-static "
+           "bucket join); lsh_mp/lsh_t are batch-side and different "
+           "functions",
+    "store": "keep — the only persisted-history anti-join (ever-"
+             "ingested gate)",
+    "recall": "keep — the only metric-op grade, computed from the "
+              "stream's own emitted rows",
+    "ivf_serve": "keep — the only streamed IVF serving path "
+                 "(row-local cell pick + cid join)",
+    "ivfpq_serve": "keep — the only streamed ADC serving path",
+    "ivfpq_store": "MERGED into ivfpq_grow (r14) — same writer "
+                   "(input filter differs only), same server, same "
+                   "oracle rows (append==rebuild); pinned nothing the "
+                   "four-stage loop doesn't while costing a full-corpus "
+                   "store write + ADC serve per grading run",
+    "ivf_grow": "keep — the only FLOAT-cell store round trip "
+                "(write/append/compact/ivf_topk_from_store); the codes "
+                "loop never touches the float layout",
+    "ivfpq_grow": "keep — the codes-only growth loop (re-assign + "
+                  "re-encode append, compaction, ADC serve) — now also "
+                  "carries the non-grown round trip's scope",
+    "poll": "keep — the only Python-DataSource source kind (own "
+            "availableNow query by documented necessity)",
+    "ivf_lloyd": "keep — the only SQL-replayed k-means fit grade",
+    "lsh_mp": "keep — pins lsh_bucketed_topk(probe_hamming=1), a "
+              "different function than lsh_t's lsh_tables_topk; also "
+              "the amplification axis cosine_near_dups shares",
+    "lsh_t": "keep — multi-table axis + the only cross-table pair-dedup "
+             "contract",
+}
+
+
+def decon_stream_part_walls(spark):
+    """r14 (VERDICT r13 Next #5): the decon_stream slot's grading cost,
+    stage by stage — captured from entry.PART_WALLS (the graded function
+    marks its own sequential stage boundaries; the nine streamed union
+    parts share ONE query by design, and their standalone per-part costs
+    are the decon_stream_scale A/B timings in this same artifact). The
+    final noop write materializes the lazy batch-side assembly (recall
+    join + the part-row projections over checkpointed frames)."""
+    t0 = time.perf_counter()
+    df = entry.queries()["decon_stream"](spark, SMALL)
+    walls = dict(entry.PART_WALLS)
+    t1 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    walls["assemble_and_materialize"] = round(time.perf_counter() - t1, 3)
+    walls["total"] = round(time.perf_counter() - t0, 3)
+    return {
+        "sf_dir": SMALL,
+        "stage_walls": walls,
+        "part_decisions": DECON_STREAM_PART_DECISIONS,
+    }
+
+
 def main() -> None:
     spark = get_spark("wingfoil_scale_check")
     t0 = time.perf_counter()
@@ -897,6 +964,7 @@ def main() -> None:
         ),
         "semdedup_cap_10x": semdedup_cap_10x(spark),
         "decon_stream_10x": decon_stream_scale(spark),
+        "decon_stream_part_walls": decon_stream_part_walls(spark),
         "ivfpq_grow_scale": ivfpq_grow_scale(spark),
         "selection_note_r8": (
             "r8 swaps the graded union onto selection_scores (one corpus "
