@@ -789,7 +789,14 @@ def fit_quality_classifier(
         )
     )
 
-    @F.udf(returnType=VectorUDT())
+    # VectorUDT forces SOME Python here (MLlib's input type has no
+    # Catalyst constructor, and pandas_udf cannot return a UDT — probed:
+    # the Arrow serializer rejects it), but the transfer need not be
+    # row-at-a-time pickling: useArrow=True ships the bucket arrays to
+    # the worker as Arrow batches (review r13 — train-path-only, bounded
+    # by the labeled sample; the 100 TB SERVING path, quality_scores,
+    # is zero-Python and unchanged).
+    @F.udf(returnType=VectorUDT(), useArrow=True)
     def to_vec(bk):
         c = Counter(bk)
         idx = sorted(c)
