@@ -68,6 +68,9 @@ RECALL_FLOORS = {
     #                    # PQ on the same codes-only search path
     "ivfpq": 0.06,       # measured 0.08
     "ivfpq_store": 0.06,  # identical to ivfpq by round-trip contract
+    "ivfpq_rerank": 0.30,  # measured 0.33 — r14 exact re-rank of the
+    #                      # ADC top-50 shortlist (4.1x ivfpq; ceiling =
+    #                      # IVF nprobe coverage, sweep in the artifact)
 }
 
 
@@ -99,6 +102,9 @@ PLANTED_FLOORS = {
     "pq": 0.05,         # measured 0.075
     "pq_lloyd": 0.18,   # measured 0.23
     "ivfpq": 0.05,      # measured 0.075
+    "ivfpq_rerank": 0.50,  # measured 0.565 at shortlist=50 (the 125-
+    #                      # member clusters outnumber the shortlist;
+    #                      # shortlist=200 reads 1.0 — the dial works)
     "int8": 0.95,       # measured 0.985
 }
 
@@ -262,6 +268,16 @@ def compute_table(spark, sf_dir: str, k: int = 5, sweep: bool = False,
         "ivfpq_store": lambda: sim.ivfpq_topk_from_store(
             spark, ipq_path, cents, books, probes, k=k, nprobe=4
         ),
+        # r14: candidate generation over codes + EXACT re-rank of the
+        # ADC top-50 shortlist — the production serving composition the
+        # planted arm motivates (quantizers find the right NEIGHBORHOOD
+        # but cannot rank within it; the exact pass reads only
+        # probes×shortlist floats). Ceiling = IVF nprobe coverage.
+        "ivfpq_rerank": lambda: sim.ivfpq_rerank_topk(
+            e, probes, books, k=k, shortlist=50, n_centroids=16,
+            nprobe=4, fit="take", corpus_codes=codes, centroids=cents,
+            corpus_assign=asg,
+        ),
         "int8": lambda: sim.cosine_topk(q8, probes, k=k),
     }
     out = {"exact": {"wall_s": t_exact, "recall_at_5": 1.0}}
@@ -299,6 +315,26 @@ def compute_table(spark, sf_dir: str, k: int = 5, sweep: bool = False,
                 {"nprobe": nprobe, "recall_at_5": float(r), "wall_s": t}
             )
         result_extra["ivf_nprobe_sweep"] = sweep_rows
+        # r14: the rerank SHORTLIST dial — recall converges to the IVF
+        # nprobe-coverage ceiling as the exact pass reads more floats
+        # (the second knob a deployment turns, orthogonal to nprobe)
+        rr_rows = []
+        for sl in (50, 100, 200):
+            fn = lambda sl_=sl: sim.ivfpq_rerank_topk(
+                e, probes, books, k=k, shortlist=sl_, n_centroids=16,
+                nprobe=4, fit="take", corpus_codes=codes,
+                centroids=cents, corpus_assign=asg,
+            )
+            t = _timed(fn())
+            r = (
+                sim.recall_at_k(exact, fn(), k=k)
+                .agg(F.round(F.avg("recall"), 6).alias("recall"))
+                .collect()[0]["recall"]
+            )
+            rr_rows.append(
+                {"shortlist": sl, "recall_at_5": float(r), "wall_s": t}
+            )
+        result_extra["ivfpq_rerank_shortlist_sweep"] = rr_rows
         # construct the kmeans-tier frame ONCE: ivf_topk(fit='kmeans')
         # runs the seeded KMeans fit eagerly at construction, so a
         # second construction would fit twice for bit-identical

@@ -41,6 +41,8 @@ PINNED_SF001 = {
     #                  # k=64/subspace): ~4x the take-fit tier at sf0.01
     "ivfpq": 0.14,
     "ivfpq_store": 0.14,
+    "ivfpq_rerank": 0.42,  # r14 exact re-rank of the ADC top-50
+    #                      # shortlist: 3x ivfpq, nears the ivf ceiling
     "int8": 0.98,
 }
 
@@ -64,6 +66,10 @@ PLANTED_PINNED_N500 = {
     "pq_lloyd": 0.38,
     "ivfpq": 0.18,
     "ivfpq_store": 0.18,
+    "ivfpq_rerank": 1.0,  # the r14 headline: exact re-rank of the ADC
+    #                     # shortlist recovers FULL recall on clustered
+    #                     # geometry (quantizer finds the neighborhood,
+    #                     # the exact pass ranks within it)
     "int8": 1.0,
 }
 
@@ -133,6 +139,17 @@ def test_multiprobe_dominates_single_bucket(spark, table):
     assert m["lsh_t4"]["recall_at_5"] >= m["lsh"]["recall_at_5"]
     assert m["lsh_t4_mp"]["recall_at_5"] >= m["lsh_t4"]["recall_at_5"]
     assert m["lsh_t4_mp"]["recall_at_5"] >= m["lsh_mp"]["recall_at_5"]
+
+
+def test_rerank_dominates_ivfpq(spark, table, planted):
+    """Structural on ANY corpus (provable, not just measured): ADC top-k
+    ⊆ ADC top-shortlist, and a true top-k member in the shortlist can be
+    outranked under exact scoring only by other true top-k members — so
+    exact re-rank recall >= ADC recall at the same cells."""
+    for t in (table, planted):
+        m = t["methods"]
+        assert (m["ivfpq_rerank"]["recall_at_5"]
+                >= m["ivfpq"]["recall_at_5"])
 
 
 def test_prune_ops_reported_not_skipped(spark, table):

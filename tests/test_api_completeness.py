@@ -70,6 +70,7 @@ MODULE_SURFACES = {
         "cosine_topk", "lsh_bucketed_topk", "ivf_topk",
         "quantize_embeddings", "dequantize_embeddings",
         "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
+        "ivfpq_rerank_topk",
         "write_ivf_store", "ivf_topk_from_store",
         "write_ivfpq_store", "ivfpq_topk_from_store", "recall_at_k",
         "append_ivf_store", "append_ivfpq_store", "compact_cell_store",

@@ -939,3 +939,43 @@ def test_pq_topk_null_rows_do_not_abort(spark):
     assert sorted(out["probe_id"].unique()) == [0, 1]
     assert 98 not in set(out["neighbor_id"])
     assert len(out) == 6
+
+
+def test_rerank_full_shortlist_full_coverage_equals_bruteforce(spark, emb):
+    """r14 ivfpq_rerank_topk degrades to EXACT by construction when
+    nprobe covers every cell AND the shortlist admits every candidate —
+    the ADC stage then only permutes candidates the exact re-rank
+    re-sorts under cosine_topk's rounding + tie rules."""
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    n = emb.count()
+    exact = sim.cosine_topk(emb, probes, k=5).toPandas()
+    rr = sim.ivfpq_rerank_topk(
+        emb, probes, sim.pq_train(emb, m=8, k=16, fit="take"),
+        k=5, shortlist=n, n_centroids=8, nprobe=8, fit="take",
+    ).toPandas()
+    key = ["probe_id", "rank"]
+    e = exact.sort_values(key).reset_index(drop=True)
+    r = rr.sort_values(key).reset_index(drop=True)
+    assert len(e) == len(r)
+    assert (e["neighbor_id"].to_numpy() == r["neighbor_id"].to_numpy()).all()
+    assert (e["cosine"].to_numpy() == r["cosine"].to_numpy()).all()
+
+
+def test_rerank_cosines_are_true_cosines(spark, emb):
+    """Every re-ranked row's cosine must equal the exact pairwise cosine
+    (the re-rank reads floats — a row carrying an ADC-derived score
+    would betray a plumbing bug), and ranks are dense from 1 per probe."""
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    rr = sim.ivfpq_rerank_topk(
+        emb, probes, books, k=5, shortlist=20, n_centroids=8, nprobe=2,
+        fit="take",
+    ).toPandas()
+    exact_all = sim.cosine_topk(emb, probes, k=10**9).toPandas()
+    truth = {(p, nb): c for p, nb, c in zip(
+        exact_all.probe_id, exact_all.neighbor_id, exact_all.cosine)}
+    for p, nb, c, rk in zip(rr.probe_id, rr.neighbor_id, rr.cosine, rr["rank"]):
+        assert truth[(p, nb)] == c
+    ranks = rr.groupby("probe_id")["rank"].apply(list)
+    for rs in ranks:
+        assert sorted(rs) == list(range(1, len(rs) + 1))
