@@ -157,7 +157,7 @@ MODULE_SURFACES = {
         "build_fingerprint_store", "dedup_against_store",
         "compact_fingerprint_store", "clf_score_stream",
         "build_ann_index_multi", "ann_tables_topk_stream",
-        "ivf_topk_stream", "ivfpq_topk_stream",
+        "ivf_topk_stream", "ivfpq_topk_stream", "ivfpq_rerank_stream",
     ],
     "wingfoil_spark.streaming.metrics": [
         "ProgressListener", "attach", "render_exposition",

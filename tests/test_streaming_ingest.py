@@ -1184,3 +1184,62 @@ def test_exact_dedup_stream_rejects_fp_collision(spark, docs):
     fingerprint) is rejected loudly instead of silently clobbered."""
     with pytest.raises(ValueError, match="'fp' column"):
         ingest.exact_dedup_stream(docs.withColumn("fp", F.lit("x")))
+
+
+def test_ivfpq_rerank_stream_matches_batch(spark, sf_dir, tmp_path):
+    """r14: the streamed rerank twin — ADC shortlist from the codes-only
+    store + exact re-rank against the float side — reproduces the batch
+    ivfpq_rerank_topk EXACTLY under the same store/metadata, across 2
+    micro-batches (the shortlist iterator's running merge and the
+    carried probe vector are both load-bearing here)."""
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 40 == 0)
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    path = str(tmp_path / "rerank_codes")
+    cents = sim.write_ivfpq_store(
+        emb, path, books, n_centroids=8, fit="take"
+    ).localCheckpoint(eager=True)
+    store = spark.read.parquet(path)
+    # batch twin over the SAME store-shaped inputs: corpus_codes/assign
+    # from the store frame, centroids from the store metadata
+    batch = sim.ivfpq_rerank_topk(
+        emb, probes, books, k=5, shortlist=20, nprobe=3,
+        corpus_codes=store.select("vec_id", "pq_code"),
+        centroids=cents,
+        corpus_assign=store.select("vec_id", "cid"),
+    ).toPandas()
+
+    pdf = probes.select("vec_id", "embedding").toPandas()
+    src_dir = tempfile.mkdtemp(prefix="wf_rerank_serve_")
+    try:
+        n = len(pdf)
+        for i in range(2):
+            chunk = pdf.iloc[i * n // 2 : (i + 1) * n // 2]
+            p = os.path.join(src_dir, f"c{i}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        got = _run_to_memory(
+            ingest.ivfpq_rerank_stream(
+                stream, store, cents, books,
+                emb.select("vec_id", "embedding"),
+                k=5, shortlist=20, nprobe=3,
+            ),
+            "rerank_serve_stream",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    key = ["probe_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) and len(g) > 0
+    for c in ("probe_id", "neighbor_id", "rank"):
+        assert g[c].tolist() == b[c].tolist(), c
+    assert g["cosine"].tolist() == b["cosine"].tolist()

@@ -1037,3 +1037,157 @@ def ivfpq_topk_stream(
     return cand.repartition("probe_id").mapInPandas(
         _adc_topk_iter(books, int(k)), schema
     )
+
+
+def _adc_shortlist_iter(books, shortlist: int):
+    """mapInPandas iterator for the STREAMED rerank's stage 1: the same
+    running ADC top-``shortlist`` merge as
+    :func:`~wingfoil_spark.functions.similarity._adc_topk_iter` (same
+    (dist, neighbor_id) total order, same duplicate-id first-occurrence
+    rule), but the flush emits ``(probe_id, neighbor_id, e_p)`` — the
+    probe VECTOR rides along so the exact re-scoring stage needs no
+    second look at the probe stream (a shortlist↔probes join would be a
+    stream-stream self-join, which Spark either rejects or turns into
+    unbounded state; carrying ~shortlist copies of one 64-float array
+    per probe is the cheap alternative)."""
+    import numpy as np
+    import pandas as pd
+
+    m, kk_cent, d_sub = books.shape
+
+    def adc(batches):
+        tables: dict = {}
+        eps: dict = {}      # probe_id -> the probe's raw vector
+        best: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for probe_id, grp in pdf.groupby("probe_id", sort=False):
+                table = tables.get(probe_id)
+                if table is None:
+                    raw = grp["e_p"].iloc[0]
+                    eps[probe_id] = raw
+                    x = np.asarray(raw, dtype=np.float64)
+                    n = np.linalg.norm(x)
+                    if n > 0:
+                        x = x / n
+                    table = np.empty((m, kk_cent), dtype=np.float64)
+                    for j in range(m):
+                        sub = x[j * d_sub:(j + 1) * d_sub]
+                        table[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+                    tables[probe_id] = table
+                codes = np.asarray(
+                    [np.asarray(c, dtype=np.int64) for c in grp["code"]]
+                )
+                dists = table[np.arange(m)[None, :], codes].sum(axis=1)
+                ids = grp["neighbor_id"].to_numpy()
+                if probe_id in best:
+                    pdists, pids = best[probe_id]
+                    dists = np.concatenate([pdists, dists])
+                    ids = np.concatenate([pids, ids])
+                order = np.lexsort((ids, dists))
+                dists, ids = dists[order], ids[order]
+                keep = np.sort(np.unique(ids, return_index=True)[1])[:shortlist]
+                best[probe_id] = (dists[keep], ids[keep])
+        if best:
+            yield pd.concat(
+                [
+                    pd.DataFrame({
+                        "probe_id": probe_id,
+                        "neighbor_id": ids,
+                        "e_p": [eps[probe_id]] * len(ids),
+                    })
+                    for probe_id, (dists, ids) in best.items()
+                ],
+                ignore_index=True,
+            )
+
+    return adc
+
+
+def ivfpq_rerank_stream(
+    probes,
+    store,
+    centroids,
+    codebooks: list,
+    float_corpus,
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streamed twin of :func:`~wingfoil_spark.functions.similarity.
+    ivfpq_rerank_topk` — online candidate generation from the CODES-ONLY
+    store plus an exact cosine re-rank of the ADC shortlist (r14; the
+    production serving composition the planted-cluster recall arm
+    motivates: the quantizer finds the right neighborhood, the exact
+    pass ranks within it).
+
+    ``probes`` may be a streaming frame; ``store`` is the static codes
+    frame (``id, pq_code, cid``), ``centroids``/``codebooks`` its
+    metadata, and ``float_corpus`` the static ``(id, embedding)`` float
+    source for the shortlist lookup (at scale: the id-partitioned float
+    store — only ``probes × shortlist`` rows of it are ever read per
+    micro-batch, through the id equi-join). Plan per micro-batch, fully
+    stateless: row-local nprobe assignment → stream-static cid join →
+    running ADC top-``shortlist`` per probe (``_adc_shortlist_iter``,
+    which carries the probe vector through so no second probe join is
+    needed) → stream-static id join to the float side (shortlist
+    micro-batch broadcast — the codes/float stores must never be
+    shuffled per trigger) → exact 6dp-rounded cosine → the shared
+    running top-k. Matches the batch tier row-for-row under the same
+    store + metadata (test-pinned)."""
+    import numpy as np
+
+    from wingfoil_spark.functions.similarity import ivf_assign_rowlocal
+
+    p = ivf_assign_rowlocal(probes, centroids, nprobe, emb_col, id_col).select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
+    )
+    cand = (
+        store.join(F.broadcast(p), "cid")
+        .where(F.col("probe_id") != F.col(id_col))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("pq_code").alias("code"),
+            "e_p",
+        )
+    )
+    books = np.asarray([np.asarray(b, dtype=np.float64) for b in codebooks])
+    pt = probes.schema[emb_col].dataType.simpleString()
+    short_schema = (
+        f"probe_id {probes.schema[id_col].dataType.simpleString()}, "
+        f"neighbor_id {store.schema[id_col].dataType.simpleString()}, "
+        f"e_p {pt}"
+    )
+    short = cand.repartition("probe_id").mapInPandas(
+        _adc_shortlist_iter(books, int(shortlist)), short_schema
+    )
+    c = with_norm(
+        float_corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c")
+        ),
+        "e_c", "n_c",
+    ).where(F.col("n_c") > 0)
+    scored = (
+        c.join(F.broadcast(short), "neighbor_id")
+        .withColumn("n_p", F.sqrt(_dot("e_p", "e_p")))
+        .where(F.col("n_p") > 0)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                _dot("e_p", "e_c") / (F.col("n_p") * F.col("n_c")), 6
+            ).alias("cosine"),
+        )
+    )
+    schema = (
+        f"probe_id {probes.schema[id_col].dataType.simpleString()}, "
+        f"neighbor_id {store.schema[id_col].dataType.simpleString()}, "
+        "cosine double, rank int"
+    )
+    return scored.repartition("probe_id").mapInPandas(
+        _running_cosine_topk_iter(int(k)), schema
+    )
