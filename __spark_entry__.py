@@ -1155,16 +1155,31 @@ def q_decon_stream(spark, sf_dir):
       rebuild and moved-never-rescored compaction make the four-stage
       loop one hash.
 
-    r14 runs SIXTEEN parts: the keep/merge audit (VERDICT r13 Next #5,
-    SCALE_r14.json `decon_stream_part_walls` + `part_decisions`) merged
-    'ivfpq_store' into 'ivfpq_grow' (see that part's note above) and
-    kept every other part — each remaining part pins a code path or
-    source kind no other part reaches. The per-part wall breakdown is
-    recorded by this function into PART_WALLS (stage walls; the nine
-    streamed parts share ONE query and are priced standalone in
-    decon_stream_scale's A/B timings).
+    r14 runs SEVENTEEN parts, with a budget SWAP: the keep/merge audit
+    (VERDICT r13 Next #5, SCALE_r14.json `decon_stream_part_walls` +
+    `part_decisions`) merged 'ivfpq_store' into 'ivfpq_grow' (see that
+    part's note above — same writer/server/oracle rows, nothing unique
+    pinned) and spent the freed budget on the round's NEW capability:
 
-    All sixteen outputs are content-determined per doc/probe/tick,
+    - part='rerank' (aux=neighbor_id*10+rank, v=cosine): exact cosine
+      re-rank of the ADC top-50 shortlist (similarity.
+      ivfpq_rerank_topk — the production serving composition the
+      planted-cluster recall arm motivates: the quantizer finds the
+      right neighborhood, the exact pass ranks within it; recall
+      0.33 isotropic / up to 1.0 planted, RECALL.md). Fed from the
+      shared checkpointed centroids/assignment/codes frames — zero
+      extra corpus scans. Oracle: psranked rank<=50 IS the shortlist
+      (same (dist, neighbor) truncation order as _adc_topk_iter's
+      running merge), exact-rescored and re-ranked under cosine_topk's
+      rounding + tie rules. Batch-side like 'recall'/'ivf_lloyd'.
+
+    Every other part is kept — each pins a code path or source kind no
+    other part reaches. The per-part wall breakdown is recorded by this
+    function into PART_WALLS (stage walls; the nine streamed parts
+    share ONE query and are priced standalone in decon_stream_scale's
+    A/B timings).
+
+    All seventeen outputs are content-determined per doc/probe/tick,
     hence arrival-order- and batching-invariant — exactly what makes a
     multi-micro-batch streaming run oracle-gradable against batch
     SQL."""
@@ -1470,6 +1485,20 @@ def q_decon_stream(spark, sf_dir):
         n_tables=4, probe_hamming=1,
     ).localCheckpoint(eager=True)
     _mark("lsh_t")
+    # r14 part='rerank': the round's new serving composition hash-graded
+    # — exact cosine re-rank of the ADC top-50 shortlist
+    # (ivfpq_rerank_topk), fed from the SAME checkpointed take
+    # centroids/assignment/codes frames (zero extra corpus scans; the
+    # slot budget for this part is the r14 'ivfpq_store' merge). Oracle:
+    # psranked rank<=50 is the shortlist (same (dist, id) truncation
+    # order as _adc_topk_iter), exact-cosine re-scored and re-ranked
+    # under cosine_topk's rounding + tie rules.
+    irr = sim.ivfpq_rerank_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 0), books, k=5,
+        shortlist=50, nprobe=4, corpus_codes=pcodes_store,
+        centroids=pcents, corpus_assign=pasg,
+    ).localCheckpoint(eager=True)
+    _mark("rerank")
     # the memory sinks hold the materialized rows; localCheckpoint pins
     # them to this returned frame (the table names are run-unique anyway)
     out = (
@@ -1520,11 +1549,17 @@ def q_decon_stream(spark, sf_dir):
         (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
         F.col("cosine").alias("v"),
     )
+    rr_rows = irr.select(
+        F.lit("rerank").alias("part"),
+        F.col("probe_id").alias("doc_id"),
+        (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
+        F.col("cosine").alias("v"),
+    )
     return (
         out.unionByName(rec)
         .unionByName(grow_rows).unionByName(growq_rows)
         .unionByName(lloyd_rows).unionByName(mp_rows)
-        .unionByName(lt_rows)
+        .unionByName(lt_rows).unionByName(rr_rows)
     )
 
 
@@ -3607,6 +3642,22 @@ UNION ALL
 -- with 'ivfpq_store'/'ivfpq_serve'
 SELECT 'ivfpq_grow', probe_id, neighbor_id * 10 + rank, cosine
 FROM psranked WHERE rank <= 5
+UNION ALL
+-- r14 part='rerank': exact re-rank of the ADC top-50 shortlist — the
+-- shortlist is psranked rank<=50 (the same (dist, neighbor) truncation
+-- order the Spark running-merge uses), re-scored with the exact cosine
+-- over the float side and re-ranked under cosine_topk's 6dp rounding +
+-- lowest-id tie rules
+SELECT 'rerank', probe_id, neighbor_id * 10 + rank, cosine FROM (
+  SELECT s.probe_id, s.neighbor_id,
+    round(list_dot_product(p.emb, n.emb) / (p.nrm * n.nrm), 6) AS cosine,
+    CAST(row_number() OVER (PARTITION BY s.probe_id
+      ORDER BY round(list_dot_product(p.emb, n.emb) / (p.nrm * n.nrm), 6)
+        DESC, s.neighbor_id) AS BIGINT) AS rank
+  FROM (SELECT probe_id, neighbor_id FROM psranked WHERE rank <= 50) s
+  JOIN aep p ON p.vec_id = s.probe_id AND p.nrm > 0
+  JOIN psn n ON n.vec_id = s.neighbor_id AND n.nrm > 0
+) WHERE rank <= 5
 UNION ALL
 SELECT 'ivf_lloyd', probe_id, neighbor_id * 10 + rank, cosine
 FROM llivf_ranked WHERE rank <= 5

@@ -869,6 +869,10 @@ DECON_STREAM_PART_DECISIONS = {
               "the amplification axis cosine_near_dups shares",
     "lsh_t": "keep — multi-table axis + the only cross-table pair-dedup "
              "contract",
+    "rerank": "NEW (r14) — the part budget freed by the ivfpq_store "
+              "merge, spent on the round's new capability: exact "
+              "re-rank of the ADC shortlist (ivfpq_rerank_topk), the "
+              "only two-stage quantized-candidates/exact-scoring grade",
 }
 
 
