@@ -313,3 +313,30 @@ def test_train_val_test_split_zero_shuffle(spark):
                                 group_col="source")
     plan_g = g._jdf.queryExecution().executedPlan().toString()
     assert count_shuffles(plan_g) == 0, plan_g
+
+
+def test_ivfpq_rerank_no_cartesian_and_broadcast_probes(spark):
+    """r14: the rerank tier's two joins must both be bounded — the
+    shortlist→float lookup is an equi-join on neighbor_id and the probe
+    attach is a broadcast (probes are the small side by contract); an
+    all-pairs product anywhere would defeat the shortlist's purpose."""
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.functions import similarity as sim
+    from wingfoil_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    probes = e.where(F.col("vec_id") % 50 == 0)
+    df = sim.ivfpq_rerank_topk(
+        e, probes, sim.pq_train(e, m=8, k=16, fit="take"),
+        k=5, shortlist=20, n_centroids=8, nprobe=2, fit="take",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop joins allowed are the IVF assignment's
+    # every-row-vs-16-broadcast-centroids scoring (one for the corpus,
+    # one for the probes — the same bounded shape the graded ivf/ann
+    # plans carry); the shortlist float lookup and probe attach must be
+    # hash equi-joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
