@@ -76,6 +76,7 @@ MODULE_SURFACES = {
         "append_ivf_store", "append_ivfpq_store", "compact_cell_store",
         "ivf_assign_rowlocal", "ivf_centroids",
         "lsh_tables_topk", "hyperplane_signatures_multi", "table_seed",
+        "read_store_meta", "check_store_meta",
     ],
     "wingfoil_spark.functions.store_swap": [
         "ConcurrentAppendError",

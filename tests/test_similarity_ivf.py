@@ -1022,3 +1022,63 @@ def test_pq_lloyd_fit_matches_sql_replay(spark, emb, sf_dir):
     assert np.array_equal(got, want), (
         f"max diff {np.abs(got - want).max()}"
     )
+
+
+def test_store_meta_mismatch_refused(spark, emb, tmp_path):
+    """r14: serving or growing a store under centroids/codebooks other
+    than the ones it was written with must FAIL LOUDLY (previously it
+    silently returned wrong neighbors / split cells across two
+    geometries — the exact failure the append docstring warned about)."""
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivf")
+    cents = sim.write_ivf_store(emb, path, n_centroids=8, fit="take")
+    foreign = sim.ivf_centroids(emb, 8, fit="lloyd").localCheckpoint(
+        eager=True
+    )
+    with pytest.raises(ValueError, match="does not match the store"):
+        sim.ivf_topk_from_store(spark, path, foreign, probes, k=5, nprobe=3)
+    with pytest.raises(ValueError, match="does not match the store"):
+        sim.append_ivf_store(probes, path, foreign)
+    # the matching frame still serves/grows
+    assert sim.ivf_topk_from_store(
+        spark, path, cents, probes, k=5, nprobe=3
+    ).count() > 0
+
+    qpath = str(tmp_path / "ivfpq")
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    qcents = sim.write_ivfpq_store(emb, qpath, books, n_centroids=8,
+                                   fit="take")
+    wrong_books = sim.pq_train(emb, m=8, k=16, fit="lloyd")
+    with pytest.raises(ValueError, match="codebooks do not match"):
+        sim.ivfpq_topk_from_store(
+            spark, qpath, qcents, wrong_books, probes, k=5, nprobe=3
+        )
+    with pytest.raises(ValueError, match="does not match the store"):
+        sim.append_ivfpq_store(probes, qpath, foreign, books)
+
+
+def test_store_meta_survives_compaction_and_absence_is_tolerated(
+    spark, emb, tmp_path
+):
+    """The sidecar must ride through append+compact (the swap writes a
+    fresh tmp dir), and a store with NO sidecar (pre-r14 / external)
+    passes unchecked — the guard protects stores this library wrote."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    cents = sim.write_ivf_store(emb, path, n_centroids=8, fit="take")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    sim.append_ivf_store(probes, path, cents)
+    sim.compact_cell_store(spark, path)
+    meta = sim.read_store_meta(spark, path)
+    assert meta is not None and meta["layout"] == "ivf_float"
+    assert meta["centroid_digest"] == sim._centroid_digest(cents)
+    # remove the sidecar: a foreign frame is no longer refused (no
+    # metadata to check against) — absence tolerance, not a bypass
+    os.remove(os.path.join(path, sim.STORE_META_FILE))
+    foreign = sim.ivf_centroids(emb, 8, fit="lloyd").localCheckpoint(
+        eager=True
+    )
+    assert sim.ivf_topk_from_store(
+        spark, path, foreign, probes, k=5, nprobe=3
+    ).count() > 0

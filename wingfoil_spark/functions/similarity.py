@@ -742,6 +742,133 @@ def ivf_topk(
     )
 
 
+#: Sidecar filename for persisted-store metadata. Underscore-prefixed so
+#: Spark's file index treats it like _SUCCESS (invisible to the parquet
+#: reader) while living INSIDE the store directory — it travels with
+#: every rename/copy of the store as one unit.
+STORE_META_FILE = "_wingfoil_meta.json"
+
+
+def _centroid_digest(centroids: DataFrame) -> str:
+    """md5 over the (cid-ordered) centroid values — the identity of the
+    geometry a store was written under. Bounded: n_centroids rows."""
+    import hashlib
+    import json
+
+    rows = sorted(
+        centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
+    )
+    payload = json.dumps(
+        [[int(r["cid"]), [float(x) for x in r["cvec"]]] for r in rows]
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _codebook_digest(codebooks: list) -> str:
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        [[[float(x) for x in c] for c in b] for b in codebooks]
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _write_sidecar(spark, path: str, payload: str) -> None:
+    import os
+
+    if "://" not in path:
+        with open(os.path.join(path, STORE_META_FILE), "w") as f:
+            f.write(payload)
+        return
+    from wingfoil_spark.functions.store_swap import _hadoop_fs
+
+    fs, jvm = _hadoop_fs(spark, path)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{STORE_META_FILE}"),
+        True,
+    )
+    try:
+        out.write(bytearray(payload.encode()))
+    finally:
+        out.close()
+
+
+def _read_sidecar(spark, path: str) -> str | None:
+    import os
+
+    if "://" not in path:
+        p = os.path.join(path, STORE_META_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read()
+    from wingfoil_spark.functions.store_swap import _hadoop_fs
+
+    fs, jvm = _hadoop_fs(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{STORE_META_FILE}"
+    )
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def read_store_meta(spark, path: str) -> dict | None:
+    """The store's metadata sidecar (layout kind, geometry digests), or
+    None for a store written before r14 / by an external tool — absence
+    disables verification rather than failing (documented tolerance)."""
+    import json
+
+    raw = _read_sidecar(spark, path)
+    return None if raw is None else json.loads(raw)
+
+
+def check_store_meta(
+    spark,
+    path: str,
+    centroids: DataFrame | None = None,
+    codebooks: list | None = None,
+    op: str = "read",
+) -> None:
+    """Refuse to serve/append under MISMATCHED index metadata (r14): an
+    IVF/IVF-PQ store searched or grown with centroids (or codebooks)
+    other than the ones it was written under does not error — it
+    silently returns wrong neighbors / splits cells across two
+    geometries (the append_ivf_store docstring's warning, now enforced).
+    Every writer records digests in :data:`STORE_META_FILE`; every
+    reader/appender calls this. A store with NO sidecar (pre-r14,
+    external) passes unchecked — the guard protects stores this
+    library wrote, it does not gatekeep foreign layouts."""
+    meta = read_store_meta(spark, path)
+    if meta is None:
+        return
+    if centroids is not None and meta.get("centroid_digest"):
+        got = _centroid_digest(centroids)
+        if got != meta["centroid_digest"]:
+            raise ValueError(
+                f"{op}: centroid frame does not match the store at "
+                f"{path!r} (digest {got[:12]}… vs the store's "
+                f"{meta['centroid_digest'][:12]}…) — serving or growing "
+                "under foreign centroids silently corrupts results; use "
+                "the frame persisted beside the store, or rebuild"
+            )
+    if codebooks is not None and meta.get("codebook_digest"):
+        got = _codebook_digest(codebooks)
+        if got != meta["codebook_digest"]:
+            raise ValueError(
+                f"{op}: PQ codebooks do not match the store at {path!r} "
+                f"(digest {got[:12]}… vs the store's "
+                f"{meta['codebook_digest'][:12]}…) — ADC under foreign "
+                "codebooks returns garbage distances; use the codebooks "
+                "persisted beside the store, or rebuild"
+            )
+
+
 def write_ivf_store(
     corpus: DataFrame,
     path: str,
@@ -798,6 +925,12 @@ def write_ivf_store(
     else:
         asg = ivf_assign(corpus, cents, 1, emb_col, id_col)
     _write_by_cell(asg, path, id_col, mode, writers_per_cell)
+    import json
+
+    _write_sidecar(corpus.sparkSession, path, json.dumps({
+        "layout": "ivf_float",
+        "centroid_digest": _centroid_digest(cents),
+    }))
     return cents
 
 
@@ -839,6 +972,7 @@ def ivf_topk_from_store(
     scan never opens the other ``n_centroids − nprobe`` cells' files.
     Results are identical to :func:`ivf_topk` over the same corpus and
     centroids (same assignment, same ranking)."""
+    check_store_meta(spark, path, centroids, op="ivf_topk_from_store")
     store = spark.read.parquet(path)
     return ivf_topk(
         store,
@@ -911,6 +1045,11 @@ def append_ivf_store(
         if cond != "PATH_NOT_FOUND":
             raise
         existing = []
+    if existing:
+        # growing an EXISTING store under foreign centroids silently
+        # splits cells across two geometries — refuse (r14, enforced
+        # from the docstring's caller contract)
+        check_store_meta(spark, path, centroids, op="append_ivf_store")
     if "__nrm" in existing:
         asg = with_norm(asg, emb_col, "__nrm")
     _write_by_cell(asg, path, id_col, "append", writers_per_cell)
@@ -988,6 +1127,12 @@ def compact_cell_store(
         tmp, id_col, "overwrite", writers_per_cell,
     )
     n = obs.get["n"]
+    # the metadata sidecar (r14) must survive compaction — the rewrite
+    # wrote only parquet into tmp; carry the digests over BEFORE the
+    # swap so readers keep their mismatch guard on the compacted store
+    meta_raw = _read_sidecar(spark, base)
+    if meta_raw is not None:
+        _write_sidecar(spark, tmp, meta_raw)
     guard_no_new_files(spark, base, files_at_read, tmp)
     swap_store_dirs(spark, base, tmp, old, strategy=swap_strategy)
     return n
@@ -1081,6 +1226,13 @@ def write_ivfpq_store(
             F.col(id_col), F.col("cid"), F.col("pq_code")
         )
     _write_by_cell(coded, path, id_col, mode, writers_per_cell)
+    import json
+
+    _write_sidecar(corpus.sparkSession, path, json.dumps({
+        "layout": "ivfpq_codes",
+        "centroid_digest": _centroid_digest(cents),
+        "codebook_digest": _codebook_digest(codebooks),
+    }))
     return cents
 
 
@@ -1103,6 +1255,8 @@ def ivfpq_topk_from_store(
     byte-lookups per candidate. No float corpus column is ever read —
     it does not exist in the store. Results are identical to
     :func:`ivfpq_topk` under the same centroids/codebooks."""
+    check_store_meta(spark, path, centroids, codebooks,
+                     op="ivfpq_topk_from_store")
     store = spark.read.parquet(path)
     p = ivf_assign(probes, centroids, nprobe, emb_col, id_col).select(
         F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "cid"
@@ -1143,7 +1297,10 @@ def append_ivfpq_store(
     corpus with the same metadata (test-pinned). Same caller contracts
     as :func:`append_ivf_store` (same centroids AND codebooks, dedup
     upstream, periodic :func:`compact_cell_store` to re-bound file
-    counts / re-fit on distribution drift)."""
+    counts / re-fit on distribution drift) — enforced when the store
+    carries a metadata sidecar (r14, :func:`check_store_meta`)."""
+    check_store_meta(new_vectors.sparkSession, path, centroids,
+                     codebooks, op="append_ivfpq_store")
     asg = ivf_assign(new_vectors, centroids, 1, emb_col, id_col)
     coded = pq_encode(asg, codebooks, emb_col).select(
         F.col(id_col), F.col("cid"), F.col("pq_code")

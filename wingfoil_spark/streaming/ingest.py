@@ -924,7 +924,11 @@ def ivf_topk_stream(
 
     ``probes`` may be a streaming frame; ``store`` is the static
     ``spark.read.parquet(path)`` frame and ``centroids`` the metadata
-    frame persisted beside it. Plan per micro-batch, fully stateless:
+    frame persisted beside it (this op takes frames, not a path, so it
+    cannot verify the store's metadata sidecar itself — call
+    ``similarity.check_store_meta(spark, path, centroids)`` once at
+    stream construction, as the batch twin does). Plan per micro-batch,
+    fully stateless:
     ROW-LOCAL nprobe assignment (``ivf_assign_rowlocal`` — the centroid
     metadata inlined as a literal array, top-nprobe via array_sort: no
     window, no shuffle, streaming-legal) → stream-static equi-join on
@@ -997,7 +1001,10 @@ def ivfpq_topk_stream(
 
     ``probes`` may be a streaming frame; ``store`` is the static
     ``spark.read.parquet(path)`` codes frame (``id, pq_code, cid``) and
-    ``centroids``/``codebooks`` the metadata persisted beside it. Plan
+    ``centroids``/``codebooks`` the metadata persisted beside it
+    (frames, not a path — verify the sidecar once at stream
+    construction via ``similarity.check_store_meta(spark, path,
+    centroids, codebooks)``, as the batch twin does). Plan
     per micro-batch, fully stateless: row-local nprobe assignment
     (``ivf_assign_rowlocal`` — window-free, streaming-legal) →
     stream-static equi-join on ``cid`` → per-probe running ADC top-k
