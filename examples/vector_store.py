@@ -165,6 +165,26 @@ try:
     assert after[(0, 1)] == 240, after
     print("incremental append: near-dup appended under frozen centroids, "
           "rank-1 recovered")
+
+    # 4e. REFIT on drift (r14) — after enough appends the frozen
+    # centroids stop tiling the data: re-fit + re-assign + atomic swap
+    # in place. The sidecar digest turns over, so serving with the
+    # STALE frame fails loudly instead of searching the wrong cells.
+    cents_new = sim.refit_cell_store(spark, store_dir + "/ivf_inc",
+                                     n_centroids=4, fit="lloyd")
+    refit = {(r.probe_id, r.rank): r.neighbor_id
+             for r in sim.ivf_topk_from_store(
+                 spark, store_dir + "/ivf_inc", cents_new, probes,
+                 k=3, nprobe=4).collect()}
+    assert refit[(0, 1)] == 240, refit
+    try:
+        sim.ivf_topk_from_store(spark, store_dir + "/ivf_inc", cents_s,
+                                probes, k=3, nprobe=2)
+        raise AssertionError("stale centroid frame was not refused")
+    except ValueError as e:
+        assert "does not match the store" in str(e)
+    print("refit on drift: store re-tiled in place; stale centroid "
+          "frame refused by the metadata sidecar")
 finally:
     shutil.rmtree(store_dir, ignore_errors=True)
 

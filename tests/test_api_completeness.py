@@ -77,6 +77,7 @@ MODULE_SURFACES = {
         "ivf_assign_rowlocal", "ivf_centroids",
         "lsh_tables_topk", "hyperplane_signatures_multi", "table_seed",
         "read_store_meta", "check_store_meta",
+        "pq_decode", "refit_cell_store",
     ],
     "wingfoil_spark.functions.store_swap": [
         "ConcurrentAppendError",

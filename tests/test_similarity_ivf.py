@@ -1082,3 +1082,140 @@ def test_store_meta_survives_compaction_and_absence_is_tolerated(
     assert sim.ivf_topk_from_store(
         spark, path, foreign, probes, k=5, nprobe=3
     ).count() > 0
+
+
+def test_pq_decode_exact_and_jvm_only(spark, emb):
+    """pq_decode == the numpy reconstruction (concat of looked-up
+    codebook centroids), computed JVM-side: zero Python stages in the
+    plan — the property that makes a 100 TB codes-only refit a single
+    columnar scan."""
+    import numpy as np
+
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    coded = (
+        sim.pq_encode(emb.limit(50), books)
+        .select("vec_id", "pq_code")
+        .localCheckpoint(eager=True)  # sever the encode's Python stage:
+        # the gate below must see the DECODE plan alone
+    )
+    dec = sim.pq_decode(coded, books, out="recon")
+    from wingfoil_spark.plans.audit import plan_summary
+
+    assert plan_summary(dec)["python_stages"] == 0
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    for r in dec.collect():
+        want = np.concatenate([B[j][c] for j, c in enumerate(r["pq_code"])])
+        assert np.array_equal(np.asarray(r["recon"]), want), r["vec_id"]
+
+
+def test_refit_float_store_rebuild_equivalence(spark, emb, tmp_path):
+    """refit_cell_store on the float layout == write_ivf_store over the
+    same rows under the same fit (rebuild equivalence — the lloyd fit
+    is deterministic given the contents), and the rewritten sidecar
+    REFUSES the pre-refit centroid frame."""
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    arrivals = emb.where(F.col("vec_id") % 7 == 0)
+    base_corpus = emb.where(F.col("vec_id") % 7 != 0)
+    path = str(tmp_path / "ivf")
+    stale = sim.write_ivf_store(base_corpus, path, n_centroids=8,
+                                fit="take").localCheckpoint(eager=True)
+    sim.append_ivf_store(arrivals, path, stale)
+    # refit under a DIFFERENT fit and a GROWN cell count
+    cents = sim.refit_cell_store(spark, path, n_centroids=12, fit="lloyd")
+    # rebuild oracle: a fresh store over the union under the same fit
+    path2 = str(tmp_path / "rebuild")
+    cents2 = sim.write_ivf_store(emb, path2, n_centroids=12, fit="lloyd")
+    assert sim._centroid_digest(cents) == sim._centroid_digest(cents2)
+    got = spark.read.parquet(path).select("vec_id", "cid").toPandas()
+    want = spark.read.parquet(path2).select("vec_id", "cid").toPandas()
+    key = lambda d: d.sort_values("vec_id").reset_index(drop=True)
+    assert key(got).equals(key(want))
+    meta = sim.read_store_meta(spark, path)
+    assert meta["centroid_digest"] == sim._centroid_digest(cents)
+    # serving under the refit frame works; the STALE frame is refused
+    assert sim.ivf_topk_from_store(
+        spark, path, cents, probes, k=5, nprobe=4
+    ).count() > 0
+    with pytest.raises(ValueError, match="does not match the store"):
+        sim.ivf_topk_from_store(spark, path, stale, probes, k=5, nprobe=4)
+
+
+def test_refit_codes_store_without_floats(spark, emb, tmp_path):
+    """A codes-only store refits with NO float corpus: codes ride
+    through byte-identical, every row's new cid is the assignment of
+    its pq_decode reconstruction under the new centroids, and the
+    sidecar turnover refuses both the stale centroids and foreign
+    codebooks."""
+    path = str(tmp_path / "ivfpq")
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    stale = sim.write_ivfpq_store(emb, path, books, n_centroids=8,
+                                  fit="take").localCheckpoint(eager=True)
+    before = spark.read.parquet(path).select("vec_id", "pq_code").toPandas()
+    with pytest.raises(ValueError, match="codes-only store"):
+        sim.refit_cell_store(spark, path, n_centroids=8, fit="lloyd")
+    wrong_books = sim.pq_train(emb, m=8, k=16, fit="lloyd")
+    with pytest.raises(ValueError, match="codebooks do not match"):
+        sim.refit_cell_store(spark, path, n_centroids=8, fit="lloyd",
+                             codebooks=wrong_books)
+    cents = sim.refit_cell_store(spark, path, n_centroids=8, fit="lloyd",
+                                 codebooks=books)
+    store = spark.read.parquet(path).toPandas()
+    key = lambda d: d.sort_values("vec_id").reset_index(drop=True)
+    assert key(store)["pq_code"].map(tuple).equals(
+        key(before)["pq_code"].map(tuple)
+    )
+    # independent assignment oracle: reconstruct → assign under cents
+    recon = sim.pq_decode(
+        spark.createDataFrame(before), books, out="__recon"
+    )
+    want = sim.ivf_assign(recon, cents, 1, "__recon", "vec_id").select(
+        "vec_id", "cid"
+    ).toPandas()
+    assert key(store[["vec_id", "cid"]]).equals(key(want))
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    assert sim.ivfpq_topk_from_store(
+        spark, path, cents, books, probes, k=5, nprobe=4
+    ).count() > 0
+    with pytest.raises(ValueError, match="does not match the store"):
+        sim.ivfpq_topk_from_store(
+            spark, path, stale, books, probes, k=5, nprobe=4
+        )
+
+
+def test_refit_aborts_on_droppable_rows(spark, emb, tmp_path):
+    """A store containing a zero-norm vector (impossible via the
+    library's own write path, possible in a hand-written store) must
+    ABORT the refit before the swap — loud beats silent shrink."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_store(emb.limit(200), path, n_centroids=4, fit="take")
+    dim = len(emb.select("embedding").first()[0])
+    # one zero-norm row matching the store schema exactly (vec_id,
+    # embedding, label, cid — the library write path keeps input cols)
+    bad = (
+        spark.read.parquet(path)
+        .limit(1)
+        .withColumn(
+            "vec_id",
+            F.lit(999_999_999).cast(
+                spark.read.parquet(path).schema["vec_id"].dataType
+            ),
+        )
+        .withColumn(
+            "embedding",
+            F.array_repeat(F.lit(0.0).cast("float"), dim).cast(
+                spark.read.parquet(path).schema["embedding"].dataType
+            ),
+        )
+        .withColumn("cid", F.lit(0).cast("int"))
+    )
+    bad.write.mode("append").partitionBy("cid").parquet(path)
+    n_before = spark.read.parquet(path).count()
+    with pytest.raises(ValueError, match="would drop 1 of"):
+        sim.refit_cell_store(spark, path, n_centroids=4, fit="take")
+    # store untouched, tmp cleaned up
+    assert spark.read.parquet(path).count() == n_before
+    assert not [
+        d for d in os.listdir(tmp_path) if ".refit-" in d
+    ], "tmp sibling left behind"

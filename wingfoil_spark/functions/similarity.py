@@ -1138,6 +1138,139 @@ def compact_cell_store(
     return n
 
 
+def refit_cell_store(
+    spark,
+    path: str,
+    n_centroids: int = 16,
+    fit: str = "lloyd",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list | None = None,
+    writers_per_cell: int = 1,
+    swap_strategy: str = "auto",
+) -> DataFrame:
+    """Re-fit the coarse quantizer of a drifted cell store IN PLACE —
+    the lifecycle stage the append contract defers to the caller
+    ("periodic re-fit on distribution drift"): after enough appends the
+    frozen centroids no longer tile the data, so recall decays even
+    though every result is still "correct" under the stale geometry.
+    Reads the CURRENT store contents, fits fresh centroids
+    (:func:`ivf_centroids`, default the deterministic ``fit='lloyd'``;
+    ``n_centroids`` may differ from the old cell count — grow it as the
+    store grows), re-assigns every row, rewrites partitioned by the new
+    cid into a temporary sibling and atomically swaps (the
+    :func:`compact_cell_store` guard/swap contract: a concurrent append
+    aborts with ``ConcurrentAppendError``, store untouched). Returns
+    the NEW centroid frame. The metadata sidecar is rewritten with its
+    digest, so a reader still holding the pre-refit frame is REFUSED by
+    :func:`check_store_meta` instead of silently searching the wrong
+    cells.
+
+    Works on both layouts:
+
+    - float (:func:`write_ivf_store`): fit + re-assign on the stored
+      vectors — rebuild-equivalent to ``write_ivf_store`` over the same
+      rows (test-pinned).
+    - codes-only (:func:`write_ivfpq_store`): PQ codes encode the
+      NORMALIZED VECTOR ITSELF, not a centroid residual, so they are
+      geometry-independent of the coarse centroids — the refit needs NO
+      float corpus. Reconstruct approximate unit vectors from the codes
+      (:func:`pq_decode`, pure JVM), fit + re-assign on the
+      reconstructions, carry the codes over byte-identical. Pass the
+      ``codebooks=`` the store was written with (verified against the
+      sidecar).
+
+    Maintenance-job economics: one store scan feeding one
+    cell-partitioned rewrite (the compactor's cost) plus the bounded
+    driver-side fit sample — the fit is index metadata, never
+    corpus-sized work. Input and output row counts are observed on the
+    SAME write job and must match: a droppable row (NULL/zero-norm
+    vector — impossible in a library-written store, whose write path
+    applies the same filter) aborts before the swap rather than
+    silently shrinking the store."""
+    import json
+    import uuid
+
+    from pyspark.sql import Observation
+
+    from wingfoil_spark.functions.store_swap import (
+        _hadoop_fs,
+        guard_no_new_files,
+        swap_store_dirs,
+        validate_swap_strategy,
+    )
+
+    validate_swap_strategy(swap_strategy)
+    base = path.rstrip("/")
+    tmp = f"{base}.refit-{uuid.uuid4().hex[:12]}"
+    old = f"{base}.old-{uuid.uuid4().hex[:12]}"
+    raw = spark.read.parquet(base)
+    if "cid" not in raw.columns:
+        raise ValueError(
+            f"refit_cell_store: {base!r} is not a cell store "
+            "(no cid partition column)"
+        )
+    files_at_read = set(raw.inputFiles())
+    meta = read_store_meta(spark, base) or {}
+    had_nrm = "__nrm" in raw.columns
+    body = raw.drop("cid", "__nrm")
+    if "pq_code" in body.columns:
+        if codebooks is None:
+            raise ValueError(
+                "refit_cell_store: a codes-only store carries no float "
+                "vectors — pass the codebooks= it was written with (the "
+                "reconstruction they define is the assignment input)"
+            )
+        check_store_meta(spark, base, codebooks=codebooks,
+                         op="refit_cell_store")
+        vec_col = "__recon"
+        body = pq_decode(body, codebooks, out=vec_col)
+        sidecar = {
+            "layout": "ivfpq_codes",
+            "codebook_digest": meta.get("codebook_digest")
+            or _codebook_digest(codebooks),
+        }
+    else:
+        vec_col = emb_col
+        sidecar = {"layout": "ivf_float"}
+    # the fit's bounded sample pull runs on an UNOBSERVED frame — an
+    # Observation resolves after the first action that touches it, and
+    # the fit's orderBy().limit() short-circuits the scan (a partial
+    # count would poison the row-conservation check below)
+    cents = ivf_centroids(
+        body, n_centroids, vec_col, id_col, fit=fit
+    ).localCheckpoint(eager=True)
+    obs_in = Observation()
+    asg = ivf_assign(
+        body.observe(obs_in, F.count(F.lit(1)).alias("n")),
+        cents, 1, vec_col, id_col,
+    )
+    if vec_col == "__recon":
+        asg = asg.drop("__recon")
+    elif had_nrm:
+        asg = with_norm(asg, emb_col, "__nrm")  # readers reuse it
+    obs_out = Observation()
+    _write_by_cell(
+        asg.observe(obs_out, F.count(F.lit(1)).alias("n")),
+        tmp, id_col, "overwrite", writers_per_cell,
+    )
+    n_in, n_out = obs_in.get["n"], obs_out.get["n"]
+    if n_in != n_out:
+        fs, jvm = _hadoop_fs(spark, tmp)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise ValueError(
+            f"refit_cell_store: re-assignment would drop "
+            f"{n_in - n_out} of {n_in} rows (NULL or zero-norm "
+            "assignment vectors) — store untouched; scrub the rows "
+            "explicitly before refitting"
+        )
+    sidecar["centroid_digest"] = _centroid_digest(cents)
+    _write_sidecar(spark, tmp, json.dumps(sidecar))
+    guard_no_new_files(spark, base, files_at_read, tmp)
+    swap_store_dirs(spark, base, tmp, old, strategy=swap_strategy)
+    return cents
+
+
 def write_ivfpq_store(
     corpus: DataFrame,
     path: str,
@@ -1547,6 +1680,43 @@ def pq_encode(
         return pd.Series(out_codes)
 
     return df.withColumn(out, enc(F.col(emb_col)))
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks: list,
+    code_col: str = "pq_code",
+    out: str = "embedding",
+) -> DataFrame:
+    """Reconstruct the approximate vector a PQ code stands for: the
+    concatenation of each subspace's looked-up codebook centroid —
+    ``decode(encode(x)) ≈ x/‖x‖`` (:func:`pq_encode` normalizes before
+    encoding, so reconstructions live on the unit sphere up to
+    quantization error; cosine against them is exactly the ADC
+    approximation the serving tiers rank by).
+
+    Pure JVM: the codebooks (a few KB) are inlined as a nested array
+    literal and the lookup is ``flatten(transform(code, (c, j) →
+    books[j][c]))`` — zero Python stages, whole-stage-codegen'd, so a
+    100 TB codes-only store can materialize reconstructions as one
+    columnar scan (the :func:`refit_cell_store` input). NULL codes
+    decode to NULL."""
+    books_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in cent]) for cent in book
+        ])
+        for book in codebooks
+    ])
+    recon = F.flatten(
+        F.transform(
+            F.col(code_col),
+            lambda c, j: F.element_at(
+                F.element_at(books_lit, j + F.lit(1)),
+                c.cast("int") + F.lit(1),
+            ),
+        )
+    )
+    return df.withColumn(out, recon)
 
 
 def _adc_topk_iter(books: np.ndarray, topk: int):
