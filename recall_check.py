@@ -385,6 +385,107 @@ def compute_table(spark, sf_dir: str, k: int = 5, sweep: bool = False,
     return res
 
 
+#: the drift arm's gates (r14): after appending 4 never-fitted clusters
+#: under frozen 12-cluster-fit centroids, single-cell recall on drifted
+#: probes and cell balance both degrade; refit_cell_store must restore
+#: both. Deterministic end to end (seeded corpus, lloyd fit, md5-free
+#: path) — measured n=2000/50 probes: recall@5 nprobe=1 0.484 -> 1.0,
+#: max/mean cell skew 1.904 -> 1.0. Floors = measured minus margin.
+DRIFT_FLOORS = {
+    "recall_after_min": 0.95,       # measured 1.0
+    "recall_gain_min": 0.3,         # measured +0.516
+    "skew_after_max": 1.2,          # measured 1.0 (perfect tiling)
+}
+
+
+def drift_arm(spark, n: int = 2000, k: int = 5) -> dict:
+    """The WHY of :func:`refit_cell_store`, measured: build the IVF
+    store over 12 of the 16 planted clusters (fit='lloyd'), append the
+    other 4 — the distribution drift a crawl produces — and serve
+    drifted probes. Under the stale geometry each new cluster crams
+    into whichever old cells happen to be nearest: single-cell
+    (nprobe=1) recall collapses and the hottest cell grows to ~2× the
+    mean (the straggler a 100 TB serving join feels). One refit
+    restores both, and the sidecar turnover makes the stale centroid
+    frame unusable instead of silently wrong."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wingfoil_spark.functions import similarity as sim
+
+    full = planted_corpus(spark, n).localCheckpoint(eager=True)
+    old = full.where(F.col("vec_id") % 16 < 12)
+    drift = full.where(F.col("vec_id") % 16 >= 12)
+    probes = drift.where(F.col("vec_id") % 10 == 2)
+    exact = sim.cosine_topk(full, probes, k=k).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="wf_recall_drift_")
+    path = root + "/ivf"
+    try:
+        t0 = time.perf_counter()
+        cents_old = sim.write_ivf_store(
+            old, path, n_centroids=16, fit="lloyd"
+        ).localCheckpoint(eager=True)
+        sim.append_ivf_store(drift, path, cents_old)
+        t_grow = round(time.perf_counter() - t0, 3)
+
+        def recall(cents, nprobe):
+            got = sim.ivf_topk_from_store(
+                spark, path, cents, probes, k=k, nprobe=nprobe
+            )
+            return (
+                sim.recall_at_k(exact, got, k=k)
+                .agg(F.round(F.avg("recall"), 6).alias("r"))
+                .collect()[0].r
+            )
+
+        def cell_skew():
+            cc = (
+                spark.read.parquet(path)
+                .groupBy("cid").count().toPandas()["count"]
+            )
+            return round(float(cc.max() / cc.mean()), 3)
+
+        before = {
+            "recall_at_5_nprobe1": recall(cents_old, 1),
+            "recall_at_5_nprobe2": recall(cents_old, 2),
+            "cell_skew_max_over_mean": cell_skew(),
+        }
+        t0 = time.perf_counter()
+        cents_new = sim.refit_cell_store(
+            spark, path, n_centroids=16, fit="lloyd"
+        )
+        t_refit = round(time.perf_counter() - t0, 3)
+        after = {
+            "recall_at_5_nprobe1": recall(cents_new, 1),
+            "recall_at_5_nprobe2": recall(cents_new, 2),
+            "cell_skew_max_over_mean": cell_skew(),
+        }
+        # the stale frame must now be REFUSED, not silently wrong
+        try:
+            sim.ivf_topk_from_store(
+                spark, path, cents_old, probes, k=k, nprobe=1
+            )
+            stale_refused = False
+        except ValueError:
+            stale_refused = True
+        return {
+            "n": n,
+            "n_probes": probes.count(),
+            "scenario": "fit on 12/16 planted clusters, append the "
+                        "other 4, probe the drifted clusters",
+            "before_refit": before,
+            "after_refit": after,
+            "stale_centroids_refused": stale_refused,
+            "grow_wall_s": t_grow,
+            "refit_wall_s": t_refit,
+            "floors": DRIFT_FLOORS,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("wingfoil_recall_check")
@@ -418,6 +519,26 @@ def main() -> None:
         if planted["methods"][m]["recall_at_5"] is not None
         and planted["methods"][m]["recall_at_5"] < floor
     ]
+    # the drift arm (r14): append 4 never-fitted clusters under frozen
+    # centroids, then refit_cell_store — recall AND cell balance must
+    # recover, and the stale frame must be refused
+    drift = drift_arm(spark)
+    table["drift"] = drift
+    if drift["after_refit"]["recall_at_5_nprobe1"] < DRIFT_FLOORS[
+        "recall_after_min"
+    ]:
+        bad.append("drift:recall_after")
+    if (
+        drift["after_refit"]["recall_at_5_nprobe1"]
+        - drift["before_refit"]["recall_at_5_nprobe1"]
+    ) < DRIFT_FLOORS["recall_gain_min"]:
+        bad.append("drift:recall_gain")
+    if drift["after_refit"]["cell_skew_max_over_mean"] > DRIFT_FLOORS[
+        "skew_after_max"
+    ]:
+        bad.append("drift:skew_after")
+    if not drift["stale_centroids_refused"]:
+        bad.append("drift:stale_not_refused")
     # structural invariants, corpus-independent: the nprobe sweep must be
     # monotone non-decreasing in recall and EXACT at nprobe=n_centroids
     sweep = table["ivf_nprobe_sweep"]

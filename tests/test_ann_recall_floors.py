@@ -160,3 +160,25 @@ def test_prune_ops_reported_not_skipped(spark, table):
         assert row["recall_at_5"] is None
         assert 0.0 < row["kept_fraction"] <= 1.0
         assert "not applicable" in row["note"]
+
+
+def test_drift_refit_arm_pinned(spark):
+    """The refit_cell_store WHY, pinned at n=500 (deterministic end to
+    end): appending 4 never-fitted planted clusters under a frozen
+    12-cluster lloyd fit collapses single-cell recall and doubles the
+    hottest cell; one refit restores exact-tiling recall AND balance,
+    and the stale centroid frame is REFUSED by the sidecar."""
+    from recall_check import DRIFT_FLOORS, drift_arm
+
+    d = drift_arm(spark, n=500)
+    b, a = d["before_refit"], d["after_refit"]
+    assert b["recall_at_5_nprobe1"] == pytest.approx(0.430769, abs=1e-6)
+    assert b["cell_skew_max_over_mean"] == pytest.approx(1.92, abs=1e-3)
+    assert a["recall_at_5_nprobe1"] == 1.0
+    assert a["recall_at_5_nprobe2"] == 1.0
+    assert a["cell_skew_max_over_mean"] == pytest.approx(1.024, abs=1e-3)
+    assert d["stale_centroids_refused"]
+    # the committed-artifact floors hold at this n too
+    assert a["recall_at_5_nprobe1"] >= DRIFT_FLOORS["recall_after_min"]
+    assert (a["recall_at_5_nprobe1"] - b["recall_at_5_nprobe1"]
+            >= DRIFT_FLOORS["recall_gain_min"])
