@@ -970,6 +970,7 @@ def main() -> None:
         "decon_stream_10x": decon_stream_scale(spark),
         "decon_stream_part_walls": decon_stream_part_walls(spark),
         "ivfpq_grow_scale": ivfpq_grow_scale(spark),
+        "refit_scale": refit_scale(spark),
         "selection_note_r8": (
             "r8 swaps the graded union onto selection_scores (one corpus "
             "scan emits dsir log-w + bm25 score + clf logit; shared "
@@ -1077,3 +1078,88 @@ def ivfpq_rerank_scale(spark):
         "one-time index cost (assign + encode), corpus-linear by design."
     )
     return out
+
+
+def refit_scale(spark):
+    """r14: scale evidence for refit_cell_store (the drift stage). Two
+    claims from the docstring, measured at 1x and ~11x store size on
+    the float layout: (1) the refit wall tracks the COMPACTION wall
+    (it is the same one-scan cell-partitioned rewrite — corpus-linear
+    by design, priced like the maintenance op it replaces on the
+    schedule), and (2) the fit overhead on top is FLAT (the lloyd
+    sample is a bounded 512-row id-ordered pull regardless of store
+    size). Refits mutate the store, so each timed run gets a fresh
+    copy, best-of-3."""
+    import os
+    import shutil as sh
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ peers)
+
+    from wingfoil_spark.functions import similarity as sim
+    from wingfoil_spark.sources.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="wf_refit_scale_")
+    try:
+        small = load_table(spark, SMALL, "embeddings")
+        big = load_table(spark, BIG, "embeddings")  # 10x replicas
+        p1 = os.path.join(tmp, "store1")
+        p11 = os.path.join(tmp, "store11")
+        sim.write_ivf_store(small, p1, n_centroids=16, fit="take")
+        sim.write_ivf_store(
+            small.unionByName(big), p11, n_centroids=16, fit="take"
+        )
+
+        def best_of(fn, path, n=3):
+            best = None
+            for _ in range(n):
+                cp = path + "_run"
+                sh.copytree(path, cp)
+                t0 = time.perf_counter()
+                fn(cp)
+                dt = time.perf_counter() - t0
+                sh.rmtree(cp, ignore_errors=True)
+                best = dt if best is None or dt < best else best
+            return best
+
+        # untimed warm-up: the first refit of a session pays JVM/Arrow/
+        # broadcast warm-up (~6s observed) that would land entirely on
+        # whichever tier runs first and invert the ratio
+        best_of(
+            lambda p: sim.refit_cell_store(spark, p, 16, fit="lloyd"),
+            p1, n=1,
+        )
+        r1 = best_of(
+            lambda p: sim.refit_cell_store(spark, p, 16, fit="lloyd"), p1
+        )
+        r11 = best_of(
+            lambda p: sim.refit_cell_store(spark, p, 16, fit="lloyd"), p11
+        )
+        c1 = best_of(lambda p: sim.compact_cell_store(spark, p), p1)
+        c11 = best_of(lambda p: sim.compact_cell_store(spark, p), p11)
+        out = {
+            "refit_s_1x": round(r1, 2),
+            "refit_s_11x": round(r11, 2),
+            "refit_ratio": round(r11 / r1, 2),
+            "compact_s_1x": round(c1, 2),
+            "compact_s_11x": round(c11, 2),
+            "fit_overhead_s_1x": round(r1 - c1, 2),
+            "fit_overhead_s_11x": round(r11 - c11, 2),
+            "claim": (
+                "refit is compaction-priced: its wall tracks the "
+                "compactor's at both tiers (same one-scan rewrite, plus "
+                "one broadcast re-assignment) and the fit overhead on "
+                "top is FLAT in store size (bounded 512-row sample pull "
+                "+ 16-row digest) — the maintenance schedule that "
+                "absorbs a compaction absorbs a refit"
+            ),
+        }
+        print(
+            f"# refit_scale: refit {r1:.2f}s@1x vs {r11:.2f}s@11x "
+            f"(ratio {r11 / r1:.2f}); compact {c1:.2f}/{c11:.2f}s; "
+            f"fit overhead {r1 - c1:.2f}/{r11 - c11:.2f}s",
+            file=sys.stderr,
+        )
+        return out
+    finally:
+        sh.rmtree(tmp, ignore_errors=True)
