@@ -1155,7 +1155,7 @@ def q_decon_stream(spark, sf_dir):
       rebuild and moved-never-rescored compaction make the four-stage
       loop one hash.
 
-    r14 runs SEVENTEEN parts, with a budget SWAP: the keep/merge audit
+    r14 runs EIGHTEEN parts, with a budget SWAP: the keep/merge audit
     (VERDICT r13 Next #5, SCALE_r14.json `decon_stream_part_walls` +
     `part_decisions`) merged 'ivfpq_store' into 'ivfpq_grow' (see that
     part's note above — same writer/server/oracle rows, nothing unique
@@ -1173,13 +1173,26 @@ def q_decon_stream(spark, sf_dir):
       running merge), exact-rescored and re-ranked under cosine_topk's
       rounding + tie rules. Batch-side like 'recall'/'ivf_lloyd'.
 
+    - part='refit' (aux=neighbor_id*10+rank, v=cosine; r14): the DRIFT
+      stage closing the store lifecycle — similarity.refit_cell_store
+      re-tiles the part='ivf_grow' store in place (lloyd re-fit on the
+      store's own contents, full re-assignment, atomic swap, metadata-
+      sidecar digest turnover) and probes are served from the re-tiled
+      store. Rebuild equivalence (digest-pinned by
+      test_refit_float_store_rebuild_equivalence) makes the full-corpus
+      lloyd-IVF search the exact expected rows — the llivf CTEs,
+      shared with 'ivf_lloyd' but reached through a different code
+      path; a refit bug (lost row, stale-geometry serve, wrong
+      re-assignment, sidecar false-refusal) diverges the hash. The
+      drift arm in RECALL.md measures WHY this op exists.
+
     Every other part is kept — each pins a code path or source kind no
     other part reaches. The per-part wall breakdown is recorded by this
     function into PART_WALLS (stage walls; the nine streamed parts
     share ONE query and are priced standalone in decon_stream_scale's
     A/B timings).
 
-    All seventeen outputs are content-determined per doc/probe/tick,
+    All eighteen outputs are content-determined per doc/probe/tick,
     hence arrival-order- and batching-invariant — exactly what makes a
     multi-micro-batch streaming run oracle-gradable against batch
     SQL."""
@@ -1453,6 +1466,28 @@ def q_decon_stream(spark, sf_dir):
             emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
         ).localCheckpoint(eager=True)
         _mark("ivfpq_grow_loop")
+        # r14 part='refit': the DRIFT stage of the same lifecycle —
+        # refit_cell_store re-tiles the grown float store in place
+        # (fresh lloyd fit on the store's own contents, full
+        # re-assignment, atomic swap, sidecar digest turnover), then
+        # probes are served from the re-tiled store. Rebuild
+        # equivalence makes the oracle exact: the store holds precisely
+        # the corpus's nonzero-norm rows and the lloyd sample is
+        # id-ordered (partitioning-independent), so fitting on the
+        # store IS fitting on the corpus (digest-pinned by
+        # test_refit_float_store_rebuild_equivalence) and the served
+        # rows must hash-equal the full-corpus lloyd-IVF search — the
+        # llivf CTE family, shared with part='ivf_lloyd', reached here
+        # through a completely different code path (store scan → refit
+        # → swap → DPP serve vs in-memory ivf_topk). Note igrow was
+        # checkpointed BEFORE the refit: the geometry turnover makes
+        # gpath unservable under pcents afterwards, by design.
+        rcents = sim.refit_cell_store(spark, gpath, 16, fit="lloyd")
+        irefit = sim.ivf_topk_from_store(
+            spark, gpath, rcents, emb.where(F.col("vec_id") % 50 == 0),
+            k=5, nprobe=4,
+        ).localCheckpoint(eager=True)
+        _mark("refit_loop")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # r12 part='ivf_lloyd': the graded kmeans tier — deterministic Lloyd
@@ -1537,6 +1572,12 @@ def q_decon_stream(spark, sf_dir):
         (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
         F.col("cosine").alias("v"),
     )
+    refit_rows = irefit.select(
+        F.lit("refit").alias("part"),
+        F.col("probe_id").alias("doc_id"),
+        (F.col("neighbor_id") * 10 + F.col("rank")).alias("aux"),
+        F.col("cosine").alias("v"),
+    )
     mp_rows = imp.select(
         F.lit("lsh_mp").alias("part"),
         F.col("probe_id").alias("doc_id"),
@@ -1558,7 +1599,8 @@ def q_decon_stream(spark, sf_dir):
     return (
         out.unionByName(rec)
         .unionByName(grow_rows).unionByName(growq_rows)
-        .unionByName(lloyd_rows).unionByName(mp_rows)
+        .unionByName(lloyd_rows).unionByName(refit_rows)
+        .unionByName(mp_rows)
         .unionByName(lt_rows).unionByName(rr_rows)
     )
 
@@ -3660,6 +3702,16 @@ SELECT 'rerank', probe_id, neighbor_id * 10 + rank, cosine FROM (
 ) WHERE rank <= 5
 UNION ALL
 SELECT 'ivf_lloyd', probe_id, neighbor_id * 10 + rank, cosine
+FROM llivf_ranked WHERE rank <= 5
+UNION ALL
+-- r14 part='refit': the grown store re-tiled in place by
+-- refit_cell_store(fit='lloyd') serves exactly what the full-corpus
+-- lloyd-IVF search serves (rebuild equivalence: the store holds the
+-- corpus's nonzero-norm rows and the id-ordered lloyd sample is
+-- partitioning-independent) — llivf_ranked again, shared with
+-- 'ivf_lloyd' but reached through store scan → refit → swap → DPP
+-- serve on the Spark side
+SELECT 'refit', probe_id, neighbor_id * 10 + rank, cosine
 FROM llivf_ranked WHERE rank <= 5
 UNION ALL
 SELECT 'lsh_mp', probe_id, neighbor_id * 10 + rank, cosine

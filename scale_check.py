@@ -873,6 +873,13 @@ DECON_STREAM_PART_DECISIONS = {
               "merge, spent on the round's new capability: exact "
               "re-rank of the ADC shortlist (ivfpq_rerank_topk), the "
               "only two-stage quantized-candidates/exact-scoring grade",
+    "refit": "NEW (r14) — the only refit_cell_store grade (drift stage:"
+             " lloyd re-fit on store contents + full re-assignment + "
+             "atomic swap + sidecar turnover, served via DPP); shares "
+             "ivf_lloyd's llivf oracle by rebuild equivalence but "
+             "reaches it through the store lifecycle code path that "
+             "oracle never touches (~2s stage wall, rides the grown "
+             "ivf_grow store so no extra store build)",
 }
 
 
