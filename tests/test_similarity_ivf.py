@@ -1219,3 +1219,30 @@ def test_refit_aborts_on_droppable_rows(spark, emb, tmp_path):
     assert not [
         d for d in os.listdir(tmp_path) if ".refit-" in d
     ], "tmp sibling left behind"
+
+
+def test_refit_auto_cell_count(spark, emb, tmp_path):
+    """n_centroids='auto' sizes cells from the store's row count
+    (constant-cell-size scale dial), never shrinks below the current
+    cell count, and rejects junk."""
+    import math
+
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_store(emb, path, n_centroids=4, fit="take")
+    n = spark.read.parquet(path).count()
+    cents = sim.refit_cell_store(
+        spark, path, n_centroids="auto", fit="take",
+        target_rows_per_cell=100,
+    )
+    want = max(4, math.ceil(n / 100))
+    assert cents.count() == want
+    live_cells = spark.read.parquet(path).select("cid").distinct().count()
+    assert live_cells <= want  # empty cells are legal under a take fit
+    # a huge target never SHRINKS the store below its live cell count
+    cents2 = sim.refit_cell_store(
+        spark, path, n_centroids="auto", fit="take",
+        target_rows_per_cell=10**9,
+    )
+    assert cents2.count() == live_cells
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        sim.refit_cell_store(spark, path, n_centroids="four")

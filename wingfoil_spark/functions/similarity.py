@@ -1141,13 +1141,15 @@ def compact_cell_store(
 def refit_cell_store(
     spark,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     fit: str = "lloyd",
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list | None = None,
     writers_per_cell: int = 1,
     swap_strategy: str = "auto",
+    target_rows_per_cell: int = 1_000_000,
+    max_centroids: int = 65_536,
 ) -> DataFrame:
     """Re-fit the coarse quantizer of a drifted cell store IN PLACE —
     the lifecycle stage the append contract defers to the caller
@@ -1157,7 +1159,16 @@ def refit_cell_store(
     Reads the CURRENT store contents, fits fresh centroids
     (:func:`ivf_centroids`, default the deterministic ``fit='lloyd'``;
     ``n_centroids`` may differ from the old cell count — grow it as the
-    store grows), re-assigns every row, rewrites partitioned by the new
+    store grows, or pass ``n_centroids="auto"`` to SIZE IT FROM THE
+    STORE: ``clamp(ceil(rows / target_rows_per_cell), old_cells,
+    max_centroids)`` — the scale dial a growing corpus actually needs
+    (per-query IO is cell_rows × nprobe, so holding cell SIZE constant
+    as the corpus grows holds query cost constant; the row count comes
+    from parquet footer metadata, not a scan, and auto never SHRINKS
+    below the current cell count — a deliberate downsize is an explicit
+    integer). With the lloyd fit the sample is widened to
+    ``max(LLOYD_SAMPLE_N, 4 × n_centroids)`` so the take-init has
+    vectors to draw from), re-assigns every row, rewrites partitioned by the new
     cid into a temporary sibling and atomically swaps (the
     :func:`compact_cell_store` guard/swap contract: a concurrent append
     aborts with ``ConcurrentAppendError``, store untouched). Returns
@@ -1211,6 +1222,24 @@ def refit_cell_store(
             "(no cid partition column)"
         )
     files_at_read = set(raw.inputFiles())
+    if n_centroids == "auto":
+        import math
+
+        # sized from footer metadata (count pushdown) + the partition
+        # listing — no data scan; never shrinks below the current cell
+        # count (a deliberate downsize is an explicit integer)
+        n_rows = raw.count()
+        old_cells = raw.select("cid").distinct().count()
+        n_centroids = min(
+            int(max_centroids),
+            max(int(old_cells),
+                math.ceil(n_rows / int(target_rows_per_cell))),
+        )
+    elif not isinstance(n_centroids, int):
+        raise ValueError(
+            f"refit_cell_store: n_centroids must be an int or 'auto', "
+            f"got {n_centroids!r}"
+        )
     meta = read_store_meta(spark, base) or {}
     had_nrm = "__nrm" in raw.columns
     body = raw.drop("cid", "__nrm")
@@ -1238,7 +1267,8 @@ def refit_cell_store(
     # the fit's orderBy().limit() short-circuits the scan (a partial
     # count would poison the row-conservation check below)
     cents = ivf_centroids(
-        body, n_centroids, vec_col, id_col, fit=fit
+        body, n_centroids, vec_col, id_col, fit=fit,
+        sample_n=max(LLOYD_SAMPLE_N, 4 * n_centroids),
     ).localCheckpoint(eager=True)
     obs_in = Observation()
     asg = ivf_assign(
