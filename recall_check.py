@@ -395,6 +395,13 @@ DRIFT_FLOORS = {
     "recall_after_min": 0.95,       # measured 1.0
     "recall_gain_min": 0.3,         # measured +0.516
     "skew_after_max": 1.2,          # measured 1.0 (perfect tiling)
+    # the codes twin: fraction of rows whose post-refit cell (assigned
+    # from pq_decode RECONSTRUCTIONS — no float corpus) equals the cell
+    # their TRUE float vector would get under the same refit centroids.
+    # Measured 0.9965 at n=2000: the no-float refit loses essentially
+    # nothing on clustered geometry (quantization error << cluster
+    # separation).
+    "codes_cid_agreement_min": 0.97,
 }
 
 
@@ -470,6 +477,30 @@ def drift_arm(spark, n: int = 2000, k: int = 5) -> dict:
             stale_refused = False
         except ValueError:
             stale_refused = True
+        # the CODES twin: the same drift handled with NO float corpus —
+        # stale-fit codes store grows by the drifted clusters, then
+        # refits from pq_decode reconstructions alone. Fidelity metric:
+        # fraction of rows landing in the SAME cell their true float
+        # vector would get under the refit centroids (isolates
+        # reconstruction quality; label permutation cannot fake it)
+        qpath = root + "/ivfpq"
+        books = sim.pq_train(old, m=8, k=16, fit="lloyd")
+        qc = sim.write_ivfpq_store(
+            old, qpath, books, n_centroids=16, fit="lloyd"
+        ).localCheckpoint(eager=True)
+        sim.append_ivfpq_store(drift, qpath, qc, books)
+        rc = sim.refit_cell_store(
+            spark, qpath, 16, fit="lloyd", codebooks=books
+        )
+        got = spark.read.parquet(qpath).select("vec_id", "cid")
+        want = sim.ivf_assign(full, rc, 1).select(
+            "vec_id", F.col("cid").alias("cid_true")
+        )
+        j = got.join(want, "vec_id").localCheckpoint(eager=True)
+        agreement = round(
+            j.where(F.col("cid") == F.col("cid_true")).count() / j.count(),
+            6,
+        )
         return {
             "n": n,
             "n_probes": probes.count(),
@@ -478,6 +509,7 @@ def drift_arm(spark, n: int = 2000, k: int = 5) -> dict:
             "before_refit": before,
             "after_refit": after,
             "stale_centroids_refused": stale_refused,
+            "codes_refit_cid_agreement": agreement,
             "grow_wall_s": t_grow,
             "refit_wall_s": t_refit,
             "floors": DRIFT_FLOORS,
@@ -539,6 +571,10 @@ def main() -> None:
         bad.append("drift:skew_after")
     if not drift["stale_centroids_refused"]:
         bad.append("drift:stale_not_refused")
+    if drift["codes_refit_cid_agreement"] < DRIFT_FLOORS[
+        "codes_cid_agreement_min"
+    ]:
+        bad.append("drift:codes_cid_agreement")
     # structural invariants, corpus-independent: the nprobe sweep must be
     # monotone non-decreasing in recall and EXACT at nprobe=n_centroids
     sweep = table["ivf_nprobe_sweep"]

@@ -178,7 +178,12 @@ def test_drift_refit_arm_pinned(spark):
     assert a["recall_at_5_nprobe2"] == 1.0
     assert a["cell_skew_max_over_mean"] == pytest.approx(1.024, abs=1e-3)
     assert d["stale_centroids_refused"]
+    # the codes twin (no-float refit) assigns 99.6% of rows to the cell
+    # their true float vector would get — reconstruction fidelity
+    assert d["codes_refit_cid_agreement"] == pytest.approx(0.996, abs=1e-3)
     # the committed-artifact floors hold at this n too
     assert a["recall_at_5_nprobe1"] >= DRIFT_FLOORS["recall_after_min"]
+    assert (d["codes_refit_cid_agreement"]
+            >= DRIFT_FLOORS["codes_cid_agreement_min"])
     assert (a["recall_at_5_nprobe1"] - b["recall_at_5_nprobe1"]
             >= DRIFT_FLOORS["recall_gain_min"])
