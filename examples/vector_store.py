@@ -172,9 +172,11 @@ try:
     # STALE frame fails loudly instead of searching the wrong cells.
     cents_new = sim.refit_cell_store(spark, store_dir + "/ivf_inc",
                                      n_centroids=4, fit="lloyd")
+    # the store is SELF-DESCRIBING: centroids=None loads the frame the
+    # refit just persisted in the sidecar — serving needs only the path
     refit = {(r.probe_id, r.rank): r.neighbor_id
              for r in sim.ivf_topk_from_store(
-                 spark, store_dir + "/ivf_inc", cents_new, probes,
+                 spark, store_dir + "/ivf_inc", None, probes,
                  k=3, nprobe=4).collect()}
     assert refit[(0, 1)] == 240, refit
     try:

@@ -78,6 +78,7 @@ MODULE_SURFACES = {
         "lsh_tables_topk", "hyperplane_signatures_multi", "table_seed",
         "read_store_meta", "check_store_meta",
         "pq_decode", "refit_cell_store",
+        "load_store_centroids", "load_store_codebooks",
     ],
     "wingfoil_spark.functions.store_swap": [
         "ConcurrentAppendError",

@@ -1151,8 +1151,16 @@ def test_refit_codes_store_without_floats(spark, emb, tmp_path):
     stale = sim.write_ivfpq_store(emb, path, books, n_centroids=8,
                                   fit="take").localCheckpoint(eager=True)
     before = spark.read.parquet(path).select("vec_id", "pq_code").toPandas()
-    with pytest.raises(ValueError, match="codes-only store"):
-        sim.refit_cell_store(spark, path, n_centroids=8, fit="lloyd")
+    # with NO sidecar (pre-r14 / external store) and no codebooks= the
+    # refit has nothing to reconstruct from — refuse loudly
+    import os
+    import shutil
+
+    bare = str(tmp_path / "ivfpq_bare")
+    shutil.copytree(path, bare)
+    os.remove(os.path.join(bare, sim.STORE_META_FILE))
+    with pytest.raises(ValueError, match="persists no codebooks"):
+        sim.refit_cell_store(spark, bare, n_centroids=8, fit="lloyd")
     wrong_books = sim.pq_train(emb, m=8, k=16, fit="lloyd")
     with pytest.raises(ValueError, match="codebooks do not match"):
         sim.refit_cell_store(spark, path, n_centroids=8, fit="lloyd",
@@ -1246,3 +1254,58 @@ def test_refit_auto_cell_count(spark, emb, tmp_path):
     assert cents2.count() == live_cells
     with pytest.raises(ValueError, match="int or 'auto'"):
         sim.refit_cell_store(spark, path, n_centroids="four")
+
+
+def test_store_self_describing(spark, emb, tmp_path):
+    """r14: stores persist their own index metadata in the sidecar —
+    serve/append/refit with centroids=None / codebooks=None load it
+    from the store, row-identical to passing the frames explicitly;
+    a metadata-less store refuses None with a clear error."""
+    import os
+
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    key = ["probe_id", "rank"]
+
+    path = str(tmp_path / "ivf")
+    cents = sim.write_ivf_store(emb, path, n_centroids=8, fit="take")
+    loaded = sim.load_store_centroids(spark, path)
+    assert sim._centroid_digest(loaded) == sim._centroid_digest(cents)
+    a = sim.ivf_topk_from_store(
+        spark, path, cents, probes, k=5, nprobe=3
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    b = sim.ivf_topk_from_store(
+        spark, path, None, probes, k=5, nprobe=3
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    sim.append_ivf_store(probes, path)       # no metadata args at all
+    sim.compact_cell_store(spark, path)      # sidecar (and values) ride
+    assert sim.load_store_centroids(spark, path) is not None
+
+    qpath = str(tmp_path / "ivfpq")
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    qc = sim.write_ivfpq_store(emb, qpath, books, n_centroids=8,
+                               fit="take")
+    assert sim.load_store_codebooks(spark, qpath) == [
+        [[float(x) for x in c] for c in b] for b in books
+    ]
+    qa = sim.ivfpq_topk_from_store(
+        spark, qpath, qc, books, probes, k=5, nprobe=3
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    qb = sim.ivfpq_topk_from_store(
+        spark, qpath, None, None, probes, k=5, nprobe=3
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    assert qa.equals(qb)
+    sim.append_ivfpq_store(probes, qpath)
+    # refit a CODES store from nothing but the path (codebooks loaded,
+    # new centroids + digests persisted for the next reader)
+    rc = sim.refit_cell_store(spark, qpath, n_centroids=8, fit="take")
+    assert sim._centroid_digest(
+        sim.load_store_centroids(spark, qpath)
+    ) == sim._centroid_digest(rc)
+    assert sim.ivfpq_topk_from_store(
+        spark, qpath, None, None, probes, k=5, nprobe=3
+    ).count() > 0
+
+    os.remove(os.path.join(path, sim.STORE_META_FILE))
+    with pytest.raises(ValueError, match="no persisted centroid"):
+        sim.ivf_topk_from_store(spark, path, None, probes, k=5)

@@ -749,19 +749,28 @@ def ivf_topk(
 STORE_META_FILE = "_wingfoil_meta.json"
 
 
-def _centroid_digest(centroids: DataFrame) -> str:
-    """md5 over the (cid-ordered) centroid values — the identity of the
-    geometry a store was written under. Bounded: n_centroids rows."""
-    import hashlib
-    import json
-
+def _centroid_payload(centroids: DataFrame) -> list:
+    """The (cid-ordered) centroid values as a JSON-ready nested list —
+    both the digest input AND what the sidecar persists (Python float
+    repr round-trips exactly, so persist → load → digest is stable).
+    Bounded: n_centroids rows."""
     rows = sorted(
         centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
-    payload = json.dumps(
-        [[int(r["cid"]), [float(x) for x in r["cvec"]]] for r in rows]
-    )
-    return hashlib.md5(payload.encode()).hexdigest()
+    return [[int(r["cid"]), [float(x) for x in r["cvec"]]] for r in rows]
+
+
+def _centroid_digest_from_payload(payload: list) -> str:
+    import hashlib
+    import json
+
+    return hashlib.md5(json.dumps(payload).encode()).hexdigest()
+
+
+def _centroid_digest(centroids: DataFrame) -> str:
+    """md5 over the (cid-ordered) centroid values — the identity of the
+    geometry a store was written under."""
+    return _centroid_digest_from_payload(_centroid_payload(centroids))
 
 
 def _codebook_digest(codebooks: list) -> str:
@@ -826,6 +835,55 @@ def read_store_meta(spark, path: str) -> dict | None:
 
     raw = _read_sidecar(spark, path)
     return None if raw is None else json.loads(raw)
+
+
+def load_store_centroids(spark, path: str) -> DataFrame | None:
+    """The centroid frame ``(cid, cvec, cnorm)`` persisted INSIDE the
+    store's metadata sidecar at write/refit time (r14) — the frame a
+    reader needs to assign probes, loaded from the store itself so
+    serving needs nothing but the path. ``None`` for a store written
+    before the sidecar carried values (or externally)."""
+    meta = read_store_meta(spark, path)
+    if meta is None or "centroids" not in meta:
+        return None
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec])
+         for cid, vec in meta["centroids"]],
+        "cid int, cvec array<double>",
+    )
+    return with_norm(cents, "cvec", "cnorm")
+
+
+def load_store_codebooks(spark, path: str) -> list | None:
+    """The PQ codebooks persisted in an IVF-PQ store's sidecar (r14),
+    or ``None`` when absent. A few KB-to-MB of floats — index metadata,
+    exactly what ADC serving broadcasts anyway."""
+    meta = read_store_meta(spark, path)
+    if meta is None or "codebooks" not in meta:
+        return None
+    return meta["codebooks"]
+
+
+def _require_store_centroids(spark, path: str, op: str) -> DataFrame:
+    cents = load_store_centroids(spark, path)
+    if cents is None:
+        raise ValueError(
+            f"{op}: centroids=None but the store at {path!r} carries no "
+            "persisted centroid values (written pre-r14 or by an "
+            "external tool) — pass the centroid frame explicitly"
+        )
+    return cents.localCheckpoint(eager=True)
+
+
+def _require_store_codebooks(spark, path: str, op: str) -> list:
+    books = load_store_codebooks(spark, path)
+    if books is None:
+        raise ValueError(
+            f"{op}: codebooks=None but the store at {path!r} carries no "
+            "persisted codebooks (written pre-r14 or by an external "
+            "tool) — pass them explicitly"
+        )
+    return books
 
 
 def check_store_meta(
@@ -927,9 +985,11 @@ def write_ivf_store(
     _write_by_cell(asg, path, id_col, mode, writers_per_cell)
     import json
 
+    cpay = _centroid_payload(cents)
     _write_sidecar(corpus.sparkSession, path, json.dumps({
         "layout": "ivf_float",
-        "centroid_digest": _centroid_digest(cents),
+        "centroid_digest": _centroid_digest_from_payload(cpay),
+        "centroids": cpay,
     }))
     return cents
 
@@ -957,7 +1017,7 @@ def _write_by_cell(df, path, id_col, mode, writers_per_cell):
 def ivf_topk_from_store(
     spark,
     path: str,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     probes: DataFrame,
     k: int = 5,
     nprobe: int = 4,
@@ -971,8 +1031,18 @@ def ivf_topk_from_store(
     dynamic partition pruning turns the join into a directory skip: the
     scan never opens the other ``n_centroids − nprobe`` cells' files.
     Results are identical to :func:`ivf_topk` over the same corpus and
-    centroids (same assignment, same ranking)."""
-    check_store_meta(spark, path, centroids, op="ivf_topk_from_store")
+    centroids (same assignment, same ranking).
+
+    ``centroids=None`` (r14) loads the frame the store itself persists
+    (:func:`load_store_centroids`) — the store is self-describing, so
+    serving needs nothing but the path; an explicitly-passed frame is
+    digest-checked against the sidecar instead."""
+    if centroids is None:
+        centroids = _require_store_centroids(
+            spark, path, "ivf_topk_from_store"
+        )
+    else:
+        check_store_meta(spark, path, centroids, op="ivf_topk_from_store")
     store = spark.read.parquet(path)
     return ivf_topk(
         store,
@@ -989,7 +1059,7 @@ def ivf_topk_from_store(
 def append_ivf_store(
     new_vectors: DataFrame,
     path: str,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     writers_per_cell: int = 1,
@@ -1008,8 +1078,9 @@ def append_ivf_store(
 
     - ``centroids`` MUST be the frame the store was built with (readers
       assign probes against it; appending under different centroids
-      silently splits cells across two geometries). Persist it beside
-      the store like :func:`write_ivf_store`'s return.
+      silently splits cells across two geometries — enforced by the
+      sidecar digest when a frame is passed). ``centroids=None`` (r14)
+      loads the frame the store itself persists — the safe default.
     - duplicate ids are NOT deduped here (an append is one narrow write,
       not a join) — run arrivals through the fingerprint store /
       ``dropDuplicates`` first, the same discipline as the crawl tier.
@@ -1026,8 +1097,13 @@ def append_ivf_store(
     to readers that reuse the stored norm."""
     from pyspark.errors import AnalysisException
 
-    asg = ivf_assign(new_vectors, centroids, 1, emb_col, id_col)
     spark = new_vectors.sparkSession
+    self_loaded = centroids is None
+    if self_loaded:
+        centroids = _require_store_centroids(
+            spark, path, "append_ivf_store"
+        )
+    asg = ivf_assign(new_vectors, centroids, 1, emb_col, id_col)
     try:
         existing = spark.read.parquet(path).columns
     except AnalysisException as e:
@@ -1045,10 +1121,11 @@ def append_ivf_store(
         if cond != "PATH_NOT_FOUND":
             raise
         existing = []
-    if existing:
+    if existing and not self_loaded:
         # growing an EXISTING store under foreign centroids silently
         # splits cells across two geometries — refuse (r14, enforced
-        # from the docstring's caller contract)
+        # from the docstring's caller contract; a self-loaded frame IS
+        # the store's own, no digest round trip needed)
         check_store_meta(spark, path, centroids, op="append_ivf_store")
     if "__nrm" in existing:
         asg = with_norm(asg, emb_col, "__nrm")
@@ -1245,10 +1322,13 @@ def refit_cell_store(
     body = raw.drop("cid", "__nrm")
     if "pq_code" in body.columns:
         if codebooks is None:
+            codebooks = load_store_codebooks(spark, base)
+        if codebooks is None:
             raise ValueError(
                 "refit_cell_store: a codes-only store carries no float "
-                "vectors — pass the codebooks= it was written with (the "
-                "reconstruction they define is the assignment input)"
+                "vectors and this one persists no codebooks — pass the "
+                "codebooks= it was written with (the reconstruction "
+                "they define is the assignment input)"
             )
         check_store_meta(spark, base, codebooks=codebooks,
                          op="refit_cell_store")
@@ -1258,6 +1338,8 @@ def refit_cell_store(
             "layout": "ivfpq_codes",
             "codebook_digest": meta.get("codebook_digest")
             or _codebook_digest(codebooks),
+            "codebooks": [[[float(x) for x in c] for c in b]
+                          for b in codebooks],
         }
     else:
         vec_col = emb_col
@@ -1271,7 +1353,13 @@ def refit_cell_store(
         sample_n=max(LLOYD_SAMPLE_N, 4 * n_centroids),
     ).localCheckpoint(eager=True)
     obs_in = Observation()
-    asg = ivf_assign(
+    # ROW-LOCAL assignment, not the windowed ivf_assign: the appends
+    # legitimately carry duplicate ids (crawl state — the compactor
+    # preserves them too), and a row_number window keyed on id_col
+    # would silently COLLAPSE duplicates (the row-conservation check
+    # below caught exactly this). Bit-parity with ivf_assign is
+    # test-pinned, and per-row assignment needs no shuffle at all.
+    asg = ivf_assign_rowlocal(
         body.observe(obs_in, F.count(F.lit(1)).alias("n")),
         cents, 1, vec_col, id_col,
     )
@@ -1294,7 +1382,9 @@ def refit_cell_store(
             "assignment vectors) — store untouched; scrub the rows "
             "explicitly before refitting"
         )
-    sidecar["centroid_digest"] = _centroid_digest(cents)
+    cpay = _centroid_payload(cents)
+    sidecar["centroid_digest"] = _centroid_digest_from_payload(cpay)
+    sidecar["centroids"] = cpay
     _write_sidecar(spark, tmp, json.dumps(sidecar))
     guard_no_new_files(spark, base, files_at_read, tmp)
     swap_store_dirs(spark, base, tmp, old, strategy=swap_strategy)
@@ -1391,10 +1481,14 @@ def write_ivfpq_store(
     _write_by_cell(coded, path, id_col, mode, writers_per_cell)
     import json
 
+    cpay = _centroid_payload(cents)
     _write_sidecar(corpus.sparkSession, path, json.dumps({
         "layout": "ivfpq_codes",
-        "centroid_digest": _centroid_digest(cents),
+        "centroid_digest": _centroid_digest_from_payload(cpay),
         "codebook_digest": _codebook_digest(codebooks),
+        "centroids": cpay,
+        "codebooks": [[[float(x) for x in c] for c in b]
+                      for b in codebooks],
     }))
     return cents
 
@@ -1402,8 +1496,8 @@ def write_ivfpq_store(
 def ivfpq_topk_from_store(
     spark,
     path: str,
-    centroids: DataFrame,
-    codebooks: list,
+    centroids: DataFrame | None,
+    codebooks: list | None,
     probes: DataFrame,
     k: int = 5,
     nprobe: int = 4,
@@ -1417,8 +1511,27 @@ def ivfpq_topk_from_store(
     directory skip), and the per-probe running top-k scores m
     byte-lookups per candidate. No float corpus column is ever read —
     it does not exist in the store. Results are identical to
-    :func:`ivfpq_topk` under the same centroids/codebooks."""
-    check_store_meta(spark, path, centroids, codebooks,
+    :func:`ivfpq_topk` under the same centroids/codebooks.
+
+    ``centroids=None`` / ``codebooks=None`` (r14) load the metadata the
+    store itself persists (:func:`load_store_centroids` /
+    :func:`load_store_codebooks`) — ADC serving from nothing but the
+    path; explicitly-passed metadata is digest-checked instead."""
+    if centroids is None:
+        centroids = _require_store_centroids(
+            spark, path, "ivfpq_topk_from_store"
+        )
+        check_cents = None  # self-loaded: no digest round trip
+    else:
+        check_cents = centroids
+    if codebooks is None:
+        codebooks = _require_store_codebooks(
+            spark, path, "ivfpq_topk_from_store"
+        )
+        check_books = None
+    else:
+        check_books = codebooks
+    check_store_meta(spark, path, check_cents, check_books,
                      op="ivfpq_topk_from_store")
     store = spark.read.parquet(path)
     p = ivf_assign(probes, centroids, nprobe, emb_col, id_col).select(
@@ -1446,8 +1559,8 @@ def ivfpq_topk_from_store(
 def append_ivfpq_store(
     new_vectors: DataFrame,
     path: str,
-    centroids: DataFrame,
-    codebooks: list,
+    centroids: DataFrame | None = None,
+    codebooks: list | None = None,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     writers_per_cell: int = 1,
@@ -1461,9 +1574,26 @@ def append_ivfpq_store(
     as :func:`append_ivf_store` (same centroids AND codebooks, dedup
     upstream, periodic :func:`compact_cell_store` to re-bound file
     counts / re-fit on distribution drift) — enforced when the store
-    carries a metadata sidecar (r14, :func:`check_store_meta`)."""
-    check_store_meta(new_vectors.sparkSession, path, centroids,
-                     codebooks, op="append_ivfpq_store")
+    carries a metadata sidecar (r14, :func:`check_store_meta`).
+    ``centroids=None`` / ``codebooks=None`` load the store's own
+    persisted metadata — the safe default."""
+    spark = new_vectors.sparkSession
+    if centroids is None:
+        centroids = _require_store_centroids(
+            spark, path, "append_ivfpq_store"
+        )
+        check_cents = None
+    else:
+        check_cents = centroids
+    if codebooks is None:
+        codebooks = _require_store_codebooks(
+            spark, path, "append_ivfpq_store"
+        )
+        check_books = None
+    else:
+        check_books = codebooks
+    check_store_meta(spark, path, check_cents, check_books,
+                     op="append_ivfpq_store")
     asg = ivf_assign(new_vectors, centroids, 1, emb_col, id_col)
     coded = pq_encode(asg, codebooks, emb_col).select(
         F.col(id_col), F.col("cid"), F.col("pq_code")
