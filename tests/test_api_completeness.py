@@ -79,6 +79,7 @@ MODULE_SURFACES = {
         "read_store_meta", "check_store_meta",
         "pq_decode", "refit_cell_store",
         "load_store_centroids", "load_store_codebooks",
+        "ivfpq_rerank_from_store",
     ],
     "wingfoil_spark.functions.store_swap": [
         "ConcurrentAppendError",

@@ -1309,3 +1309,30 @@ def test_store_self_describing(spark, emb, tmp_path):
     os.remove(os.path.join(path, sim.STORE_META_FILE))
     with pytest.raises(ValueError, match="no persisted centroid"):
         sim.ivf_topk_from_store(spark, path, None, probes, k=5)
+
+
+def test_rerank_from_store_matches_batch(spark, emb, tmp_path):
+    """ivfpq_rerank_from_store == ivfpq_rerank_topk row-for-row under
+    the same metadata (same centroids → same cells → same ADC shortlist
+    truncation → same exact re-rank), including with ALL metadata
+    loaded from the store (None/None)."""
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    path = str(tmp_path / "ivfpq")
+    cents = sim.write_ivfpq_store(emb, path, books, n_centroids=8,
+                                  fit="take").localCheckpoint(eager=True)
+    key = ["probe_id", "rank"]
+    want = sim.ivfpq_rerank_topk(
+        emb, probes, books, k=5, shortlist=20, n_centroids=8, nprobe=3,
+        fit="take", centroids=cents,
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    got = sim.ivfpq_rerank_from_store(
+        spark, path, emb, probes, cents, books, k=5, shortlist=20,
+        nprobe=3,
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    assert want.equals(got)
+    # the self-describing path: codes dir + float table, nothing else
+    got2 = sim.ivfpq_rerank_from_store(
+        spark, path, emb, probes, k=5, shortlist=20, nprobe=3,
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    assert want.equals(got2)

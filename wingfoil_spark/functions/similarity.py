@@ -2170,3 +2170,66 @@ def ivfpq_rerank_topk(
         .where(F.col("rank") <= int(k))
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_rerank_from_store(
+    spark,
+    path: str,
+    float_corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame | None = None,
+    codebooks: list | None = None,
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`ivfpq_rerank_topk` served from the PERSISTED codes store —
+    the batch leg completing the rerank serving matrix (in-memory batch
+    :func:`ivfpq_rerank_topk`, streamed store twin
+    :func:`~wingfoil_spark.streaming.ingest.ivfpq_rerank_stream`, batch
+    store: here). Stage 1 ADC-generates the top-``shortlist`` from the
+    codes-only store (:func:`ivfpq_topk_from_store`: DPP cell pruning,
+    m byte-lookups per candidate — no float column exists in the
+    store); stage 2 reads ONLY probes × shortlist float rows from
+    ``float_corpus`` (at scale: the id-partitioned float table the
+    codes were encoded from — a lookup through the id equi-join, never
+    a scan) and takes the exact top-k under :func:`cosine_topk`'s
+    rounding + tie rules. ``centroids=None`` / ``codebooks=None`` load
+    the store's own persisted metadata, so serving needs the codes
+    path plus the float table. Row-identical to
+    :func:`ivfpq_rerank_topk` under the same metadata (test-pinned)."""
+    short = ivfpq_topk_from_store(
+        spark, path, centroids, codebooks, probes, k=int(shortlist),
+        nprobe=nprobe, emb_col=emb_col, id_col=id_col,
+    ).select("probe_id", "neighbor_id")
+    c = with_norm(float_corpus, emb_col, "n_c").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("e_c"), "n_c",
+    ).where(F.col("n_c") > 0)
+    p = with_norm(probes, emb_col, "n_p").select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("e_p"), "n_p"
+    ).where(F.col("n_p") > 0)
+    scored = (
+        short.join(c, "neighbor_id")        # shortlist-bounded id lookup
+        .join(F.broadcast(p), "probe_id")   # probes are the small side
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("e_p", "e_c") / (F.col("n_p") * F.col("n_c")),
+                round_digits,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
