@@ -128,6 +128,18 @@ try:
     assert got[(0, 1)] == 240, got
     print("persisted ivf + ivfpq stores: rank-1 near-dup recovered")
 
+    # the production serving composition FROM the store, self-described:
+    # ADC shortlist over codes (no floats in the store) + exact re-rank
+    # through a shortlist-bounded lookup into the float table — with
+    # centroids/codebooks loaded from the store's own sidecar
+    rr = {(r.probe_id, r.rank): r.neighbor_id
+          for r in sim.ivfpq_rerank_from_store(
+              spark, store_dir + "/ivfpq", corpus, probes,
+              k=3, shortlist=10, nprobe=2).collect()}
+    assert rr[(0, 1)] == 240, rr
+    print("store-served ADC + exact re-rank (path-only metadata): "
+          "rank-1 near-dup recovered")
+
     # 4c. recall@k — the metric every tier trades against cost: the
     # exhaustive-probe store search must recover the exact result
     # (exact top-3 was computed once at step 1; reuse it)
