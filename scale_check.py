@@ -1155,10 +1155,11 @@ def refit_scale(spark):
             "claim": (
                 "refit is compaction-priced: its wall tracks the "
                 "compactor's at both tiers (same one-scan rewrite, plus "
-                "one broadcast re-assignment) and the fit overhead on "
-                "top is FLAT in store size (bounded 512-row sample pull "
-                "+ 16-row digest) — the maintenance schedule that "
-                "absorbs a compaction absorbs a refit"
+                "a ROW-LOCAL re-assignment — no shuffle, no window) and "
+                "the fit overhead on top is FLAT in store size (bounded "
+                "512-row sample pull + metadata persistence) — the "
+                "maintenance schedule that absorbs a compaction absorbs "
+                "a refit"
             ),
         }
         print(
