@@ -1336,3 +1336,22 @@ def test_rerank_from_store_matches_batch(spark, emb, tmp_path):
         spark, path, emb, probes, k=5, shortlist=20, nprobe=3,
     ).toPandas().sort_values(key).reset_index(drop=True)
     assert want.equals(got2)
+
+
+def test_sidecar_hadoop_path_roundtrip(spark, emb, tmp_path):
+    """The sidecar write/read HADOOP branch (any '://' scheme routes
+    through org.apache.hadoop.fs.FileSystem — the path a real HDFS/S3A
+    store takes), driven on file://: write → meta round trip →
+    self-described serve, all through URIs."""
+    path = "file://" + str(tmp_path / "ivf")
+    sub = emb.where(F.col("vec_id") < 200)
+    cents = sim.write_ivf_store(sub, path, n_centroids=4, fit="take")
+    meta = sim.read_store_meta(spark, path)
+    assert meta is not None and meta["layout"] == "ivf_float"
+    loaded = sim.load_store_centroids(spark, path)
+    assert sim._centroid_digest(loaded) == meta["centroid_digest"]
+    assert sim._centroid_digest(loaded) == sim._centroid_digest(cents)
+    probes = sub.where(F.col("vec_id") % 10 == 0)
+    assert sim.ivf_topk_from_store(
+        spark, path, None, probes, k=3, nprobe=2
+    ).count() > 0
