@@ -162,6 +162,8 @@ MODULE_SURFACES = {
         "compact_fingerprint_store", "clf_score_stream",
         "build_ann_index_multi", "ann_tables_topk_stream",
         "ivf_topk_stream", "ivfpq_topk_stream", "ivfpq_rerank_stream",
+        "ivf_topk_stream_from_store", "ivfpq_topk_stream_from_store",
+        "ivfpq_rerank_stream_from_store",
     ],
     "wingfoil_spark.streaming.metrics": [
         "ProgressListener", "attach", "render_exposition",

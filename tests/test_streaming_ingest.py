@@ -1243,3 +1243,81 @@ def test_ivfpq_rerank_stream_matches_batch(spark, sf_dir, tmp_path):
     for c in ("probe_id", "neighbor_id", "rank"):
         assert g[c].tolist() == b[c].tolist(), c
     assert g["cosine"].tolist() == b["cosine"].tolist()
+
+
+def test_stream_from_store_constructors_match_batch(spark, sf_dir, tmp_path):
+    """r14: the path-only stream constructors — store frame, centroids
+    and codebooks all loaded from the self-describing store at stream
+    construction — reproduce their batch from-store twins exactly on an
+    availableNow run (ivf serve, ADC serve, ADC + exact re-rank)."""
+    from wingfoil_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 40 == 0)
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    ipath = str(tmp_path / "ivf")
+    qpath = str(tmp_path / "ivfpq")
+    sim.write_ivf_store(emb, ipath, n_centroids=8, fit="take")
+    sim.write_ivfpq_store(emb, qpath, books, n_centroids=8, fit="take")
+
+    pdf = probes.select("vec_id", "embedding").toPandas()
+    src_dir = tempfile.mkdtemp(prefix="wf_sfs_")
+    try:
+        n = len(pdf)
+        for i in range(2):
+            chunk = pdf.iloc[i * n // 2: (i + 1) * n // 2]
+            p = os.path.join(src_dir, f"c{i}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+
+        def stream():
+            return (
+                spark.readStream
+                .schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+
+        key = ["probe_id", "rank"]
+
+        def norm(df):
+            return df.toPandas().sort_values(key).reset_index(drop=True)
+
+        cases = [
+            (
+                ingest.ivf_topk_stream_from_store(
+                    spark, stream(), ipath, k=5, nprobe=3
+                ),
+                sim.ivf_topk_from_store(
+                    spark, ipath, None, probes, k=5, nprobe=3
+                ),
+                "sfs_ivf",
+            ),
+            (
+                ingest.ivfpq_topk_stream_from_store(
+                    spark, stream(), qpath, k=5, nprobe=3
+                ),
+                sim.ivfpq_topk_from_store(
+                    spark, qpath, None, None, probes, k=5, nprobe=3
+                ),
+                "sfs_ivfpq",
+            ),
+            (
+                ingest.ivfpq_rerank_stream_from_store(
+                    spark, stream(), qpath, emb, k=5, shortlist=10,
+                    nprobe=3,
+                ),
+                sim.ivfpq_rerank_from_store(
+                    spark, qpath, emb, probes, k=5, shortlist=10,
+                    nprobe=3,
+                ),
+                "sfs_rerank",
+            ),
+        ]
+        for out, batch, name in cases:
+            g, b = norm(_run_to_memory(out, name)), norm(batch)
+            assert len(g) == len(b) and len(g) > 0, name
+            for c in ("probe_id", "neighbor_id", "rank"):
+                assert g[c].tolist() == b[c].tolist(), (name, c)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)

@@ -1198,3 +1198,93 @@ def ivfpq_rerank_stream(
     return scored.repartition("probe_id").mapInPandas(
         _running_cosine_topk_iter(int(k)), schema
     )
+
+
+def ivf_topk_stream_from_store(
+    spark,
+    probes,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Path-only construction of :func:`ivf_topk_stream` (r14): the
+    store frame and its sidecar-persisted centroids are loaded HERE,
+    once, at stream construction — an online server needs spark + the
+    store path + the probe stream, nothing else (self-describing
+    stores; raises the standard clear error for a pre-sidecar store).
+    The running plan is exactly the frame-based twin's."""
+    from wingfoil_spark.functions.similarity import (
+        _require_store_centroids,
+    )
+
+    cents = _require_store_centroids(
+        spark, path, "ivf_topk_stream_from_store"
+    )
+    return ivf_topk_stream(
+        probes, spark.read.parquet(path), cents,
+        k=k, nprobe=nprobe, emb_col=emb_col, id_col=id_col,
+    )
+
+
+def ivfpq_topk_stream_from_store(
+    spark,
+    probes,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Path-only construction of :func:`ivfpq_topk_stream` (r14):
+    codes frame, centroids AND codebooks all load from the store —
+    streamed ADC serving from nothing but the path."""
+    from wingfoil_spark.functions.similarity import (
+        _require_store_centroids,
+        _require_store_codebooks,
+    )
+
+    cents = _require_store_centroids(
+        spark, path, "ivfpq_topk_stream_from_store"
+    )
+    books = _require_store_codebooks(
+        spark, path, "ivfpq_topk_stream_from_store"
+    )
+    return ivfpq_topk_stream(
+        probes, spark.read.parquet(path), cents, books,
+        k=k, nprobe=nprobe, emb_col=emb_col, id_col=id_col,
+    )
+
+
+def ivfpq_rerank_stream_from_store(
+    spark,
+    probes,
+    path: str,
+    float_corpus,
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Path-only construction of :func:`ivfpq_rerank_stream` (r14) —
+    the production serving composition from the codes path plus the
+    float table (``float_corpus``: the id-partitioned float source the
+    shortlist lookup reads, probes × shortlist rows per micro-batch)."""
+    from wingfoil_spark.functions.similarity import (
+        _require_store_centroids,
+        _require_store_codebooks,
+    )
+
+    cents = _require_store_centroids(
+        spark, path, "ivfpq_rerank_stream_from_store"
+    )
+    books = _require_store_codebooks(
+        spark, path, "ivfpq_rerank_stream_from_store"
+    )
+    return ivfpq_rerank_stream(
+        probes, spark.read.parquet(path), cents, books, float_corpus,
+        k=k, shortlist=shortlist, nprobe=nprobe,
+        emb_col=emb_col, id_col=id_col,
+    )
