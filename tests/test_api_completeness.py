@@ -80,6 +80,7 @@ MODULE_SURFACES = {
         "pq_decode", "refit_cell_store",
         "load_store_centroids", "load_store_codebooks",
         "ivfpq_rerank_from_store",
+        "delete_from_cell_store", "describe_cell_store",
     ],
     "wingfoil_spark.functions.store_swap": [
         "ConcurrentAppendError",

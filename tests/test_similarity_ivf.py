@@ -1355,3 +1355,71 @@ def test_sidecar_hadoop_path_roundtrip(spark, emb, tmp_path):
     assert sim.ivf_topk_from_store(
         spark, path, None, probes, k=3, nprobe=2
     ).count() > 0
+
+
+def test_delete_from_cell_store(spark, emb, tmp_path):
+    """DELETE leg: anti-join rewrite under the compactor's guard/swap —
+    victims gone (every copy of a duplicated id), survivors and the
+    sidecar intact, serve results == a rebuild without the victims."""
+    path = str(tmp_path / "ivf")
+    cents = sim.write_ivf_store(emb, path, n_centroids=8,
+                                fit="take").localCheckpoint(eager=True)
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    # duplicate one id via append so the every-copy contract is live
+    dup = emb.where(F.col("vec_id") == 7)
+    sim.append_ivf_store(dup, path)
+    n0 = spark.read.parquet(path).count()
+    victims = emb.where(F.col("vec_id") % 10 == 7).select("vec_id")
+    n_victim_rows = victims.count() + 1  # id 7 exists twice now
+    n_del = sim.delete_from_cell_store(spark, path, victims)
+    assert n_del == n_victim_rows
+    after = spark.read.parquet(path)
+    assert after.count() == n0 - n_victim_rows
+    assert after.where(F.col("vec_id") % 10 == 7).count() == 0
+    # sidecar survived; serve equals rebuild-without-victims
+    assert sim.read_store_meta(spark, path) is not None
+    key = ["probe_id", "rank"]
+    got = sim.ivf_topk_from_store(
+        spark, path, None, probes, k=5, nprobe=3
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    path2 = str(tmp_path / "rebuild")
+    sim.write_ivf_store(
+        emb.where(F.col("vec_id") % 10 != 7), path2, centroids=cents,
+        corpus_assign=sim.ivf_assign(
+            emb.where(F.col("vec_id") % 10 != 7), cents, 1
+        ),
+    )
+    want = sim.ivf_topk_from_store(
+        spark, path2, cents, probes, k=5, nprobe=3
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    assert got.equals(want)
+    # literal-iterable form + empty short-circuit
+    assert sim.delete_from_cell_store(spark, path, []) == 0
+    assert sim.delete_from_cell_store(spark, path, [4]) == 1
+
+
+def test_describe_cell_store(spark, emb, tmp_path):
+    """The maintenance dashboard: counts/skew/files + the explicit
+    compact/refit recommendations using the ops' own thresholds."""
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_store(emb, path, n_centroids=8, fit="take")
+    d0 = sim.describe_cell_store(spark, path)
+    n = spark.read.parquet(path).count()
+    assert d0["layout"] == "ivf_float" and d0["n_rows"] == n
+    assert d0["n_cells"] <= 8 and d0["has_metadata_sidecar"]
+    assert d0["self_describing"]
+    # file sprawl from appends → compact recommendation
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    for _ in range(3):
+        sim.append_ivf_store(probes, path)
+    d1 = sim.describe_cell_store(spark, path, max_files_per_cell=2)
+    assert d1["max_files_per_cell"] > 2
+    assert any(r.startswith("compact:") for r in d1["recommendations"])
+    # overgrown cells → auto-refit recommendation
+    d2 = sim.describe_cell_store(spark, path, target_rows_per_cell=10)
+    assert any("n_centroids='auto'" in r for r in d2["recommendations"])
+    # codes layout reported from the sidecar
+    qpath = str(tmp_path / "ivfpq")
+    books = sim.pq_train(emb, m=8, k=16, fit="take")
+    sim.write_ivfpq_store(emb, qpath, books, n_centroids=8, fit="take")
+    assert sim.describe_cell_store(spark, qpath)["layout"] == "ivfpq_codes"

@@ -1215,6 +1215,163 @@ def compact_cell_store(
     return n
 
 
+def delete_from_cell_store(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+    writers_per_cell: int = 1,
+    swap_strategy: str = "auto",
+) -> int:
+    """Remove rows by id from a cell store (either layout) — the
+    DELETE leg of the store lifecycle (takedowns, GDPR erasure,
+    crawl retractions): anti-join rewrite into a temporary sibling +
+    the :func:`compact_cell_store` guard/swap, with the metadata
+    sidecar carried over untouched (rows removed, never rescored —
+    geometry unchanged, search results over survivors identical to a
+    rebuild without the victims). Returns the number of rows removed
+    (every copy of a duplicated id is removed).
+
+    ``ids`` is a DataFrame carrying ``id_col``, or any iterable of id
+    values (inlined as a literal set when small). Cost is the
+    compactor's — one scan, one cell-partitioned rewrite; at 100 TB
+    batch deletions and fold them into the compaction window exactly
+    as LSM stores fold tombstones. A concurrent append aborts with
+    ``ConcurrentAppendError`` (store untouched, retry after
+    quiescing)."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    from wingfoil_spark.functions.store_swap import (
+        guard_no_new_files,
+        swap_store_dirs,
+        validate_swap_strategy,
+    )
+
+    validate_swap_strategy(swap_strategy)
+    base = path.rstrip("/")
+    tmp = f"{base}.delete-{uuid.uuid4().hex[:12]}"
+    old = f"{base}.old-{uuid.uuid4().hex[:12]}"
+    df = spark.read.parquet(base)
+    if "cid" not in df.columns:
+        raise ValueError(
+            f"delete_from_cell_store: {base!r} is not a cell store "
+            "(no cid partition column)"
+        )
+    files_at_read = set(df.inputFiles())
+    obs_in, obs_out = Observation(), Observation()
+    observed = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    if isinstance(ids, DataFrame):
+        victims = ids.select(F.col(id_col)).dropDuplicates([id_col])
+        kept = observed.join(F.broadcast(victims), id_col, "left_anti")
+    else:
+        vals = list(ids)
+        if not vals:
+            return 0
+        kept = observed.where(~F.col(id_col).isin(vals))
+    _write_by_cell(
+        kept.observe(obs_out, F.count(F.lit(1)).alias("n")),
+        tmp, id_col, "overwrite", writers_per_cell,
+    )
+    n_deleted = int(obs_in.get["n"] - obs_out.get["n"])
+    meta_raw = _read_sidecar(spark, base)
+    if meta_raw is not None:
+        _write_sidecar(spark, tmp, meta_raw)
+    guard_no_new_files(spark, base, files_at_read, tmp)
+    swap_store_dirs(spark, base, tmp, old, strategy=swap_strategy)
+    return n_deleted
+
+
+def describe_cell_store(
+    spark,
+    path: str,
+    target_rows_per_cell: int | None = None,
+    max_files_per_cell: int = 8,
+) -> dict:
+    """The maintenance dashboard for a cell store: layout, row/cell/
+    file counts, cell-balance skew, metadata presence — the numbers an
+    operator reads to DECIDE between :func:`compact_cell_store` (file
+    sprawl from appends) and :func:`refit_cell_store` (drifted or
+    overgrown cells), plus explicit recommendations applying the same
+    thresholds the ops themselves use. Cost: one partition-column-only
+    scan (no data pages — cid comes from directory names) plus the
+    file listing; safe to run on a schedule against a 100 TB store."""
+    df = spark.read.parquet(path.rstrip("/"))
+    if "cid" not in df.columns:
+        raise ValueError(
+            f"describe_cell_store: {path!r} is not a cell store "
+            "(no cid partition column)"
+        )
+    per_cell = {
+        int(r["cid"]): int(r["n"])
+        for r in df.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_rows = sum(per_cell.values())
+    n_cells = len(per_cell)
+    mean_rows = n_rows / n_cells if n_cells else 0.0
+    max_rows = max(per_cell.values()) if per_cell else 0
+    import re as _re
+
+    files_per_cell: dict = {}
+    for f in df.inputFiles():
+        m = _re.search(r"cid=(\d+)/", f)
+        if m:
+            c = int(m.group(1))
+            files_per_cell[c] = files_per_cell.get(c, 0) + 1
+    meta = read_store_meta(spark, path)
+    layout = (meta or {}).get("layout") or (
+        "ivfpq_codes" if "pq_code" in df.columns else "ivf_float"
+    )
+    out = {
+        "layout": layout,
+        "n_rows": n_rows,
+        "n_cells": n_cells,
+        "mean_rows_per_cell": round(mean_rows, 1),
+        "max_rows_per_cell": max_rows,
+        "cell_skew_max_over_mean": round(max_rows / mean_rows, 3)
+        if mean_rows else None,
+        "max_files_per_cell": max(files_per_cell.values())
+        if files_per_cell else 0,
+        "n_files": sum(files_per_cell.values()),
+        "has_metadata_sidecar": meta is not None,
+        "self_describing": bool(meta and "centroids" in meta),
+    }
+    recs = []
+    if out["max_files_per_cell"] > max_files_per_cell:
+        recs.append(
+            f"compact: {out['max_files_per_cell']} files in the worst "
+            f"cell (> {max_files_per_cell}) — run compact_cell_store "
+            "to re-bound listing/footer overhead"
+        )
+    if out["cell_skew_max_over_mean"] and out[
+        "cell_skew_max_over_mean"
+    ] > 1.5:
+        recs.append(
+            f"refit: worst cell holds "
+            f"{out['cell_skew_max_over_mean']}x the mean — the "
+            "geometry no longer tiles the data (the drift signature); "
+            "run refit_cell_store"
+        )
+    if target_rows_per_cell and mean_rows > target_rows_per_cell:
+        recs.append(
+            f"refit: {out['mean_rows_per_cell']} mean rows/cell exceeds "
+            f"the {target_rows_per_cell} target — run "
+            "refit_cell_store(n_centroids='auto') to grow the cell "
+            "count and hold per-query IO constant"
+        )
+    if meta is None:
+        recs.append(
+            "metadata: no sidecar (pre-r14/external store) — serving "
+            "requires explicit centroid frames and mismatch is "
+            "unguarded; rewrite via write_*_store or refit to adopt"
+        )
+    out["recommendations"] = recs
+    return out
+
+
 def refit_cell_store(
     spark,
     path: str,
