@@ -199,6 +199,24 @@ try:
         assert "does not match the store" in str(e)
     print("refit on drift: store re-tiled in place; stale centroid "
           "frame refused by the metadata sidecar")
+
+    # 4f. DELETE + the maintenance dashboard (r14): take down the
+    # planted near-dup by id (anti-join rewrite, sidecar carried), then
+    # read the store's health numbers — the operator loop is
+    # describe → (compact | refit | delete) → serve
+    n_del = sim.delete_from_cell_store(spark, store_dir + "/ivf_inc",
+                                       [240])
+    assert n_del == 1, n_del
+    gone = {(r.probe_id, r.rank): r.neighbor_id
+            for r in sim.ivf_topk_from_store(
+                spark, store_dir + "/ivf_inc", None, probes,
+                k=3, nprobe=4).collect()}
+    assert gone[(0, 1)] != 240, gone
+    health = sim.describe_cell_store(spark, store_dir + "/ivf_inc")
+    assert health["self_describing"] and health["n_rows"] > 0
+    print(f"delete + describe: near-dup removed ({n_del} row), store "
+          f"healthy — {health['n_rows']} rows / {health['n_cells']} "
+          f"cells, skew {health['cell_skew_max_over_mean']}")
 finally:
     shutil.rmtree(store_dir, ignore_errors=True)
 
