@@ -1216,24 +1216,51 @@ def q_decon_stream(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     index = ingest.build_decon_index(bench, n=CURATION_DECON_N)
-    # frozen model snapshots (batch), broadcast into every micro-batch
-    lam = ingest.build_dsir_index(
-        docs.where(F.col("lang") == "en"), docs, n_buckets=SEL_BUCKETS
-    ).localCheckpoint(eager=True)
-    bmidx = ingest.build_bm25_index(docs, list(SEL_TERMS)).localCheckpoint(
-        eager=True
-    )
-    lmm = {
-        k: v.localCheckpoint(eager=True)
-        for k, v in lm_mod.fit_bigram_lm(
-            docs.where(F.col("doc_id") % LM_REF_MOD == 0), k=LM_K
-        ).items()
-    }
     emb = load_table(spark, sf_dir, "embeddings")
-    # the frozen corpus-side ANN index (hyperplane-bucketed, norm-
-    # annotated) — checkpointed so the stream-static join reads a pinned
-    # frame instead of re-scanning the parquet every micro-batch
-    annidx = ingest.build_ann_index(emb).localCheckpoint(eager=True)
+
+    # frozen model snapshots (batch), broadcast into every micro-batch.
+    # r14 OPT (guide §2.6): the four model fits (DSIR λ row, BM25 stats
+    # row, bigram LM, ANN index) are independent — they were SIX eager
+    # driver actions run strictly back to back (this stage measured
+    # 17.1s of the whole decon_stream wall, SCALE_r14
+    # decon_stream_part_walls). Submitting the chains from a thread pool
+    # lets Spark back-fill idle cores; each model's internal order (and
+    # so every fitted value) is unchanged.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _fit_lam():
+        return ingest.build_dsir_index(
+            docs.where(F.col("lang") == "en"), docs, n_buckets=SEL_BUCKETS
+        ).localCheckpoint(eager=True)
+
+    def _fit_bm():
+        return ingest.build_bm25_index(
+            docs, list(SEL_TERMS)
+        ).localCheckpoint(eager=True)
+
+    def _fit_lm():
+        return {
+            k: v.localCheckpoint(eager=True)
+            for k, v in lm_mod.fit_bigram_lm(
+                docs.where(F.col("doc_id") % LM_REF_MOD == 0), k=LM_K
+            ).items()
+        }
+
+    def _fit_ann():
+        # the frozen corpus-side ANN index (hyperplane-bucketed, norm-
+        # annotated) — checkpointed so the stream-static join reads a
+        # pinned frame instead of re-scanning the parquet every
+        # micro-batch
+        return ingest.build_ann_index(emb).localCheckpoint(eager=True)
+
+    with _TPE(max_workers=4) as _pool:
+        _fl, _fb, _fm, _fa = (
+            _pool.submit(_fit_lam), _pool.submit(_fit_bm),
+            _pool.submit(_fit_lm), _pool.submit(_fit_ann),
+        )
+        lam, bmidx, lmm, annidx = (
+            _fl.result(), _fb.result(), _fm.result(), _fa.result()
+        )
     _mark("model_snapshots")
 
     zero = F.lit(0).cast("long").alias("aux")
@@ -1252,22 +1279,42 @@ def q_decon_stream(spark, sf_dir):
         # r10 part='store': the persisted ingest-history snapshot —
         # doc_id % 3 == 0 plays "already crawled"; checkpointed so the
         # per-micro-batch anti-join reads a pinned frame
-        fpstore_path = os.path.join(tmp, "fpstore")
-        ingest.build_fingerprint_store(
-            docs.where(F.col("doc_id") % 3 == 0), fpstore_path
-        )
-        fpstore = spark.read.parquet(fpstore_path).localCheckpoint(eager=True)
         # r11: the shared IVF/PQ index metadata is computed BEFORE the
         # stream starts — part='ivf_serve' consumes the checkpointed
         # assignment INSIDE the streaming union (the store-shaped
         # (id, emb, cid) frame is what a persisted cell layout reads
         # back to), and the post-stream ivfpq_store round trip reuses
         # the same frames with zero extra corpus scans.
-        books = sim.pq_train(emb, m=8, k=16, fit="take")
-        pcents = sim.ivf_centroids(emb, 16, fit="take").localCheckpoint(
-            eager=True
-        )
-        pasg = sim.ivf_assign(emb, pcents, 1).localCheckpoint(eager=True)
+        # r14 OPT (guide §2.6): the fingerprint-store round trip, the PQ
+        # codebook take-fit and the centroid/assignment chain are
+        # independent — overlapped like the model fits above; only the
+        # codes-store twin needs two of them (books + pasg) and runs
+        # after.
+        fpstore_path = os.path.join(tmp, "fpstore")
+
+        def _fit_fpstore():
+            ingest.build_fingerprint_store(
+                docs.where(F.col("doc_id") % 3 == 0), fpstore_path
+            )
+            return spark.read.parquet(fpstore_path).localCheckpoint(
+                eager=True
+            )
+
+        def _fit_cents():
+            pc = sim.ivf_centroids(emb, 16, fit="take").localCheckpoint(
+                eager=True
+            )
+            return pc, sim.ivf_assign(emb, pc, 1).localCheckpoint(eager=True)
+
+        with _TPE(max_workers=3) as _pool:
+            _ff = _pool.submit(_fit_fpstore)
+            _fc = _pool.submit(_fit_cents)
+            _fk = _pool.submit(
+                lambda: sim.pq_train(emb, m=8, k=16, fit="take")
+            )
+            fpstore = _ff.result()
+            pcents, pasg = _fc.result()
+            books = _fk.result()
         pcodes = sim.pq_encode(emb, books).select("vec_id", "pq_code")
         # the codes-store twin (what write_ivfpq_store persists), pinned
         # for the in-union ADC serving part
@@ -1999,7 +2046,7 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
-def q_ann(spark, sf_dir):
+def q_ann(spark, sf_dir, _share_e=True, _overlap=True):
     """The similarity-search tier in one graded query: exact brute-force
     cosine top-k (the oracle tier), LSH-bucketed (deterministic md5
     hyperplanes), IVF-flat (take-based centroids, nprobe=4), and — r6 —
@@ -2041,32 +2088,113 @@ def q_ann(spark, sf_dir):
     from wingfoil_spark.functions import selection as sel
 
     e = load_table(spark, sf_dir, "embeddings")
+    if _share_e:
+        # r14 OPT (guide §2.3/§6): scan+decode the corpus ONCE — the
+        # nine-branch union previously re-read embeddings.parquet ten
+        # times (plan audit: 10 scan nodes); the checkpointed frame is
+        # ~3 MB at sf0.1 and every branch (and both probe filters) now
+        # reads the in-memory copy. At data scale this checkpoint is the
+        # working set a vector-search service keeps resident anyway.
+        e = e.localCheckpoint(eager=True)
     probes = e.where(F.col("vec_id") % 50 == 0)
-    books = sim.pq_train(e, m=8, k=16, fit="take")
-    # encode ONCE; both PQ branches read the shared code table (the
-    # persisted-codes shape ivfpq_topk(corpus_codes=...) models)
-    codes = sim.pq_encode(e, books).select("vec_id", "pq_code").localCheckpoint(
-        eager=True
+
+    import os as _os
+    import tempfile as _tempfile
+
+    # path keyed by (applicationId, sf): unique per JVM so concurrent
+    # sessions never overwrite each other's store mid-read; stable within
+    # a session so repeated bench runs reuse one directory (mode=
+    # overwrite keeps it clean). Cleanup is OWN-DIRECTORY-ONLY, at
+    # process exit (ADVICE r10-low: the old 6h-mtime sweep of SIBLING
+    # apps' directories could rmtree data a long-lived concurrent
+    # session still holds a lazy from-store frame over — age is not
+    # liveness). A kill -9'd session skips atexit and leaves its
+    # directory; that residual is bounded (one small store per dead
+    # app) and never another process's problem to delete.
+    app = spark.sparkContext.applicationId
+    store_path = _os.path.join(
+        _tempfile.gettempdir(),
+        "wingfoil_ann_ivf_store_%s_%s" % (
+            app,
+            _os.path.basename(sf_dir.rstrip("/")),
+        ),
     )
+    _register_store_cleanup(store_path)
+
+    # r14 OPT (guide §2.6): the build phase used to run SIX eager driver
+    # actions back to back (books take → codes ckpt → cents ckpt → asg
+    # ckpt → q8 ckpt → store write), each a small job that left most of
+    # the machine idle. They form three independent chains, so the
+    # chains are submitted from a thread pool and Spark back-fills the
+    # idle cores (jobs are only sequential because driver code calls
+    # them sequentially). Results are bit-identical — the chains don't
+    # interact, and each chain's internal order is unchanged.
+    def _codes_chain():
+        books = sim.pq_train(e, m=8, k=16, fit="take")
+        # encode ONCE; both PQ branches read the shared code table (the
+        # persisted-codes shape ivfpq_topk(corpus_codes=...) models)
+        codes = sim.pq_encode(e, books).select(
+            "vec_id", "pq_code"
+        ).localCheckpoint(eager=True)
+        return books, codes
+
+    def _cents_chain():
+        # r9 (VERDICT r8 Next #1): ALL FOUR centroid-consuming branches
+        # (ivf, ivfpq, semdedup, semdedup_cap) run the identical
+        # fit='take' 16-centroid assignment — fit ONCE, assign ONCE,
+        # checkpoint (5 small columns/vector), and feed every branch
+        # from the cached frames via centroids=/corpus_assign= (the
+        # corpus_codes= pattern). The centroid frame is ALSO
+        # checkpointed (16 rows): take-fit is a lazy TakeOrdered whose
+        # full-corpus scan would otherwise re-run inside every branch
+        # that embeds it — materializing it makes "fit once" literally
+        # true. The ivf_store write rides this chain (it needs cents +
+        # asg and nothing else needs it).
+        cents = sim.ivf_centroids(e, 16, fit="take").localCheckpoint(
+            eager=True
+        )
+        asg = sel.semdedup_assign(
+            e, n_clusters=16, fit="take", centroids=cents
+        ).localCheckpoint(eager=True)
+        sim.write_ivf_store(
+            e, store_path, n_centroids=16, fit="take",
+            centroids=cents, corpus_assign=asg,
+        )
+        return cents, asg
+
+    def _q8_chain():
+        # checkpoint the reconstructed int8 corpus: lambda-bearing array
+        # expressions are excluded from subexpression elimination, so an
+        # unmaterialized dequantize re-runs the quantize chain inside
+        # every per-pair dot product (measured 2.0s vs 0.9s + one 0.3s
+        # materialization at sf0.1). At scale this checkpoint IS the
+        # int8 store: codes written once, floats dropped.
+        return sim.dequantize_embeddings(
+            sim.quantize_embeddings(e).select(
+                "vec_id", "q_embedding", "q_scale"
+            )
+        ).select("vec_id", "embedding").localCheckpoint(eager=True)
+
+    if _overlap:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as _pool:
+            _f_codes = _pool.submit(_codes_chain)
+            _f_cents = _pool.submit(_cents_chain)
+            _f_q8 = _pool.submit(_q8_chain)
+            books, codes = _f_codes.result()
+            cents, asg = _f_cents.result()
+            q8 = _f_q8.result()
+    else:
+        books, codes = _codes_chain()
+        cents, asg = _cents_chain()
+        q8 = _q8_chain()
+
     pq = sim.pq_topk(codes, probes, books, k=5).select(
         "probe_id", "neighbor_id",
         F.round(1.0 - F.col("adc_dist") / 2.0, 6).alias("cosine"),
         "rank",
     ).withColumn("method", F.lit("pq"))
-    # r9 (VERDICT r8 Next #1): ALL FOUR centroid-consuming branches (ivf,
-    # ivfpq, semdedup, semdedup_cap) run the identical fit='take'
-    # 16-centroid assignment — fit ONCE, assign ONCE, checkpoint (5 small
-    # columns/vector), and feed every branch from the cached frames via
-    # centroids=/corpus_assign= (the corpus_codes= pattern). q_ann
-    # previously ran the same full-corpus assignment scan three times;
-    # now it runs once. The centroid frame is ALSO checkpointed (16
-    # rows): take-fit is a lazy TakeOrdered whose full-corpus scan would
-    # otherwise re-run inside every branch that embeds it (both probe
-    # assignments) — materializing it makes "fit once" literally true.
-    cents = sim.ivf_centroids(e, 16, fit="take").localCheckpoint(eager=True)
-    asg = sel.semdedup_assign(
-        e, n_clusters=16, fit="take", centroids=cents
-    ).localCheckpoint(eager=True)
     # r6: the full IVF-PQ composition graded too (same take centroids as
     # the ivf branch, same take codebooks as the pq branch — the oracle
     # composes the two CTE families; nothing new is trained). With the
@@ -2111,15 +2239,6 @@ def q_ann(spark, sf_dir):
     # serving shape of a real int8 vector store. floor(+0.5) half-up and
     # the float32 cast are engine-exact, so the DuckDB twin replays the
     # whole quantize→dequantize→cosine chain bit-for-bit.
-    # checkpoint the reconstructed corpus: lambda-bearing array
-    # expressions are excluded from subexpression elimination, so an
-    # unmaterialized dequantize re-runs the quantize chain inside every
-    # per-pair dot product (measured 2.0s vs 0.9s + one 0.3s
-    # materialization at sf0.1). At scale this checkpoint IS the int8
-    # store: codes written once, floats dropped.
-    q8 = sim.dequantize_embeddings(
-        sim.quantize_embeddings(e).select("vec_id", "q_embedding", "q_scale")
-    ).select("vec_id", "embedding").localCheckpoint(eager=True)
     int8 = sim.cosine_topk(q8, probes, k=5).withColumn(
         "method", F.lit("int8")
     )
@@ -2132,33 +2251,9 @@ def q_ann(spark, sf_dir):
     # tests/test_similarity_ivf.py). The round trip must equal the
     # in-memory ivf branch bit-for-bit, so the oracle replays the same
     # ivf CTE under the new tag — any float drift, partition-column
-    # mangling, or pruning bug diverges the hash.
-    import os as _os
-    import tempfile as _tempfile
-
-    # path keyed by (applicationId, sf): unique per JVM so concurrent
-    # sessions never overwrite each other's store mid-read; stable within
-    # a session so repeated bench runs reuse one directory (mode=
-    # overwrite keeps it clean). Cleanup is OWN-DIRECTORY-ONLY, at
-    # process exit (ADVICE r10-low: the old 6h-mtime sweep of SIBLING
-    # apps' directories could rmtree data a long-lived concurrent
-    # session still holds a lazy from-store frame over — age is not
-    # liveness). A kill -9'd session skips atexit and leaves its
-    # directory; that residual is bounded (one small store per dead
-    # app) and never another process's problem to delete.
-    app = spark.sparkContext.applicationId
-    store_path = _os.path.join(
-        _tempfile.gettempdir(),
-        "wingfoil_ann_ivf_store_%s_%s" % (
-            app,
-            _os.path.basename(sf_dir.rstrip("/")),
-        ),
-    )
-    _register_store_cleanup(store_path)
-    sim.write_ivf_store(
-        e, store_path, n_centroids=16, fit="take",
-        centroids=cents, corpus_assign=asg,
-    )
+    # mangling, or pruning bug diverges the hash. (The store write rides
+    # the _cents_chain above; the path is computed at the top of the
+    # function.)
     ivfs = sim.ivf_topk_from_store(
         spark, store_path, cents, probes, k=5, nprobe=4
     ).withColumn("method", F.lit("ivf_store"))

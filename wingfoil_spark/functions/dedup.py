@@ -575,6 +575,15 @@ def cosine_near_dups(
     n = with_norm(sig, emb_col, "__nrm").where(F.col("__nrm") > 0)
     # zero/null vectors carry no direction — excluded (ANSI division
     # would otherwise abort the job on one degenerate row)
+    # r14 OPT (guide §4.4/§2.4): materialize the signed+normed frame ONCE.
+    # Unmaterialized, the self-join duplicates the whole subtree per side
+    # AND the inner join's inferred isnotnull(bucket) splits the
+    # signature UDF into two stacked ArrowEvalPython nodes on the build
+    # side — the plan ran the hyperplane kernel 3x and scanned the
+    # corpus twice (plans/r14/cosine_near_dups_before.txt). One
+    # checkpoint runs it once (measured 1.085s -> 0.96s at sf0.1; at
+    # data scale it removes a full corpus scan + two kernel passes).
+    n = n.localCheckpoint(eager=True)
     if probe_hamming:
         probes = F.array(
             F.col("bucket"),

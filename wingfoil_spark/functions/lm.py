@@ -357,33 +357,52 @@ def fit_bigram_counts(
     ``v`` (vocab size) and ``b_types`` (distinct bigram types).
     """
     toks = ref_docs.select(tokens(F.col(text_col)).alias("__t"))
-    uni = (
-        toks.select(F.explode("__t").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint(eager=True)
-    )
-    big = (
-        toks.select(
-            F.explode(
-                F.expr(
-                    "if(size(__t) < 2, array(), transform(sequence(1, size(__t) - 1), "
-                    "i -> struct(__t[i-1] AS w1, __t[i] AS w2)))"
-                )
-            ).alias("bg")
+
+    # r14 OPT (guide §2.6): the unigram and bigram count fits are
+    # independent jobs over the same lazy token frame; submitting them
+    # from two driver threads lets the second fit back-fill the cores
+    # the first one's tail leaves idle (they were strictly sequential
+    # before: ckpt(uni) → ckpt(big) → count(uni) → count(big)). The
+    # per-frame work is unchanged, so the fitted counts are
+    # bit-identical.
+    def _fit_uni():
+        u = (
+            toks.select(F.explode("__t").alias("w1"))
+            .groupBy("w1")
+            .agg(F.count(F.lit(1)).alias("c1"))
+            .localCheckpoint(eager=True)
         )
-        .select("bg.w1", "bg.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
-    )
-    v = uni.count()
+        return u, u.count()
+
+    def _fit_big():
+        b = (
+            toks.select(
+                F.explode(
+                    F.expr(
+                        "if(size(__t) < 2, array(), transform(sequence(1, size(__t) - 1), "
+                        "i -> struct(__t[i-1] AS w1, __t[i] AS w2)))"
+                    )
+                ).alias("bg")
+            )
+            .select("bg.w1", "bg.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .localCheckpoint(eager=True)
+        )
+        return b, b.count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fu = _pool.submit(_fit_uni)
+        _fb = _pool.submit(_fit_big)
+        uni, v = _fu.result()
+        big, b_types = _fb.result()
     if v == 0:
         raise ValueError(
             "fit_bigram_counts: reference corpus has empty vocabulary "
             "(no tokens after tokenization)"
         )
-    b_types = big.count()
     n1p_fwd = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1p"))
     n1p_bwd = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
     return {
