@@ -55,8 +55,28 @@ def global_prefix_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    within = df.withColumn("__cum_in", F.sum(c).over(wb))
-    totals = df.groupBy("__b").agg(F.sum(c).alias("__tot"))
+    # r14 OPT: materialize the within-bucket pass ONCE and derive the
+    # bucket totals from it — the offsets side previously re-ran the
+    # whole upstream pipeline (source scan + every pre-window shuffle;
+    # for dynamic_group_sum the per-key delta window) just to
+    # re-aggregate totals the cumulative column already contains. The
+    # bucket total IS the bucket's last cumulative value, and that
+    # last-cumulative is the same sequential left-fold the naive global
+    # window performs — exact for decimals and MORE faithful to the
+    # "bit-identical to the naive global window" note above than an
+    # order-free re-aggregation for floats. Interleaved A/B at sf0.1:
+    # 1.27s -> 1.13s min (rows identical). At data scale the
+    # materialization is disk-backed and costs one dataset write in
+    # exchange for a full re-read + two re-shuffles of the stream.
+    within = df.withColumn("__cum_in", F.sum(c).over(wb)).localCheckpoint(
+        eager=True
+    )
+    sort_key = (
+        F.struct(F.col(s.ts), F.col(s.seq)) if s.seq else F.struct(F.col(s.ts))
+    )
+    totals = within.groupBy("__b").agg(
+        F.max_by(F.col("__cum_in"), sort_key).alias("__tot")
+    )
     wo = (
         Window.orderBy(F.col("__b").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
