@@ -125,15 +125,31 @@ def q_folds(spark, sf_dir):
     fluent.rs:816-841): the two running-fold graded queries fused to free
     a driver slot (the round-3 vwap_suite/analysis_scores pattern). Both
     branches share one scan + one per-user sort."""
-    cnt = q_running_count(spark, sf_dir).select(
-        F.lit("count").alias("op"), "event_id", "ts_us", "user_id",
-        F.col("n").cast("double").alias("v"),
-    )
-    sm = q_running_sum(spark, sf_dir).select(
-        F.lit("sum").alias("op"), "event_id", "ts_us", "user_id",
-        F.col("acc").alias("v"),
-    )
-    return cnt.unionByName(sm)
+    # r14 OPT (guide §2.4): the union formulation planned the scan, the
+    # per-user exchange and the sort TWICE (one per branch — the
+    # branches' projections differ, so no exchange reuse fired). Both
+    # running folds share one window spec, so compute them in ONE
+    # window pass and emit the two tagged rows per event via explode:
+    # 1 scan + 1 exchange + 1 sort instead of 2 of each. Same rows —
+    # the per-branch expressions are the originals
+    # (q_running_count/q_running_sum stay the single-op reference
+    # surfaces).
+    s = _ev(spark, sf_dir).count(out="n")
+    both = s.map(acc=F.sum(_vdec()).over(s.w_cum()).cast("double"))
+    return both.df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("count").alias("op"),
+                    F.col("n").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("sum").alias("op"), F.col("acc").alias("v")
+                ),
+            )
+        ).alias("x"),
+        "event_id", "ts_us", "user_id",
+    ).select("x.op", "event_id", "ts_us", "user_id", "x.v")
 
 
 #: weighted_mix rates for the graded curation query — chosen so every
@@ -966,12 +982,16 @@ def _derived_qc_model(spark):
 
 
 #: Per-stage wall breakdown of the last q_decon_stream run (r14, VERDICT
-#: r13 Next #5 — the slot's grading cost, made visible). Sequential
-#: stage walls, not per-union-part walls: the nine streamed parts share
-#: ONE query by design (their standalone costs live in scale_check.
-#: decon_stream_scale); everything batch-side here materializes eagerly,
-#: so its stage wall IS its cost. scale_check copies this dict into
-#: SCALE_r{N}.json as `decon_stream_part_walls`.
+#: r13 Next #5 — the slot's grading cost, made visible). The nine
+#: streamed parts share ONE query by design (their standalone costs live
+#: in scale_check.decon_stream_scale); everything batch-side
+#: materializes eagerly, so its stage wall IS its cost. r14 OPT: the
+#: model/store snapshot fits and the six post-stream batch chains run
+#: CONCURRENTLY (guide §2.6) — the snapshot stages record the
+#: region's wall, the six chain stages record per-chain elapsed walls
+#: that overlap in time (they no longer sum to the query wall;
+#: 'batch_stages_wall' is that region's wall-clock). scale_check copies
+#: this dict into SCALE_r{N}.json as `decon_stream_part_walls`.
 PART_WALLS: dict = {}
 
 
@@ -1466,25 +1486,67 @@ def q_decon_stream(spark, sf_dir):
         # under the SAME frozen centroids, probes served from the GROWN
         # store. Rebuild-equivalence of the append (test-pinned) makes
         # the full-corpus psivf oracle the exact expected result.
-        gpath = os.path.join(tmp, "ivf_grow_store")
-        sim.write_ivf_store(
-            emb.where(F.col("vec_id") % 7 != 3), gpath,
-            centroids=pcents,
-            corpus_assign=pasg.where(F.col("vec_id") % 7 != 3),
-        )
-        sim.append_ivf_store(
-            emb.where(F.col("vec_id") % 7 == 3), gpath, pcents
-        )
-        # the maintenance step of the same loop, graded in the same arm:
-        # compaction moves rows, never rescores, so the served rows stay
-        # the full-corpus oracle's — a compaction bug (dropped cell,
-        # mangled partition column, clobbered row) diverges the hash
-        sim.compact_cell_store(spark, gpath)
-        igrow = sim.ivf_topk_from_store(
-            spark, gpath, pcents, emb.where(F.col("vec_id") % 50 == 0),
-            k=5, nprobe=4,
-        ).localCheckpoint(eager=True)
-        _mark("ivf_grow_loop")
+        # r14 OPT (guide §2.6): the six batch-side stages below (float
+        # grow loop + refit, codes grow loop, lloyd fit+search, lsh
+        # multi-probe, lsh multi-table, rerank) are mutually independent
+        # — they ran strictly back to back (~18s of sequential stage
+        # walls), each a chain of small jobs leaving most cores idle.
+        # They now run as six concurrent chains; each chain's internal
+        # order (and every store path / oracle row) is unchanged. The
+        # recorded PART_WALLS for these stages are per-chain elapsed
+        # walls measured inside the chain — they OVERLAP in time, so
+        # they no longer sum to the query wall (see
+        # 'batch_stages_wall' for the region's wall-clock).
+        def _chain_grow_float():
+            t0 = _time.perf_counter()
+            gpath = os.path.join(tmp, "ivf_grow_store")
+            sim.write_ivf_store(
+                emb.where(F.col("vec_id") % 7 != 3), gpath,
+                centroids=pcents,
+                corpus_assign=pasg.where(F.col("vec_id") % 7 != 3),
+            )
+            sim.append_ivf_store(
+                emb.where(F.col("vec_id") % 7 == 3), gpath, pcents
+            )
+            # the maintenance step of the same loop, graded in the same
+            # arm: compaction moves rows, never rescores, so the served
+            # rows stay the full-corpus oracle's — a compaction bug
+            # (dropped cell, mangled partition column, clobbered row)
+            # diverges the hash
+            sim.compact_cell_store(spark, gpath)
+            igrow = sim.ivf_topk_from_store(
+                spark, gpath, pcents, emb.where(F.col("vec_id") % 50 == 0),
+                k=5, nprobe=4,
+            ).localCheckpoint(eager=True)
+            PART_WALLS["ivf_grow_loop"] = round(_time.perf_counter() - t0, 3)
+            # r14 part='refit': the DRIFT stage of the same lifecycle —
+            # refit_cell_store re-tiles the grown float store in place
+            # (fresh lloyd fit on the store's own contents, full
+            # re-assignment, atomic swap, sidecar digest turnover), then
+            # probes are served from the re-tiled store. Rebuild
+            # equivalence makes the oracle exact: the store holds
+            # precisely the corpus's nonzero-norm rows and the lloyd
+            # sample is id-ordered (partitioning-independent), so
+            # fitting on the store IS fitting on the corpus
+            # (digest-pinned by
+            # test_refit_float_store_rebuild_equivalence) and the
+            # served rows must hash-equal the full-corpus lloyd-IVF
+            # search — the llivf CTE family, shared with
+            # part='ivf_lloyd', reached here through a completely
+            # different code path (store scan → refit → swap → DPP
+            # serve vs in-memory ivf_topk). Note igrow was checkpointed
+            # BEFORE the refit: the geometry turnover makes gpath
+            # unservable under pcents afterwards, by design — refit
+            # rides this chain precisely because it must sequence after
+            # the float grow loop.
+            t1 = _time.perf_counter()
+            rcents = sim.refit_cell_store(spark, gpath, 16, fit="lloyd")
+            irefit = sim.ivf_topk_from_store(
+                spark, gpath, rcents, emb.where(F.col("vec_id") % 50 == 0),
+                k=5, nprobe=4,
+            ).localCheckpoint(eager=True)
+            PART_WALLS["refit_loop"] = round(_time.perf_counter() - t1, 3)
+            return igrow, irefit
         # r13 part='ivfpq_grow' (VERDICT r12 Next #1): the CODES-ONLY
         # twin of the ivf_grow loop — the layout a real 100 TB corpus
         # actually grows (m smallints per vector on disk, never floats).
@@ -1497,90 +1559,108 @@ def q_decon_stream(spark, sf_dir):
         # full-corpus ADC oracle (psranked, shared with 'ivfpq_store')
         # the exact expected rows — all four stages load-bearing in one
         # hash.
-        gqpath = os.path.join(tmp, "ivfpq_grow_store")
-        sim.write_ivfpq_store(
-            emb.where(F.col("vec_id") % 7 != 3), gqpath, books,
-            centroids=pcents,
-            corpus_assign=pasg.where(F.col("vec_id") % 7 != 3),
-            corpus_codes=pcodes_store.where(F.col("vec_id") % 7 != 3),
-        )
-        sim.append_ivfpq_store(
-            emb.where(F.col("vec_id") % 7 == 3), gqpath, pcents, books
-        )
-        sim.compact_cell_store(spark, gqpath)
-        igrowq = sim.ivfpq_topk_from_store(
-            spark, gqpath, pcents, books,
-            emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
-        ).localCheckpoint(eager=True)
-        _mark("ivfpq_grow_loop")
-        # r14 part='refit': the DRIFT stage of the same lifecycle —
-        # refit_cell_store re-tiles the grown float store in place
-        # (fresh lloyd fit on the store's own contents, full
-        # re-assignment, atomic swap, sidecar digest turnover), then
-        # probes are served from the re-tiled store. Rebuild
-        # equivalence makes the oracle exact: the store holds precisely
-        # the corpus's nonzero-norm rows and the lloyd sample is
-        # id-ordered (partitioning-independent), so fitting on the
-        # store IS fitting on the corpus (digest-pinned by
-        # test_refit_float_store_rebuild_equivalence) and the served
-        # rows must hash-equal the full-corpus lloyd-IVF search — the
-        # llivf CTE family, shared with part='ivf_lloyd', reached here
-        # through a completely different code path (store scan → refit
-        # → swap → DPP serve vs in-memory ivf_topk). Note igrow was
-        # checkpointed BEFORE the refit: the geometry turnover makes
-        # gpath unservable under pcents afterwards, by design.
-        rcents = sim.refit_cell_store(spark, gpath, 16, fit="lloyd")
-        irefit = sim.ivf_topk_from_store(
-            spark, gpath, rcents, emb.where(F.col("vec_id") % 50 == 0),
-            k=5, nprobe=4,
-        ).localCheckpoint(eager=True)
-        _mark("refit_loop")
+        def _chain_grow_codes():
+            t0 = _time.perf_counter()
+            gqpath = os.path.join(tmp, "ivfpq_grow_store")
+            sim.write_ivfpq_store(
+                emb.where(F.col("vec_id") % 7 != 3), gqpath, books,
+                centroids=pcents,
+                corpus_assign=pasg.where(F.col("vec_id") % 7 != 3),
+                corpus_codes=pcodes_store.where(F.col("vec_id") % 7 != 3),
+            )
+            sim.append_ivfpq_store(
+                emb.where(F.col("vec_id") % 7 == 3), gqpath, pcents, books
+            )
+            sim.compact_cell_store(spark, gqpath)
+            igrowq = sim.ivfpq_topk_from_store(
+                spark, gqpath, pcents, books,
+                emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
+            ).localCheckpoint(eager=True)
+            PART_WALLS["ivfpq_grow_loop"] = round(
+                _time.perf_counter() - t0, 3
+            )
+            return igrowq
+
+        # r12 part='ivf_lloyd': the graded kmeans tier — deterministic
+        # Lloyd fit (SQL-replayable, see ivf_centroids), then the
+        # standard IVF search under the fitted centroids. Batch-side
+        # like 'recall'.
+        def _chain_lloyd():
+            t0 = _time.perf_counter()
+            lcents = sim.ivf_centroids(emb, 16, fit="lloyd").localCheckpoint(
+                eager=True
+            )
+            illoyd = sim.ivf_topk(
+                emb, emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
+                centroids=lcents,
+            ).localCheckpoint(eager=True)
+            PART_WALLS["ivf_lloyd"] = round(_time.perf_counter() - t0, 3)
+            return illoyd
+
+        # r13 part='lsh_mp': the Hamming-1 MULTI-PROBE production tier
+        # over the same md5 planes the streamed part='ann' uses — the
+        # recall dial RECALL.md describes, hash-graded (probe-side
+        # bit-flip explode keeps the candidate restriction an
+        # equi-join; oracle replays the 9-bucket union).
+        def _chain_lsh_mp():
+            t0 = _time.perf_counter()
+            imp = sim.lsh_bucketed_topk(
+                emb, emb.where(F.col("vec_id") % 50 == 0), k=5,
+                probe_hamming=1,
+            ).localCheckpoint(eager=True)
+            PART_WALLS["lsh_mp"] = round(_time.perf_counter() - t0, 3)
+            return imp
+
+        # r13 part='lsh_t': the multi-TABLE axis composed with
+        # per-table multiprobe — 4 independent plane tables (one
+        # signature pass emits all buckets), Hamming-1 within each,
+        # REAL pair-dedup before scoring (a pair can co-bucket in
+        # several tables). Recall 0.485 at sf0.1 vs the 0.05
+        # single-bucket baseline — the full dial graded.
+        def _chain_lsh_t():
+            t0 = _time.perf_counter()
+            ilt = sim.lsh_tables_topk(
+                emb, emb.where(F.col("vec_id") % 50 == 0), k=5,
+                n_tables=4, probe_hamming=1,
+            ).localCheckpoint(eager=True)
+            PART_WALLS["lsh_t"] = round(_time.perf_counter() - t0, 3)
+            return ilt
+
+        # r14 part='rerank': the serving composition hash-graded —
+        # exact cosine re-rank of the ADC top-50 shortlist
+        # (ivfpq_rerank_topk), fed from the SAME checkpointed take
+        # centroids/assignment/codes frames (zero extra corpus scans;
+        # the slot budget for this part is the r14 'ivfpq_store'
+        # merge). Oracle: psranked rank<=50 is the shortlist (same
+        # (dist, id) truncation order as _adc_topk_iter), exact-cosine
+        # re-scored and re-ranked under cosine_topk's rounding + tie
+        # rules.
+        def _chain_rerank():
+            t0 = _time.perf_counter()
+            irr = sim.ivfpq_rerank_topk(
+                emb, emb.where(F.col("vec_id") % 50 == 0), books, k=5,
+                shortlist=50, nprobe=4, corpus_codes=pcodes_store,
+                centroids=pcents, corpus_assign=pasg,
+            ).localCheckpoint(eager=True)
+            PART_WALLS["rerank"] = round(_time.perf_counter() - t0, 3)
+            return irr
+
+        with _TPE(max_workers=6) as _pool:
+            _f_gf = _pool.submit(_chain_grow_float)
+            _f_gc = _pool.submit(_chain_grow_codes)
+            _f_ll = _pool.submit(_chain_lloyd)
+            _f_mp = _pool.submit(_chain_lsh_mp)
+            _f_lt = _pool.submit(_chain_lsh_t)
+            _f_rr = _pool.submit(_chain_rerank)
+            igrow, irefit = _f_gf.result()
+            igrowq = _f_gc.result()
+            illoyd = _f_ll.result()
+            imp = _f_mp.result()
+            ilt = _f_lt.result()
+            irr = _f_rr.result()
+        _mark("batch_stages_wall")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    # r12 part='ivf_lloyd': the graded kmeans tier — deterministic Lloyd
-    # fit (SQL-replayable, see ivf_centroids), then the standard IVF
-    # search under the fitted centroids. Batch-side like 'recall'.
-    lcents = sim.ivf_centroids(emb, 16, fit="lloyd").localCheckpoint(
-        eager=True
-    )
-    illoyd = sim.ivf_topk(
-        emb, emb.where(F.col("vec_id") % 50 == 0), k=5, nprobe=4,
-        centroids=lcents,
-    ).localCheckpoint(eager=True)
-    _mark("ivf_lloyd")
-    # r13 part='lsh_mp': the Hamming-1 MULTI-PROBE production tier over
-    # the same md5 planes the streamed part='ann' uses — the recall dial
-    # RECALL.md describes, hash-graded (probe-side bit-flip explode
-    # keeps the candidate restriction an equi-join; oracle replays the
-    # 9-bucket union). Batch-side like 'recall'/'ivf_lloyd'.
-    imp = sim.lsh_bucketed_topk(
-        emb, emb.where(F.col("vec_id") % 50 == 0), k=5, probe_hamming=1
-    ).localCheckpoint(eager=True)
-    _mark("lsh_mp")
-    # r13 part='lsh_t': the multi-TABLE axis composed with per-table
-    # multiprobe — 4 independent plane tables (one signature pass emits
-    # all buckets), Hamming-1 within each, REAL pair-dedup before
-    # scoring (a pair can co-bucket in several tables). Recall 0.485 at
-    # sf0.1 vs the 0.05 single-bucket baseline — the full dial graded.
-    ilt = sim.lsh_tables_topk(
-        emb, emb.where(F.col("vec_id") % 50 == 0), k=5,
-        n_tables=4, probe_hamming=1,
-    ).localCheckpoint(eager=True)
-    _mark("lsh_t")
-    # r14 part='rerank': the round's new serving composition hash-graded
-    # — exact cosine re-rank of the ADC top-50 shortlist
-    # (ivfpq_rerank_topk), fed from the SAME checkpointed take
-    # centroids/assignment/codes frames (zero extra corpus scans; the
-    # slot budget for this part is the r14 'ivfpq_store' merge). Oracle:
-    # psranked rank<=50 is the shortlist (same (dist, id) truncation
-    # order as _adc_topk_iter), exact-cosine re-scored and re-ranked
-    # under cosine_topk's rounding + tie rules.
-    irr = sim.ivfpq_rerank_topk(
-        emb, emb.where(F.col("vec_id") % 50 == 0), books, k=5,
-        shortlist=50, nprobe=4, corpus_codes=pcodes_store,
-        centroids=pcents, corpus_assign=pasg,
-    ).localCheckpoint(eager=True)
-    _mark("rerank")
     # the memory sinks hold the materialized rows; localCheckpoint pins
     # them to this returned frame (the table names are run-unique anyway)
     out = (

@@ -186,6 +186,15 @@ def hyperplane_signature(
             out |= (acc > 0).astype(np.int64) << p
         return pd.Series(out)
 
+    # r14 OPT (guide §4.4): an inner join on the bucket column infers
+    # isnotnull(bucket) and pushes it BELOW the projection, splitting
+    # this UDF into two stacked ArrowEvalPython nodes — every consumer
+    # that equi-joins on the signature paid the kernel (and the Arrow
+    # transfer of the embedding column) twice per side. Marking the UDF
+    # non-deterministic forbids the optimizer from duplicating it; the
+    # values are of course deterministic — only the optimizer contract
+    # changes, and every value is unchanged.
+    sig_udf = sig_udf.asNondeterministic()
     return df.withColumn("bucket", sig_udf(F.col(emb_col)))
 
 
