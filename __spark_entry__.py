@@ -222,50 +222,76 @@ def _curation_union(spark, sf_dir, shared_tokens: bool = False):
         tk = "__tk"
     else:
         src, tk = docs, None
-    strat = cu.stratified_take(
-        docs, CURATION_STRAT_N, group_col="lang", tag="strat"
-    ).select(
-        F.lit("strat").alias("part"), "doc_id", F.col("lang").alias("grp"),
-        F.col("strat_rank").cast("long").alias("v"),
-    )
-    mix = cu.weighted_mix(docs, CURATION_RATES, tag="mix").select(
-        F.lit("mix").alias("part"), "doc_id", F.col("source").alias("grp"),
-        F.col("n_chars").cast("long").alias("v"),
-    )
-    shard = cu.token_budget_shards(src, CURATION_BUDGET, toks_col=tk).select(
-        F.lit("shard").alias("part"), "doc_id",
-        F.col("shard").cast("string").alias("grp"),
-        F.col("cum_tokens").cast("long").alias("v"),
-    )
-    size, ov = CURATION_CHUNK
-    chunk = tx.chunk_tokens(src, size, ov, toks_col=tk).select(
-        F.lit("chunk").alias("part"), "doc_id",
-        # grp carries the chunk CONTENT hash — the window slicing itself
-        # is graded, not just the arithmetic
-        F.concat_ws(":", F.col("chunk_id").cast("string"),
-                    F.md5("chunk_text")).alias("grp"),
-        F.col("n_chunk_tokens").alias("v"),
-    )
+    # r14 OPT (guide §2.6 applied to the DRIVER): assembling this
+    # ten-part union was ~2 s of single-threaded work per call — each
+    # part's construction is py4j round trips + eager Catalyst analysis
+    # in the JVM, and the shard part additionally fires
+    # token_budget_shards' three eager jobs during construction. The
+    # parts are independent, and the Python threads spend their time
+    # blocked on the JVM (GIL released), so building them from a thread
+    # pool parallelizes both the analysis and the embedded jobs
+    # (measured build 2.4 s → 1.2 s; rows bit-identical — each part's
+    # expressions are unchanged, only the order of construction is).
+    def _p_strat():
+        return cu.stratified_take(
+            docs, CURATION_STRAT_N, group_col="lang", tag="strat"
+        ).select(
+            F.lit("strat").alias("part"), "doc_id",
+            F.col("lang").alias("grp"),
+            F.col("strat_rank").cast("long").alias("v"),
+        )
+
+    def _p_mix():
+        return cu.weighted_mix(docs, CURATION_RATES, tag="mix").select(
+            F.lit("mix").alias("part"), "doc_id",
+            F.col("source").alias("grp"),
+            F.col("n_chars").cast("long").alias("v"),
+        )
+
+    def _p_shard():
+        return cu.token_budget_shards(
+            src, CURATION_BUDGET, toks_col=tk
+        ).select(
+            F.lit("shard").alias("part"), "doc_id",
+            F.col("shard").cast("string").alias("grp"),
+            F.col("cum_tokens").cast("long").alias("v"),
+        )
+
+    def _p_chunk():
+        size, ov = CURATION_CHUNK
+        return tx.chunk_tokens(src, size, ov, toks_col=tk).select(
+            F.lit("chunk").alias("part"), "doc_id",
+            # grp carries the chunk CONTENT hash — the window slicing
+            # itself is graded, not just the arithmetic
+            F.concat_ws(":", F.col("chunk_id").cast("string"),
+                        F.md5("chunk_text")).alias("grp"),
+            F.col("n_chunk_tokens").alias("v"),
+        )
     # decontamination: docs sharing any word 4-gram with the "eval set"
     # (doc_id % 97 — a held-out slice of the same corpus, so benchmark
     # docs self-flag and near-dup docs cross-flag). Flagged-only emission:
     # the corpus side never shuffles (functions/dedup.py decontaminate).
-    bench = docs.where(F.col("doc_id") % 97 == 0)
-    decon = dd.decontaminate(src, bench, n=CURATION_DECON_N, toks_col=tk).select(
-        F.lit("decon").alias("part"), "doc_id", F.lit("eval").alias("grp"),
-        F.col("n_hits").cast("long").alias("v"),
-    )
+    def _p_decon():
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        return dd.decontaminate(
+            src, bench, n=CURATION_DECON_N, toks_col=tk
+        ).select(
+            F.lit("decon").alias("part"), "doc_id",
+            F.lit("eval").alias("grp"),
+            F.col("n_hits").cast("long").alias("v"),
+        )
     # substring-level dedup (ExactSubstr, Lee et al. 2022): maximal token
     # spans ≥ L occurring more than once anywhere in the corpus — one gram
     # -hash shuffle + per-doc interval merge (functions/dedup.py
     # duplicate_spans). grp carries the span extent so the slicing itself
     # is graded.
-    dupspan = dd.duplicate_spans(src, CURATION_DUP_L, toks_col=tk).select(
-        F.lit("dupspan").alias("part"), "doc_id",
-        F.concat_ws(":", F.col("span_start").cast("string"),
-                    F.col("span_end").cast("string")).alias("grp"),
-        F.col("span_tokens").cast("long").alias("v"),
-    )
+    def _p_dupspan():
+        return dd.duplicate_spans(src, CURATION_DUP_L, toks_col=tk).select(
+            F.lit("dupspan").alias("part"), "doc_id",
+            F.concat_ws(":", F.col("span_start").cast("string"),
+                        F.col("span_end").cast("string")).alias("grp"),
+            F.col("span_tokens").cast("long").alias("v"),
+        )
     # r9 (VERDICT r8 Next #2): C4 line-level dedup (functions/dedup.py
     # dedup_lines) — the last dedup family without a hash grade. Any
     # trimmed line occurring >1× corpus-wide keeps only its first
@@ -282,21 +308,24 @@ def _curation_union(spark, sf_dir, shared_tokens: bool = False):
     # making the owner election, the rebuild order, and the removal
     # count all load-bearing in the hash at every SF. Both engines
     # build the identical decorated string.
-    lines_in = docs.select(
-        "doc_id",
-        F.concat_ws(
-            "\n",
-            F.col("text"),
-            F.lit("shared boilerplate footer"),
-            F.concat(F.lit("group line "), (F.col("doc_id") % 7).cast("string")),
-            F.lit(" "),
-        ).alias("text"),
-    )
-    lines = dd.dedup_lines(lines_in).select(
-        F.lit("lines").alias("part"), "doc_id",
-        F.md5(F.col("text")).alias("grp"),
-        F.col("n_lines_removed").alias("v"),
-    )
+    def _p_lines():
+        lines_in = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.lit("shared boilerplate footer"),
+                F.concat(
+                    F.lit("group line "), (F.col("doc_id") % 7).cast("string")
+                ),
+                F.lit(" "),
+            ).alias("text"),
+        )
+        return dd.dedup_lines(lines_in).select(
+            F.lit("lines").alias("part"), "doc_id",
+            F.md5(F.col("text")).alias("grp"),
+            F.col("n_lines_removed").alias("v"),
+        )
     # r9 (VERDICT r8 Next #7): corpus observability summary graded — the
     # describe_corpus per-(lang,source) aggregation, exploded into one
     # row per deterministic metric (doc_id = metric index): 0=n_docs,
@@ -305,29 +334,33 @@ def _curation_union(spark, sf_dir, shared_tokens: bool = False):
     # the grade). The approx-percentile sketch column is the one field
     # NOT graded (t-digest internals are engine-specific by design;
     # documented in COVERAGE.md).
-    desc = cu.describe_corpus(src, toks_col=tk).select(
-        F.lit("describe").alias("part"),
-        F.concat_ws(":", "lang", "source").alias("grp"),
-        F.posexplode(
-            F.array(
-                F.col("n_docs").cast("long"),
-                F.col("total_tokens").cast("long"),
-                F.round(F.col("mean_tokens") * 100).cast("long"),
-                F.round(F.col("mean_quality") * 10000).cast("long"),
-            )
-        ).alias("doc_id", "v"),
-    ).select("part", F.col("doc_id").cast("long").alias("doc_id"), "grp", "v")
+    def _p_desc():
+        return cu.describe_corpus(src, toks_col=tk).select(
+            F.lit("describe").alias("part"),
+            F.concat_ws(":", "lang", "source").alias("grp"),
+            F.posexplode(
+                F.array(
+                    F.col("n_docs").cast("long"),
+                    F.col("total_tokens").cast("long"),
+                    F.round(F.col("mean_tokens") * 100).cast("long"),
+                    F.round(F.col("mean_quality") * 10000).cast("long"),
+                )
+            ).alias("doc_id", "v"),
+        ).select(
+            "part", F.col("doc_id").cast("long").alias("doc_id"), "grp", "v"
+        )
     # r10: leakage-safe train/val/test assignment graded — grp carries
     # the assigned split label, v the raw 60-bit draw, so the oracle
     # replays BOTH the md5 range arithmetic and the cumulative-threshold
     # labelling (lexicographic name order: test < train < val).
-    split = cu.train_val_test_split(
-        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, tag="split"
-    ).select(
-        F.lit("split").alias("part"), "doc_id",
-        F.col("split").alias("grp"),
-        cu.sample_hash(F.col("doc_id"), "split").alias("v"),
-    )
+    def _p_split():
+        return cu.train_val_test_split(
+            docs, {"train": 0.9, "val": 0.05, "test": 0.05}, tag="split"
+        ).select(
+            F.lit("split").alias("part"), "doc_id",
+            F.col("split").alias("grp"),
+            cu.sample_hash(F.col("doc_id"), "split").alias("v"),
+        )
     # r11 (VERDICT r10 Next #4): the group_col LEAKAGE GUARD itself under
     # the driver oracle — part='split_grp' keys the draw on `source` (the
     # URL-domain analog), so every row of a domain lands in the same
@@ -335,19 +368,28 @@ def _curation_union(spark, sf_dir, shared_tokens: bool = False):
     # the group's draw value, so the hash pins both the per-group md5
     # arithmetic AND the all-rows-of-a-group-agree property (a row whose
     # label diverged from its group's draw would mismatch).
-    split_grp = cu.train_val_test_split(
-        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
-        group_col="source", tag="split_grp",
-    ).select(
-        F.lit("split_grp").alias("part"), "doc_id",
-        F.col("split").alias("grp"),
-        cu.sample_hash(F.col("source"), "split_grp").alias("v"),
-    )
-    return (
-        strat.unionByName(mix).unionByName(shard).unionByName(chunk)
-        .unionByName(decon).unionByName(dupspan).unionByName(lines)
-        .unionByName(desc).unionByName(split).unionByName(split_grp)
-    )
+    def _p_split_grp():
+        return cu.train_val_test_split(
+            docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+            group_col="source", tag="split_grp",
+        ).select(
+            F.lit("split_grp").alias("part"), "doc_id",
+            F.col("split").alias("grp"),
+            cu.sample_hash(F.col("source"), "split_grp").alias("v"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = [
+        _p_strat, _p_mix, _p_shard, _p_chunk, _p_decon, _p_dupspan,
+        _p_lines, _p_desc, _p_split, _p_split_grp,
+    ]
+    with ThreadPoolExecutor(max_workers=len(builders)) as _pool:
+        parts = [f.result() for f in [_pool.submit(b) for b in builders]]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_curation(spark, sf_dir):
@@ -1783,6 +1825,7 @@ def q_lm_packing(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.where(F.col("doc_id") % LM_REF_MOD == 0)
+
     # r8: the add-k (part='ppl') and Kneser-Ney (part='kn') branches
     # share ONE count fit (fit_bigram_counts — the ref-corpus explode
     # runs once, checkpointed vocabulary-sized frames) and ONE scoring
@@ -1791,21 +1834,37 @@ def q_lm_packing(spark, sf_dir):
     # expressions are the single-model scorers' verbatim — exact-equal
     # pinned by tests/test_lm_packing.py::test_dual_perplexity_matches_
     # separate_scorers, so the graded hashes are unchanged.
-    counts = lm.fit_bigram_counts(ref)
-    dual = lm.dual_perplexity(
-        docs, counts, k=LM_K, discount=LM_KN_D
-    ).localCheckpoint(eager=True)
+    # r14 OPT (guide §2.6): the LM fit+score chain (count fits + the
+    # dual-score checkpoint) and pack_sequences' construction (which
+    # fires token_budget_shards' three eager jobs) are independent —
+    # they ran strictly back to back in the build phase; two driver
+    # threads overlap them.
+    def _chain_dual():
+        counts = lm.fit_bigram_counts(ref)
+        return lm.dual_perplexity(
+            docs, counts, k=LM_K, discount=LM_KN_D
+        ).localCheckpoint(eager=True)
+
+    def _chain_pack():
+        return cu.pack_sequences(
+            docs, PACK_SEQ_LEN, shard_budget=PACK_BUDGET
+        ).select(
+            F.lit("pack").alias("part"), "doc_id",
+            F.col("seq_id").alias("grp"),
+            F.col("seq_fill").cast("double").alias("v"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_dual = _pool.submit(_chain_dual)
+        _f_pack = _pool.submit(_chain_pack)
+        dual = _f_dual.result()
+        pack = _f_pack.result()
     ppl = dual.select(
         F.lit("ppl").alias("part"), "doc_id",
         F.col("n_bigrams").cast("string").alias("grp"),
         F.round("logprob_addk", 6).alias("v"),
-    )
-    pack = cu.pack_sequences(
-        docs, PACK_SEQ_LEN, shard_budget=PACK_BUDGET
-    ).select(
-        F.lit("pack").alias("part"), "doc_id",
-        F.col("seq_id").alias("grp"),
-        F.col("seq_fill").cast("double").alias("v"),
     )
     kn = dual.select(
         F.lit("kn").alias("part"), "doc_id",
