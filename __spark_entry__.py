@@ -1333,10 +1333,20 @@ def q_decon_stream(spark, sf_dir):
     ckpt = os.path.join(tmp, "ckpt")
     name = f"decon_stream_{run}"
     try:
-        docs.select("doc_id", "text").repartition(4) \
-            .write.mode("overwrite").parquet(src)
-        emb.where(F.col("vec_id") % 50 == 0).select("vec_id", "embedding") \
-            .repartition(4).write.mode("overwrite").parquet(psrc)
+        # r14 OPT (guide §2.6): the two fixture re-chunk writes are
+        # independent — overlap them.
+        with _TPE(max_workers=2) as _pool:
+            _w1 = _pool.submit(
+                lambda: docs.select("doc_id", "text").repartition(4)
+                .write.mode("overwrite").parquet(src)
+            )
+            _w2 = _pool.submit(
+                lambda: emb.where(F.col("vec_id") % 50 == 0)
+                .select("vec_id", "embedding")
+                .repartition(4).write.mode("overwrite").parquet(psrc)
+            )
+            _w1.result()
+            _w2.result()
         _mark("source_rechunk")
         # r10 part='store': the persisted ingest-history snapshot —
         # doc_id % 3 == 0 plays "already crawled"; checkpointed so the
