@@ -181,11 +181,20 @@ def global_lag(s: Stream, col: str, out: str, bucket_width: int) -> Stream:
     broadcast bucket-summary table."""
     df, order = _bucketed(s, bucket_width)
     wb = Window.partitionBy("__b").orderBy(*order)
-    within = df.withColumn("__lag_in", F.lag(col).over(wb))
+    # r14 OPT: same shape as global_prefix_sum above — materialize the
+    # within-bucket lag pass once and aggregate the bucket-last values
+    # from it, instead of re-running the whole upstream pipeline on the
+    # carry side (one scan+shuffle instead of two; rows unchanged —
+    # max_by never reads the added __lag_in column).
+    within = df.withColumn("__lag_in", F.lag(col).over(wb)).localCheckpoint(
+        eager=True
+    )
     sort_key = (
         F.struct(F.col(s.ts), F.col(s.seq)) if s.seq else F.struct(F.col(s.ts))
     )
-    lasts = df.groupBy("__b").agg(F.max_by(F.col(col), sort_key).alias("__last"))
+    lasts = within.groupBy("__b").agg(
+        F.max_by(F.col(col), sort_key).alias("__last")
+    )
     wo = Window.orderBy(F.col("__b").asc())
     carry = lasts.select("__b", F.lag("__last").over(wo).alias("__carry"))
     joined = within.join(F.broadcast(carry), "__b")
