@@ -1807,7 +1807,16 @@ def q_dtw_cluster(spark, sf_dir):
 
     s = _ev(spark, sf_dir)
     s16 = s.filter_value(F.col("user_id") < 16)
-    pairs = analysis.dtw_distances(s16, "value", resample_to=32)
+    # r14 OPT (guide §4.4, the cosine_near_dups pattern): the pair table
+    # feeds BOTH union branches; un-materialized, the union re-ran the
+    # whole per-key resample + DTW pandas pipeline per branch (plan: 14
+    # Python nodes, 8 scans). The frame is ≤|16 keys|²/2 rows of three
+    # scalars — checkpointing it runs the kernel once (4 Python nodes,
+    # 2 scans); values bit-identical (deterministic kernel, 6dp-rounded
+    # before materialization).
+    pairs = analysis.dtw_distances(s16, "value", resample_to=32).localCheckpoint(
+        eager=True
+    )
     dtw = pairs.select(
         F.lit("dtw").alias("part"), F.col("key_a").alias("a"),
         F.col("key_b").alias("b"), F.col("dtw").alias("v"),
