@@ -1252,7 +1252,12 @@ def q_decon_stream(spark, sf_dir):
     other part reaches. The per-part wall breakdown is recorded by this
     function into PART_WALLS (stage walls; the nine streamed parts
     share ONE query and are priced standalone in decon_stream_scale's
-    A/B timings).
+    A/B timings). r14 OPT(2): the stages now OVERLAP — all snapshot/
+    fixture chains run in one pool ('snapshots_and_fixtures'), and the
+    poll query plus the six batch chains run concurrently WITH the
+    file-union stream, so stage walls no longer sum to the query wall
+    ('stream_file_union' is the region from stream start to its
+    termination; 'stream_poll' and the chain walls overlap it).
 
     All eighteen outputs are content-determined per doc/probe/tick,
     hence arrival-order- and batching-invariant — exactly what makes a
@@ -1283,11 +1288,11 @@ def q_decon_stream(spark, sf_dir):
     # frozen model snapshots (batch), broadcast into every micro-batch.
     # r14 OPT (guide §2.6): the four model fits (DSIR λ row, BM25 stats
     # row, bigram LM, ANN index) are independent — they were SIX eager
-    # driver actions run strictly back to back (this stage measured
-    # 17.1s of the whole decon_stream wall, SCALE_r14
-    # decon_stream_part_walls). Submitting the chains from a thread pool
-    # lets Spark back-fill idle cores; each model's internal order (and
-    # so every fitted value) is unchanged.
+    # driver actions run strictly back to back (17.1s of the whole
+    # decon_stream wall, SCALE_r14 decon_stream_part_walls). They now
+    # ride the single snapshot/fixture pool inside the try block below;
+    # each model's internal order (and so every fitted value) is
+    # unchanged.
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
     def _fit_lam():
@@ -1315,39 +1320,15 @@ def q_decon_stream(spark, sf_dir):
         # micro-batch
         return ingest.build_ann_index(emb).localCheckpoint(eager=True)
 
-    with _TPE(max_workers=4) as _pool:
-        _fl, _fb, _fm, _fa = (
-            _pool.submit(_fit_lam), _pool.submit(_fit_bm),
-            _pool.submit(_fit_lm), _pool.submit(_fit_ann),
-        )
-        lam, bmidx, lmm, annidx = (
-            _fl.result(), _fb.result(), _fm.result(), _fa.result()
-        )
-    _mark("model_snapshots")
-
     zero = F.lit(0).cast("long").alias("aux")
     run = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix=f"wf_decon_stream_{run}_")
     src = os.path.join(tmp, "src")
     psrc = os.path.join(tmp, "probes")
     ckpt = os.path.join(tmp, "ckpt")
+    fpstore_path = os.path.join(tmp, "fpstore")
     name = f"decon_stream_{run}"
     try:
-        # r14 OPT (guide §2.6): the two fixture re-chunk writes are
-        # independent — overlap them.
-        with _TPE(max_workers=2) as _pool:
-            _w1 = _pool.submit(
-                lambda: docs.select("doc_id", "text").repartition(4)
-                .write.mode("overwrite").parquet(src)
-            )
-            _w2 = _pool.submit(
-                lambda: emb.where(F.col("vec_id") % 50 == 0)
-                .select("vec_id", "embedding")
-                .repartition(4).write.mode("overwrite").parquet(psrc)
-            )
-            _w1.result()
-            _w2.result()
-        _mark("source_rechunk")
         # r10 part='store': the persisted ingest-history snapshot —
         # doc_id % 3 == 0 plays "already crawled"; checkpointed so the
         # per-micro-batch anti-join reads a pinned frame
@@ -1355,14 +1336,19 @@ def q_decon_stream(spark, sf_dir):
         # stream starts — part='ivf_serve' consumes the checkpointed
         # assignment INSIDE the streaming union (the store-shaped
         # (id, emb, cid) frame is what a persisted cell layout reads
-        # back to), and the post-stream ivfpq_store round trip reuses
-        # the same frames with zero extra corpus scans.
-        # r14 OPT (guide §2.6): the fingerprint-store round trip, the PQ
-        # codebook take-fit and the centroid/assignment chain are
-        # independent — overlapped like the model fits above; only the
-        # codes-store twin needs two of them (books + pasg) and runs
-        # after.
-        fpstore_path = os.path.join(tmp, "fpstore")
+        # back to), and the post-stream grow loops reuse the same frames
+        # with zero extra corpus scans.
+        # r14 OPT(2) (guide §2.6): the model fits, the two fixture
+        # re-chunk writes, the store snapshots and the derived
+        # classifier coefs row were THREE sequential pool regions plus a
+        # serial checkpoint (~8.9 + 0.8 + 1.8 s stage walls) — every
+        # chain depends only on the lazy docs/emb frames, so they now
+        # share ONE pool and the region wall is the slowest chain, not
+        # the sum of region walls. The codes chain carries the one real
+        # cross-chain dependency explicitly (pcodes_store joins the
+        # assignment, so it awaits the centroid chain's future inside
+        # its own chain — the pool MUST therefore have at least as many
+        # workers as submitted chains, or that wait could deadlock).
 
         def _fit_fpstore():
             ingest.build_fingerprint_store(
@@ -1378,23 +1364,53 @@ def q_decon_stream(spark, sf_dir):
             )
             return pc, sim.ivf_assign(emb, pc, 1).localCheckpoint(eager=True)
 
-        with _TPE(max_workers=3) as _pool:
+        def _w_docs():
+            docs.select("doc_id", "text").repartition(4) \
+                .write.mode("overwrite").parquet(src)
+
+        def _w_probes():
+            emb.where(F.col("vec_id") % 50 == 0) \
+                .select("vec_id", "embedding") \
+                .repartition(4).write.mode("overwrite").parquet(psrc)
+
+        with _TPE(max_workers=10) as _pool:
+            _fl = _pool.submit(_fit_lam)
+            _fb = _pool.submit(_fit_bm)
+            _fm = _pool.submit(_fit_lm)
+            _fa = _pool.submit(_fit_ann)
+            _w1 = _pool.submit(_w_docs)
+            _w2 = _pool.submit(_w_probes)
             _ff = _pool.submit(_fit_fpstore)
             _fc = _pool.submit(_fit_cents)
-            _fk = _pool.submit(
-                lambda: sim.pq_train(emb, m=8, k=16, fit="take")
+            _fq = _pool.submit(
+                lambda: _derived_qc_model(spark).localCheckpoint(eager=True)
             )
+
+            def _fit_codes():
+                books_ = sim.pq_train(emb, m=8, k=16, fit="take")
+                pcodes = sim.pq_encode(emb, books_).select(
+                    "vec_id", "pq_code"
+                )
+                # the codes-store twin (what write_ivfpq_store
+                # persists), pinned for the in-union ADC serving part
+                _, pasg_ = _fc.result()
+                store = (
+                    pasg_.select("vec_id", "cid").join(pcodes, "vec_id")
+                    .localCheckpoint(eager=True)
+                )
+                return books_, store
+
+            _fk = _pool.submit(_fit_codes)
+            lam, bmidx, lmm, annidx = (
+                _fl.result(), _fb.result(), _fm.result(), _fa.result()
+            )
+            _w1.result()
+            _w2.result()
             fpstore = _ff.result()
             pcents, pasg = _fc.result()
-            books = _fk.result()
-        pcodes = sim.pq_encode(emb, books).select("vec_id", "pq_code")
-        # the codes-store twin (what write_ivfpq_store persists), pinned
-        # for the in-union ADC serving part
-        pcodes_store = (
-            pasg.select("vec_id", "cid").join(pcodes, "vec_id")
-            .localCheckpoint(eager=True)
-        )
-        _mark("store_snapshots")
+            qcm = _fq.result()
+            books, pcodes_store = _fk.result()
+        _mark("snapshots_and_fixtures")
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -1444,8 +1460,8 @@ def q_decon_stream(spark, sf_dir):
         # graded row (DSIR/BM25/LM have been since r8). Same derived
         # engine-rebuildable coefs row as the batch selection grade
         # (ONE generator, _derived_qc_model), checkpointed so every
-        # micro-batch broadcasts a pinned frame.
-        qcm = _derived_qc_model(spark).localCheckpoint(eager=True)
+        # micro-batch broadcasts a pinned frame (fitted in the
+        # store-snapshot pool above).
         clf = ingest.clf_score_stream(stream, qcm).select(
             F.lit("clf").alias("part"), "doc_id", zero,
             F.round("logit", 6).alias("v"),
@@ -1501,8 +1517,15 @@ def q_decon_stream(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        _mark("stream_file_union")
+        # r14 OPT(2) (guide §2.6): q is awaited BELOW, after the poll
+        # query and the six batch chains have been started — all of
+        # them depend only on the frozen snapshots above, never on the
+        # stream's output, so the three regions (file-union stream,
+        # poll stream, batch chains) now run concurrently instead of
+        # strictly back to back. The stream's micro-batch scheduling is
+        # driver-bound and leaves most cores idle; the chains back-fill
+        # them. Query shapes, store paths and every oracle row are
+        # unchanged.
         # r13 (ADVICE r12): the poll source runs as its OWN availableNow
         # query, not unioned into the file-source run — Python streaming
         # sources don't implement SupportsTriggerAvailableNow, so a
@@ -1521,13 +1544,6 @@ def q_decon_stream(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        qp.awaitTermination(120)
-        assert len({p["batchId"] for p in q.recentProgress}) > 1, (
-            "file-source union ran single-batch — multi-micro-batch "
-            "coverage regressed (is a non-availableNow source back in "
-            "the union?)"
-        )
-        _mark("stream_poll")
         # (r14: the r11 part='ivfpq_store' full-corpus write→serve round
         # trip that lived here was merged into part='ivfpq_grow' below —
         # the keep/merge audit in SCALE_r14.json; the grow loop runs the
@@ -1704,6 +1720,20 @@ def q_decon_stream(spark, sf_dir):
             _f_mp = _pool.submit(_chain_lsh_mp)
             _f_lt = _pool.submit(_chain_lsh_t)
             _f_rr = _pool.submit(_chain_rerank)
+            # both streaming queries have been running since before the
+            # chains were submitted; await them while the chains fill
+            # the idle cores. stream_file_union's recorded wall now
+            # includes that contention by construction; stream_poll is
+            # ~0 (it finished under the file union).
+            q.awaitTermination(300)
+            _mark("stream_file_union")
+            qp.awaitTermination(120)
+            assert len({p["batchId"] for p in q.recentProgress}) > 1, (
+                "file-source union ran single-batch — multi-micro-batch "
+                "coverage regressed (is a non-availableNow source back "
+                "in the union?)"
+            )
+            _mark("stream_poll")
             igrow, irefit = _f_gf.result()
             igrowq = _f_gc.result()
             illoyd = _f_ll.result()
