@@ -12,10 +12,13 @@ Runs q_decon_stream once at the given SF dir, forces the returned frame
 Usage: python plans/r14/decon_walls_probe.py [sf_dir] [reps]
 """
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# import the tree the probe is launched FROM (A/B runs launch it from a
+# worktree cwd), never a hardcoded path
+sys.path.insert(0, os.getcwd())
 
 
 def steal():

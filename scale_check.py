@@ -886,11 +886,15 @@ DECON_STREAM_PART_DECISIONS = {
 def decon_stream_part_walls(spark):
     """r14 (VERDICT r13 Next #5): the decon_stream slot's grading cost,
     stage by stage — captured from entry.PART_WALLS (the graded function
-    marks its own sequential stage boundaries; the nine streamed union
-    parts share ONE query by design, and their standalone per-part costs
-    are the decon_stream_scale A/B timings in this same artifact). The
-    final noop write materializes the lazy batch-side assembly (recall
-    join + the part-row projections over checkpointed frames)."""
+    marks its own stage boundaries; the nine streamed union parts share
+    ONE query by design, and their standalone per-part costs are the
+    decon_stream_scale A/B timings in this same artifact). Since the
+    r14 overlap optimizations the stages RUN CONCURRENTLY — the
+    snapshot/fixture chains share one pool and the poll query + batch
+    chains run under the file-union stream — so stage walls overlap in
+    time and no longer sum to 'total'. The final noop write
+    materializes the lazy batch-side assembly (recall join + the
+    part-row projections over checkpointed frames)."""
     t0 = time.perf_counter()
     df = entry.queries()["decon_stream"](spark, SMALL)
     walls = dict(entry.PART_WALLS)
