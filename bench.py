@@ -288,8 +288,15 @@ def main() -> None:
     # attribution in the artifact so a reader can audit every retry.
     heal_log: dict[str, dict] = {}
     if inflated and sf == "0.1" and floors_ok:
-        heal_attempts = int(os.environ.get("SPARK_GRAFT_HEAL_ATTEMPTS", "5"))
-        heal_budget = float(os.environ.get("SPARK_GRAFT_HEAL_BUDGET", "300"))
+        # r15 (VERDICT r14 Next #1): defaults raised 5->10 attempts /
+        # 300->900s budget so the DRIVER's un-tuned invocation gets the
+        # same protocol that produced the r14 floor-validated artifact
+        # (HEAL_ATTEMPTS=8-10, BUDGET=900). r14's official run at the old
+        # defaults left a 9-query inflated residue standing on a stolen
+        # window; the budget is an upper bound, only spent while queries
+        # remain >1.4x floor, so clean runs pay nothing extra.
+        heal_attempts = int(os.environ.get("SPARK_GRAFT_HEAL_ATTEMPTS", "10"))
+        heal_budget = float(os.environ.get("SPARK_GRAFT_HEAL_BUDGET", "900"))
         heal_deadline = time.time() + heal_budget
         still: list[str] = []
         for name in inflated:
@@ -392,6 +399,30 @@ def main() -> None:
                 # counter, decides the artifact of record.
                 "heal_log": heal_log,
                 "steal_excused": steal_excused,
+                # r15 (VERDICT r14 Next #1): a methodology-stable total —
+                # the same sum as "value", reported ONLY when every
+                # headline number of record is floor-validated (<=1.4x
+                # its committed clean floor), i.e. when inflated_vs_floor
+                # is empty on an sf0.1 run with a complete floor ledger.
+                # null means the run carries unexcused host noise and
+                # round-over-round comparisons should prefer a
+                # floor-validated artifact. Never a different number
+                # than "value" — it is a validity tag, not a recompute.
+                "total_floor_validated": (
+                    round(total, 3)
+                    if sf == "0.1" and floors_ok and not inflated
+                    and not jvm_contaminated
+                    and all(q in floors for q in headline)
+                    else None
+                ),
+                # the committed clean-floor sum for the queries benched
+                # this run — the stable lower-bound reference the 1.4x
+                # validation bar is anchored to
+                "floors_total_benched": (
+                    round(sum(floors[q] for q in headline), 3)
+                    if floors_ok and all(q in floors for q in headline)
+                    else None
+                ),
                 # like-for-like with BASELINE.md's only comparable figure
                 # (order-book replay ~0.9M msg/s single-core): the pure
                 # fold, one core, no Spark overhead — the cluster runs this
