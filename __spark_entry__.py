@@ -1373,7 +1373,13 @@ def q_decon_stream(spark, sf_dir):
                 .select("vec_id", "embedding") \
                 .repartition(4).write.mode("overwrite").parquet(psrc)
 
-        with _TPE(max_workers=10) as _pool:
+        # r15 (ADVICE r14): _fit_codes blocks a pool worker on
+        # _fc.result() — safe ONLY while the pool has at least as many
+        # workers as submitted chains (all submissions get a worker, so
+        # the awaited chain is guaranteed to be running). Keep the two
+        # numbers tied by an assert rather than a comment.
+        _N_SNAPSHOT_CHAINS = 10
+        with _TPE(max_workers=_N_SNAPSHOT_CHAINS) as _pool:
             _fl = _pool.submit(_fit_lam)
             _fb = _pool.submit(_fit_bm)
             _fm = _pool.submit(_fit_lm)
@@ -1401,6 +1407,14 @@ def q_decon_stream(spark, sf_dir):
                 return books_, store
 
             _fk = _pool.submit(_fit_codes)
+            # 10 submissions above (_fl _fb _fm _fa _w1 _w2 _ff _fc _fq
+            # _fk) — if a future edit adds a chain without growing the
+            # pool, the cross-chain _fc.result() wait inside _fit_codes
+            # could deadlock; fail loudly instead.
+            assert _N_SNAPSHOT_CHAINS >= 10, (
+                "snapshot pool must have >= 1 worker per submitted chain "
+                "(a chain blocks on another chain's future)"
+            )
             lam, bmidx, lmm, annidx = (
                 _fl.result(), _fb.result(), _fm.result(), _fa.result()
             )
@@ -1411,14 +1425,24 @@ def q_decon_stream(spark, sf_dir):
             qcm = _fq.result()
             books, pcodes_store = _fk.result()
         _mark("snapshots_and_fixtures")
+        # r15 OPT (VERDICT r14 Next #3): maxFilesPerTrigger 1 -> 2. The
+        # stream's wall is dominated by per-micro-batch INCREMENTAL
+        # PLANNING of the 9-arm union (driver-bound Catalyst work, not
+        # cluster compute) — 4 fixture files per source at 1 file/trigger
+        # meant 4 planning rounds each. 2 files/trigger halves the
+        # planning rounds while keeping the multi-micro-batch grading
+        # coverage (2 batches > 1, asserted below) and the single-query
+        # 9-arm shape. Every part's output is content-determined per
+        # doc/probe/tick (batching-invariant), so the 18-part hash is
+        # unchanged by construction — and verified by oracle parity.
         stream = (
             spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .parquet(src)
         )
         estream = (
             spark.readStream.schema("vec_id long, embedding array<float>")
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .parquet(psrc)
         )
         # r12 part='poll': the reference's poll source as a registered
@@ -1725,9 +1749,18 @@ def q_decon_stream(spark, sf_dir):
             # the idle cores. stream_file_union's recorded wall now
             # includes that contention by construction; stream_poll is
             # ~0 (it finished under the file union).
-            q.awaitTermination(300)
+            # r15 (ADVICE r14): assert the boolean — on timeout the old
+            # code proceeded with a partially-filled memory sink and only
+            # failed later (short output) with no clear signal; the
+            # stream now contends with the poll query and six batch
+            # chains, so an overrun is likelier than when it ran alone.
+            assert q.awaitTermination(300), (
+                "decon_stream file-union did not finish in 300s"
+            )
             _mark("stream_file_union")
-            qp.awaitTermination(120)
+            assert qp.awaitTermination(120), (
+                "decon_stream poll query did not finish in 120s"
+            )
             assert len({p["batchId"] for p in q.recentProgress}) > 1, (
                 "file-source union ran single-batch — multi-micro-batch "
                 "coverage regressed (is a non-availableNow source back "
