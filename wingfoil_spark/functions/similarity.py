@@ -151,7 +151,21 @@ def hyperplane_signature(
     expression evaluation (~8s at 500 rows); the vectorized kernel does the
     same math in milliseconds. Exactness: projections accumulate
     dim-SEQUENTIALLY (row-vectorized), the same order as a left fold, so
-    buckets are bitwise-reproducible by the SQL oracle's list_reduce."""
+    buckets are bitwise-reproducible by the SQL oracle's list_reduce.
+
+    Optimizer contract (r14, ADVICE r15-documented): the kernel UDF is
+    marked ``asNondeterministic()`` so the optimizer cannot duplicate the
+    evaluation when a consumer's join/filter infers predicates on
+    ``bucket`` (guide §4.4). The values ARE deterministic — but the
+    marking also stops deterministic filters from being pushed below the
+    projection, and a consumer that places the UDF call itself in a
+    position requiring determinism (join condition, some aggregate or
+    streaming positions) will get an analysis error rather than the
+    dedup. Callers should therefore project ``bucket`` FIRST and
+    filter/join on the projected column (as every in-repo consumer
+    does), or materialize the signed frame via localCheckpoint at hot
+    call sites (the cosine_near_dups pattern) when that is not
+    possible."""
     # NOT repartitioned here (unlike the dedup text kernels): the signature
     # kernel is light (bits × dim flops/row), and the ANN queries feed the
     # bucketed frames straight into broadcast joins — an extra round-robin
