@@ -52,7 +52,20 @@ from wingfoil_spark.stream import Stream
 #: Both paths produce IDENTICAL rows for the exact (decimal/integral)
 #: types these operators are graded on — asserted by
 #: tests/test_scale_primitives.py::test_materialize_paths_identical.
-MATERIALIZE = os.environ.get("WINGFOIL_SCALE_MATERIALIZE", "local")
+#:
+#: Default "none" (r15, VERDICT r14 Next #2): the r14 warm A/B that
+#: motivated "local" claimed 1.27s -> 1.13s, but the driver's cold
+#: ground truth regressed (0.892 -> 1.043, unhealed at 1.312 in the
+#: r15 baseline run), and the r15 cold-JVM interleaved A/B
+#: (plans/coldab_dgs.py, 5 reps x 2 modes, per-run steal attribution,
+#: recorded in OPTIMIZATION_r15.md) shows NO win for the checkpoint:
+#: best-of-runs local 1.155s vs none 1.100s, tied on the cleanest
+#: window (1.155 vs 1.143 at ~30 steal jiffies). With no proven
+#: wall-clock win, the pure-lineage shape is strictly better: it is
+#: the fault-tolerant posture at scale AND skips the eager
+#: materialization write on a cold JVM. "local" remains available for
+#: single-job-lifetime pipelines that reuse the within-pass.
+MATERIALIZE = os.environ.get("WINGFOIL_SCALE_MATERIALIZE", "none")
 
 
 def _materialize(df, mode: str | None):
