@@ -298,39 +298,61 @@ def main() -> None:
         heal_attempts = int(os.environ.get("SPARK_GRAFT_HEAL_ATTEMPTS", "10"))
         heal_budget = float(os.environ.get("SPARK_GRAFT_HEAL_BUDGET", "900"))
         heal_deadline = time.time() + heal_budget
-        still: list[str] = []
-        for name in inflated:
-            floor = floors[name]
-            fn = queries[name]
-            attempts: list[dict] = []
-            best = timings[name]
-            while len(attempts) < heal_attempts and time.time() < heal_deadline:
+        # r15 fairness fix (observed in this round's first full run): the
+        # per-query sequential loop let ONE genuinely-slow query burn all
+        # 10 attempts (+ drain sleeps) and exhaust the budget, leaving
+        # every later inflated query with ZERO attempts ("0 attempt(s)"
+        # in the artifact). Round-robin instead: one attempt per
+        # still-inflated query per sweep, so the budget spreads across
+        # the whole residue and a real (non-noise) regression cannot
+        # starve noise victims of their retries. Same bounds (per-query
+        # attempt cap, wall budget), same log schema.
+        state = {
+            name: {"floor": floors[name], "attempts": [],
+                   "best": timings[name]}
+            for name in inflated
+        }
+        pending = list(inflated)
+        while pending and time.time() < heal_deadline:
+            swept_stolen = True
+            for name in list(pending):
+                if time.time() >= heal_deadline:
+                    break
+                st = state[name]
                 s0 = _steal_jiffies()
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 dt = time.perf_counter() - t0
                 stolen = _steal_jiffies() - s0
-                attempts.append({"sec": round(dt, 3), "steal": stolen})
-                best = min(best, dt)
-                if best <= 1.4 * floor:
-                    break
-                if stolen > max(2, 48 * dt):
-                    # the window was stolen — give the patch time to drain
-                    # before burning another attempt (bounded by budget)
-                    time.sleep(min(20, max(0, heal_deadline - time.time())))
-            healed = best <= 1.4 * floor
+                st["attempts"].append({"sec": round(dt, 3), "steal": stolen})
+                st["best"] = min(st["best"], dt)
+                if stolen <= max(2, 48 * dt):
+                    swept_stolen = False
+                if (st["best"] <= 1.4 * st["floor"]
+                        or len(st["attempts"]) >= heal_attempts):
+                    pending.remove(name)
+            if pending and swept_stolen:
+                # every attempt this sweep was stolen — give the patch
+                # time to drain before burning another sweep
+                time.sleep(min(20, max(0, heal_deadline - time.time())))
+        still: list[str] = []
+        for name in inflated:
+            st = state[name]
+            healed = st["best"] <= 1.4 * st["floor"]
             heal_log[name] = {
-                "floor": floor,
-                "attempts": attempts,
+                "floor": st["floor"],
+                "attempts": st["attempts"],
                 "healed": healed,
-                "kept_sec": round(best, 3),
+                "kept_sec": round(st["best"], 3),
             }
-            timings[name] = round(best, 3)
+            timings[name] = round(st["best"], 3)
             if not healed:
                 still.append(name)
             print(f"# heal {name}: {'OK' if healed else 'STILL INFLATED'} "
-                  f"{best:.3f}s vs {floor:.3f}s floor after "
-                  f"{len(attempts)} attempt(s)", file=sys.stderr)
+                  f"{st['best']:.3f}s vs {st['floor']:.3f}s floor after "
+                  f"{len(st['attempts'])} attempt(s)", file=sys.stderr)
         inflated = still
         total = sum(timings.values())
     # contamination verdict: a concurrent JVM always contaminates; suite
