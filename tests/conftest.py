@@ -65,6 +65,20 @@ _FULL_ONLY = (
     # gate; the banding/verify semantics stay covered by the jaccard
     # parity + differential tests)
     "test_dedup_recall.py::test_lsh_recall_on_near_dups",
+    # second trim (the first fast-lane pass measured 27.5 min, still
+    # over the ~20 min driver budget): the slowest hypothesis/property
+    # sweeps and perf assertions, each with cheaper functional/golden
+    # siblings that stay in the lane
+    "test_fix_codec.py::test_groups_split_differential_vs_python_walk",
+    "test_lm_packing.py::test_kn_differential",
+    "test_lm_packing.py::test_lm_differential",
+    "test_streaming_timers.py::test_delay_timer_random_splits",
+    "test_dedup_recall.py::test_decontaminate_invariant_under_doc_order",
+    "test_dedup_recall.py::test_components_invariant_under_edge_presentation",
+    "test_scale_primitives.py::test_salted_grouped_apply_beats_hot_python_stage",
+    "test_bpe.py::test_incremental_trainer_speed",
+    "test_bpe.py::test_hypothesis_differential",
+    "test_property_differential.py::test_combine_latest_matches_model",
 )
 
 
@@ -83,7 +97,10 @@ def pytest_collection_modifyitems(config, items):
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("wingfoil_spark_tests", cpus=8)
+    spark = get_spark(
+        "wingfoil_spark_tests",
+        cpus=int(os.environ.get("WINGFOIL_TEST_CPUS", "8")),
+    )
     yield spark
 
 
