@@ -2251,17 +2251,15 @@ def q_jaccard_pairs(spark, sf_dir):
     # "auto" lets the 2M-edge gate (dedup.py) pick packed vs the
     # distributed iterate fixpoint — the graded plan must not enshrine the
     # single-task packed stage at 100× (judge r4 weak item #2).
-    # r15 OPT (guide §2.6): edges_materialize="deferred" — `verified`
-    # reads the jac checkpoint above, so the edge distinct needs no
-    # checkpoint of its own; the auto gate becomes a cheap pair-count
-    # (upper-bounding edges by 2×pairs, conservative toward iterate) and
-    # the packed path computes the distinct inside its one consumer
-    # action. Build phase drops from three driver-blocking actions
-    # (jac ckpt → edges ckpt → gate count) to two (jac ckpt → light
-    # count); labels identical (same post-distinct edge set).
-    comp = dd.dedup_components(
-        verified, strategy="auto", edges_materialize="deferred"
-    )
+    # r15: an edges_materialize="deferred" variant (skip the edge
+    # checkpoint, light pair-count gate, distinct folded into the packed
+    # consumer) was built and interleave-A/B'd at sf0.1: eager 2.556s
+    # clean-min vs deferred 2.714s — the saved driver action costs MORE
+    # than it saves here (the final job re-runs the distinct serially
+    # with the union's other branch). Kept the measured-faster eager
+    # default; the deferred mode remains on dedup_components for callers
+    # whose profile differs (test-pinned identical labels).
+    comp = dd.dedup_components(verified, strategy="auto")
     return (
         jac.select(
             F.lit("pair").alias("part"), "a", "b", F.col("jaccard").alias("v")
