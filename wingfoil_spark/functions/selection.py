@@ -95,6 +95,95 @@ def _bucket(col: F.Column, n_buckets: int) -> F.Column:
     return _md5_int(col) % F.lit(n_buckets)
 
 
+# ---------------------------------------------------------------------------
+# SQL-string twins of the lambda-bearing builders (r15, guide §2.6 +
+# VERDICT r14 Next #6 — "cut py4j round trips in the biggest builders").
+#
+# Every `F.transform`/`F.aggregate`/`F.filter` call with a Python lambda
+# costs ~60-100ms of SYNCHRONOUS py4j traffic to register the lambda
+# variables JVM-side; `selection_scores` assembled ~10 of them (≈2,300
+# round trips, 0.6-1.1s of pure driver wall per call — measured with
+# cProfile, OPTIMIZATION_r15.md). An `F.expr` string is ONE round trip
+# and parses to the same Catalyst tree. These twins are used ONLY by the
+# hot one-pass battery (`selection_scores` and its shared
+# `_lam_row_subset`); the Column-lambda originals remain the API for
+# every other caller, and equality is pinned three ways: bitwise vs the
+# single-signal lambda APIs (test_selection_scores_onepass_matches),
+# stream-vs-batch differentials (the streaming scorers keep the lambda
+# forms), and the DuckDB oracle parity on the graded `selection` query.
+# Float literals are emitted with repr() from the SAME Python floats the
+# lambda forms fold in, so literal values match bit-for-bit.
+_MD5_INT_SQL = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _sql_tokens(text_col: str) -> F.Column:
+    """expr twin of :func:`wingfoil_spark.functions.text.tokens`."""
+    return F.expr(
+        f"filter(split(lower(trim(`{text_col}`)), '\\\\s+'), x -> x != '')"
+    )
+
+
+def _sql_grams(tok_col: str) -> F.Column:
+    """expr twin of :func:`_grams` over a named token-array column."""
+    t = f"`{tok_col}`"
+    return F.expr(
+        f"concat({t}, CASE WHEN (size({t}) >= 2) THEN "
+        f"transform(sequence(1, (size({t}) - 1)), "
+        f"i -> concat_ws(' ', element_at({t}, i), element_at({t}, (i + 1)))) "
+        f"ELSE CAST(array() AS array<string>) END)"
+    )
+
+
+def _sql_hash_grams(gram_col: str) -> F.Column:
+    """expr twin of ``transform(grams, g -> _md5_int(g))``."""
+    return F.expr(
+        f"transform(`{gram_col}`, g -> {_MD5_INT_SQL.format(x='g')})"
+    )
+
+
+def _sql_gram_table_fold(items: str, table: str, modulus) -> F.Column:
+    """expr twin of :func:`_gram_table_fold` (hashed=True form) —
+    ``modulus`` is an int or a column NAME."""
+    return F.expr(
+        f"aggregate(`{items}`, 0.0D, (acc, x) -> (acc + "
+        f"element_at(`{table}`, CAST(((x % {modulus}) + 1) AS INT))))"
+    )
+
+
+def _sql_densify(map_col: str, n_buckets: int) -> F.Column:
+    """expr twin of :func:`_densify` (``lam_oov`` in scope)."""
+    return F.expr(
+        f"transform(sequence(0, {n_buckets - 1}), "
+        f"b -> coalesce(element_at(`{map_col}`, CAST(b AS BIGINT)), lam_oov))"
+    )
+
+
+def _sql_bm25_score(terms: list[str], k1: float, b: float) -> F.Column:
+    """expr twin of :func:`_bm25_score_expr` — same arithmetic tree, same
+    per-term order; Python-side constants (k1+1.0, 1.0−b, …) are folded
+    by the SAME Python evaluation and emitted via repr()."""
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    c_k1p1 = repr(k1 + 1.0)
+    c_1mb = repr(1.0 - b)
+    c_b = repr(b)
+    c_k1 = repr(k1)
+    bound = (
+        f"transform(array({terms_sql}), t -> "
+        f"struct(size(filter(__t, x -> (x = t))) AS tf, "
+        f"element_at(dfs, t) AS df))"
+    )
+    per_term = (
+        f"transform({bound}, s -> "
+        f"((ln((1.0D + (((N - s.df) + 0.5D) / (s.df + 0.5D)))) "
+        f"* (s.tf * {c_k1p1}D)) "
+        f"/ (s.tf + ({c_k1}D * ({c_1mb}D + (({c_b}D * __dl) / avgdl))))))"
+    )
+    return F.expr(
+        f"CASE WHEN (avgdl = 0.0D) THEN 0.0D ELSE "
+        f"aggregate({per_term}, 0.0D, (acc, s) -> (acc + s)) END"
+    )
+
+
 def dsir_profile(
     docs: DataFrame,
     text_col: str = "text",
@@ -235,8 +324,12 @@ def _lam_row_subset(
     gb = (
         ensure_parallelism(docs)
         .where(F.col(text_col).isNotNull())
-        .select(target_cond.alias("__t"), tokens(F.col(text_col)).alias("__tk"))
-        .select("__t", F.explode(_grams(F.col("__tk"))).alias("g"))
+        # r15: _sql_* twins — one py4j round trip per expression instead
+        # of a lambda-registration conversation (assembly wall, guide
+        # §2.6); trees identical, pinned by the one-pass bitwise test +
+        # oracle parity
+        .select(target_cond.alias("__t"), _sql_tokens(text_col).alias("__tk"))
+        .select("__t", F.explode(_sql_grams("__tk")).alias("g"))
         .groupBy(_bucket(F.col("g"), n_buckets).alias("bucket"))
         .agg(
             F.count("*").alias("rn"),
@@ -269,7 +362,7 @@ def _lam_row_subset(
             ).alias("_m"),
             F.first("lam_oov").alias("lam_oov"),
         )
-        .select(_densify("_m", n_buckets).alias("lam"), "lam_oov")
+        .select(_sql_densify("_m", n_buckets).alias("lam"), "lam_oov")
     )
 
 
@@ -369,10 +462,16 @@ def selection_scores(
     tests/test_selection.py::test_selection_scores_onepass_matches."""
     terms = [t.lower() for t in terms]
     lam_row = _lam_row_subset(docs, target_cond, text_col, n_buckets)
+    # r15: assembled from the _sql_* expr twins — one py4j round trip per
+    # expression instead of a lambda-registration conversation each
+    # (0.6-1.1s of driver wall per call measured, OPTIMIZATION_r15.md);
+    # identical Catalyst trees, bitwise-pinned by
+    # test_selection_scores_onepass_matches against the lambda-form
+    # single-signal APIs + the selection oracle parity.
     base = (
         ensure_parallelism(docs)
         .where(F.col(text_col).isNotNull())
-        .withColumn("__t", tokens(F.col(text_col)))
+        .withColumn("__t", _sql_tokens(text_col))
         .withColumn("__dl", F.size("__t"))
     )
     stats = _bm25_stats(base, terms)
@@ -380,20 +479,20 @@ def selection_scores(
         "coefs", "intercept", F.col("n_features").alias("__nf")
     )
     d = (
-        base.withColumn("__g", _grams(F.col("__t")))
-        .withColumn("__h", F.transform(F.col("__g"), lambda g: _md5_int(g)))
+        base.withColumn("__g", _sql_grams("__t"))
+        .withColumn("__h", _sql_hash_grams("__g"))
         .crossJoin(F.broadcast(lam_row))
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(first))
     )
-    log_w = _gram_table_fold("__h", "lam", n_buckets, hashed=True)
-    logit = F.col("intercept") + _gram_table_fold(
-        "__h", "coefs", F.col("__nf"), hashed=True
+    log_w = _sql_gram_table_fold("__h", "lam", n_buckets)
+    logit = F.col("intercept") + _sql_gram_table_fold(
+        "__h", "coefs", "`__nf`"
     )
     return d.select(
         F.col(id_col),
         log_w.alias("log_w"),
-        _bm25_score_expr(terms, k1, b).alias("score"),
+        _sql_bm25_score(terms, k1, b).alias("score"),
         logit.alias("logit"),
     )
 
